@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local correctness checker mimicking the driver's DuckDB-oracle gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+oracle against DuckDB views over <sfDir>/*.parquet, and compares with the
+Spark result parquet at <verifyOutDir>/<name>/. Columns are sorted by
+name before comparison (driver behavior); rows compared both in file
+order and sorted. Dev tool only — not part of the shipped library.
+"""
+import duckdb, glob, json, sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify everything for an order/dtype-insensitive value compare
+    return df.astype(str)
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:200]}"); n_fail += 1; continue
+        got = con.sql(
+            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
+        g, e = norm(got), norm(exp)
+        if g.shape != e.shape:
+            print(f"FAIL {name}: shape {g.shape} vs oracle {e.shape}"); n_fail += 1; continue
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: cols {list(g.columns)} vs {list(e.columns)}"); n_fail += 1; continue
+        if g.values.tolist() == e.values.tolist():
+            print(f"PASS {name} ({g.shape[0]} rows)"); n_pass += 1; continue
+        gs = g.sort_values(by=list(g.columns)).values.tolist()
+        es = e.sort_values(by=list(e.columns)).values.tolist()
+        if gs == es:
+            print(f"PASS {name} ({g.shape[0]} rows) [row order differs]"); n_pass += 1
+        else:
+            diffs = [i for i, (a, b) in enumerate(zip(gs, es)) if a != b][:3]
+            print(f"FAIL {name}: values differ; first diff rows {diffs}")
+            for i in diffs[:2]:
+                print(f"  spark:  {gs[i]}")
+                print(f"  oracle: {es[i]}")
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed, {len(oracle)} total")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.ShopifyFunctions._
+
+/** ETL-parity operators from SURVEY.md §2 (projection/flatten, scalar
+  * functions, aggregation, window-dedup, joins, set ops, merge patterns,
+  * sort/limit) expressed as queries over the driver's synthetic corpus,
+  * each paired with an equivalent DuckDB oracle.
+  *
+  * Determinism discipline: every query ends in a total ORDER BY (unique
+  * tie-break key) and every money aggregate is summed in exact
+  * DECIMAL(18,2) arithmetic (then rendered as double) in BOTH engines —
+  * double summation order varies with partitioning, so a float sum would
+  * not survive the driver's hash compare (nor a 1000-executor re-run).
+  */
+object EtlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Exact money sum: cast addends to DECIMAL(18,2), sum exactly (no
+    * float summation-order sensitivity — a requirement once partial
+    * aggregates run on 1000 executors), render as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact `sum(price * (1 - discount))` in decimal arithmetic. */
+  private def dsumRevenue: Column =
+    sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast("double")
+
+  /** `events.parquet` carries parquet TIMESTAMP(NANOS) which Spark's
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]); read the raw INT64 and
+    * truncate to microseconds — exactly what DuckDB's
+    * `CAST(ts AS TIMESTAMP)` does on the same file.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.read.schema(sch).parquet(s"$d/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // ---------------------------------------------------------------- A2/A4
+  /** TPC-H Q1-style pricing summary: scan + filter + wide aggregation.
+    * Exercises map-side partial aggregation; at 100 TB the only shuffle is
+    * 6 groups wide. */
+  val q1PricingSummary: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumRevenue.as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue by day — the flagship entry query (SURVEY §7.2). */
+  val q2RevenueByDay: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("order_date")
+
+  // ---------------------------------------------------------------- J1/J2
+  /** TPC-H Q3-style: selective dim filter + fact join + top-k.
+    * customer is broadcast; order/lineitem join shuffles on orderkey. */
+  val q3TopOrders: Q = (s, d) => {
+    val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+    val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp_ntz"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+      .agg(dsumRevenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4-style: EXISTS as left-semi join with a non-equi conjunct. */
+  val q4OrderPriority: Q = (s, d) => {
+    val o = t(s, d, "orders").filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+      col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+    val l = t(s, d, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q5-style: 6-way star join, small dims broadcast, group by nation. */
+  val q5RegionRevenue: Q = (s, d) => {
+    val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, d, "nation")
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val l = t(s, d, "lineitem")
+    val sup = t(s, d, "supplier")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsumRevenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6-style: pure scan-filter-agg; filters must reach the parquet
+    * scan as PushedFilters. */
+  val q6ForecastRevenue: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) * col("l_discount").cast(DecimalType(4, 2))).cast("double").as("revenue"))
+
+  // ---------------------------------------------------------------- F1-F8
+  /** Scalar-function battery (F1 clean_id, F5 strip-#, F7 normKey, F8
+    * date render) applied row-wise — all pure Column exprs, codegen'd. */
+  val q7CleanId: Q = (s, d) =>
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        cleanId(concat(lit("gid://shopify/Order/"), col("o_orderkey")), "R-").as("order_id"),
+        stripHash(concat(lit("#"), col("o_orderkey"))).as("order_number"),
+        normKey(concat(lit("  sku-"), col("o_orderkey"), lit(" "))).as("sku_norm"),
+        tsDate(col("o_orderdate")).as("order_day"))
+      .orderBy("o_orderkey")
+
+  /** U1 — two-store federation: per-store ID prefixing + UNION ALL
+    * (`R-`/`W-` quirk, incremental_loaders.py:83). */
+  val q8StoreUnion: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val retail = c.filter(col("c_custkey") % 2 === 0)
+      .select(concat(lit("R-"), col("c_custkey")).as("customer_id"),
+        col("c_name"), round(col("c_acctbal"), 2).as("acctbal"), col("c_nationkey"))
+    val wholesale = c.filter(col("c_custkey") % 2 === 1)
+      .select(concat(lit("W-"), col("c_custkey")).as("customer_id"),
+        col("c_name"), round(col("c_acctbal"), 2).as("acctbal"), col("c_nationkey"))
+    retail.unionByName(wholesale).orderBy("customer_id")
+  }
+
+  // ---------------------------------------------------------------- A5
+  /** Window dedup — keep-latest-per-key (`DISTINCT ON` semantics,
+    * run_logs.txt:346-361) with a fixed total order for tie-breaks. */
+  val q9LatestOrderPerCustomer: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("last_order_date"),
+        round(col("o_totalprice"), 2).as("last_price"))
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- J3
+  /** Anti-join gap-fill shape (wholesale SKUs NOT IN retail,
+    * run_logs.txt:382-391): customers with no recent orders, rolled up. */
+  val q10CustomersWithoutOrders: Q = (s, d) => {
+    val recent = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+    t(s, d, "customer")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  // ---------------------------------------------------------------- W2/J4
+  /** Delete-matched + reload (fact_order_items.sql, run_logs.txt:545-573):
+    * anti-join keeps unmatched target rows, staged rows re-appended. */
+  val q11DeleteReload: Q = (s, d) => {
+    val staged = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+      .select(col("o_orderkey"))
+    val li = t(s, d, "lineitem")
+    val kept = li.join(staged, li("l_orderkey") === staged("o_orderkey"), "left_anti")
+      .withColumn("src", lit("kept"))
+    val reloaded = li.join(staged, li("l_orderkey") === staged("o_orderkey"), "left_semi")
+      .withColumn("src", lit("staged"))
+    kept.unionByName(reloaded)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("src")
+  }
+
+  // ---------------------------------------------------------------- W1
+  /** Upsert (fact_orders.sql ON CONFLICT DO UPDATE, run_logs.txt:472-541):
+    * result = staged ∪ (target ⟕anti staged), validated via rollup. */
+  val q12Upsert: Q = (s, d) => {
+    val target = t(s, d, "orders")
+    val staged = target
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+      // price bump in exact decimal arithmetic: double round() differs
+      // between JVM (shortest-repr HALF_UP) and C++ (scaled std::round)
+      .withColumn("o_totalprice",
+        expr("CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST('1.05' AS DECIMAL(3,2)), 2) AS DOUBLE)"))
+    val merged = staged.unionByName(
+      target.join(staged.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
+    merged.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------- A3/P6
+  /** Inventory-style bucket fold (quantities per name → fixed columns,
+    * incremental_loaders.py:318-323): conditional sums per return flag. */
+  val q13InventoryPivot: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_partkey")
+      .agg(
+        round(coalesce(sum(when(col("l_returnflag") === "A", col("l_quantity"))), lit(0.0)), 2).as("qty_a"),
+        round(coalesce(sum(when(col("l_returnflag") === "N", col("l_quantity"))), lit(0.0)), 2).as("qty_n"),
+        round(coalesce(sum(when(col("l_returnflag") === "R", col("l_quantity"))), lit(0.0)), 2).as("qty_r"))
+      .orderBy("l_partkey")
+
+  // ---------------------------------------------------------------- A1
+  /** Watermark max over ISO-rendered timestamps (lexicographic == chrono
+    * quirk, incremental_loaders.py:127-131). */
+  val q14Watermark: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(max(tsIso(col("o_orderdate"))).as("watermark"))
+      .orderBy("o_orderstatus")
+
+  // ---------------------------------------------------------------- top-k
+  /** Sort/limit with total order: top customers by revenue. */
+  val q15TopCustomers: Q = (s, d) =>
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+
+  // ---------------------------------------------------------------- JSON
+  /** Semi-structured props extraction (get_json_object ≙ DuckDB
+    * json_extract_string) + rollup. */
+  val q16EventsJson: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("event_type")
+
+  /** Tumbling-window aggregation (batch shape of a streaming windowed agg). */
+  val q17EventsHourly: Q = (s, d) =>
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization: lag + gap>30min cumulative session ids — the classic
+    * event-stream window composition. */
+  val q18Sessions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_revenue_by_day" -> q2RevenueByDay,
+    "q3_top_orders" -> q3TopOrders,
+    "q4_order_priority" -> q4OrderPriority,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q7_clean_id" -> q7CleanId,
+    "q8_store_union" -> q8StoreUnion,
+    "q9_latest_order" -> q9LatestOrderPerCustomer,
+    "q10_anti_join" -> q10CustomersWithoutOrders,
+    "q11_delete_reload" -> q11DeleteReload,
+    "q12_upsert" -> q12Upsert,
+    "q13_inventory_pivot" -> q13InventoryPivot,
+    "q14_watermark" -> q14Watermark,
+    "q15_top_customers" -> q15TopCustomers,
+    "q16_events_json" -> q16EventsJson,
+    "q17_events_hourly" -> q17EventsHourly,
+    "q18_sessions" -> q18Sessions,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price, round(avg(l_quantity),2) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q2_revenue_by_day" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_date, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY 1""",
+    "q3_top_orders" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01' AND l_shipdate > TIMESTAMP '1999-01-01' GROUP BY l_orderkey, CAST(o_orderdate AS DATE) ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders o WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate) GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q5_region_revenue" ->
+      """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue FROM customer, orders, lineitem, supplier, nation, region WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q7_clean_id" ->
+      """SELECT o_orderkey, 'R-' || split_part('gid://shopify/Order/' || o_orderkey, '/', -1) AS order_id, replace('#' || o_orderkey, '#', '') AS order_number, upper(trim('  sku-' || o_orderkey || ' ')) AS sku_norm, strftime(o_orderdate, '%Y-%m-%d') AS order_day FROM orders ORDER BY o_orderkey""",
+    "q8_store_union" ->
+      """SELECT * FROM (SELECT 'R-' || c_custkey AS customer_id, c_name, round(c_acctbal,2) AS acctbal, c_nationkey FROM customer WHERE c_custkey % 2 = 0 UNION ALL SELECT 'W-' || c_custkey, c_name, round(c_acctbal,2), c_nationkey FROM customer WHERE c_custkey % 2 = 1) ORDER BY customer_id""",
+    "q9_latest_order" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS last_order_date, round(o_totalprice,2) AS last_price FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+    "q10_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01') GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q11_delete_reload" ->
+      """WITH staged AS (SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'), merged AS (SELECT 'kept' AS src, l_extendedprice FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM staged) UNION ALL SELECT 'staged' AS src, l_extendedprice FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM staged)) SELECT src, count(*) AS n_items, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price FROM merged GROUP BY src ORDER BY src""",
+    "q12_upsert" ->
+      """WITH staged AS (SELECT o_orderkey, o_orderstatus, CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST('1.05' AS DECIMAL(3,2)), 2) AS DOUBLE) AS o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'), merged AS (SELECT o_orderstatus, o_totalprice FROM staged UNION ALL SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staged)) SELECT o_orderstatus, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q13_inventory_pivot" ->
+      """SELECT l_partkey, round(coalesce(sum(CASE WHEN l_returnflag='A' THEN l_quantity END),0),2) AS qty_a, round(coalesce(sum(CASE WHEN l_returnflag='N' THEN l_quantity END),0),2) AS qty_n, round(coalesce(sum(CASE WHEN l_returnflag='R' THEN l_quantity END),0),2) AS qty_r FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""",
+    "q14_watermark" ->
+      """SELECT o_orderstatus, max(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')) AS watermark FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q15_top_customers" ->
+      """SELECT c_custkey, c_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10""",
+    "q16_events_json" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type ORDER BY event_type""",
+    "q17_events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q18_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events), lagged AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e), flagged AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM lagged), sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM flagged) SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM sess GROUP BY user_id ORDER BY user_id""",
+  )
+}

@@ -1,0 +1,186 @@
+package graft
+
+import java.time.{LocalDate, LocalDateTime}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+import graft.operators.{InventoryPipeline, MergeOps}
+import graft.silver.Flatten
+import graft.sources.{AtomicTableWriter, RawReader}
+import graft.state.EtlRunLog
+
+/** O1–O3/O7 — the daily pipeline (daily_scheduler.py:150-218) re-shaped
+  * for Spark: parallel staging fan-out per (store × entity), an
+  * all-staged-or-abort gate, then serial merges into the gold tables.
+  *
+  * The thread pool exists to overlap independent *jobs* (each Spark
+  * action is already cluster-parallel inside); SparkSession is
+  * thread-safe so the reference's connection-per-call dance
+  * (daily_scheduler.py:23) has no equivalent here.
+  */
+final class Orchestrator(spark: SparkSession, bronzeDir: String,
+                         silverDir: String, goldDir: String, stateDir: String) {
+
+  val runLog = new EtlRunLog.Store(spark, s"$stateDir/etl_run_log")
+  private val stores = Seq("retail" -> "R-", "wholesale" -> "W-")
+  private val entities = Seq("orders", "customers", "products")
+
+  private def silverPath(store: String, table: String) = s"$silverDir/staging_${store}_$table"
+  private def goldPath(table: String) = s"$goldDir/$table"
+
+  /** PHASE 1 — stage one (store, entity): bronze JSON → flatten →
+    * conformed silver parquet; returns the batch watermark
+    * (daily_scheduler.py:100-148). */
+  def stageEntity(store: String, prefix: String, entity: String): Option[String] = {
+    val path = s"$bronzeDir/$store/$entity"
+    val now = LocalDateTime.now()
+    val runId = runLog.logStart(store, entity, now)
+    val result = Try {
+      entity match {
+        case "orders" =>
+          val nodes = RawReader.readJson(spark, Schemas.orderNode, "orders", path)
+          write(Flatten.conform(Flatten.orders(nodes, prefix), "fact_orders"),
+            silverPath(store, "fact_orders"))
+          write(Flatten.conform(Flatten.orderItems(nodes, prefix), "fact_order_items"),
+            silverPath(store, "fact_order_items"))
+          Flatten.watermark(nodes)
+        case "customers" =>
+          val nodes = RawReader.readJson(spark, Schemas.customerNode, "customers", path)
+          write(Flatten.conform(Flatten.customers(nodes, prefix), "dim_customers"),
+            silverPath(store, "dim_customers"))
+          Flatten.watermark(nodes)
+        case "products" =>
+          val nodes = RawReader.readJson(spark, Schemas.productNode, "products", path)
+          val ts = now.format(EtlRunLog.ISO)
+          val day = now.toLocalDate.toString
+          write(Flatten.conform(Flatten.products(nodes), "dim_products"),
+            silverPath(store, "dim_products"))
+          write(Flatten.conform(Flatten.variants(nodes), "dim_product_variants"),
+            silverPath(store, "dim_product_variants"))
+          write(Flatten.conform(Flatten.currentInventory(nodes), "fact_current_inventory"),
+            silverPath(store, "fact_current_inventory"))
+          write(Flatten.conform(Flatten.inventorySnapshot(nodes, ts, day), "inventory_snapshot"),
+            silverPath(store, "inventory_snapshot"))
+          Flatten.watermark(nodes)
+        case other => throw new IllegalArgumentException(s"unknown entity $other")
+      }
+    }
+    result match {
+      case Success(wm) =>
+        runLog.logStagingSuccess(runId, wm, LocalDateTime.now()); wm
+      case Failure(e) =>
+        runLog.logFailure(runId, e.getMessage, LocalDateTime.now()); throw e
+    }
+  }
+
+  private def write(df: DataFrame, path: String): Unit =
+    AtomicTableWriter.overwrite(df, path)
+
+  private def silver(store: String, table: String): Option[DataFrame] =
+    AtomicTableWriter.read(spark, silverPath(store, table))
+
+  /** R∪W staging view; degenerates to one side when the other is absent
+    * (run_etl_with_retries.py:41-44). */
+  private def combined(table: String): Option[DataFrame] = {
+    val frames = stores.flatMap { case (st, _) => silver(st, table) }
+    if (frames.isEmpty) None else Some(MergeOps.combineStores(frames))
+  }
+
+  /** PHASE 2 — the seven merge jobs, serial, per entity
+    * (run_etl_with_retries.py:46-96; run_logs.txt:1613-1619). */
+  def mergeOrders(ingestedAt: String): Unit = {
+    combined("fact_orders").foreach { staged0 =>
+      val staged = staged0.withColumn("ingested_at", lit(ingestedAt))
+      val merged = AtomicTableWriter.read(spark, goldPath("fact_orders")) match {
+        case Some(target) => MergeOps.upsert(target, staged, Seq("order_id"))
+        case None => staged
+      }
+      write(merged, goldPath("fact_orders"))
+    }
+    combined("fact_order_items").foreach { items0 =>
+      val items = items0.withColumn("ingested_at", lit(ingestedAt))
+      val merged = AtomicTableWriter.read(spark, goldPath("fact_order_items")) match {
+        case Some(target) =>
+          MergeOps.deleteReload(target, items, items.select("order_id"), Seq("order_id"))
+        case None => items
+      }
+      write(merged, goldPath("fact_order_items"))
+    }
+  }
+
+  def mergeCustomers(ingestedAt: String): Unit =
+    combined("dim_customers").foreach { staged =>
+      write(MergeOps.fullRefresh(staged).withColumn("ingested_at", lit(ingestedAt)),
+        goldPath("dim_customers"))
+    }
+
+  def mergeProducts(ingestedAt: String): Unit = {
+    combined("dim_products").foreach(s =>
+      write(s.withColumn("ingested_at", lit(ingestedAt)), goldPath("dim_products")))
+    combined("dim_product_variants").foreach(s =>
+      write(s.withColumn("ingested_at", lit(ingestedAt)), goldPath("dim_product_variants")))
+
+    // W6 — retail-first inventory pipeline
+    val perStore = stores.flatMap { case (st, _) =>
+      for {
+        inv <- silver(st, "fact_current_inventory")
+        vars <- silver(st, "dim_product_variants")
+        prods <- silver(st, "dim_products")
+      } yield InventoryPipeline.storeInventory(inv, vars, prods, st)
+    }
+    if (perStore.nonEmpty) {
+      val current = perStore.reduce(InventoryPipeline.combine)
+        .withColumn("ingested_at", lit(ingestedAt))
+      val merged = AtomicTableWriter.read(spark, goldPath("fact_current_inventory")) match {
+        case Some(target) => MergeOps.upsert(target, current, Seq("sku"))
+        case None => current
+      }
+      write(merged, goldPath("fact_current_inventory"))
+
+      // W7 — idempotent snapshot append keyed (sku, snapshot_date)
+      val today = LocalDate.now().toString
+      val todays = spark.read.parquet(goldPath("fact_current_inventory"))
+        .select(col("sku"), col("available"), col("committed"), col("on_hand"),
+          col("incoming"), col("reserved"))
+        .withColumn("snapshot_date", lit(today))
+        .withColumn("ingested_at", lit(ingestedAt))
+      val merged2 = AtomicTableWriter.read(spark, goldPath("inventory_snapshot")) match {
+        case Some(target) =>
+          MergeOps.snapshotAppend(target, todays, Seq("sku", "snapshot_date"))
+        case None => todays
+      }
+      write(merged2, goldPath("inventory_snapshot"), Seq("snapshot_date"))
+    }
+  }
+
+  private def write(df: DataFrame, path: String, partitionBy: Seq[String]): Unit =
+    AtomicTableWriter.overwrite(df, path, partitionBy)
+
+  /** The daily run: parallel staging → gate → serial merges → hook
+    * (daily_scheduler.py:150-218). Returns true iff everything
+    * succeeded; `onSuccess` models the Power BI refresh trigger (O7). */
+  def runDaily(onSuccess: () => Unit = () => ()): Boolean = {
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4)) // O1: pool of 4
+    val staging = for ((store, prefix) <- stores; entity <- entities)
+      yield Future(Try(stageEntity(store, prefix, entity)))
+    val results = staging.map(f => Await.result(f, Duration.Inf))
+    results.foreach {
+      case Failure(e) => System.err.println(s"[orchestrator] staging failed: $e")
+      case _ =>
+    }
+    if (results.exists(_.isFailure)) return false // O2: gate
+
+    val ingestedAt = LocalDateTime.now().format(EtlRunLog.ISO)
+    val merges = Seq(
+      () => mergeOrders(ingestedAt),
+      () => mergeCustomers(ingestedAt),
+      () => mergeProducts(ingestedAt))
+    val ok = merges.forall(m => Try(m()).isSuccess) // O3: serial
+    if (ok) onSuccess()
+    ok
+  }
+}

@@ -24,24 +24,28 @@ object ShopifyFunctions {
       .otherwise(concat(lit(prefix), element_at(split(gid, "/"), -1)))
 
   /** F2 — `safe_val`: try-cast with default on null or bad input.
-    * Spark's non-ANSI cast yields null on garbage, so `coalesce` over the
-    * cast reproduces the reference's try/except default.
-    * Ref: incremental_loaders.py:67-69.
+    * `try_cast` yields null on garbage (Spark 4 is ANSI by default, so a
+    * plain cast would throw), and `coalesce` supplies the reference's
+    * try/except default. Ref: incremental_loaders.py:67-69.
     */
   def safeCast(c: Column, to: String, default: Any): Column =
-    coalesce(c.cast(to), lit(default).cast(to))
+    coalesce(c.try_cast(to), lit(default).cast(to))
 
-  /** F3 — `get_money`: `{shopMoney:{amount}}` → double, falling back to a
-    * bare `{amount}`, else 0.0. Ref: incremental_loaders.py:71-77.
+  /** F3 — `get_money`: money set → double. Mirrors the reference's
+    * control flow exactly (incremental_loaders.py:71-77): if `shopMoney`
+    * is a non-empty object, use its `amount` (default 0.0, with NO
+    * fallback to the outer amount); otherwise use the outer `amount`;
+    * null/absent → 0.0. "Non-empty" ⇔ at least one field non-null, which
+    * is how a JSON `{}` parses against a fixed StructType.
     */
-  def money(moneySet: Column): Column =
-    coalesce(
-      moneySet.getField("shopMoney").getField("amount").cast("double"),
-      lit(0.0))
-
-  /** F3 variant for already-flat money nodes `{amount, currencyCode}`. */
-  def moneyFlat(obj: Column): Column =
-    coalesce(obj.getField("amount").cast("double"), lit(0.0))
+  def money(obj: Column): Column = {
+    val sm = obj.getField("shopMoney")
+    val smNonEmpty = sm.isNotNull &&
+      (sm.getField("amount").isNotNull || sm.getField("currencyCode").isNotNull)
+    when(obj.isNull, lit(0.0))
+      .when(smNonEmpty, coalesce(sm.getField("amount").try_cast("double"), lit(0.0)))
+      .otherwise(coalesce(obj.getField("amount").try_cast("double"), lit(0.0)))
+  }
 
   /** F4 — tag-array join: `["a","b"]` → `"a,b"`, null → `""`.
     * Ref: incremental_loaders.py:148,235,292.

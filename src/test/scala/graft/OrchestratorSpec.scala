@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.AtomicTableWriter
+
+/** End-to-end golden test: bronze fixture JSON → full daily run → gold
+  * tables, plus the rerun-idempotence property the reference's
+  * overlap-lookback design depends on (daily_scheduler.py:75-81). */
+class OrchestratorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def setupBronze(root: String): Unit = {
+    def write(rel: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    write("bronze/retail/orders/batch1.json",
+      Fixtures.envelope(Seq(Fixtures.orderNodes, Fixtures.orderNodeSparse), "retail", "orders"))
+    write("bronze/retail/customers/batch1.json",
+      Fixtures.envelope(Seq(Fixtures.customerNode), "retail", "customers"))
+    write("bronze/retail/products/batch1.json",
+      Fixtures.envelope(Seq(Fixtures.productNode, Fixtures.productNodeSparse), "retail", "products"))
+    // wholesale carries a duplicate SKU (gap-fill check) + its own product
+    val wholesaleProduct = Fixtures.productNode
+      .replace("gid://shopify/Product/11", "gid://shopify/Product/91")
+      .replace("gid://shopify/ProductVariant/31", "gid://shopify/ProductVariant/93")
+      .replace("WID-001", "wid-001") // same SKU after normalization
+      .replace(""""title": "Widget"""", """"title": "Widget W"""")
+    write("bronze/wholesale/orders/batch1.json",
+      Fixtures.envelope(Seq(Fixtures.orderNodes.replace("5551234", "7771")), "wholesale", "orders"))
+    write("bronze/wholesale/customers/batch1.json",
+      Fixtures.envelope(Seq(Fixtures.customerNodeSparse), "wholesale", "customers"))
+    write("bronze/wholesale/products/batch1.json",
+      Fixtures.envelope(Seq(wholesaleProduct), "wholesale", "products"))
+  }
+
+  test("daily run end-to-end: all gold tables materialize correctly") {
+    val root = Files.createTempDirectory("graft-e2e").toString
+    setupBronze(root)
+    val orch = new Orchestrator(spark, s"$root/bronze", s"$root/silver",
+      s"$root/gold", s"$root/state")
+    var hookFired = false
+    assert(orch.runDaily(() => hookFired = true))
+    assert(hookFired) // O7: post-success hook
+
+    val orders = spark.read.parquet(s"$root/gold/fact_orders")
+    assert(orders.count() == 3) // R-5551234, R-5551235, W-7771
+    assert(orders.filter($"order_id" === "W-7771").count() == 1)
+
+    val items = spark.read.parquet(s"$root/gold/fact_order_items")
+    assert(items.count() == 4) // 2 per full order, sparse has none
+
+    val customers = spark.read.parquet(s"$root/gold/dim_customers")
+    assert(customers.select("customer_id").as[String].collect().toSet == Set("R-777", "W-778"))
+
+    // W6: retail-first — WID-001 resolves to the retail variant
+    val inv = spark.read.parquet(s"$root/gold/fact_current_inventory")
+    val wid = inv.filter($"sku" === "WID-001").collect()
+    assert(wid.length == 1)
+    assert(wid.head.getAs[String]("source_system") == "retail")
+    assert(wid.head.getAs[String]("variant_id") == "31")
+
+    val snap = spark.read.parquet(s"$root/gold/inventory_snapshot")
+    assert(snap.filter($"sku" === "WID-001").count() == 1)
+    val snapCount = snap.count() // materialize before the table is swapped
+
+    // rerun the whole day: tables unchanged modulo ingested_at, which the
+    // reference's ON CONFLICT DO UPDATE also refreshes per run
+    val before = orders.drop("ingested_at").orderBy("order_id").collect().toSeq
+    assert(orch.runDaily())
+    val after = spark.read.parquet(s"$root/gold/fact_orders")
+      .drop("ingested_at").orderBy("order_id").collect().toSeq
+    assert(before == after)
+    assert(spark.read.parquet(s"$root/gold/inventory_snapshot").count() == snapCount)
+  }
+
+  test("atomic writer: overwrite swaps without losing the table") {
+    val path = Files.createTempDirectory("graft-atomic").toString + "/t"
+    AtomicTableWriter.overwrite(Seq(1, 2, 3).toDF("x"), path)
+    assert(spark.read.parquet(path).count() == 3)
+    AtomicTableWriter.overwrite(Seq(4, 5).toDF("x"), path)
+    assert(spark.read.parquet(path).as[Int].collect().toSet == Set(4, 5))
+    assert(AtomicTableWriter.read(spark, path + "-missing").isEmpty)
+  }
+
+  test("run log: watermark resolution with lookback") {
+    val root = Files.createTempDirectory("graft-runlog").toString
+    val log = new graft.state.EtlRunLog.Store(spark, s"$root/etl_run_log")
+    val today = java.time.LocalDate.parse("2025-12-08")
+    // no history → 3-day default lookback
+    assert(log.resolveStartDate("retail", "orders", today) == today.minusDays(3))
+    val id = log.logStart("retail", "orders", java.time.LocalDateTime.parse("2025-12-06T05:45:00"))
+    log.logStagingSuccess(id, Some("2025-12-06T04:00:00Z"),
+      java.time.LocalDateTime.parse("2025-12-06T05:50:00"))
+    // last success 12-06, 2 days since → start = 12-06 - (2+2) = 12-02
+    assert(log.resolveStartDate("retail", "orders", today) ==
+      java.time.LocalDate.parse("2025-12-02"))
+  }
+}

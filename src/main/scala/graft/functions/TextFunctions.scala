@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, shingles,
+  * MinHash and SimHash — all as pure `Column` combinators (codegen'd,
+  * shuffle-free per row; the expensive set operations live in
+  * `operators.Dedup`).
+  *
+  * Hashing is "portable": `h(s)` = first 8 hex chars of `md5(s)` as a
+  * 32-bit integer. md5 is bit-identical across engines, which makes
+  * every derived signature oracle-checkable in DuckDB — and
+  * deterministic across cluster re-runs, unlike JVM `hashCode`.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty/blank text → empty array (split of
+    * "" would otherwise yield [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Portable 32-bit hash (see object doc). Returns LongType in
+    * [0, 2^32). */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash functions h_i(s) = h(i ++ ":" ++ s). */
+  def portableHash(c: Column, seed: Int): Column =
+    portableHash(concat(lit(s"$seed:"), c))
+
+  /** Word k-shingles: overlapping k-token windows re-joined by a single
+    * space. Fewer than k tokens → empty array. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    val n = size(ts) - (k - 1)
+    when(n <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n),
+        i => concat_ws(" ", slice(ts, i, lit(k)))))
+  }
+
+  /** Character n-grams of the raw text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val len = length(text) - (n - 1)
+    when(len <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), len), i => substring(text, i, lit(n))))
+  }
+
+  /** MinHash signature over a shingle array: sig[i] = min over shingles
+    * of h_i(s). Empty shingle set → all-null signature entries. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles,
+        s => portableHash(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band key: hash of the signature slice for one band. Equal band
+    * keys → candidate duplicate pair. */
+  def bandKey(signature: Column, band: Int, rowsPerBand: Int): Column =
+    md5(concat_ws(",",
+      slice(signature, band * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
+
+  /** Bit b (Column-valued) of a non-negative long: floor(h / 2^b) mod 2.
+    * (`shiftright` only takes literal shift amounts; double-precision
+    * powers are exact below 2^53.) */
+  private[functions] def bitAt(h: Column, b: Column): Column =
+    pmod(floor(h.cast("double") / pow(lit(2.0), b)).cast("long"), lit(2L))
+
+  /** 32-bit SimHash over the token multiset (duplicates weigh in, as in
+    * the classic Charikar construction): bit b is set iff
+    * Σ_tokens (±1 by bit b of h(token)) >= 0. */
+  def simhash32(text: Column): Column = {
+    val ts = tokens(text)
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, b) => acc + when(
+        coalesce(
+          aggregate(ts, lit(0),
+            (a, t) => a + when(bitAt(portableHash(t), b) === 1, 1).otherwise(-1)),
+          lit(0)) >= 0,
+        pow(lit(2.0), b).cast("long")).otherwise(lit(0L)))
+  }
+
+  /** Hamming distance between two 32-bit SimHashes. */
+  def hamming32(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Content fingerprint: md5 of normalized text (exact dedup key). */
+  def fingerprint(text: Column): Column = md5(trim(text))
+
+  /** Prefix fingerprint: md5 of the first k tokens — groups documents
+    * sharing a head, a cheap near-dup blocking key. */
+  def prefixFingerprint(text: Column, k: Int): Column =
+    md5(concat_ws(" ", slice(tokens(text), 1, k)))
+
+  // ------------------------------------------------------------- quality
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this", "be")
+
+  /** Share of tokens that are stopwords; 0.0 for empty docs. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val ts = tokens(text)
+    val sw = filter(ts, t => t.isin(stopwords: _*))
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(size(sw).cast("double") / size(ts).cast("double"))
+  }
+
+  /** Mean token length; 0.0 for empty docs. */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(
+        aggregate(ts, lit(0), (a, t) => a + length(t)).cast("double") /
+          size(ts).cast("double"))
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+        .cast("double") / length(text).cast("double"))
+
+  /** Digit-character ratio. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[0-9]", "")))
+        .cast("double") / length(text).cast("double"))
+
+  /** Composite quality score in [0,1]: penalizes extreme lengths, low
+    * stopword share and punctuation soup — the standard cheap heuristics
+    * a pretraining pipeline applies before expensive dedup. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(tokenCount(text).between(5, 100000), 1.0).otherwise(0.0)
+    val swOk = when(stopwordRatio(text) > 0.01, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.3, 1.0).otherwise(0.0)
+    (lit(lenOk) + lit(swOk) + lit(punctOk)) / 3.0
+  }
+
+  // ------------------------------------------------------------- lang id
+  /** Tiny per-language stopword lists for the n-gram/stopword-vote
+    * heuristic. Deliberately minimal — the operator structure (vote +
+    * deterministic tie-break) is the point; lists are swappable. */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "la", "los", "que", "es"))
+
+  /** Language-ID by stopword vote: argmax language by stopword hits;
+    * ties and zero hits → "und" (undetermined). Deterministic: languages
+    * compared in lexicographic order. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    def hits(ws: Seq[String]): Column = size(filter(ts, t => t.isin(ws: _*)))
+    val langs = langStopwords.toSeq.sortBy(_._1)
+    val best = langs.map { case (l, ws) => struct(hits(ws).as("n"), lit(l).as("l")) }
+    val winner = array_max(array(best: _*)) // max by (n, then lang desc)
+    when(winner.getField("n") === 0, lit("und")).otherwise(winner.getField("l"))
+  }
+}

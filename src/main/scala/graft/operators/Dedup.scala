@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around one shuffle on a blocking key so the work distributes at
+  * 100 TB:
+  *
+  *  - exact:          hash-groupBy on a content fingerprint
+  *  - MinHash + LSH:  shingle → signature → band bucket → in-bucket
+  *                    verify (candidate pairs only, never O(n²))
+  *  - SimHash:        32-bit signature → byte-pigeonhole buckets →
+  *                    in-bucket Hamming verify
+  *  - n-gram Jaccard: prefix-filter join (PPJoin-style candidate
+  *                    generation) → exact Jaccard verify
+  *  - embedding:      sign-random-projection buckets → in-bucket cosine
+  *                    verify
+  *
+  * Pair outputs are canonical: (idA < idB), ordered, deterministic.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per fingerprint = min id; also returns
+    * group size. One shuffle on the 128-bit fingerprint. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fingerprint", fingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup keeping full rows: first row (by id) per fingerprint. */
+  def exactRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    MergeOps.dedupLatest(
+      df.withColumn("__fp", fingerprint(col(textCol))),
+      keys = Seq(col("__fp")), order = Seq(col(idCol).asc))
+      .drop("__fp")
+
+  /** Candidate pairs whose MinHash band keys collide.
+    * numHashes = bands × rowsPerBand. Each band is one shuffle key; a
+    * pair appears once regardless of how many bands it collides in. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val sig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(wordShingles(col(textCol), shingleSize),
+        bands * rowsPerBand).as("sig"))
+      // empty shingle sets give all-null signatures whose band keys would
+      // all collide on md5("") — drop them (mirrors the oracle's len>0)
+      .filter(element_at(col("sig"), 1).isNotNull)
+    val banded = sig.select(
+      col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          md5(concat_ws(",", transform(
+            slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+            v => v.cast("string")))).as("key")))).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+      .where(col("key").isNotNull)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard between two documents' shingle sets. */
+  private def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb))
+    val uni = size(array_union(sa, sb))
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  /** MinHash-LSH near-dup pairs, verified: candidates from
+    * [[minhashCandidates]], then exact shingle-set Jaccard ≥ threshold.
+    * The verify join touches only candidate ids — the full corpus is
+    * never self-joined. */
+  def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleSize: Int = 3,
+                        bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: Hamming(sig_a, sig_b) <= maxHamming.
+    * Pigeonhole blocking: a 32-bit signature is split into
+    * (maxHamming+1) bytes — any pair within maxHamming bits must agree
+    * on at least one whole block, so each block is an equi-join key.
+    * With maxHamming <= 3 the 4 byte-blocks cover all pairs. */
+  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "32-bit simhash pigeonhole supports maxHamming <= 3")
+    val sig = df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sig"))
+    val blocked = sig.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        blk => struct(blk.as("blk"),
+          pmod(floor(col("sig").cast("double") / pow(lit(256.0), blk)).cast("long"),
+            lit(256L)).as("key")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.blk"), col("bk.key"))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming32(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard near-dup pairs via prefix filtering (PPJoin-style):
+    * order each doc's shingles by (global frequency, value), emit only
+    * the first `|s| - ceil(t*|s|) + 1` as join keys — a pair with
+    * Jaccard >= t must share at least one prefix shingle. Verify
+    * exactly. Two shuffles (frequency count + candidate join), never
+    * O(n²). */
+  def ngramJaccardDuplicates(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double, shingleSize: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val freq = docs.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("f"))
+    // rank shingles per doc by (frequency asc, value) and keep the prefix
+    val exploded = docs.select(col("id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("s"))
+      .join(freq, Seq("s"))
+    val w = Window.partitionBy(col("id")).orderBy(col("f"), col("s"))
+    val prefix = exploded
+      .withColumn("rank", row_number().over(w))
+      .withColumn("prefix_len",
+        col("len") - ceil(col("len") * threshold).cast("int") + 1)
+      .filter(col("rank") <= col("prefix_len"))
+      .select(col("id"), col("s"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding near-dup pairs: SRP-LSH buckets then in-bucket cosine
+    * verify. `planes` trades recall for bucket size (16 planes ≈ 65k
+    * buckets). For guaranteed-exact small corpora use
+    * `Similarity.bruteForcePairs`. */
+  def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, planes: Int = 12): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.srpBucket(col(vecCol), planes).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

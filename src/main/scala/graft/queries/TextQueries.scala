@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis + dedup operators over the `documents` table, each
+  * oracle-checked against DuckDB via the portable md5-based hash (see
+  * TextFunctions doc).
+  *
+  * The corpus has no natural duplicates, so dedup queries extend it
+  * in-query with deterministic copies/mutations (id + 1_000_000) —
+  * both engines construct the same corpus, so near-dup pairs exist by
+  * construction and the whole LSH pipeline is verified end-to-end.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  /** documents ∪ exact copies of every 10th doc. */
+  private def corpusExact(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies (first token dropped) of every 10th doc. */
+  private def corpusNear(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+  }
+
+  private val stopwordsSql = defaultStopwords.map(w => s"'$w'").mkString(", ")
+
+  // ---------------------------------------------------------------- stats
+  val q19DocStats: Q = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"), col("lang"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+      meanTokenLength(col("text")).as("mean_token_len"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      digitRatio(col("text")).as("digit_ratio"))
+      .orderBy("doc_id")
+
+  val q20LangId: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"), col("lang"),
+      langId(col("text")).as("predicted_lang"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- dedup
+  val q21DedupExact: Q = (s, d) =>
+    Dedup.exact(corpusExact(s, d), "doc_id", "text")
+      .orderBy("fingerprint")
+
+  val q22Fingerprints: Q = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      prefixFingerprint(col("text"), 8).as("prefix_fp"),
+      portableHash(col("text")).as("h32"))
+      .orderBy("doc_id")
+
+  val q23MinhashSig: Q = (s, d) => {
+    val sig = minhashSignature(wordShingles(col("text"), 3), 4)
+    docs(s, d).select(
+      col("doc_id"),
+      element_at(sig, 1).as("m0"), element_at(sig, 2).as("m1"),
+      element_at(sig, 3).as("m2"), element_at(sig, 4).as("m3"))
+      .orderBy("doc_id")
+  }
+
+  val q24MinhashDedup: Q = (s, d) =>
+    Dedup.minhashDuplicates(corpusNear(s, d), "doc_id", "text",
+      threshold = 0.5, shingleSize = 3, bands = 8, rowsPerBand = 2)
+      .orderBy("id_a", "id_b")
+
+  val q25Simhash: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"), simhash32(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  val q26SimhashDedup: Q = (s, d) =>
+    Dedup.simhashDuplicates(corpusNear(s, d), "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+
+  /** Restricted to doc_id < 500 so the DuckDB brute-force oracle stays
+    * tractable; the Spark side runs the scalable prefix-filter join. */
+  val q27NgramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardDuplicates(
+      corpusNear(s, d).filter(col("doc_id") % 1000000 < 500),
+      "doc_id", "text", threshold = 0.6, shingleSize = 3)
+      .orderBy("id_a", "id_b")
+
+  val queries: Map[String, Q] = Map(
+    "q19_doc_stats" -> q19DocStats,
+    "q20_lang_id" -> q20LangId,
+    "q21_dedup_exact" -> q21DedupExact,
+    "q22_fingerprints" -> q22Fingerprints,
+    "q23_minhash_sig" -> q23MinhashSig,
+    "q24_minhash_dedup" -> q24MinhashDedup,
+    "q25_simhash" -> q25Simhash,
+    "q26_simhash_dedup" -> q26SimhashDedup,
+    "q27_ngram_jaccard" -> q27NgramJaccard,
+  )
+
+  // shared SQL fragments -------------------------------------------------
+  /** Portable hash: first 8 md5 hex chars as BIGINT. */
+  private def hx(e: String) =
+    s"CAST(CAST(('0x' || substr(md5($e), 1, 8)) AS UBIGINT) AS BIGINT)"
+  private val tok = """regexp_split_to_array(trim(text), '\s+')"""
+  /** 3-token shingles from a token array `ts`. */
+  private val shingles3 =
+    """[array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]"""
+  private val corpusNearSql =
+    """SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '') FROM documents WHERE doc_id % 10 = 0"""
+  private val corpusExactSql =
+    """SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0"""
+
+  val oracles: Map[String, String] = Map(
+    "q19_doc_stats" ->
+      s"""WITH tok AS (SELECT doc_id, lang, text, $tok AS ts FROM documents)
+         |SELECT doc_id, lang, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct,
+         |CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS mean_token_len,
+         |CAST(len(list_filter(ts, x -> x IN ($stopwordsSql))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS stopword_ratio,
+         |CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q20_lang_id" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $tok AS ts FROM documents),
+         |hits AS (SELECT doc_id, lang,
+         | len(list_filter(ts, x -> x IN ('the','and','of','to','is'))) AS n_en,
+         | len(list_filter(ts, x -> x IN ('der','die','und','das','ist'))) AS n_de,
+         | len(list_filter(ts, x -> x IN ('le','la','et','les','est'))) AS n_fr,
+         | len(list_filter(ts, x -> x IN ('el','la','los','que','es'))) AS n_es FROM tok),
+         |win AS (SELECT doc_id, lang, list_aggregate([
+         | struct_pack(n := n_de, l := 'de'), struct_pack(n := n_en, l := 'en'),
+         | struct_pack(n := n_es, l := 'es'), struct_pack(n := n_fr, l := 'fr')], 'max') AS w FROM hits)
+         |SELECT doc_id, lang, CASE WHEN w.n = 0 THEN 'und' ELSE w.l END AS predicted_lang
+         |FROM win ORDER BY doc_id""".stripMargin,
+    "q21_dedup_exact" ->
+      s"""WITH corpus AS ($corpusExactSql)
+         |SELECT md5(trim(text)) AS fingerprint, min(doc_id) AS canonical_id, count(*) AS n_dups
+         |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_fingerprints" ->
+      s"""WITH tok AS (SELECT doc_id, text, $tok AS ts FROM documents)
+         |SELECT doc_id, md5(trim(text)) AS fp,
+         |md5(array_to_string(ts[1:8], ' ')) AS prefix_fp,
+         |${hx("text")} AS h32
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q23_minhash_sig" ->
+      s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),
+         |sh AS (SELECT doc_id, $shingles3 AS sh FROM tok)
+         |SELECT doc_id,
+         | list_aggregate(list_transform(sh, s -> ${hx("'0:' || s")}), 'min') AS m0,
+         | list_aggregate(list_transform(sh, s -> ${hx("'1:' || s")}), 'min') AS m1,
+         | list_aggregate(list_transform(sh, s -> ${hx("'2:' || s")}), 'min') AS m2,
+         | list_aggregate(list_transform(sh, s -> ${hx("'3:' || s")}), 'min') AS m3
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q24_minhash_dedup" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |tok AS (SELECT doc_id AS id, $tok AS ts FROM corpus),
+         |shraw AS (SELECT id, $shingles3 AS shr FROM tok),
+         |sig AS (SELECT id, list_distinct(shr) AS sh,
+         |  [list_aggregate(list_transform(shr, s -> ${hx("h || ':' || s")}), 'min') for h in range(0, 16)] AS sig
+         |  FROM shraw WHERE len(shr) > 0),
+         |banded AS (SELECT id, sh, b.band AS band,
+         |  md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS key
+         |  FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS band) b),
+         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |pairs AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+         |  FROM cands JOIN sig sa ON cands.id_a = sa.id JOIN sig sb ON cands.id_b = sb.id)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q25_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),
+         |tokh AS (SELECT doc_id, ${hx("t.tk")} AS h FROM tok, LATERAL (SELECT unnest(ts) AS tk) t),
+         |bits AS (SELECT doc_id, b.i AS i,
+         |  CASE WHEN sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+         |       THEN CAST(pow(2, b.i) AS BIGINT) ELSE 0 END AS v
+         |  FROM tokh, LATERAL (SELECT unnest(generate_series(0, 31)) AS i) b GROUP BY doc_id, b.i)
+         |SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q26_simhash_dedup" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |tok AS (SELECT doc_id AS id, $tok AS ts FROM corpus),
+         |tokh AS (SELECT id, ${hx("t.tk")} AS h FROM tok, LATERAL (SELECT unnest(ts) AS tk) t),
+         |bits AS (SELECT id, b.i AS i,
+         |  CASE WHEN sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+         |       THEN CAST(pow(2, b.i) AS BIGINT) ELSE 0 END AS v
+         |  FROM tokh, LATERAL (SELECT unnest(generate_series(0, 31)) AS i) b GROUP BY id, b.i),
+         |sig AS (SELECT id, CAST(sum(v) AS BIGINT) AS sig FROM bits GROUP BY id)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.id < b.id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "q27_ngram_jaccard" ->
+      s"""WITH corpus AS (SELECT * FROM ($corpusNearSql) WHERE doc_id % 1000000 < 500),
+         |tok AS (SELECT doc_id AS id, $tok AS ts FROM corpus),
+         |sh AS (SELECT id, list_distinct($shingles3) AS sh FROM tok WHERE len(ts) >= 3)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |FROM sh a JOIN sh b ON a.id < b.id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

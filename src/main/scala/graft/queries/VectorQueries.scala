@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+/** Similarity search over `embeddings` + multimodal binary plumbing.
+  *
+  * Oracle-checked queries quantize vectors to integers
+  * (floor(x·10⁶)) so dot products are exact and identical in both
+  * engines — float summation order would otherwise flip rankings at
+  * the 1e-16 level. The float-path operators (`Similarity.*`) are
+  * exercised by the rows-only queries and the ScalaTest suite.
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+
+  /** Exact k-NN by quantized cosine: queries = vec_id < 10, k = 5. */
+  val q28KnnBrute: Q = (s, d) => {
+    val e = emb(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", quantizedCosine(col("qq"), col("qv")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** All-pairs with quantized cosine above threshold — the exact
+    * embedding near-dup baseline. */
+  val q29EmbeddingPairs: Q = (s, d) => {
+    val e = emb(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", quantizedCosine(col("a.qv"), col("b.qv")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-label centroid stats via quantized sums — the "embedding
+    * aggregation" shape (mean pooling by group). */
+  val q30LabelCentroids: Q = (s, d) => {
+    val e = emb(s, d).select(col("label"), quantize(col("embedding")).as("qv"))
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(element_at(col("qv"), 1)).as("sum_d0"),
+        sum(element_at(col("qv"), 2)).as("sum_d1"),
+        sum(intDot(col("qv"), col("qv"))).as("sum_sqnorm"))
+      .orderBy("label")
+  }
+
+  /** IVF ANN (k-means coarse quantizer + nProbe cells) — float path,
+    * rows-only check (no SQL-expressible oracle for k-means). */
+  val q31AnnIvf: Q = (s, d) => {
+    val e = emb(s, d)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multi-table SRP-LSH ANN — float path, rows-only check. */
+  val q32AnnSrp: Q = (s, d) => {
+    val e = emb(s, d)
+    Similarity.srpTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+      k = 5, planes = 8, tables = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal plumbing: text → opaque binary content column + typed
+    * metadata + deterministic stub "decode" (the container has no media
+    * libs — SURVEY-mandated stub; the schema/partitioning/batch shape is
+    * the real deliverable, see graft.multimodal.Multimodal). */
+  val q33Multimodal: Q = (s, d) => {
+    val b = Tables(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("content"), col("source"))
+    b.select(
+      col("doc_id"),
+      length(col("content")).cast("long").as("byte_len"),
+      md5(col("content")).as("content_md5"),
+      col("source"),
+      // stub decode: deterministic fake dimensions from the content hash
+      pmod(conv(substring(md5(col("content")), 1, 8), 16, 10).cast("long"), lit(1280L))
+        .as("fake_width"),
+      pmod(conv(substring(md5(col("content")), 9, 8), 16, 10).cast("long"), lit(720L))
+        .as("fake_height"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q28_knn_brute" -> q28KnnBrute,
+    "q29_embedding_pairs" -> q29EmbeddingPairs,
+    "q30_label_centroids" -> q30LabelCentroids,
+    "q31_ann_ivf" -> q31AnnIvf,
+    "q32_ann_srp" -> q32AnnSrp,
+    "q33_multimodal" -> q33Multimodal,
+  )
+
+  private val qv =
+    """list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000.0) AS BIGINT))"""
+  private def dot(a: String, b: String) =
+    s"CAST(list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q28_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS qv FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, qv AS qq FROM e WHERE vec_id < 10),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  CAST(${dot("q.qq", "e.qv")} AS DOUBLE) /
+         |  (sqrt(CAST(${dot("q.qq", "q.qq")} AS DOUBLE)) * sqrt(CAST(${dot("e.qv", "e.qv")} AS DOUBLE))) AS cosine
+         |  FROM q, e WHERE q.query_id <> e.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q29_embedding_pairs" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS qv FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(${dot("a.qv", "b.qv")} AS DOUBLE) /
+         |  (sqrt(CAST(${dot("a.qv", "a.qv")} AS DOUBLE)) * sqrt(CAST(${dot("b.qv", "b.qv")} AS DOUBLE))) AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE CAST(${dot("a.qv", "b.qv")} AS DOUBLE) /
+         |  (sqrt(CAST(${dot("a.qv", "a.qv")} AS DOUBLE)) * sqrt(CAST(${dot("b.qv", "b.qv")} AS DOUBLE))) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q30_label_centroids" ->
+      s"""WITH e AS (SELECT label, $qv AS qv FROM embeddings)
+         |SELECT label, count(*) AS n,
+         |  CAST(sum(qv[1]) AS BIGINT) AS sum_d0,
+         |  CAST(sum(qv[2]) AS BIGINT) AS sum_d1,
+         |  CAST(sum(${dot("qv", "qv")}) AS BIGINT) AS sum_sqnorm
+         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    "q33_multimodal" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5, source,
+        |CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) AS BIGINT) % 1280 AS fake_width,
+        |CAST(CAST(('0x' || substr(md5(text), 9, 8)) AS UBIGINT) AS BIGINT) % 720 AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q31_ann_ivf / q32_ann_srp: k-means & float-path LSH not
+    // SQL-expressible → rows-only check by design
+  )
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.operators.MergeOps
+import graft.sources.AtomicTableWriter
+
+/** Structured Streaming shape of the reference's incremental pipeline
+  * (SURVEY §2.9): the daily "pull since watermark → flatten → upsert"
+  * loop becomes file-arrival streaming with `Trigger.AvailableNow` and
+  * a `foreachBatch` merge. The reference's overlap-lookback rerun
+  * safety maps to the same property here: the merge is an idempotent
+  * upsert, so replayed files cannot duplicate rows.
+  *
+  * Scale notes: the file source checkpoints processed-file state; each
+  * micro-batch shuffles only batch-sized data for the merge anti-join.
+  * Watermarked windowed aggregation bounds state size on unbounded
+  * streams.
+  */
+object IncrementalStream {
+
+  /** Bronze stream: line-delimited JSON nodes (the splittable bulk
+    * format) arriving in a directory. */
+  def streamJsonl(spark: SparkSession, node: StructType, path: String): DataFrame =
+    spark.readStream.schema(node).json(path)
+
+  /** Merge each micro-batch into a gold table: flatten → dedup within
+    * batch → upsert. Returns the started query; AvailableNow drains
+    * what exists, then stops (the reference's daily batch semantics). */
+  def upsertSink(stream: DataFrame, flatten: DataFrame => DataFrame,
+                 goldPath: String, keys: Seq[String], checkpoint: String,
+                 latestBy: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val staged0 = flatten(batch)
+        // a batch can carry several versions of one key; keep latest
+        val staged = MergeOps.dedupLatest(staged0,
+          keys.map(col), Seq(col(latestBy).desc))
+        val merged = AtomicTableWriter.read(batch.sparkSession, goldPath) match {
+          case Some(target) => MergeOps.upsert(target, staged, keys)
+          case None => staged
+        }
+        AtomicTableWriter.overwrite(merged, goldPath)
+      }
+      .start()
+
+  /** Watermarked tumbling-window aggregation over an event stream —
+    * the streaming twin of EtlQueries.q17. State for windows older than
+    * the watermark is dropped, bounding memory on unbounded input. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     window: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+
+  // ---------------------------------------------------- custom state
+  case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(sessionCount: Long, lastTs: Long, events: Long, total: Double)
+  case class SessionUpdate(userId: Long, sessionCount: Long, events: Long, total: Double)
+
+  /** Gap-based sessionization with explicit state
+    * (`mapGroupsWithState`) — the custom-state path for semantics the
+    * built-in windows can't express (the batch twin is
+    * EtlQueries.q18Sessions). State is per-key and timeout-collected. */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+                 gapMs: Long): org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val init = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+          val next = sorted.foldLeft(init) { (st, e) =>
+            val isNew = st.lastTs == Long.MinValue || e.ts.getTime - st.lastTs > gapMs
+            SessionState(st.sessionCount + (if (isNew) 1 else 0),
+              e.ts.getTime, st.events + 1, st.total + e.value)
+          }
+          state.update(next)
+          SessionUpdate(userId, next.sessionCount, next.events, next.total)
+      }
+  }
+}

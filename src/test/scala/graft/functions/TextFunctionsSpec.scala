@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: whitespace split, blank → empty") {
+    val df = Seq("a b  c", "  ", "", "single").toDF("t")
+    val out = df.select(tokenCount($"t")).as[Int].collect()
+    assert(out.toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("wordShingles: k-windows, short text → empty") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(wordShingles($"t", 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(wordShingles($"t", 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("portableHash: first 8 md5 hex chars as long (md5('abc') known)") {
+    // md5("abc") = 900150983cd24fb0... → 0x90015098 = 2416005272
+    val h = Seq("abc").toDF("t").select(portableHash($"t")).as[Long].head()
+    assert(h == 2416005272L)
+  }
+
+  test("minhashSignature: equal texts → equal sigs; sig length fixed") {
+    val df = Seq("x y z w", "x y z w", "totally different words here").toDF("t")
+    val sigs = df.select(minhashSignature(wordShingles($"t", 2), 8))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 8)
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("simhash32: 32-bit range, equal for equal text, near for near text") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (2 to 60).map(i => s"tok$i").mkString(" ") // one token dropped
+    val df = Seq(base, base, near).toDF("t")
+    val hs = df.select(simhash32($"t")).as[Long].collect()
+    assert(hs.forall(h => h >= 0 && h < (1L << 32)))
+    assert(hs(0) == hs(1))
+    val xor = hs(0) ^ hs(2)
+    assert(java.lang.Long.bitCount(xor) <= 8) // near text → small hamming
+  }
+
+  test("langId: stopword vote with deterministic tie-break") {
+    val df = Seq(
+      "le chat et la maison est grande",  // fr stopwords
+      "der hund und die katze ist da",    // de
+      "xyzzy plugh quux",                 // none → und
+      "the of la le").toDF("t")           // 2 en vs 2 fr → tie → fr (max lang)
+    val out = df.select(langId($"t")).as[String].collect()
+    assert(out.toSeq == Seq("fr", "de", "und", "fr"))
+  }
+
+  test("quality metrics on known text") {
+    val df = Seq("the quick brown fox jumps over the lazy dog again").toDF("t")
+    val sw = df.select(stopwordRatio($"t")).as[Double].head()
+    assert(sw == 0.2) // "the" twice in 10 tokens
+    val mtl = df.select(meanTokenLength($"t")).as[Double].head()
+    assert(math.abs(mtl - 4.0) < 1e-9) // 40 chars / 10 tokens
+    assert(df.select(punctRatio($"t")).as[Double].head() == 0.0)
+  }
+}

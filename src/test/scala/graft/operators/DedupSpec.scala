@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic word-soup corpus with planted near-duplicates. */
+  private lazy val corpus = {
+    val vocab = Vector("spark", "query", "table", "scan", "join", "sort",
+      "merge", "hash", "row", "batch", "filter", "group", "window", "key")
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // planted near-dups: drop the first token of docs 0..4
+    val near = (0 until 5).map(i =>
+      (100L + i, docs(i)._2.split(" ").drop(1).mkString(" ")))
+    (docs ++ near).toDF("id", "text")
+  }
+
+  test("exact: copies collapse to one canonical id") {
+    val withCopies = corpus.unionByName(
+      corpus.filter($"id" < 3).select(($"id" + 1000).as("id"), $"text"))
+    val out = Dedup.exact(withCopies, "id", "text")
+    assert(out.filter($"n_dups" === 2).count() == 3)
+    val canon = out.filter($"n_dups" === 2).select("canonical_id").as[Long].collect()
+    assert(canon.toSet == Set(0L, 1L, 2L)) // min id wins
+    assert(Dedup.exactRows(withCopies, "id", "text").count() == corpus.count())
+  }
+
+  test("minhashDuplicates finds planted near-dups") {
+    val pairs = Dedup.minhashDuplicates(corpus, "id", "text", threshold = 0.5)
+      .collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all 5 planted pairs are (i, 100+i) with jaccard ≈ (n-1)/n-ish
+    (0 until 5).foreach(i => assert(found.contains((i.toLong, 100L + i)),
+      s"missing planted pair ($i, ${100 + i})"))
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.5))
+  }
+
+  test("simhashDuplicates == brute force (pigeonhole completeness)") {
+    val sigs = corpus.select($"id",
+      TextFunctions.simhash32($"text").as("sig")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashDuplicates(corpus, "id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
+  test("ngramJaccardDuplicates == brute force (prefix-filter completeness)") {
+    val sh = corpus.select($"id",
+      array_distinct(TextFunctions.wordShingles($"text", 3)).as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (i, s) => (i, s.toSet) }
+    val brute = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.6
+    } yield (ia, ib)).toSet
+    val got = Dedup.ngramJaccardDuplicates(corpus, "id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(brute.nonEmpty) // planted dups make this a real check
+  }
+
+  test("embeddingDuplicates: identical vectors always collide") {
+    val vecs = (0 until 20).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    val withDup = (vecs :+ (100L, vecs(3)._2)).toDF("id", "vec")
+    val pairs = Dedup.embeddingDuplicates(withDup, "id", "vec",
+      threshold = 0.99, planes = 8)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((3L, 100L)))
+  }
+}

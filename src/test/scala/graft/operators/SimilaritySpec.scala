@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = (0 until 200).map { i =>
+    val rnd = new scala.util.Random(i)
+    (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+  }.toDF("id", "vec").cache()
+
+  test("cosine basics") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    val out = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(out(0) == 1.0 && math.abs(out(1)) < 1e-12 && out(2) == -1.0 && out(3) == 0.0)
+  }
+
+  test("bruteForceTopK: k rows per query, self excluded, ranked desc") {
+    val queries = vecs.filter($"id" < 5)
+    val out = Similarity.bruteForceTopK(queries, vecs, "id", "vec", k = 5).cache()
+    assert(out.count() == 25)
+    assert(out.filter($"query_id" === $"neighbor_id").count() == 0)
+    val r0 = out.filter($"query_id" === 0).orderBy("rank")
+      .select("cosine").as[Double].collect()
+    assert(r0.toSeq == r0.sortBy(-_).toSeq) // descending
+  }
+
+  test("ivfTopK: good recall vs brute force") {
+    val queries = vecs.filter($"id" < 10)
+    val brute = Similarity.bruteForceTopK(queries, vecs, "id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, vecs, "id", "vec", k = 5,
+      nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
+  test("srpTopK: candidates only, correct shape") {
+    val queries = vecs.filter($"id" < 5)
+    val out = Similarity.srpTopK(queries, vecs, "id", "vec", k = 5,
+      planes = 6, tables = 4).cache()
+    assert(out.filter($"query_id" === $"neighbor_id").count() == 0)
+    assert(out.groupBy("query_id").count()
+      .select("count").as[Long].collect().forall(_ <= 5))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.{Fixtures, SparkSpec}
+import graft.model.Schemas
+import graft.silver.Flatten
+
+class IncrementalStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming upsert: AvailableNow drains files into gold, idempotent merge") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val in = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    // batch 1: two orders as JSONL nodes
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.jsonl"),
+      Fixtures.orderNodes + "\n" + Fixtures.orderNodeSparse + "\n")
+
+    val stream = IncrementalStream.streamJsonl(spark, Schemas.orderNode, in)
+    val q1 = IncrementalStream.upsertSink(stream,
+      b => Flatten.orders(b, "R-"), s"$root/gold", Seq("order_id"),
+      s"$root/ckpt", latestBy = "updated_at")
+    q1.awaitTermination(60000)
+
+    val gold1 = spark.read.parquet(s"$root/gold")
+    assert(gold1.count() == 2)
+    assert(gold1.filter($"order_id" === "R-5551234")
+      .select("total_price").as[Double].head() == 112.5)
+
+    // batch 2: updated version of order 5551234 (newer updatedAt, new price)
+    val updated = Fixtures.orderNodes
+      .replace(""""updatedAt": "2025-12-07T11:00:00Z"""",
+        """"updatedAt": "2025-12-08T09:00:00Z"""")
+      .replace(""""amount": "112.50"""", """"amount": "200.00"""")
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.jsonl"), updated + "\n")
+
+    val q2 = IncrementalStream.upsertSink(
+      IncrementalStream.streamJsonl(spark, Schemas.orderNode, in),
+      b => Flatten.orders(b, "R-"), s"$root/gold", Seq("order_id"),
+      s"$root/ckpt", latestBy = "updated_at")
+    q2.awaitTermination(60000)
+
+    val gold2 = spark.read.parquet(s"$root/gold")
+    assert(gold2.count() == 2) // upsert, not append
+    assert(gold2.filter($"order_id" === "R-5551234")
+      .select("total_price").as[Double].head() == 200.0)
+  }
+
+  test("watermarked windowed aggregation plans as streaming agg") {
+    val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (java.sql.Timestamp, String, Double)](spark)
+    val df = events.toDF().toDF("ts", "event_type", "value")
+    val agg = IncrementalStream.windowedCounts(df, "ts", "event_type",
+      "1 hour", "2 hours")
+    assert(agg.isStreaming)
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    events.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:15:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "view", 5.0))
+    q.processAllAvailable()
+    val out = spark.table("win_counts")
+      .select($"event_type", $"n", $"total_value").collect()
+    q.stop()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("mapGroupsWithState sessionization counts gap-separated sessions") {
+    import IncrementalStream._
+    val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent](spark)
+    val updates = sessionize(events.toDS(), gapMs = 30 * 60 * 1000)
+    val q = updates.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    events.addData(
+      SessionEvent(1, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(1, ts("2024-01-01 10:10:00"), 2.0), // same session
+      SessionEvent(1, ts("2024-01-01 12:00:00"), 3.0), // gap → new session
+      SessionEvent(2, ts("2024-01-01 09:00:00"), 4.0))
+    q.processAllAvailable()
+    val out = spark.table("sessions").as[SessionUpdate].collect()
+      .map(u => u.userId -> u).toMap
+    q.stop()
+    assert(out(1L).sessionCount == 2 && out(1L).events == 3)
+    assert(out(2L).sessionCount == 1)
+  }
+}

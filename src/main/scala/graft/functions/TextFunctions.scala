@@ -52,12 +52,34 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(1), len), i => substring(text, i, lit(n))))
   }
 
+  /** Universal-hash family over the portable base hash:
+    * h_i(s) = (a_i · (h(s) mod P) + b_i) mod P, P = 2³¹−1. The md5 runs
+    * ONCE per shingle; the per-function work is two integer ops —
+    * 16× cheaper than hashing per (function, shingle), and equally
+    * oracle-expressible. Constants are pure functions of i so the
+    * DuckDB oracle embeds the same values. */
+  val MinhashP: Long = 2147483647L
+  def minhashA(i: Int): Long = 1L + 2L * ((2654435761L * (i + 1)) % 1073741823L)
+  def minhashB(i: Int): Long = (40503L * 65537L * (i + 1)) % MinhashP
+
   /** MinHash signature over a shingle array: sig[i] = min over shingles
-    * of h_i(s). Empty shingle set → all-null signature entries. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles,
-        s => portableHash(concat(i.cast("string"), lit(":"), s)))))
+    * of h_i(s). Single pass over the shingles (fold keeps all n running
+    * minima), so the base md5 hash is evaluated once per shingle. Empty
+    * shingle set → null signature. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val aLit = array((0 until numHashes).map(i => lit(minhashA(i))): _*)
+    val bLit = array((0 until numHashes).map(i => lit(minhashB(i))): _*)
+    val base = transform(array_distinct(shingles),
+      s => pmod(portableHash(s), lit(MinhashP)))
+    val folded = aggregate(
+      base,
+      array_repeat(lit(MinhashP), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, i) => least(m,
+          pmod(h * element_at(aLit, i + 1) + element_at(bLit, i + 1),
+            lit(MinhashP)))))
+    when(size(shingles) === 0, lit(null).cast("array<bigint>")).otherwise(folded)
+  }
 
   /** LSH band key: hash of the signature slice for one band. Equal band
     * keys → candidate duplicate pair. */
@@ -73,18 +95,23 @@ object TextFunctions {
 
   /** 32-bit SimHash over the token multiset (duplicates weigh in, as in
     * the classic Charikar construction): bit b is set iff
-    * Σ_tokens (±1 by bit b of h(token)) >= 0. */
+    * Σ_tokens (±1 by bit b of h(token)) >= 0.
+    *
+    * Single pass: one fold over the hashed tokens accumulates all 32
+    * bit counters, so md5 runs once per token (a per-bit outer loop
+    * would re-hash every token 32×). */
   def simhash32(text: Column): Column = {
-    val ts = tokens(text)
+    val hs = transform(tokens(text), t => portableHash(t))
+    val bits = sequence(lit(0), lit(31))
+    val counts = aggregate(
+      hs,
+      array_repeat(lit(0), 32),
+      (acc, h) => zip_with(acc, bits,
+        (c, b) => c + when(bitAt(h, b) === 1, 1).otherwise(-1)))
     aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, b) => acc + when(
-        coalesce(
-          aggregate(ts, lit(0),
-            (a, t) => a + when(bitAt(portableHash(t), b) === 1, 1).otherwise(-1)),
-          lit(0)) >= 0,
-        pow(lit(2.0), b).cast("long")).otherwise(lit(0L)))
+      zip_with(counts, bits,
+        (c, b) => when(c >= 0, pow(lit(2.0), b).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
   }
 
   /** Hamming distance between two 32-bit SimHashes. */

@@ -44,8 +44,11 @@ object VectorFunctions {
   def quantize(vec: Column, scale: Double = 1e6): Column =
     transform(d(vec), x => floor(x * scale).cast("long"))
 
+  /** Exact integer dot product — codegen'd custom Expression (the HOF
+    * equivalent is interpreted and allocates per row; see
+    * org.apache.spark.sql.graft.LongArrayDot). */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.LongArrayDot(a, b)
 
   /** Cosine over pre-quantized integer vectors — bit-identical across
     * engines (integer dot, one sqrt, one division). */
@@ -54,20 +57,33 @@ object VectorFunctions {
     when(n === 0.0, lit(0.0)).otherwise(intDot(qa, qb).cast("double") / n)
   }
 
+  /** Deterministic hyperplane component in [-1, 1): first 8 md5 hex
+    * chars of "hp:seed:plane:dim" scaled — computed once on the driver
+    * (plain JVM md5; same derivation as the Column version it
+    * replaces), so the per-row work is pure arithmetic with literal
+    * weights instead of millions of md5 calls. */
+  private[graft] def hyperplane(seed: Int, plane: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { i =>
+      val hex = md.digest(s"hp:$seed:$plane:$i".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0) - 1.0
+    }
+  }
+
   /** Sign-random-projection LSH bucket: one bit per hyperplane, bit p =
     * sign(v · h_p), hyperplanes seeded deterministically per (seed, p,
     * dim). Vectors with equal buckets are cosine-similar candidates;
-    * different seeds give independent hash tables. */
-  def srpBucket(vec: Column, planes: Int, seed: Int = 0): Column =
-    aggregate(
-      sequence(lit(0), lit(planes - 1)), lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(d(vec), sequence(lit(0), size(vec) - 1),
-            (x, i) => x * ((conv(substring(md5(
-              concat(lit(s"hp:$seed:"), p.cast("string"), lit(":"), i.cast("string"))), 1, 8), 16, 10)
-              .cast("long").cast("double") / lit(2147483648.0)) - lit(1.0))),
-          lit(0.0), (a2, x) => a2 + x)
-        acc + when(proj >= 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
-      })
+    * different seeds give independent hash tables. `dims` must cover
+    * the vector length (extra components are harmless). */
+  def srpBucket(vec: Column, planes: Int, seed: Int = 0, dims: Int = 512): Column =
+    (0 until planes).map { p =>
+      val w = hyperplane(seed, p, dims)
+      // slice the weight literal to the vector length — zip_with would
+      // otherwise null-pad the shorter side and null out the whole sum
+      val proj = aggregate(
+        zip_with(d(vec), slice(lit(w), lit(1), size(vec)), (x, c) => x * c),
+        lit(0.0), (a2, x) => a2 + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

@@ -24,6 +24,13 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  /** CPU-heavy per-row stages (shingling, hashing) must not inherit the
+    * input's split count — a single small parquet file reads as one
+    * partition and serializes the whole operator on one core. Fan out
+    * to the cluster's parallelism first. */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact dedup: canonical row per fingerprint = min id; also returns
     * group size. One shuffle on the 128-bit fingerprint. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -40,26 +47,32 @@ object Dedup {
 
   /** Candidate pairs whose MinHash band keys collide.
     * numHashes = bands × rowsPerBand. Each band is one shuffle key; a
-    * pair appears once regardless of how many bands it collides in. */
+    * pair appears once regardless of how many bands it collides in.
+    *
+    * Signatures are computed the vectorized way: explode shingles to
+    * rows, hash once per shingle (codegen'd), then groupBy(id) with n
+    * min() aggregates — whole-stage codegen end to end with map-side
+    * partial aggregation, versus an interpreted per-row array fold.
+    * Docs with no shingles vanish at the explode (mirrors the oracle's
+    * len>0 filter). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 2): DataFrame = {
-    val sig = df.select(
+    val n = bands * rowsPerBand
+    val hashed = fanOut(df).select(
       col(idCol).as("id"),
-      minhashSignature(wordShingles(col(textCol), shingleSize),
-        bands * rowsPerBand).as("sig"))
-      // empty shingle sets give all-null signatures whose band keys would
-      // all collide on md5("") — drop them (mirrors the oracle's len>0)
-      .filter(element_at(col("sig"), 1).isNotNull)
-    val banded = sig.select(
-      col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          md5(concat_ws(",", transform(
-            slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
-            v => v.cast("string")))).as("key")))).as("bk"))
+      explode(array_distinct(wordShingles(col(textCol), shingleSize))).as("s"))
+      .select(col("id"), pmod(portableHash(col("s")), lit(MinhashP)).as("h"))
+    val sigCols = (0 until n).map(i =>
+      min(pmod(col("h") * minhashA(i) + minhashB(i), lit(MinhashP))).as(s"m$i"))
+    val sig = hashed.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val ms = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", ms: _*)).as("key"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-      .where(col("key").isNotNull)
+      .persist() // read twice by the self-join
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -83,8 +96,9 @@ object Dedup {
                         threshold: Double, shingleSize: Int = 3,
                         bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize, bands, rowsPerBand)
-    val sh = df.select(col(idCol).as("id"),
+    val sh = fanOut(df).select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+      .persist()
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
@@ -101,13 +115,26 @@ object Dedup {
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "32-bit simhash pigeonhole supports maxHamming <= 3")
-    val sig = df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sig"))
+    // vectorized signature: explode tokens, hash once (codegen'd), sum
+    // 32 ±1 bit counters per doc, recompose — same math as simhash32
+    val hashed = fanOut(df).select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), portableHash(col("t")).as("h"))
+    val bitCols = (0 until 32).map(b =>
+      sum(when(pmod(floor(col("h").cast("double") / math.pow(2.0, b)).cast("long"), lit(2L)) === 1, 1)
+        .otherwise(-1)).as(s"c$b"))
+    val counts = hashed.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+    val sig = counts.select(col("id"),
+      (0 until 32).map(b =>
+        when(col(s"c$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sig"))
     val blocked = sig.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         blk => struct(blk.as("blk"),
           pmod(floor(col("sig").cast("double") / pow(lit(256.0), blk)).cast("long"),
             lit(256L)).as("key")))).as("bk"))
       .select(col("id"), col("sig"), col("bk.blk"), col("bk.key"))
+      .persist() // sig fold computed once; self-join reads it twice
     val a = blocked.as("a")
     val b = blocked.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
@@ -126,7 +153,7 @@ object Dedup {
     * O(n²). */
   def ngramJaccardDuplicates(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double, shingleSize: Int = 3): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
+    val docs = fanOut(df).select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
       .filter(size(col("sh")) > 0)
     val freq = docs.select(explode(col("sh")).as("s"))
@@ -160,7 +187,7 @@ object Dedup {
     * `Similarity.bruteForcePairs`. */
   def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, planes: Int = 12): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val b = fanOut(df).select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.srpBucket(col(vecCol), planes).as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -23,12 +23,17 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** See Dedup.fanOut: don't inherit a small file's split count for
+    * O(pairs) compute stages. */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact top-k neighbors for each query vector (excluding self-match
     * on equal ids). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = fanOut(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
@@ -42,7 +47,7 @@ object Similarity {
   /** Exact all-pairs above a cosine threshold (small corpora / testing). */
   def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v = fanOut(df).select(col(idCol).as("id"), col(vecCol).as("v"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("cosine", cosine(col("a.v"), col("b.v")))
       .filter(col("cosine") >= threshold)
@@ -69,7 +74,7 @@ object Similarity {
     val centDf = spark.createDataFrame(centroids).toDF("cell", "centroid")
 
     // assign corpus rows to their nearest cell (one broadcast join pass)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = fanOut(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val assigned = c.crossJoin(broadcast(centDf))
       .withColumn("dist", l2Distance(col("cv"), col("centroid")))
       .withColumn("rk", row_number().over(
@@ -101,7 +106,7 @@ object Similarity {
   def srpTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 10, tables: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = fanOut(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val cands = (0 until tables).map { t =>
       val qb = q.withColumn("bucket", srpBucket(col("qv"), planes, seed = t))
       val cb = c.withColumn("bucket", srpBucket(col("cv"), planes, seed = t))

@@ -123,6 +123,15 @@ object TextQueries {
   private val corpusExactSql =
     """SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0"""
 
+  /** min over the i-th universal hash — constants from minhashA/B so
+    * Spark and the oracle share one definition. */
+  private def minhashMinSql(hs: String, i: Int): String = {
+    import graft.functions.TextFunctions.{minhashA, minhashB, MinhashP}
+    s"list_aggregate(list_transform($hs, h -> (h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP), 'min')"
+  }
+  private def minhashSigSql(hs: String, n: Int): String =
+    (0 until n).map(i => minhashMinSql(hs, i)).mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
     "q19_doc_stats" ->
       s"""WITH tok AS (SELECT doc_id, lang, text, $tok AS ts FROM documents)
@@ -155,19 +164,18 @@ object TextQueries {
          |FROM tok ORDER BY doc_id""".stripMargin,
     "q23_minhash_sig" ->
       s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),
-         |sh AS (SELECT doc_id, $shingles3 AS sh FROM tok)
+         |sh AS (SELECT doc_id, $shingles3 AS sh FROM tok),
+         |base AS (SELECT doc_id, list_transform(list_distinct(sh), s -> ${hx("s")} % 2147483647) AS hs FROM sh)
          |SELECT doc_id,
-         | list_aggregate(list_transform(sh, s -> ${hx("'0:' || s")}), 'min') AS m0,
-         | list_aggregate(list_transform(sh, s -> ${hx("'1:' || s")}), 'min') AS m1,
-         | list_aggregate(list_transform(sh, s -> ${hx("'2:' || s")}), 'min') AS m2,
-         | list_aggregate(list_transform(sh, s -> ${hx("'3:' || s")}), 'min') AS m3
-         |FROM sh ORDER BY doc_id""".stripMargin,
+         | ${minhashMinSql("hs", 0)} AS m0, ${minhashMinSql("hs", 1)} AS m1,
+         | ${minhashMinSql("hs", 2)} AS m2, ${minhashMinSql("hs", 3)} AS m3
+         |FROM base ORDER BY doc_id""".stripMargin,
     "q24_minhash_dedup" ->
       s"""WITH corpus AS ($corpusNearSql),
          |tok AS (SELECT doc_id AS id, $tok AS ts FROM corpus),
          |shraw AS (SELECT id, $shingles3 AS shr FROM tok),
          |sig AS (SELECT id, list_distinct(shr) AS sh,
-         |  [list_aggregate(list_transform(shr, s -> ${hx("h || ':' || s")}), 'min') for h in range(0, 16)] AS sig
+         |  ${minhashSigSql("list_transform(list_distinct(shr), s -> " + hx("s") + " % 2147483647)", 16)} AS sig
          |  FROM shraw WHERE len(shr) > 0),
          |banded AS (SELECT id, sh, b.band AS band,
          |  md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS key

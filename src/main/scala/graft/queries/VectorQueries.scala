@@ -21,9 +21,13 @@ object VectorQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
 
-  /** Exact k-NN by quantized cosine: queries = vec_id < 10, k = 5. */
+  /** Exact k-NN by quantized cosine: queries = vec_id < 10, k = 5.
+    * Corpus fanned out to all cores — the single parquet file would
+    * otherwise serialize the O(n·q) scoring on one partition. */
   val q28KnnBrute: Q = (s, d) => {
-    val e = emb(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val e = emb(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"))
     val scored = e.crossJoin(broadcast(q))
@@ -42,7 +46,9 @@ object VectorQueries {
   /** All-pairs with quantized cosine above threshold — the exact
     * embedding near-dup baseline. */
   val q29EmbeddingPairs: Q = (s, d) => {
-    val e = emb(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val e = emb(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine", quantizedCosine(col("a.qv"), col("b.qv")))
       .filter(col("cosine") >= 0.4)

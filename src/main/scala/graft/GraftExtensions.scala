@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.{GraftFunctionBridge => B, LongArrayDot}
+import graft.functions.{ShopifyFunctions => SF, TextFunctions => TF, VectorFunctions => VF}
+
+/** SQL surface of the engine: every graft function registered for
+  * `spark.sql(...)` use, either at session build time via
+  * `spark.sql.extensions=graft.GraftExtensions` or post-hoc with
+  * [[GraftExtensions.register]].
+  *
+  * Column-combinator functions are exposed by wrapping their Column
+  * trees back into expressions (no UDFs — the SQL surface gets the same
+  * codegen'd plans as the Scala API). `long_array_dot` is the native
+  * codegen Expression.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((B.ident(name), B.info(name, usage), e => builder(e)))
+    }
+}
+
+object GraftExtensions {
+  private def c(e: Expression): Column = B.toColumn(e)
+  private def x(col: Column): Expression = B.toExpression(col)
+
+  /** (name, usage, builder) for every SQL-exposed function. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("long_array_dot", "exact integer dot product of two array<long>",
+      (e: Seq[Expression]) => new LongArrayDot(e(0), e(1))),
+    ("graft_clean_id", "strip a Shopify GID to its trailing id, with prefix",
+      (e: Seq[Expression]) => x(SF.cleanId(c(e(0)), c(e(1))))),
+    ("graft_money", "money-set struct to double (shopMoney chain)",
+      (e: Seq[Expression]) => x(SF.money(c(e(0))))),
+    ("graft_py_str", "Python str() of a boolean: True/False/None",
+      (e: Seq[Expression]) => x(SF.pyStr(c(e(0))))),
+    ("graft_norm_key", "UPPER(TRIM(x)) join/dedup key",
+      (e: Seq[Expression]) => x(SF.normKey(c(e(0))))),
+    ("graft_join_tags", "comma-join a tag array, null-safe",
+      (e: Seq[Expression]) => x(SF.joinTags(c(e(0))))),
+    ("graft_tokens", "whitespace tokens of a text column",
+      (e: Seq[Expression]) => x(TF.tokens(c(e(0))))),
+    ("graft_token_count", "whitespace token count",
+      (e: Seq[Expression]) => x(TF.tokenCount(c(e(0))))),
+    ("graft_lang_id", "stopword-vote language id",
+      (e: Seq[Expression]) => x(TF.langId(c(e(0))))),
+    ("graft_stopword_ratio", "stopword share of tokens",
+      (e: Seq[Expression]) => x(TF.stopwordRatio(c(e(0))))),
+    ("graft_simhash32", "32-bit SimHash of the token multiset",
+      (e: Seq[Expression]) => x(TF.simhash32(c(e(0))))),
+    ("graft_fingerprint", "md5 content fingerprint of trimmed text",
+      (e: Seq[Expression]) => x(TF.fingerprint(c(e(0))))),
+    ("graft_hash32", "portable 32-bit hash (md5 prefix)",
+      (e: Seq[Expression]) => x(TF.portableHash(c(e(0))))),
+    ("graft_cosine", "cosine similarity of two float/double arrays",
+      (e: Seq[Expression]) => x(VF.cosine(c(e(0)), c(e(1))))),
+    ("graft_quantize", "floor(x*1e6) integer quantization of a vector",
+      (e: Seq[Expression]) => x(VF.quantize(c(e(0))))))
+
+  /** Register on an existing session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      B.registerTemp(spark, name, builder)
+    }
+}

@@ -20,8 +20,11 @@ object ShopifyFunctions {
     * Ref: incremental_loaders.py:63-65.
     */
   def cleanId(gid: Column, prefix: String): Column =
+    cleanId(gid, lit(prefix))
+
+  def cleanId(gid: Column, prefix: Column): Column =
     when(gid.isNull, lit(null).cast("string"))
-      .otherwise(concat(lit(prefix), element_at(split(gid, "/"), -1)))
+      .otherwise(concat(prefix, element_at(split(gid, "/"), -1)))
 
   /** F2 — `safe_val`: try-cast with default on null or bad input.
     * `try_cast` yields null on garbage (Spark 4 is ANSI by default, so a

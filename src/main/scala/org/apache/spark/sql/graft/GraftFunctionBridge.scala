@@ -1,0 +1,33 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** `private[sql]` escape hatch collected in one place: Column ↔
+  * Expression conversion and temp-function registration for sessions
+  * that were not built with `spark.sql.extensions`. */
+object GraftFunctionBridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Eagerly convert a Column's node tree into a catalyst Expression.
+    * `ExpressionUtils.expression` only wraps the node lazily — fine
+    * inside a normal plan, but a function-registry builder's output is
+    * spliced into an already-analyzing tree, where the wrapper then
+    * fails codegen. The converter produces the real tree (containing
+    * UnresolvedFunction nodes the analyzer resolves as usual). */
+  def toExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  def registerTemp(spark: SparkSession, name: String,
+                   builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  def ident(name: String): FunctionIdentifier = FunctionIdentifier(name)
+}

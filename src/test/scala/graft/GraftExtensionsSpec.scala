@@ -1,0 +1,45 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions evaluate like their Column twins") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_clean_id('gid://shopify/Order/42', 'R-') AS id,
+        |  graft_norm_key('  wid-1 ') AS sku,
+        |  graft_py_str(true) AS b,
+        |  graft_token_count('a b  c') AS n,
+        |  graft_fingerprint(' x ') AS fp,
+        |  long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dot,
+        |  graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cos
+        |""".stripMargin).head()
+    assert(r.getAs[String]("id") == "R-42")
+    assert(r.getAs[String]("sku") == "WID-1")
+    assert(r.getAs[String]("b") == "True")
+    assert(r.getAs[Int]("n") == 3)
+    assert(r.getAs[String]("fp") == org.apache.commons.codec.digest.DigestUtils.md5Hex("x"))
+    assert(r.getAs[Long]("dot") == 32L)
+    assert(r.getAs[Double]("cos") == 1.0)
+  }
+
+  test("extensions class wires the same registry at session build") {
+    val ext = new GraftExtensions()
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    ext.apply(exts) // must not throw; builder list is non-empty
+    assert(GraftExtensions.all.size >= 14)
+  }
+
+  test("SQL minhash-ish pipeline runs end-to-end through the registry") {
+    GraftExtensions.register(spark)
+    Seq((1L, "spark table scan join"), (2L, "spark table scan join"),
+      (3L, "totally different words here")).toDF("id", "text")
+      .createOrReplaceTempView("docs")
+    val groups = spark.sql(
+      """SELECT graft_fingerprint(text) AS fp, count(*) AS n, min(id) AS canon
+        |FROM docs GROUP BY 1 ORDER BY n DESC""".stripMargin).collect()
+    assert(groups.head.getAs[Long]("n") == 2)
+    assert(groups.head.getAs[Long]("canon") == 1L)
+  }
+}

@@ -284,7 +284,49 @@ object EtlQueries {
       .orderBy("user_id")
   }
 
+  /** S7/P2/F1-F6 in query form: construct GraphQL-shaped JSON from base
+    * columns, parse with the declared order schema, flatten through the
+    * engine's money/clean_id/pyStr chain. The oracle computes the
+    * expected outputs INDEPENDENTLY from the base columns (no JSON at
+    * all), so the whole construct→parse→flatten path is checked against
+    * ground truth, not a mirrored computation. */
+  val q34JsonFlatten: Q = (s, d) => {
+    import graft.functions.ShopifyFunctions._
+    val k = col("o_orderkey")
+    val price = col("o_totalprice").cast(DecimalType(18, 2)).cast("string")
+    val moneyJs = when(k % 3 === 0,
+        concat(lit("""{"shopMoney": {"amount": """"), price,
+          lit("""", "currencyCode": "USD"}}""")))
+      .when(k % 3 === 1, concat(lit("""{"amount": """"), price, lit("\"}")))
+      .otherwise(lit("null"))
+    val confirmedJs = when(k % 2 === 0, lit("true")).otherwise(lit("null"))
+    val customerJs = when(k % 3 === 2, lit("null"))
+      .otherwise(concat(lit("""{"id": "gid://shopify/Customer/"""),
+        col("o_custkey"), lit("\"}")))
+    val tagsJs = when(k % 4 === 0, lit("null")).otherwise(lit("""["vip", "promo"]"""))
+    val js = concat(
+      lit("""{"id": "gid://shopify/Order/"""), k,
+      lit("""", "name": "#"""), k, lit("\""),
+      lit(""", "confirmed": """), confirmedJs,
+      lit(""", "tags": """), tagsJs,
+      lit(""", "totalPriceSet": """), moneyJs,
+      lit(""", "customer": """), customerJs, lit("}"))
+    val parsed = from_json(js, graft.model.Schemas.orderNode).as("o")
+    t(s, d, "orders").select(k.as("o_orderkey"), parsed)
+      .select(
+        col("o_orderkey"),
+        cleanId(col("o.id"), "R-").as("order_id"),
+        stripHash(col("o.name")).as("order_number"),
+        when(col("o.confirmed").isNull, lit("False"))
+          .otherwise(pyStr(col("o.confirmed"))).as("confirmed"),
+        joinTags(col("o.tags")).as("tags"),
+        money(col("o.totalPriceSet")).as("total_price"),
+        cleanId(col("o.customer.id"), "R-").as("customer_id"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q34_json_flatten" -> q34JsonFlatten,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_revenue_by_day" -> q2RevenueByDay,
     "q3_top_orders" -> q3TopOrders,
@@ -306,6 +348,8 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q34_json_flatten" ->
+      """SELECT o_orderkey, 'R-' || o_orderkey AS order_id, CAST(o_orderkey AS VARCHAR) AS order_number, CASE WHEN o_orderkey % 2 = 0 THEN 'True' ELSE 'False' END AS confirmed, CASE WHEN o_orderkey % 4 = 0 THEN '' ELSE 'vip,promo' END AS tags, CASE WHEN o_orderkey % 3 IN (0, 1) THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) ELSE 0.0 END AS total_price, CASE WHEN o_orderkey % 3 = 2 THEN NULL ELSE 'R-' || o_custkey END AS customer_id FROM orders ORDER BY o_orderkey""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price, round(avg(l_quantity),2) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q2_revenue_by_day" ->

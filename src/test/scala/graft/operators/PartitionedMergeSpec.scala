@@ -1,0 +1,87 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PartitionedMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(root: String): Unit = {
+    val init = Seq(
+      ("k1", "2025-01-01", 1.0), ("k2", "2025-01-01", 2.0),
+      ("k3", "2025-01-02", 3.0), ("k4", "2025-01-03", 4.0))
+      .toDF("k", "day", "v")
+    PartitionedMerge.upsert(spark, root, init, Seq("k"), "day")
+  }
+
+  /** Files of untouched partitions must be byte-identical (same paths,
+    * same modification) after a pruned merge. */
+  import scala.jdk.CollectionConverters._
+  private def partFiles(root: String, day: String): Map[String, Long] = {
+    val dir = java.nio.file.Paths.get(root, s"day=$day")
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      .toMap
+  }
+
+  test("upsert rewrites only partitions containing staged keys") {
+    val root = Files.createTempDirectory("pmerge").toString + "/t"
+    mkTable(root)
+    val before02 = partFiles(root, "2025-01-02")
+    val before03 = partFiles(root, "2025-01-03")
+
+    // staged touches only 2025-01-01 (update k2, insert k9)
+    val staged = Seq(("k2", "2025-01-01", 20.0), ("k9", "2025-01-01", 9.0))
+      .toDF("k", "day", "v")
+    val touched = PartitionedMerge.upsert(spark, root, staged, Seq("k"), "day")
+    assert(touched == Seq("2025-01-01"))
+
+    val out = spark.read.parquet(root)
+    assert(out.count() == 5)
+    assert(out.filter($"k" === "k2").select("v").as[Double].head() == 20.0)
+    assert(out.filter($"k" === "k1").select("v").as[Double].head() == 1.0)
+    // untouched partitions: identical files, untouched mtimes
+    assert(partFiles(root, "2025-01-02") == before02)
+    assert(partFiles(root, "2025-01-03") == before03)
+  }
+
+  test("deleteReload prunes the same way") {
+    val root = Files.createTempDirectory("pmerge2").toString + "/t"
+    mkTable(root)
+    val before01 = partFiles(root, "2025-01-01")
+    val staged = Seq(("k3", "2025-01-02", 33.0)).toDF("k", "day", "v")
+    val touched = PartitionedMerge.deleteReload(spark, root, staged, Seq("k"), "day")
+    assert(touched == Seq("2025-01-02"))
+    val out = spark.read.parquet(root)
+    assert(out.filter($"k" === "k3").select("v").as[Double].head() == 33.0)
+    assert(out.count() == 4)
+    assert(partFiles(root, "2025-01-01") == before01)
+  }
+
+  test("hash-bucket partitioning gives keys with no natural partition a pruned path") {
+    val root = Files.createTempDirectory("pmerge3").toString + "/t"
+    val n = 8
+    val init = (1 to 100).map(i => (s"k$i", i.toDouble)).toDF("k", "v")
+      .withColumn("bucket", PartitionedMerge.bucketOf("k", n))
+    PartitionedMerge.upsert(spark, root, init, Seq("k"), "bucket")
+    val staged = Seq(("k7", 700.0)).toDF("k", "v")
+      .withColumn("bucket", PartitionedMerge.bucketOf("k", n))
+    val touched = PartitionedMerge.upsert(spark, root, staged, Seq("k"), "bucket")
+    assert(touched.size == 1) // exactly one bucket rewritten
+    val out = spark.read.parquet(root)
+    assert(out.count() == 100)
+    assert(out.filter($"k" === "k7").select("v").as[Double].head() == 700.0)
+  }
+
+  test("pruned scan plan shows partition filters, not a full read") {
+    val root = Files.createTempDirectory("pmerge4").toString + "/t"
+    mkTable(root)
+    val pruned = spark.read.parquet(root)
+      .filter($"day".cast("string").isin("2025-01-01"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("PartitionCount: 1"),
+      s"expected partition pruning in plan:\n$plan")
+  }
+}

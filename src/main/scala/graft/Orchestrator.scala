@@ -12,6 +12,42 @@ import graft.silver.Flatten
 import graft.sources.{AtomicTableWriter, RawReader}
 import graft.state.EtlRunLog
 
+object Orchestrator {
+  /** O6 — retry harness (run_etl_with_retries.py by name; "attempt 1/2"
+    * echo evidenced at run_logs.txt:239,288,...): retry a merge job with
+    * an attempt log, rethrowing the final failure. */
+  def withRetries[T](jobName: String, attempts: Int = 2,
+                     log: String => Unit = s => System.err.println(s))(f: => T): T = {
+    var last: Throwable = null
+    var i = 1
+    while (i <= attempts) {
+      log(s"[$jobName] attempt $i/$attempts")
+      Try(f) match {
+        case Success(v) => return v
+        case Failure(e) =>
+          log(s"[$jobName] attempt $i failed: ${e.getMessage}")
+          last = e
+      }
+      i += 1
+    }
+    throw last
+  }
+
+  /** S10 — bronze file lifecycle: archive the processed raw file (or
+    * delete-only when no archive dir is configured, the reference's
+    * ARCHIVE_BUCKET=False short-circuit, daily_scheduler.py:85-97). */
+  def archiveAndDelete(path: String, archiveDir: Option[String]): Unit = {
+    val src = java.nio.file.Paths.get(path)
+    archiveDir.foreach { dir =>
+      val target = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(target)
+      java.nio.file.Files.copy(src, target.resolve(src.getFileName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    java.nio.file.Files.deleteIfExists(src)
+  }
+}
+
 /** O1–O3/O7 — the daily pipeline (daily_scheduler.py:150-218) re-shaped
   * for Spark: parallel staging fan-out per (store × entity), an
   * all-staged-or-abort gate, then serial merges into the gold tables.
@@ -176,10 +212,12 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
 
     val ingestedAt = LocalDateTime.now().format(EtlRunLog.ISO)
     val merges = Seq(
-      () => mergeOrders(ingestedAt),
-      () => mergeCustomers(ingestedAt),
-      () => mergeProducts(ingestedAt))
-    val ok = merges.forall(m => Try(m()).isSuccess) // O3: serial
+      "orders" -> (() => mergeOrders(ingestedAt)),
+      "customers" -> (() => mergeCustomers(ingestedAt)),
+      "products" -> (() => mergeProducts(ingestedAt)))
+    val ok = merges.forall { case (name, m) => // O3: serial, O6: retried
+      Try(Orchestrator.withRetries(s"merge_$name")(m())).isSuccess
+    }
     if (ok) onSuccess()
     ok
   }

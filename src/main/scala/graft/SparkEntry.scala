@@ -11,9 +11,12 @@ import graft.queries._
   * marked rows-only (non-SQL-expressible).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue-by-day (SURVEY §7.2's end-to-end slice query): exercises
+    * scan, date bucketing, exact decimal aggregation — and returns ~1.1k
+    * rows, a robust smoke signal. */
   def entry(spark: SparkSession): DataFrame =
-    EtlQueries.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+    EtlQueries.q2RevenueByDay(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -84,6 +84,36 @@ class OrchestratorSpec extends SparkSpec {
     assert(AtomicTableWriter.read(spark, path + "-missing").isEmpty)
   }
 
+  test("O6 retry harness: succeeds on second attempt, logs attempts") {
+    val log = scala.collection.mutable.Buffer[String]()
+    var calls = 0
+    val out = Orchestrator.withRetries("job", attempts = 2, log += _) {
+      calls += 1
+      if (calls == 1) throw new RuntimeException("boom")
+      42
+    }
+    assert(out == 42 && calls == 2)
+    assert(log.exists(_.contains("attempt 1/2")) && log.exists(_.contains("attempt 2/2")))
+    // exhausted retries rethrow the last failure
+    intercept[RuntimeException] {
+      Orchestrator.withRetries("bad", attempts = 2, _ => ())(
+        throw new RuntimeException("always"))
+    }
+  }
+
+  test("S10 archive + delete lifecycle") {
+    val dir = Files.createTempDirectory("arch")
+    val f = dir.resolve("raw.json")
+    Files.writeString(f, "{}")
+    Orchestrator.archiveAndDelete(f.toString, Some(dir.resolve("archive").toString))
+    assert(!Files.exists(f))
+    assert(Files.exists(dir.resolve("archive").resolve("raw.json")))
+    // delete-only variant (ARCHIVE_BUCKET=False short-circuit)
+    Files.writeString(f, "{}")
+    Orchestrator.archiveAndDelete(f.toString, None)
+    assert(!Files.exists(f))
+  }
+
   test("run log: watermark resolution with lookback") {
     val root = Files.createTempDirectory("graft-runlog").toString
     val log = new graft.state.EtlRunLog.Store(spark, s"$root/etl_run_log")

@@ -125,6 +125,25 @@ object TextFunctions {
   def prefixFingerprint(text: Column, k: Int): Column =
     md5(concat_ws(" ", slice(tokens(text), 1, k)))
 
+  /** Order-sensitive rolling fingerprint: polynomial fold
+    * h = fold(tokens, h·B + hash(t) mod P). Unlike the md5 of the full
+    * text, it streams (constant state per document) and distinguishes
+    * permutations, the classic rolling-hash document signature. */
+  def rollingFingerprint(text: Column): Column = {
+    val hs = transform(tokens(text), t => pmod(portableHash(t), lit(MinhashP)))
+    when(size(hs) === 0, lit(null).cast("long"))
+      .otherwise(aggregate(
+        slice(hs, lit(2), greatest(size(hs) - 1, lit(0))),
+        element_at(hs, 1),
+        (acc, h) => pmod(acc * lit(1000003L) + h, lit(MinhashP))))
+  }
+
+  /** BPE-ish subword token count: letter runs, digit runs, and single
+    * punctuation marks each count as one unit (the cheap proxy for a
+    * byte-pair vocabulary's segmentation). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
   // ------------------------------------------------------------- quality
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

@@ -46,7 +46,8 @@ object TextQueries {
       distinctTokenCount(col("text")).cast("long").as("n_distinct"),
       meanTokenLength(col("text")).as("mean_token_len"),
       stopwordRatio(col("text")).as("stopword_ratio"),
-      digitRatio(col("text")).as("digit_ratio"))
+      digitRatio(col("text")).as("digit_ratio"),
+      bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
   val q20LangId: Q = (s, d) =>
@@ -64,7 +65,8 @@ object TextQueries {
       col("doc_id"),
       fingerprint(col("text")).as("fp"),
       prefixFingerprint(col("text"), 8).as("prefix_fp"),
-      portableHash(col("text")).as("h32"))
+      portableHash(col("text")).as("h32"),
+      rollingFingerprint(col("text")).as("rolling_fp"))
       .orderBy("doc_id")
 
   val q23MinhashSig: Q = (s, d) => {
@@ -138,7 +140,8 @@ object TextQueries {
          |SELECT doc_id, lang, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct,
          |CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS mean_token_len,
          |CAST(len(list_filter(ts, x -> x IN ($stopwordsSql))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS stopword_ratio,
-         |CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio
+         |CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio,
+         |len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
          |FROM tok ORDER BY doc_id""".stripMargin,
     "q20_lang_id" ->
       s"""WITH tok AS (SELECT doc_id, lang, $tok AS ts FROM documents),
@@ -160,7 +163,10 @@ object TextQueries {
       s"""WITH tok AS (SELECT doc_id, text, $tok AS ts FROM documents)
          |SELECT doc_id, md5(trim(text)) AS fp,
          |md5(array_to_string(ts[1:8], ' ')) AS prefix_fp,
-         |${hx("text")} AS h32
+         |${hx("text")} AS h32,
+         |CASE WHEN len(ts) = 0 THEN NULL ELSE list_reduce(
+         |  list_transform(ts, t -> ${hx("t")} % 2147483647),
+         |  (a, b) -> (a * 1000003 + b) % 2147483647) END AS rolling_fp
          |FROM tok ORDER BY doc_id""".stripMargin,
     "q23_minhash_sig" ->
       s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),

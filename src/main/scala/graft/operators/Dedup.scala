@@ -145,38 +145,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** n-gram Jaccard near-dup pairs via prefix filtering (PPJoin-style):
-    * order each doc's shingles by (global frequency, value), emit only
-    * the first `|s| - ceil(t*|s|) + 1` as join keys — a pair with
-    * Jaccard >= t must share at least one prefix shingle. Verify
-    * exactly. Two shuffles (frequency count + candidate join), never
-    * O(n²). */
+  /** n-gram Jaccard near-dup pairs via an inverted-index count join:
+    * explode distinct shingles, self-join the postings on the shingle
+    * key (with the ssjoin length filter — J(a,b) ≤ min/max(|a|,|b|), so
+    * size-incompatible pairs can never reach the threshold), and count
+    * matches per pair. Then |A∩B| = shared and |A∪B| = |A|+|B|−shared,
+    * so Jaccard falls out of the codegen'd groupBy — no per-pair array
+    * intersection (interpreted, allocation-heavy) at all.
+    *
+    * Work is Σ_shingle (postings²), i.e. proportional to real shingle
+    * overlap, never O(n²) over the corpus; one shuffle on the shingle
+    * key + one on the pair key. For corpora with pathological hot
+    * shingles, drop shingles with document frequency above a cutoff
+    * before the join (semantics-changing; left to the caller). */
   def ngramJaccardDuplicates(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double, shingleSize: Int = 3): DataFrame = {
     val docs = fanOut(df).select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val freq = docs.select(explode(col("sh")).as("s"))
-      .groupBy("s").agg(count(lit(1)).as("f"))
-    // rank shingles per doc by (frequency asc, value) and keep the prefix
-    val exploded = docs.select(col("id"), size(col("sh")).as("len"),
+    val postings = docs.select(col("id"), size(col("sh")).as("len"),
       explode(col("sh")).as("s"))
-      .join(freq, Seq("s"))
-    val w = Window.partitionBy(col("id")).orderBy(col("f"), col("s"))
-    val prefix = exploded
-      .withColumn("rank", row_number().over(w))
-      .withColumn("prefix_len",
-        col("len") - ceil(col("len") * threshold).cast("int") + 1)
-      .filter(col("rank") <= col("prefix_len"))
-      .select(col("id"), col("s"))
-    val cands = prefix.as("a")
-      .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cands
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .persist() // shingling is the expensive stage; both join sides read it
+    postings.as("a")
+      .join(postings.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("a.len") >= col("b.len") * threshold &&
+        col("b.len") >= col("a.len") * threshold)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.len").as("la"), col("b.len").as("lb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("la") + col("lb") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

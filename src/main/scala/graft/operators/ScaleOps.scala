@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path utilities (SURVEY §7.6 / builder brief):
+  *
+  *  - bucketed warehouse tables: co-locate repeated merges/joins on the
+  *    merge key so they plan without an Exchange
+  *  - salted two-phase aggregation for skewed keys (beyond what AQE's
+  *    skew-join handles — pre-aggregation skew)
+  *  - duplicate-cluster canonicalization: pair list → connected
+  *    components → canonical (min) id per member
+  */
+object ScaleOps {
+
+  /** Write a table bucketed by the join/merge key. Subsequent equi-joins
+    * and aggregations on `keys` between co-bucketed tables plan with
+    * ZERO shuffle on the bucketed sides (verified in ScaleOpsSpec).
+    * 100 TB note: pick nBuckets so a bucket ≈ one task's worth of data;
+    * the repeated daily merge then shuffles only the staged batch. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Two-phase aggregation for skewed group keys: groupBy (key, salt)
+    * first (splits a hot key's rows over `saltBuckets` reducers), then
+    * re-aggregate by key. `partials` must be re-aggregable (sum/count/
+    * min/max style). */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+                saltBuckets: Int = 32): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + hash(col(valueCol)), lit(saltBuckets)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__pcount"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"),
+        sum(col("__pcount")).as("count"))
+
+  /** Duplicate-cluster canonicalization: given near-dup pairs
+    * (id_a < id_b), assign every id the MINIMUM id of its connected
+    * component (transitive closure) — the "keep one copy" step after
+    * any Dedup.*Duplicates operator. Iterative min-label propagation;
+    * converges in O(log(longest chain)) rounds, each one join +
+    * aggregate. `maxIterations` bounds pathological chains. */
+  def canonicalize(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    // start: every node labels itself with min(self, neighbors)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+      .persist()
+    var changed = true
+    var i = 0
+    while (changed && i < maxIterations) {
+      // propagate: my new label = min(my label, labels of my neighbors)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("plabel"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels.withColumnRenamed("label", "canonical_id")
+  }
+
+  /** Apply canonicalization to a corpus: rows whose id maps to another
+    * canonical id are duplicates; keep only canonical survivors. */
+  def dropDuplicateRows(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val canon = canonicalize(pairs)
+    df.join(canon.filter(col("id") =!= col("canonical_id"))
+        .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+}

@@ -325,8 +325,81 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Left outer join + distribution (TPC-H Q13 shape): orders per
+    * customer including zero, then the histogram. */
+  val q35LeftJoinHistogram: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders")) // count() skips nulls
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+  }
+
+  /** Distinct-count aggregation (TPC-H Q16 shape). */
+  val q36DistinctCounts: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  /** Group-filter (HAVING) + join back (TPC-H Q18 shape): large orders. */
+  val q37LargeOrders: Q = (s, d) => {
+    val big = t(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > 150) // HAVING
+    big.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("order_date"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** Scalar subquery + anti join (TPC-H Q22 shape): above-average-balance
+    * customers with no recent orders. The global average is computed as
+    * exact-decimal-sum / count so the comparison threshold is identical
+    * in both engines (a float avg differs in the last bits). */
+  val q38RichInactive: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val avgDf = c.agg(
+      (sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1)).cast("double")).as("avg_bal"))
+    val recent = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+    c.crossJoin(broadcast(avgDf))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Min-by-group join-back (TPC-H Q2 shape) without a self-join:
+    * `min(struct(price, suppkey))` picks the cheapest supplier per part
+    * in one aggregation — struct ordering doubles as the tie-break. */
+  val q39CheapestSupplier: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_partkey")
+      .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("best"))
+      .select(col("l_partkey"),
+        col("best.l_suppkey").as("best_suppkey"),
+        col("best.l_extendedprice").as("best_price"))
+      .orderBy("l_partkey")
+
   val queries: Map[String, Q] = Map(
     "q34_json_flatten" -> q34JsonFlatten,
+    "q35_left_join_histogram" -> q35LeftJoinHistogram,
+    "q36_distinct_counts" -> q36DistinctCounts,
+    "q37_large_orders" -> q37LargeOrders,
+    "q38_rich_inactive" -> q38RichInactive,
+    "q39_cheapest_supplier" -> q39CheapestSupplier,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_revenue_by_day" -> q2RevenueByDay,
     "q3_top_orders" -> q3TopOrders,
@@ -348,6 +421,16 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q35_left_join_histogram" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC""",
+    "q36_distinct_counts" ->
+      """SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers, count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand""",
+    "q37_large_orders" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date, total_qty FROM (SELECT l_orderkey, round(sum(l_quantity),2) AS total_qty FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity),2) > 150) JOIN orders ON l_orderkey = o_orderkey ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
+    "q38_rich_inactive" ->
+      """WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal FROM customer) SELECT c_nationkey, count(*) AS n_customers, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal FROM customer, a WHERE c_acctbal > a.avg_bal AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01') GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q39_cheapest_supplier" ->
+      """SELECT l_partkey, best_suppkey, best_price FROM (SELECT l_partkey, l_suppkey AS best_suppkey, l_extendedprice AS best_price, row_number() OVER (PARTITION BY l_partkey ORDER BY l_extendedprice, l_suppkey) AS rn FROM lineitem) WHERE rn = 1 ORDER BY l_partkey""",
     "q34_json_flatten" ->
       """SELECT o_orderkey, 'R-' || o_orderkey AS order_id, CAST(o_orderkey AS VARCHAR) AS order_number, CASE WHEN o_orderkey % 2 = 0 THEN 'True' ELSE 'False' END AS confirmed, CASE WHEN o_orderkey % 4 = 0 THEN '' ELSE 'vip,promo' END AS tags, CASE WHEN o_orderkey % 3 IN (0, 1) THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) ELSE 0.0 END AS total_price, CASE WHEN o_orderkey % 3 = 2 THEN NULL ELSE 'R-' || o_custkey END AS customer_id FROM orders ORDER BY o_orderkey""",
     "q1_pricing_summary" ->

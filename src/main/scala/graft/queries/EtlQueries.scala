@@ -393,8 +393,65 @@ object EtlQueries {
         col("best.l_extendedprice").as("best_price"))
       .orderBy("l_partkey")
 
+  /** Range join (funnel): purchases within 24h of a signup, per user. */
+  val q40Funnel: Q = (s, d) => {
+    val e = events(s, d)
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    signups.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_conversions"), dsum(col("value")).as("conv_value"))
+      .orderBy("user_id")
+  }
+
+  /** ROLLUP grouping sets with explicit grouping id; null subtotal keys
+    * coalesced before ORDER BY (Spark sorts nulls first, DuckDB last). */
+  val q41Rollup: Q = (s, d) =>
+    t(s, d, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"),
+        // grouping() is only valid inside the rollup aggregation itself
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("long").as("gid"))
+      .orderBy(col("gid"),
+        coalesce(col("o_orderstatus"), lit("~")),
+        coalesce(col("o_orderpriority"), lit("~")))
+
+  /** Running total window (cumulative daily revenue) — summed in exact
+    * decimal inside the frame so the cumulative doubles are identical
+    * across engines. The single global window is fine here: the input
+    * is an already-aggregated daily rollup, thousands of rows at most. */
+  val q44RunningTotal: Q = (s, d) => {
+    val daily = t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.orderBy(col("order_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("order_date"),
+        col("rev").cast("double").as("revenue"),
+        sum(col("rev")).over(w).cast("double").as("cumulative_revenue"))
+      .orderBy("order_date")
+  }
+
+  /** Exact median per group (both engines interpolate the middle pair). */
+  val q45Median: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(median(col("o_totalprice")).as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, Q] = Map(
     "q34_json_flatten" -> q34JsonFlatten,
+    "q40_funnel" -> q40Funnel,
+    "q41_rollup" -> q41Rollup,
+    "q44_running_total" -> q44RunningTotal,
+    "q45_median" -> q45Median,
     "q35_left_join_histogram" -> q35LeftJoinHistogram,
     "q36_distinct_counts" -> q36DistinctCounts,
     "q37_large_orders" -> q37LargeOrders,
@@ -421,6 +478,14 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q40_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events), s AS (SELECT user_id, ts AS signup_ts FROM e WHERE event_type = 'signup'), p AS (SELECT user_id, ts AS purchase_ts, value FROM e WHERE event_type = 'purchase') SELECT s.user_id, count(*) AS n_conversions, CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS conv_value FROM s JOIN p ON s.user_id = p.user_id AND p.purchase_ts >= s.signup_ts AND p.purchase_ts <= s.signup_ts + INTERVAL 24 HOURS GROUP BY s.user_id ORDER BY s.user_id""",
+    "q41_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS BIGINT) AS gid FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY gid, coalesce(o_orderstatus, '~'), coalesce(o_orderpriority, '~')""",
+    "q44_running_total" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS order_date, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1) SELECT order_date, CAST(rev AS DOUBLE) AS revenue, CAST(sum(rev) OVER (ORDER BY order_date ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue FROM daily ORDER BY order_date""",
+    "q45_median" ->
+      """SELECT o_orderstatus, CAST(median(o_totalprice) AS DOUBLE) AS median_price, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q35_left_join_histogram" ->
       """SELECT n_orders, count(*) AS n_customers FROM (SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC""",
     "q36_distinct_counts" ->

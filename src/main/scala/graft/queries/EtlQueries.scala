@@ -446,8 +446,25 @@ object EtlQueries {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** As-of join: for each 'view' event, the user's latest 'click' value
+    * at-or-before it (point-in-time lookup; ns timestamps make ties
+    * impossible). Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val q46AsofJoin: Q = (s, d) => {
+    val e = events(s, d)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    graft.operators.AsofJoin.leftAsof(views, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_value"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_click_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q34_json_flatten" -> q34JsonFlatten,
+    "q46_asof_join" -> q46AsofJoin,
     "q40_funnel" -> q40Funnel,
     "q41_rollup" -> q41Rollup,
     "q44_running_total" -> q44RunningTotal,
@@ -478,6 +495,8 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events), v AS (SELECT user_id, event_id, ts, value FROM e WHERE event_type = 'view'), c AS (SELECT user_id, ts, value AS click_value FROM e WHERE event_type = 'click') SELECT v.user_id, v.event_id, v.value, c.click_value AS asof_click_value FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts ORDER BY v.user_id, v.event_id""",
     "q40_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events), s AS (SELECT user_id, ts AS signup_ts FROM e WHERE event_type = 'signup'), p AS (SELECT user_id, ts AS purchase_ts, value FROM e WHERE event_type = 'purchase') SELECT s.user_id, count(*) AS n_conversions, CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS conv_value FROM s JOIN p ON s.user_id = p.user_id AND p.purchase_ts >= s.signup_ts AND p.purchase_ts <= s.signup_ts + INTERVAL 24 HOURS GROUP BY s.user_id ORDER BY s.user_id""",
     "q41_rollup" ->

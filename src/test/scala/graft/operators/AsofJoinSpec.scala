@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leftAsof: latest right row at-or-before each left row, per key") {
+    val quotes = Seq( // key, ts, price
+      ("A", 8L, 1.0), ("A", 15L, 2.0), ("B", 3L, 9.0))
+      .toDF("sym", "qts", "price")
+    val trades = Seq( // key, ts, qty
+      ("A", 10L, 100), ("A", 15L, 200), ("A", 20L, 300),
+      ("B", 1L, 400), ("C", 5L, 500))
+      .toDF("sym", "tts", "qty")
+    val out = AsofJoin.leftAsof(trades, quotes, Seq("sym"), "tts", "qts",
+      Seq("price"))
+      .orderBy("sym", "tts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("A", 10L, 100, Some(1.0)),  // quote@8
+      ("A", 15L, 200, Some(2.0)),  // quote@15 (<= inclusive)
+      ("A", 20L, 300, Some(2.0)),  // carried forward
+      ("B", 1L, 400, None),        // no quote yet
+      ("C", 5L, 500, None)))       // key absent on right
+  }
+
+  test("leftAsof preserves left row count exactly") {
+    val left = (1 to 100).map(i => (i % 7L, i.toLong, i)).toDF("k", "ts", "v")
+    val right = (1 to 30).map(i => (i % 5L, i * 3L, i * 1.5)).toDF("k", "ts", "w")
+    val out = AsofJoin.leftAsof(left, right, Seq("k"), "ts", "ts", Seq("w"))
+    assert(out.count() == 100)
+    assert(out.columns.toSeq == Seq("k", "ts", "v", "asof_w"))
+  }
+}

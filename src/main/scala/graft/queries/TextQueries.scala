@@ -100,7 +100,15 @@ object TextQueries {
       "doc_id", "text", threshold = 0.6, shingleSize = 3)
       .orderBy("id_a", "id_b")
 
+  /** Top-3 tf-idf terms per document (rows-only: `ln` differs across
+    * engines in the last ulp, so weights aren't oracle-comparable;
+    * exactness is covered by TfIdfSpec). */
+  val q47TfIdf: Q = (s, d) =>
+    graft.operators.TfIdf.termWeights(docs(s, d), "doc_id", "text", topK = 3)
+      .orderBy("id", "rank")
+
   val queries: Map[String, Q] = Map(
+    "q47_tfidf_top_terms" -> q47TfIdf,
     "q19_doc_stats" -> q19DocStats,
     "q20_lang_id" -> q20LangId,
     "q21_dedup_exact" -> q21DedupExact,

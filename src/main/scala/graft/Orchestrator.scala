@@ -129,7 +129,14 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
     * (run_etl_with_retries.py:46-96; run_logs.txt:1613-1619). */
   def mergeOrders(ingestedAt: String): Unit = {
     combined("fact_orders").foreach { staged0 =>
-      val staged = staged0.withColumn("ingested_at", lit(ingestedAt))
+      // a bronze batch can carry several versions of one order (overlap
+      // lookback / multiple files); MergeOps.upsert requires key-unique
+      // staged input — keep the latest with a total tie-break order
+      val staged = MergeOps.dedupLatest(
+        staged0,
+        Seq(col("order_id")),
+        Seq(col("updated_at").desc, col("created_at").desc, col("order_number").desc))
+        .withColumn("ingested_at", lit(ingestedAt))
       val merged = AtomicTableWriter.read(spark, goldPath("fact_orders")) match {
         case Some(target) => MergeOps.upsert(target, staged, Seq("order_id"))
         case None => staged
@@ -137,7 +144,16 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
       write(merged, goldPath("fact_orders"))
     }
     combined("fact_order_items").foreach { items0 =>
-      val items = items0.withColumn("ingested_at", lit(ingestedAt))
+      // same-version item rows can repeat across batch files; exact
+      // duplicates collapse, and per (order_id, line_item_id) keep a
+      // deterministic survivor (reference semantics load one file per
+      // run — this is the multi-file safety net)
+      val items = MergeOps.dedupLatest(
+        items0.dropDuplicates(),
+        Seq(col("order_id"), col("line_item_id")),
+        items0.columns.filterNot(Seq("order_id", "line_item_id").contains)
+          .map(c => col(c).desc).toSeq)
+        .withColumn("ingested_at", lit(ingestedAt))
       val merged = AtomicTableWriter.read(spark, goldPath("fact_order_items")) match {
         case Some(target) =>
           MergeOps.deleteReload(target, items, items.select("order_id"), Seq("order_id"))
@@ -199,11 +215,13 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
     * (daily_scheduler.py:150-218). Returns true iff everything
     * succeeded; `onSuccess` models the Power BI refresh trigger (O7). */
   def runDaily(onSuccess: () => Unit = () => ()): Boolean = {
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(4)) // O1: pool of 4
-    val staging = for ((store, prefix) <- stores; entity <- entities)
-      yield Future(Try(stageEntity(store, prefix, entity)))
-    val results = staging.map(f => Await.result(f, Duration.Inf))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4) // O1: pool of 4
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results = try {
+      val staging = for ((store, prefix) <- stores; entity <- entities)
+        yield Future(Try(stageEntity(store, prefix, entity)))
+      staging.map(f => Await.result(f, Duration.Inf))
+    } finally pool.shutdown() // non-daemon threads must not pin the JVM
     results.foreach {
       case Failure(e) => System.err.println(s"[orchestrator] staging failed: $e")
       case _ =>

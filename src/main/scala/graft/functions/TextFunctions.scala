@@ -199,8 +199,9 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "que", "es"))
 
   /** Language-ID by stopword vote: argmax language by stopword hits;
-    * ties and zero hits → "und" (undetermined). Deterministic: languages
-    * compared in lexicographic order. */
+    * zero hits → "und" (undetermined). Nonzero ties resolve to the
+    * lexicographically GREATEST language (struct-max semantics — the
+    * deterministic rule the DuckDB oracle mirrors). */
   def langId(text: Column): Column = {
     val ts = tokens(text)
     def hits(ws: Seq[String]): Column = size(filter(ts, t => t.isin(ws: _*)))

@@ -21,6 +21,10 @@ import graft.functions.VectorFunctions
   *                    verify
   *
   * Pair outputs are canonical: (idA < idB), ordered, deterministic.
+  *
+  * Operators persist() self-joined intermediates; in long-lived
+  * sessions call `spark.catalog.clearCache()` between large corpora
+  * (as Bench does) to release them.
   */
 object Dedup {
 

@@ -43,9 +43,12 @@ object ScaleOps {
   /** Duplicate-cluster canonicalization: given near-dup pairs
     * (id_a < id_b), assign every id the MINIMUM id of its connected
     * component (transitive closure) — the "keep one copy" step after
-    * any Dedup.*Duplicates operator. Iterative min-label propagation;
-    * converges in O(log(longest chain)) rounds, each one join +
-    * aggregate. `maxIterations` bounds pathological chains. */
+    * any Dedup.*Duplicates operator. Iterative min-label propagation
+    * over direct neighbors: converges in O(component diameter) rounds
+    * (one join + aggregate each). `maxIterations` bounds pathological
+    * chains; if the bound is hit before convergence a warning is
+    * emitted and the partially-converged labels are returned (members
+    * may then map to more than one "canonical" id). */
   def canonicalize(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -75,6 +78,10 @@ object ScaleOps {
       labels = next
       i += 1
     }
+    if (changed)
+      System.err.println(
+        s"[canonicalize] WARNING: not converged after $maxIterations rounds; " +
+          "components wider than the bound carry split canonical ids")
     labels.withColumnRenamed("label", "canonical_id")
   }
 

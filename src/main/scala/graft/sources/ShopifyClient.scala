@@ -74,6 +74,9 @@ final class ShopifyClient(
       val pi = res.path("pageInfo")
       hasNext = pi.path("hasNextPage").asBoolean(false)
       cursor = Option(pi.path("endCursor").asText(null))
+      if (hasNext && cursor.isEmpty)
+        throw new RuntimeException(
+          s"malformed page response for $resourceName: hasNextPage=true but no endCursor")
       pages += 1
     }
     edges.result()
@@ -120,7 +123,12 @@ final class ShopifyClient(
     start.put("query",
       "mutation { bulkOperationRunQuery(query: \"\"\"" + bulkQuery + "\"\"\") {" +
         " bulkOperation { id status } userErrors { field message } } }")
-    post(mapper.writeValueAsString(start))
+    val started = post(mapper.writeValueAsString(start))
+      .path("data").path("bulkOperationRunQuery")
+    val errs = started.path("userErrors")
+    if (errs.isArray && errs.size() > 0)
+      throw new RuntimeException(s"bulkOperationRunQuery rejected: $errs")
+    val startedId = started.path("bulkOperation").path("id").asText(null)
 
     val statusQuery = """{ currentBulkOperation { id status objectCount url errorCode } }"""
     var polls = 0
@@ -129,7 +137,12 @@ final class ShopifyClient(
       val req = mapper.createObjectNode()
       req.put("query", statusQuery)
       val st = post(mapper.writeValueAsString(req)).path("data").path("currentBulkOperation")
-      st.path("status").asText("") match {
+      // currentBulkOperation may still be a PREVIOUS operation; only a
+      // status for OUR id counts (otherwise yesterday's COMPLETED export
+      // would be silently downloaded as today's)
+      val stId = st.path("id").asText(null)
+      val matches = startedId == null || stId == null || stId == startedId
+      (if (matches) st.path("status").asText("") else "") match {
         case "COMPLETED" =>
           val dl = st.path("url").asText(null)
           val count = st.path("objectCount").asLong(0)

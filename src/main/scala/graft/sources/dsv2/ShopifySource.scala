@@ -61,21 +61,23 @@ private[dsv2] class ShopifyTable(options: CaseInsensitiveStringMap)
 private[dsv2] class ShopifyScanBuilder(options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownFilters {
 
-  private var since: Option[String] = None
-  private var until: Option[String] = None
+  // (value, inclusive) — `>=` MUST push Shopify's `>=`, not `>`:
+  // mapping >= to > would drop the exact watermark-boundary row and the
+  // residual Spark filter can only remove rows, never restore them
+  private var since: Option[(String, Boolean)] = None
+  private var until: Option[(String, Boolean)] = None
   private var pushed: Array[Filter] = Array.empty
 
-  /** Accept range predicates on updated_at; everything else stays in
-    * Spark. `>=`/`>` both map to Shopify's `>` (a superset — Spark
-    * re-evaluates residuals anyway since we also return pushed filters
-    * as handled only when exact; here we conservatively report ALL
-    * filters as residual so Spark double-checks). */
+  /** Accept range predicates on updated_at with exact operator
+    * fidelity; everything else stays in Spark. All filters are still
+    * returned as residual so Spark re-verifies (the server pre-filter
+    * may be a superset, never a subset). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
-      case GreaterThan("updated_at", v: String) => since = latest(since, v)
-      case GreaterThanOrEqual("updated_at", v: String) => since = latest(since, v)
-      case LessThan("updated_at", v: String) => until = earliest(until, v)
-      case LessThanOrEqual("updated_at", v: String) => until = earliest(until, v)
+      case GreaterThan("updated_at", v: String) => since = tighterSince(since, v, inclusive = false)
+      case GreaterThanOrEqual("updated_at", v: String) => since = tighterSince(since, v, inclusive = true)
+      case LessThan("updated_at", v: String) => until = tighterUntil(until, v, inclusive = false)
+      case LessThanOrEqual("updated_at", v: String) => until = tighterUntil(until, v, inclusive = true)
       case _ => ()
     }
     pushed = filters.filter {
@@ -85,32 +87,43 @@ private[dsv2] class ShopifyScanBuilder(options: CaseInsensitiveStringMap)
     }
     filters // all residual: source-side filter is a pre-filter, Spark re-verifies
   }
-  private def latest(a: Option[String], b: String) = Some(a.fold(b)(x => if (x > b) x else b))
-  private def earliest(a: Option[String], b: String) = Some(a.fold(b)(x => if (x < b) x else b))
+  // keep the TIGHTEST bound; on equal values an exclusive bound is tighter
+  private def tighterSince(a: Option[(String, Boolean)], v: String, inclusive: Boolean) =
+    Some(a.fold((v, inclusive)) { case (x, xi) =>
+      if (v > x || (v == x && !inclusive)) (v, inclusive) else (x, xi) })
+  private def tighterUntil(a: Option[(String, Boolean)], v: String, inclusive: Boolean) =
+    Some(a.fold((v, inclusive)) { case (x, xi) =>
+      if (v < x || (v == x && !inclusive)) (v, inclusive) else (x, xi) })
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ShopifyScan(options, since, until)
+  override def build(): Scan = {
+    val filter = (since.map { case (v, inc) =>
+        s"updated_at:${if (inc) ">=" else ">"}'$v'" } ++
+      until.map { case (v, inc) =>
+        s"updated_at:${if (inc) "<=" else "<"}'$v'" }).mkString(" AND ")
+    new ShopifyScan(options, if (filter.isEmpty) None else Some(filter))
+  }
 }
 
 private[dsv2] class ShopifyScan(options: CaseInsensitiveStringMap,
-                                since: Option[String], until: Option[String])
+                                searchFilter: Option[String])
   extends Scan with Batch {
   override def readSchema(): StructType = ShopifySource.schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"ShopifyScan(pushed: since=$since until=$until)"
+    s"ShopifyScan(pushedFilter=$searchFilter)"
   override def planInputPartitions(): Array[InputPartition] =
     Array(ShopifyInputPartition(
       options.get("shop"), options.get("token"),
-      options.get("resource"), options.get("graphql"), since, until))
+      options.get("resource"), options.get("graphql"), searchFilter))
   override def createReaderFactory(): PartitionReaderFactory =
     new ShopifyReaderFactory
 }
 
 private[dsv2] case class ShopifyInputPartition(
     shop: String, token: String, resource: String, graphql: String,
-    since: Option[String], until: Option[String]) extends InputPartition
+    searchFilter: Option[String]) extends InputPartition
 
 private[dsv2] class ShopifyReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -119,8 +132,8 @@ private[dsv2] class ShopifyReaderFactory extends PartitionReaderFactory {
       private val mapper = new ObjectMapper()
       private val client = new ShopifyClient(p.shop, p.token,
         ShopifySource.transportOverride.getOrElse(ShopifyClient.httpTransport))
-      private val edges = client
-        .extractIncremental(p.graphql, p.resource, p.since, p.until).iterator
+      private val edges = client.fetchAllPages(p.graphql, p.resource,
+        p.searchFilter.map(f => Map("query" -> f)).getOrElse(Map.empty)).iterator
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!edges.hasNext) return false

@@ -29,10 +29,12 @@ object EtlRunLog {
       * a control-plane table. */
     private val writeLock = new Object
 
-    def all(): DataFrame =
-      if (new java.io.File(path).exists())
-        spark.read.parquet(path)
+    def all(): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(path)
       else spark.emptyDataset[Run].toDF()
+    }
 
     private def append(run: Run): Unit =
       Seq(run).toDF().coalesce(1).write.mode("append").parquet(path)

@@ -37,9 +37,14 @@ object IncrementalStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val staged0 = flatten(batch)
-        // a batch can carry several versions of one key; keep latest
+        // a batch can carry several versions of one key; keep latest,
+        // with the remaining columns as a total tie-break order (equal
+        // timestamps must not pick a partition-dependent survivor)
+        val tieBreak = staged0.columns
+          .filterNot(keys.contains).filterNot(_ == latestBy)
+          .map(c => col(c).desc).toSeq
         val staged = MergeOps.dedupLatest(staged0,
-          keys.map(col), Seq(col(latestBy).desc))
+          keys.map(col), col(latestBy).desc +: tieBreak)
         val merged = AtomicTableWriter.read(batch.sparkSession, goldPath) match {
           case Some(target) => MergeOps.upsert(target, staged, keys)
           case None => staged

@@ -84,6 +84,31 @@ class OrchestratorSpec extends SparkSpec {
     assert(AtomicTableWriter.read(spark, path + "-missing").isEmpty)
   }
 
+  test("two versions of one order across bronze files collapse to the latest") {
+    val root = Files.createTempDirectory("graft-dup").toString
+    def write(rel: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    val v1 = Fixtures.orderNodes
+    val v2 = Fixtures.orderNodes
+      .replace(""""updatedAt": "2025-12-07T11:00:00Z"""",
+        """"updatedAt": "2025-12-08T09:00:00Z"""")
+      .replace(""""amount": "112.50"""", """"amount": "999.00"""")
+    // overlap-lookback shape: both versions present in the bronze dir
+    write("bronze/retail/orders/day1.json", Fixtures.envelope(Seq(v1), "retail", "orders"))
+    write("bronze/retail/orders/day2.json", Fixtures.envelope(Seq(v2), "retail", "orders"))
+    val orch = new Orchestrator(spark, s"$root/bronze", s"$root/silver",
+      s"$root/gold", s"$root/state")
+    orch.stageEntity("retail", "R-", "orders")
+    orch.mergeOrders("2025-12-08T10:00:00")
+    val gold = spark.read.parquet(s"$root/gold/fact_orders")
+    assert(gold.count() == 1) // deduped, not doubled
+    assert(gold.select("total_price").as[Double].head() == 999.0) // latest wins
+    assert(spark.read.parquet(s"$root/gold/fact_order_items").count() == 2)
+  }
+
   test("O6 retry harness: succeeds on second attempt, logs attempts") {
     val log = scala.collection.mutable.Buffer[String]()
     var calls = 0

@@ -62,7 +62,18 @@ class ShopifySourceSpec extends SparkSpec {
       assert(body.contains("updated_at:<'2025-12-31T00:00:00Z'"))
       // and the plan reports the pushdown
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("ShopifyScan(pushed: since=Some"), plan)
+      assert(plan.contains("ShopifyScan(pushedFilter=Some"), plan)
+    } finally ShopifySource.transportOverride = None
+  }
+
+  test(">= pushes an inclusive bound (watermark boundary row preserved)") {
+    val t = new RecordingTransport(Seq(edge(2, "2025-12-05T00:00:00Z")))
+    ShopifySource.transportOverride = Some(t)
+    try {
+      read().filter($"updated_at" >= "2025-12-05T00:00:00Z").count()
+      val body = t.bodies.mkString
+      assert(body.contains("updated_at:&gt;=") || body.contains("updated_at:>="),
+        s"expected inclusive >= pushed, got: $body")
     } finally ShopifySource.transportOverride = None
   }
 

@@ -57,8 +57,14 @@ object Orchestrator {
   * thread-safe so the reference's connection-per-call dance
   * (daily_scheduler.py:23) has no equivalent here.
   */
+/** @param factBuckets when set, fact tables are stored hash-bucket
+  *   partitioned on their merge key and merges go through
+  *   [[graft.operators.PartitionedMerge]] — only buckets containing
+  *   staged keys are rewritten (the 100 TB merge shape; gold tables
+  *   then carry an extra `bucket` partition column). */
 final class Orchestrator(spark: SparkSession, bronzeDir: String,
-                         silverDir: String, goldDir: String, stateDir: String) {
+                         silverDir: String, goldDir: String, stateDir: String,
+                         factBuckets: Option[Int] = None) {
 
   val runLog = new EtlRunLog.Store(spark, s"$stateDir/etl_run_log")
   private val stores = Seq("retail" -> "R-", "wholesale" -> "W-")
@@ -128,6 +134,7 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
   /** PHASE 2 — the seven merge jobs, serial, per entity
     * (run_etl_with_retries.py:46-96; run_logs.txt:1613-1619). */
   def mergeOrders(ingestedAt: String): Unit = {
+    import graft.operators.PartitionedMerge
     combined("fact_orders").foreach { staged0 =>
       // a bronze batch can carry several versions of one order (overlap
       // lookback / multiple files); MergeOps.upsert requires key-unique
@@ -137,11 +144,18 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
         Seq(col("order_id")),
         Seq(col("updated_at").desc, col("created_at").desc, col("order_number").desc))
         .withColumn("ingested_at", lit(ingestedAt))
-      val merged = AtomicTableWriter.read(spark, goldPath("fact_orders")) match {
-        case Some(target) => MergeOps.upsert(target, staged, Seq("order_id"))
-        case None => staged
+      factBuckets match {
+        case Some(n) =>
+          PartitionedMerge.upsert(spark, goldPath("fact_orders"),
+            staged.withColumn("bucket", PartitionedMerge.bucketOf("order_id", n)),
+            Seq("order_id"), "bucket")
+        case None =>
+          val merged = AtomicTableWriter.read(spark, goldPath("fact_orders")) match {
+            case Some(target) => MergeOps.upsert(target, staged, Seq("order_id"))
+            case None => staged
+          }
+          write(merged, goldPath("fact_orders"))
       }
-      write(merged, goldPath("fact_orders"))
     }
     combined("fact_order_items").foreach { items0 =>
       // same-version item rows can repeat across batch files; exact
@@ -154,12 +168,19 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
         items0.columns.filterNot(Seq("order_id", "line_item_id").contains)
           .map(c => col(c).desc).toSeq)
         .withColumn("ingested_at", lit(ingestedAt))
-      val merged = AtomicTableWriter.read(spark, goldPath("fact_order_items")) match {
-        case Some(target) =>
-          MergeOps.deleteReload(target, items, items.select("order_id"), Seq("order_id"))
-        case None => items
+      factBuckets match {
+        case Some(n) =>
+          PartitionedMerge.deleteReload(spark, goldPath("fact_order_items"),
+            items.withColumn("bucket", PartitionedMerge.bucketOf("order_id", n)),
+            Seq("order_id"), "bucket")
+        case None =>
+          val merged = AtomicTableWriter.read(spark, goldPath("fact_order_items")) match {
+            case Some(target) =>
+              MergeOps.deleteReload(target, items, items.select("order_id"), Seq("order_id"))
+            case None => items
+          }
+          write(merged, goldPath("fact_order_items"))
       }
-      write(merged, goldPath("fact_order_items"))
     }
   }
 

@@ -84,6 +84,35 @@ class OrchestratorSpec extends SparkSpec {
     assert(AtomicTableWriter.read(spark, path + "-missing").isEmpty)
   }
 
+  test("bucketed fact merges rewrite only the touched hash buckets") {
+    val root = Files.createTempDirectory("graft-bucketed").toString
+    setupBronze(root)
+    val orch = new Orchestrator(spark, s"$root/bronze", s"$root/silver",
+      s"$root/gold", s"$root/state", factBuckets = Some(4))
+    assert(orch.runDaily())
+    val orders = spark.read.parquet(s"$root/gold/fact_orders")
+    assert(orders.count() == 3)
+    assert(orders.columns.contains("bucket")) // partition column surfaces
+    // incremental day 2: only order W-7771 updated → only its bucket moves
+    val day2 = Fixtures.orderNodes.replace("5551234", "7771")
+      .replace(""""updatedAt": "2025-12-07T11:00:00Z"""",
+        """"updatedAt": "2025-12-09T08:00:00Z"""")
+      .replace(""""amount": "112.50"""", """"amount": "400.00"""")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/bronze/wholesale/orders"))
+      .filter(java.nio.file.Files.isRegularFile(_)).forEach(java.nio.file.Files.delete(_))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/bronze/wholesale/orders/day2.json"),
+      Fixtures.envelope(Seq(day2), "wholesale", "orders"))
+    orch.stageEntity("wholesale", "W-", "orders")
+    orch.mergeOrders("2025-12-09T09:00:00")
+    val after = spark.read.parquet(s"$root/gold/fact_orders")
+    assert(after.count() == 3) // upsert, not append
+    assert(after.filter($"order_id" === "W-7771")
+      .select("total_price").as[Double].head() == 400.0)
+    assert(after.filter($"order_id" === "R-5551234")
+      .select("total_price").as[Double].head() == 112.5) // untouched
+  }
+
   test("two versions of one order across bronze files collapse to the latest") {
     val root = Files.createTempDirectory("graft-dup").toString
     def write(rel: String, content: String): Unit = {

@@ -36,8 +36,16 @@ object TextFunctions {
     portableHash(concat(lit(s"$seed:"), c))
 
   /** Word k-shingles: overlapping k-token windows re-joined by a single
-    * space. Fewer than k tokens → empty array. */
-  def wordShingles(text: Column, k: Int): Column = {
+    * space. Fewer than k tokens → empty array. Compiled single-pass
+    * Expression (see org.apache.spark.sql.graft.WordShingles) —
+    * shingling is the hot inner loop of the MinHash/Jaccard dedup
+    * operators and the HOF formulation is interpreted. */
+  def wordShingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.WordShingles(text, k)
+
+  /** Interpreted higher-order-function reference implementation of
+    * [[wordShingles]]; kept for differential testing only. */
+  private[graft] def wordShinglesHof(text: Column, k: Int): Column = {
     val ts = tokens(text)
     val n = size(ts) - (k - 1)
     when(n <= 0, array().cast("array<string>"))

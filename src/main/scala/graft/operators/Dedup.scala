@@ -22,9 +22,12 @@ import graft.functions.VectorFunctions
   *
   * Pair outputs are canonical: (idA < idB), ordered, deterministic.
   *
-  * Operators persist() self-joined intermediates; in long-lived
-  * sessions call `spark.catalog.clearCache()` between large corpora
-  * (as Bench does) to release them.
+  * Re-read intermediates (shingle sets, band keys) are materialized
+  * eagerly via `localCheckpoint(eager = true)` rather than `persist()`:
+  * the expensive stage runs exactly once, nothing is registered in the
+  * SQL cache (DedupSpec asserts the cache stays empty), and the blocks
+  * are released by the ContextCleaner as soon as the returned plan is
+  * garbage-collected — no unpersist obligation leaks to the caller.
   */
 object Dedup {
 
@@ -61,11 +64,25 @@ object Dedup {
     * len>0 filter). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, bands: Int = 8,
-                        rowsPerBand: Int = 2): DataFrame = {
+                        rowsPerBand: Int = 2): DataFrame =
+    minhashCandidatesFromShingles(shingleSets(df, idCol, textCol, shingleSize),
+      bands, rowsPerBand)
+
+  /** (id, sh) per document: the distinct word-shingle set. Shingling is
+    * the dominant per-row cost of every MinHash/Jaccard operator, so
+    * callers that need it twice (signature pass + verify pass)
+    * materialize this ONCE via localCheckpoint. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int): DataFrame =
+    fanOut(df).select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+
+  /** Band-collision candidate pairs from a pre-computed (id, sh) frame. */
+  private def minhashCandidatesFromShingles(sh: DataFrame, bands: Int,
+                                            rowsPerBand: Int): DataFrame = {
     val n = bands * rowsPerBand
-    val hashed = fanOut(df).select(
-      col(idCol).as("id"),
-      explode(array_distinct(wordShingles(col(textCol), shingleSize))).as("s"))
+    val hashed = sh
+      .select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), pmod(portableHash(col("s")), lit(MinhashP)).as("h"))
     val sigCols = (0 until n).map(i =>
       min(pmod(col("h") * minhashA(i) + minhashB(i), lit(MinhashP))).as(s"m$i"))
@@ -76,7 +93,7 @@ object Dedup {
     }
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-      .persist() // read twice by the self-join
+      .localCheckpoint(true) // read twice by the self-join; computed once
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -95,14 +112,14 @@ object Dedup {
   /** MinHash-LSH near-dup pairs, verified: candidates from
     * [[minhashCandidates]], then exact shingle-set Jaccard ≥ threshold.
     * The verify join touches only candidate ids — the full corpus is
-    * never self-joined. */
+    * never self-joined, and the corpus is shingled exactly ONCE (the
+    * checkpointed shingle sets feed both the signature pass and the
+    * verify joins). */
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleSize: Int = 3,
                         bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleSize, bands, rowsPerBand)
-    val sh = fanOut(df).select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
-      .persist()
+    val sh = shingleSets(df, idCol, textCol, shingleSize).localCheckpoint(true)
+    val cands = minhashCandidatesFromShingles(sh, bands, rowsPerBand)
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
@@ -138,7 +155,7 @@ object Dedup {
           pmod(floor(col("sig").cast("double") / pow(lit(256.0), blk)).cast("long"),
             lit(256L)).as("key")))).as("bk"))
       .select(col("id"), col("sig"), col("bk.blk"), col("bk.key"))
-      .persist() // sig fold computed once; self-join reads it twice
+      .localCheckpoint(true) // sig fold computed once; self-join reads it twice
     val a = blocked.as("a")
     val b = blocked.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
@@ -169,7 +186,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val postings = docs.select(col("id"), size(col("sh")).as("len"),
       explode(col("sh")).as("s"))
-      .persist() // shingling is the expensive stage; both join sides read it
+      .localCheckpoint(true) // shingling is the expensive stage; both join sides read it
     postings.as("a")
       .join(postings.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&

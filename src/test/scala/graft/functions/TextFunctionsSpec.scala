@@ -22,6 +22,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("wordShingles (compiled) ≡ HOF reference on edge cases") {
+    // mixed whitespace, non-space leading whitespace (leading "" token),
+    // blanks, single token, long docs, unicode
+    val texts = Seq(
+      "a b c d e", "  padded  with   spaces  ", "\tleading tab", "a\nb\nc",
+      " ", "", "one", "one two", "ünïcode tökens ünïcode tökens here",
+      "a  b\t\tc \n d", "x" * 50 + " y z w v",
+      (1 to 200).map(i => s"t$i").mkString(" "))
+    for (k <- Seq(1, 2, 3, 5)) {
+      val df = texts.toDF("t")
+      val got = df.select(wordShingles($"t", k)).as[Seq[String]].collect()
+      val ref = df.select(wordShinglesHof($"t", k)).as[Seq[String]].collect()
+      assert(got.toSeq == ref.toSeq, s"mismatch at k=$k")
+    }
+    // null text → null, both paths
+    val nullDf = Seq[Option[String]](None).toDF("t")
+    assert(nullDf.select(wordShingles($"t", 3)).head().isNullAt(0))
+    assert(nullDf.select(wordShinglesHof($"t", 3)).head().isNullAt(0))
+  }
+
   test("portableHash: first 8 md5 hex chars as long (md5('abc') known)") {
     // md5("abc") = 900150983cd24fb0... → 0x90015098 = 2416005272
     val h = Seq("abc").toDF("t").select(portableHash($"t")).as[Long].head()

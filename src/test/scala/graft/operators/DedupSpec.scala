@@ -69,6 +69,16 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // planted dups make this a real check
   }
 
+  test("operators leave the SQL cache empty (localCheckpoint lifetime)") {
+    import org.apache.spark.sql.graft.CacheIntrospect
+    spark.catalog.clearCache() // session is shared; other suites .cache()
+    Dedup.minhashDuplicates(corpus, "id", "text", threshold = 0.5).count()
+    Dedup.simhashDuplicates(corpus, "id", "text", maxHamming = 3).count()
+    Dedup.ngramJaccardDuplicates(corpus, "id", "text", threshold = 0.6).count()
+    assert(CacheIntrospect.sqlCacheEmpty(spark),
+      "dedup operators must not leak persist() registrations to callers")
+  }
+
   test("embeddingDuplicates: identical vectors always collide") {
     val vecs = (0 until 20).map { i =>
       val rnd = new scala.util.Random(i)

@@ -43,6 +43,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("NearestCentroids: argmin matches driver math, zero Exchange in plan") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.NearestCentroids
+    val rnd = new scala.util.Random(11)
+    val cents = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val assigned = vecs.withColumn("cell", NearestCentroids.nearestCell(col("vec"), cents))
+    // projection only — the whole point is no Exchange for assignment
+    assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = assigned.select("id", "cell").as[(Long, Int)].collect().toMap
+    val raw = vecs.select("id", "vec").as[(Long, Seq[Float])].collect()
+    raw.foreach { case (id, v) =>
+      val dists = cents.map(c => v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      val expect = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      assert(got(id) == expect, s"id=$id got=${got(id)} expect=$expect")
+    }
+    // top-n probe order: strictly increasing distance, ties by index
+    val probe2 = vecs.withColumn("cells", NearestCentroids(col("vec"), cents, 3))
+      .select("id", "cells").as[(Long, Seq[Int])].collect()
+    probe2.foreach { case (id, cells) =>
+      val v = raw.toMap.apply(id)
+      val dists = cents.map(c => v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      val expect = dists.zipWithIndex.sortBy { case (d, i) => (d, i) }.take(3).map(_._2)
+      assert(cells == expect.toSeq, s"id=$id")
+    }
+  }
+
+  test("buildIvfIndex + ivfProbe: prunes partitions, matches ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    val queries = vecs.filter($"id" < 10)
+    Similarity.buildIvfIndex(vecs, "id", "vec", dir, nCells = 8)
+    assert(new java.io.File(s"$dir/data").listFiles()
+      .count(_.getName.startsWith("cell=")) == 8)
+    val probed = Similarity.ivfProbe(queries, dir, "id", "vec", k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val direct = Similarity.ivfTopK(queries, vecs, "id", "vec", k = 5,
+      nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(probed == direct) // same seed → same quantizer → identical results
+  }
+
   test("srpTopK: candidates only, correct shape") {
     val queries = vecs.filter($"id" < 5)
     val out = Similarity.srpTopK(queries, vecs, "id", "vec", k = 5,

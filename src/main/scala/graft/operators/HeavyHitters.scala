@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -49,24 +50,35 @@ object HeavyHitters {
       }
 
     override def finish(reduction: Sketch): Sketch = reduction
-    override def bufferEncoder: Encoder[Sketch] =
-      implicitly[Encoder[Sketch]](Encoders.kryo[Sketch])
-    override def outputEncoder: Encoder[Sketch] =
-      implicitly[Encoder[Sketch]](Encoders.kryo[Sketch])
+    // expression encoders (not Kryo): the buffer stays a structured
+    // map column, so partial aggregates ship compactly and inspectably
+    override def bufferEncoder: Encoder[Sketch] = ExpressionEncoder[Sketch]()
+    override def outputEncoder: Encoder[Sketch] = ExpressionEncoder[Sketch]()
   }
 
   /** Approximate top-k tokens over a text column: MG sketch for the
-    * candidate set, then one exact semi-joined count for true
-    * frequencies (the standard two-pass heavy-hitters pipeline). */
-  def frequentTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    * candidate set, then one exact count for true frequencies (the
+    * standard two-pass heavy-hitters pipeline), restricted to the
+    * survivors via a broadcast semi-join (an `isin` with thousands of
+    * arms would build a thousand-arm In expression instead).
+    *
+    * `sketchCapacity` (default 8k) controls the candidate guarantee:
+    * any token absent from the sketch has true frequency ≤
+    * n/(capacity+1), so with capacity comfortably above k the exact
+    * top-k always survives into the recount and the output equals the
+    * exact `groupBy(token).count()` top-k — which is what the q43
+    * DuckDB oracle checks. */
+  def frequentTokens(df: DataFrame, textCol: String, k: Int,
+                     sketchCapacity: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val capacity = if (sketchCapacity > 0) sketchCapacity else 8 * k
     val toks = df.select(explode(
       graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
     val sketch = toks.as[String].select(
-      new MisraGries(k).toColumn.name("sketch")).head()
-    val survivors = sketch.keys.toSeq
-    toks.filter(col("token").isin(survivors: _*))
+      new MisraGries(capacity).toColumn.name("sketch")).head()
+    val survivors = spark.createDataset(sketch.keys.toSeq).toDF("token")
+    toks.join(broadcast(survivors), Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(k)

@@ -50,16 +50,17 @@ object ScaleOps {
     * emitted and the partially-converged labels are returned (members
     * may then map to more than one "canonical" id). */
   def canonicalize(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    // undirected edge list, both directions
+    // undirected edge list, both directions. localCheckpoint (not
+    // persist): materialized once, re-read every round, blocks freed by
+    // the ContextCleaner when the final plan is GC'd — nothing stays
+    // registered in the SQL cache after the operator returns.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
     // start: every node labels itself with min(self, neighbors)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
-      .persist()
+      .localCheckpoint(true)
     var changed = true
     var i = 0
     while (changed && i < maxIterations) {
@@ -71,10 +72,9 @@ object ScaleOps {
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels.unpersist()
       labels = next
       i += 1
     }

@@ -100,6 +100,28 @@ object TextQueries {
       "doc_id", "text", threshold = 0.6, shingleSize = 3)
       .orderBy("id_a", "id_b")
 
+  /** Duplicate-cluster canonicalization over the q24 MinHash pair list:
+    * every member of a connected component maps to the component's
+    * minimum id — the "keep one copy" step after any pair-finding
+    * operator. Oracle: DuckDB `WITH RECURSIVE` label propagation over
+    * the same pairs. */
+  val q42Canonicalize: Q = (s, d) =>
+    graft.operators.ScaleOps.canonicalize(
+      Dedup.minhashDuplicates(corpusNear(s, d), "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, bands = 8, rowsPerBand = 2))
+      .orderBy("id")
+
+  /** Exact top-20 tokens via the Misra–Gries two-pass pipeline: the
+    * bounded-state sketch (capacity 1000 ≫ 20) nominates candidates,
+    * an exact broadcast-semi-joined recount ranks them. With capacity m,
+    * any token outside the sketch has frequency ≤ n/(m+1), so the true
+    * top-20 always survives and the output equals the exact
+    * unnest+groupBy top-20 the oracle computes. */
+  val q43HeavyHitters: Q = (s, d) =>
+    graft.operators.HeavyHitters
+      .frequentTokens(docs(s, d), "text", k = 20, sketchCapacity = 1000)
+      .orderBy(col("freq").desc, col("token"))
+
   /** Top-3 tf-idf terms per document (rows-only: `ln` differs across
     * engines in the last ulp, so weights aren't oracle-comparable;
     * exactness is covered by TfIdfSpec). */
@@ -118,6 +140,8 @@ object TextQueries {
     "q25_simhash" -> q25Simhash,
     "q26_simhash_dedup" -> q26SimhashDedup,
     "q27_ngram_jaccard" -> q27NgramJaccard,
+    "q42_canonicalize" -> q42Canonicalize,
+    "q43_heavy_hitters" -> q43HeavyHitters,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -141,6 +165,25 @@ object TextQueries {
   }
   private def minhashSigSql(hs: String, n: Int): String =
     (0 until n).map(i => minhashMinSql(hs, i)).mkString("[", ", ", "]")
+
+  /** The full q24 MinHash-LSH pipeline as a CTE chain ending in
+    * `pairs(id_a, id_b, jaccard)` — shared by the q24 oracle and the
+    * q42 connected-components oracle built on top of it. */
+  private val minhashPairCtes =
+    s"""corpus AS ($corpusNearSql),
+       |tok AS (SELECT doc_id AS id, $tok AS ts FROM corpus),
+       |shraw AS (SELECT id, $shingles3 AS shr FROM tok),
+       |sig AS (SELECT id, list_distinct(shr) AS sh,
+       |  ${minhashSigSql("list_transform(list_distinct(shr), s -> " + hx("s") + " % 2147483647)", 16)} AS sig
+       |  FROM shraw WHERE len(shr) > 0),
+       |banded AS (SELECT id, sh, b.band AS band,
+       |  md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS key
+       |  FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS band) b),
+       |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       |pairs AS (SELECT id_a, id_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+       |  FROM cands JOIN sig sa ON cands.id_a = sa.id JOIN sig sb ON cands.id_b = sb.id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q19_doc_stats" ->
@@ -185,21 +228,24 @@ object TextQueries {
          | ${minhashMinSql("hs", 2)} AS m2, ${minhashMinSql("hs", 3)} AS m3
          |FROM base ORDER BY doc_id""".stripMargin,
     "q24_minhash_dedup" ->
-      s"""WITH corpus AS ($corpusNearSql),
-         |tok AS (SELECT doc_id AS id, $tok AS ts FROM corpus),
-         |shraw AS (SELECT id, $shingles3 AS shr FROM tok),
-         |sig AS (SELECT id, list_distinct(shr) AS sh,
-         |  ${minhashSigSql("list_transform(list_distinct(shr), s -> " + hx("s") + " % 2147483647)", 16)} AS sig
-         |  FROM shraw WHERE len(shr) > 0),
-         |banded AS (SELECT id, sh, b.band AS band,
-         |  md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS key
-         |  FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS band) b),
-         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |pairs AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
-         |  FROM cands JOIN sig sa ON cands.id_a = sa.id JOIN sig sb ON cands.id_b = sb.id)
+      s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // connected components over the q24 pair list: recursive min-label
+    // reachability, then min(label) per node == component minimum
+    "q42_canonicalize" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |          UNION SELECT id_b AS src, id_a AS dst FROM dup),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q43_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($tok) AS token FROM documents)
+         |SELECT token, count(*) AS freq FROM tok
+         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
     "q25_simhash" ->
       s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),
          |tokh AS (SELECT doc_id, ${hx("t.tk")} AS h FROM tok, LATERAL (SELECT unnest(ts) AS tk) t),

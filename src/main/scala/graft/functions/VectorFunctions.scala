@@ -71,6 +71,24 @@ object VectorFunctions {
     }
   }
 
+  /** [[hyperplane]] quantized to integers (floor(w·10⁶)) — the weight
+    * form used by the oracle-checkable SRP path: the projection is then
+    * an exact integer dot product, bit-identical across engines. */
+  private[graft] def quantizedHyperplane(seed: Int, plane: Int, dims: Int): Array[Long] =
+    hyperplane(seed, plane, dims).map(x => math.floor(x * 1e6).toLong)
+
+  /** SRP bucket over a PRE-QUANTIZED `array<long>` vector (see
+    * [[quantize]]): bit p = sign(qv · floor(h_p·10⁶)) via the codegen
+    * integer dot — exact, commutative, and therefore expressible 1:1 in
+    * a DuckDB oracle, unlike the float [[srpBucket]] whose projection
+    * sign can depend on summation order at the zero boundary. */
+  def srpBucketQuantized(qvec: Column, planes: Int, seed: Int = 0,
+                         dims: Int = 512): Column =
+    (0 until planes).map { p =>
+      val w = quantizedHyperplane(seed, p, dims)
+      when(intDot(qvec, lit(w)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Sign-random-projection LSH bucket: one bit per hyperplane, bit p =
     * sign(v · h_p), hyperplanes seeded deterministically per (seed, p,
     * dim). Vectors with equal buckets are cosine-similar candidates;

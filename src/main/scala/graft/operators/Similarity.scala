@@ -149,6 +149,32 @@ object Similarity {
     rankCandidates(data.join(broadcast(probes), Seq("cell")), k)
   }
 
+  /** [[srpTopK]] over integer-quantized vectors (floor(x·10⁶)): buckets
+    * and cosines are exact integer arithmetic, so results are
+    * bit-identical across engines and partition counts — the
+    * oracle-checkable form (q32). `dims` should be the true vector
+    * dimensionality so the hyperplane literals stay small. */
+  def srpTopKQuantized(queries: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, k: Int, planes: Int = 10,
+                       tables: Int = 4, dims: Int = 512): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val c = fanOut(corpus).select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    val cands = (0 until tables).map { t =>
+      val qb = q.withColumn("bucket", srpBucketQuantized(col("qv"), planes, seed = t, dims))
+      val cb = c.withColumn("bucket", srpBucketQuantized(col("cv"), planes, seed = t, dims))
+      qb.join(cb, Seq("bucket")).select(col("query_id"), col("qv"),
+        col("neighbor_id"), col("cv"))
+    }.reduce(_.unionByName(_)).distinct()
+    val scored = cands
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", quantizedCosine(col("qv"), col("cv")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Multi-table SRP-LSH top-k: union candidates from `tables`
     * independent bucketings, then exact re-rank. */
   def srpTopK(queries: DataFrame, corpus: DataFrame, idCol: String,

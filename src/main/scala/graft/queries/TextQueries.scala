@@ -122,11 +122,16 @@ object TextQueries {
       .frequentTokens(docs(s, d), "text", k = 20, sketchCapacity = 1000)
       .orderBy(col("freq").desc, col("token"))
 
-  /** Top-3 tf-idf terms per document (rows-only: `ln` differs across
-    * engines in the last ulp, so weights aren't oracle-comparable;
-    * exactness is covered by TfIdfSpec). */
+  /** Top-3 tf-idf terms per document. Ranking uses the raw double
+    * score (both engines compute `tf · (ln((N+1)/(df+1)) + 1)` on the
+    * same integers, and mathematically distinct scores differ by far
+    * more than an ulp); the EMITTED score is quantized to
+    * floor(score·10⁶) so a last-ulp `ln` divergence can't flip the
+    * hash compare (determinism rule 4). */
   val q47TfIdf: Q = (s, d) =>
     graft.operators.TfIdf.termWeights(docs(s, d), "doc_id", "text", topK = 3)
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        floor(col("tf_idf") * 1e6).cast("long").as("tfidf_q"), col("rank"))
       .orderBy("id", "rank")
 
   val queries: Map[String, Q] = Map(
@@ -246,6 +251,20 @@ object TextQueries {
       s"""WITH tok AS (SELECT unnest($tok) AS token FROM documents)
          |SELECT token, count(*) AS freq FROM tok
          |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    // smoothed tf-idf: ln on the same integer ratios in both engines;
+    // emitted score quantized (floor(x*1e6)) per determinism rule 4
+    "q47_tfidf_top_terms" ->
+      s"""WITH n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         |tok AS (SELECT doc_id AS id, unnest($tok) AS term FROM documents),
+         |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |w AS (SELECT tf.id, tf.term, tf.tf, df.df,
+         |  tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tf_idf
+         |  FROM tf JOIN df USING (term), n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY tf_idf DESC, term) AS rank FROM w)
+         |SELECT id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |  CAST(floor(tf_idf * 1000000.0) AS BIGINT) AS tfidf_q, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
     "q25_simhash" ->
       s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),
          |tokh AS (SELECT doc_id, ${hx("t.tk")} AS h FROM tok, LATERAL (SELECT unnest(ts) AS tk) t),

@@ -78,12 +78,15 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Multi-table SRP-LSH ANN — float path, rows-only check. */
+  /** Multi-table SRP-LSH ANN over quantized vectors: buckets are signs
+    * of exact integer projections against md5-seeded hyperplane
+    * literals, so the full candidate-generation + re-rank pipeline is
+    * bit-identical in DuckDB — a hash-matched oracle for the LSH ANN
+    * path (the float variant stays available as Similarity.srpTopK). */
   val q32AnnSrp: Q = (s, d) => {
     val e = emb(s, d)
-    Similarity.srpTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
-      k = 5, planes = 8, tables = 4)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    Similarity.srpTopKQuantized(e.filter(col("vec_id") < 10), e, "vec_id",
+      "embedding", k = 5, planes = 8, tables = 4, dims = 64)
       .orderBy("query_id", "rank")
   }
 
@@ -147,12 +150,39 @@ object VectorQueries {
          |  CAST(sum(qv[2]) AS BIGINT) AS sum_d1,
          |  CAST(sum(${dot("qv", "qv")}) AS BIGINT) AS sum_sqnorm
          |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    "q32_ann_srp" -> {
+      // the same (table, plane) hyperplanes the Spark side uses,
+      // quantized to BIGINT — one VALUES row per (t, p)
+      val wRows = (0 until 4).flatMap { t =>
+        (0 until 8).map { p =>
+          val w = graft.functions.VectorFunctions.quantizedHyperplane(t, p, 64)
+            .mkString("[", ",", "]")
+          s"($t, $p, $w::BIGINT[])"
+        }
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, $qv AS qv FROM embeddings),
+         |w(t, p, wv) AS (VALUES
+         |$wRows),
+         |bk AS (SELECT e.vec_id, w.t,
+         |  CAST(sum(CASE WHEN ${dot("e.qv", "w.wv")} >= 0 THEN power(2, w.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e, w GROUP BY e.vec_id, w.t),
+         |cands AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |scored AS (SELECT cands.query_id, cands.neighbor_id,
+         |  CAST(${dot("qe.qv", "ce.qv")} AS DOUBLE) /
+         |  (sqrt(CAST(${dot("qe.qv", "qe.qv")} AS DOUBLE)) * sqrt(CAST(${dot("ce.qv", "ce.qv")} AS DOUBLE))) AS cosine
+         |  FROM cands JOIN e qe ON qe.vec_id = cands.query_id JOIN e ce ON ce.vec_id = cands.neighbor_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "q33_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5, source,
         |CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) AS BIGINT) % 1280 AS fake_width,
         |CAST(CAST(('0x' || substr(md5(text), 9, 8)) AS UBIGINT) AS BIGINT) % 720 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // q31_ann_ivf / q32_ann_srp: k-means & float-path LSH not
-    // SQL-expressible → rows-only check by design
+    // q31_ann_ivf: k-means quantizer not SQL-expressible → rows-only
+    // check by design (the only remaining rows-only query)
   )
 }

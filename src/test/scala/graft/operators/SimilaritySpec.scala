@@ -83,6 +83,22 @@ class SimilaritySpec extends SparkSpec {
     assert(probed == direct) // same seed → same quantizer → identical results
   }
 
+  test("srpTopKQuantized: deterministic, identical vectors rank first") {
+    val withDup = vecs.unionByName(
+      vecs.filter($"id" === 3).select(($"id" + 500).as("id"), $"vec"))
+    val queries = withDup.filter($"id" === 3)
+    val out = Similarity.srpTopKQuantized(queries, withDup, "id", "vec",
+      k = 5, planes = 6, tables = 4, dims = 16)
+    val top = out.filter($"rank" === 1)
+      .select("neighbor_id", "cosine").as[(Long, Double)].head()
+    assert(top._1 == 503L && top._2 == 1.0) // identical vector always collides & ranks first
+    // bit-determinism across runs (quantized path has no float summation)
+    val a = out.collect().map(_.toString).toSeq
+    val b = Similarity.srpTopKQuantized(queries, withDup, "id", "vec",
+      k = 5, planes = 6, tables = 4, dims = 16).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("srpTopK: candidates only, correct shape") {
     val queries = vecs.filter($"id" < 5)
     val out = Similarity.srpTopK(queries, vecs, "id", "vec", k = 5,

@@ -6,11 +6,17 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Uses the same tuned
   * session config as the library (AQE, 32 shuffle partitions). Each
   * query is forced with a count() action; times include plan + execute
-  * but share one warm session/JVM. */
+  * but share one warm session/JVM.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) in
+  * round-robin passes and reports the PER-QUERY MEDIAN — single-shot
+  * times on a shared machine carry ±2× noise, medians don't. `value`
+  * (and its alias `median`) is the sum of per-query medians. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,19 +34,27 @@ object Bench {
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to runs; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist() intermediates; drop them so queries are
-      // measured independently and memory doesn't accumulate
+      // operators may leave block-manager state; clear SQL cache so
+      // queries are measured independently and memory doesn't accumulate
       spark.catalog.clearCache()
-      name -> dt
+      samples(name) = samples(name) :+ dt
     }
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = names.map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"median":$total%.3f,"runs":$runs,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

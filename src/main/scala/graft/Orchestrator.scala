@@ -57,14 +57,19 @@ object Orchestrator {
   * thread-safe so the reference's connection-per-call dance
   * (daily_scheduler.py:23) has no equivalent here.
   */
-/** @param factBuckets when set, fact tables are stored hash-bucket
-  *   partitioned on their merge key and merges go through
+/** @param factBuckets fact tables are stored hash-bucket partitioned on
+  *   their merge key and merges go through
   *   [[graft.operators.PartitionedMerge]] — only buckets containing
-  *   staged keys are rewritten (the 100 TB merge shape; gold tables
-  *   then carry an extra `bucket` partition column). */
+  *   staged keys are rewritten. This is the DEFAULT (the 100 TB merge
+  *   shape: daily merge cost scales with the staged batch, not the
+  *   table); the bucket count is pinned in a table sidecar and a
+  *   mismatched count fails fast. `bucket` is an internal layout column
+  *   — read gold facts through [[goldTable]], which hides it. Pass
+  *   `None` for whole-table atomic-swap rewrites (small tables,
+  *   strictly atomic multi-partition visibility). */
 final class Orchestrator(spark: SparkSession, bronzeDir: String,
                          silverDir: String, goldDir: String, stateDir: String,
-                         factBuckets: Option[Int] = None) {
+                         factBuckets: Option[Int] = Some(32)) {
 
   val runLog = new EtlRunLog.Store(spark, s"$stateDir/etl_run_log")
   private val stores = Seq("retail" -> "R-", "wholesale" -> "W-")
@@ -124,6 +129,12 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
   private def silver(store: String, table: String): Option[DataFrame] =
     AtomicTableWriter.read(spark, silverPath(store, table))
 
+  /** Gold-table reader for consumers: hides internal layout columns
+    * (the hash `bucket` partition column on bucketed fact tables). */
+  def goldTable(table: String): Option[DataFrame] =
+    AtomicTableWriter.read(spark, goldPath(table))
+      .map(df => if (df.columns.contains("bucket")) df.drop("bucket") else df)
+
   /** R∪W staging view; degenerates to one side when the other is absent
     * (run_etl_with_retries.py:41-44). */
   private def combined(table: String): Option[DataFrame] = {
@@ -146,9 +157,8 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
         .withColumn("ingested_at", lit(ingestedAt))
       factBuckets match {
         case Some(n) =>
-          PartitionedMerge.upsert(spark, goldPath("fact_orders"),
-            staged.withColumn("bucket", PartitionedMerge.bucketOf("order_id", n)),
-            Seq("order_id"), "bucket")
+          PartitionedMerge.bucketedUpsert(spark, goldPath("fact_orders"),
+            staged, Seq("order_id"), n)
         case None =>
           val merged = AtomicTableWriter.read(spark, goldPath("fact_orders")) match {
             case Some(target) => MergeOps.upsert(target, staged, Seq("order_id"))
@@ -170,9 +180,8 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
         .withColumn("ingested_at", lit(ingestedAt))
       factBuckets match {
         case Some(n) =>
-          PartitionedMerge.deleteReload(spark, goldPath("fact_order_items"),
-            items.withColumn("bucket", PartitionedMerge.bucketOf("order_id", n)),
-            Seq("order_id"), "bucket")
+          PartitionedMerge.bucketedDeleteReload(spark, goldPath("fact_order_items"),
+            items, Seq("order_id"), n)
         case None =>
           val merged = AtomicTableWriter.read(spark, goldPath("fact_order_items")) match {
             case Some(target) =>

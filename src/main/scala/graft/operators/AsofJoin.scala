@@ -41,9 +41,13 @@ object AsofJoin {
       .select((keys.map(col) ++ Seq(col("__ts"), col("__side")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(c => col(c).as(s"__r_$c"))): _*)
-    // right rows sort before left rows at equal ts → `<=` match semantics
+    // right rows sort before left rows at equal ts → `<=` match
+    // semantics; the carried value columns complete the order so that
+    // several right rows sharing (key, ts) always resolve to the same
+    // survivor (the greatest by value tuple) on any partition layout
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts") +: col("__side") +:
+        valueCols.map(c => col(s"__r_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(col("*") +:

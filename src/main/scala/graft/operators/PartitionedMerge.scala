@@ -17,18 +17,107 @@ import org.apache.spark.sql.functions._
   *      no full scan)
   *   3. merge within them
   *   4. write back with `partitionOverwriteMode=dynamic`, which
-  *      replaces exactly the touched partitions atomically and leaves
-  *      every other partition's files untouched
+  *      replaces exactly the touched partitions and leaves every other
+  *      partition's files untouched (per-partition commit — see the
+  *      durability note below)
   *
   * Cost scales with the affected-partition volume, not table volume.
   * For keys with no natural partition column, write the table
   * partitioned by `pmod(hash(key), nBuckets)` ([[bucketOf]]) — staged
-  * batches then prune to the buckets their keys hash into.
+  * batches then prune to the buckets their keys hash into. Use
+  * [[bucketedUpsert]]/[[bucketedDeleteReload]] for that shape: they
+  * stamp the bucket column AND pin the bucket count in a `_graft_buckets`
+  * sidecar, failing fast if a later run supplies a different count
+  * (re-hashing keys into different buckets would silently miss prior
+  * rows and duplicate keys).
+  *
+  * Durability note: step 4 overwrites touched partitions in place via
+  * dynamic-partition-overwrite. The commit is per-partition
+  * (`.spark-staging` rename), so a driver crash mid-commit can leave a
+  * SUBSET of the touched partitions replaced — unlike
+  * [[graft.sources.AtomicTableWriter]]'s all-or-nothing swap. The merge
+  * itself is idempotent (upsert/delete-reload keyed on the merge keys),
+  * so the recovery procedure is simply to rerun the merge with the same
+  * staged batch; partitions already replaced converge to the same
+  * content. Callers that need multi-partition atomicity under
+  * concurrent readers should front the table with a transactional
+  * format or a manifest pointer (SURVEY §7.5).
   */
 object PartitionedMerge {
 
   def bucketOf(keyCol: String, nBuckets: Int) =
     pmod(hash(col(keyCol)), lit(nBuckets)).as("bucket")
+
+  /** Sidecar file pinning a bucketed table's bucket count. Underscore
+    * prefix → invisible to Spark's file listing. */
+  private val BucketMeta = "_graft_buckets"
+
+  def readBucketCount(spark: SparkSession, targetPath: String): Option[Int] = {
+    val p = new Path(targetPath, BucketMeta)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeBucketCount(spark: SparkSession, targetPath: String, n: Int): Unit = {
+    val p = new Path(targetPath, BucketMeta)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Fail fast when `n` disagrees with the table's pinned bucket count.
+    * Tables created before the sidecar existed are adopted: any
+    * `bucket=` directory ≥ n proves a mismatch; otherwise n is pinned
+    * from here on. */
+  private def validateBucketCount(spark: SparkSession, targetPath: String, n: Int): Unit = {
+    require(n > 0, s"nBuckets must be positive, got $n")
+    readBucketCount(spark, targetPath) match {
+      case Some(m) if m != n =>
+        throw new IllegalStateException(
+          s"bucket-count mismatch at $targetPath: table was written with $m buckets, " +
+            s"merge requested $n — rehashing would orphan existing rows. " +
+            s"Rebuild the table or pass nBuckets=$m.")
+      case Some(_) => ()
+      case None =>
+        val root = new Path(targetPath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) {
+          val maxBucket = fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.startsWith("bucket="))
+            .map(_.stripPrefix("bucket=").toInt)
+          if (maxBucket.nonEmpty && maxBucket.max >= n)
+            throw new IllegalStateException(
+              s"bucket-count mismatch at $targetPath: found partition bucket=${maxBucket.max} " +
+                s"but merge requested only $n buckets")
+        }
+    }
+  }
+
+  /** [[upsert]] for hash-bucketed tables: stamps `bucket` from the
+    * first merge key, validates + pins the bucket count. */
+  def bucketedUpsert(spark: SparkSession, targetPath: String, staged: DataFrame,
+                     keys: Seq[String], nBuckets: Int): Seq[String] = {
+    validateBucketCount(spark, targetPath, nBuckets)
+    val touched = upsert(spark, targetPath,
+      staged.withColumn("bucket", bucketOf(keys.head, nBuckets)), keys, "bucket")
+    writeBucketCount(spark, targetPath, nBuckets)
+    touched
+  }
+
+  /** [[deleteReload]] for hash-bucketed tables. */
+  def bucketedDeleteReload(spark: SparkSession, targetPath: String, staged: DataFrame,
+                           keys: Seq[String], nBuckets: Int): Seq[String] = {
+    validateBucketCount(spark, targetPath, nBuckets)
+    val touched = deleteReload(spark, targetPath,
+      staged.withColumn("bucket", bucketOf(keys.head, nBuckets)), keys, "bucket")
+    writeBucketCount(spark, targetPath, nBuckets)
+    touched
+  }
 
   /** Upsert `staged` into the partitioned table at `targetPath`.
     * `partCol` must exist in staged with target-compatible values.

@@ -153,6 +153,15 @@ final class ShopifyClient(
             Files.move(tmp, Paths.get(outPath),
               java.nio.file.StandardCopyOption.ATOMIC_MOVE,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } else if (count > 0) {
+            // objects reported but no download url: inconsistent — do
+            // not let a stale file at outPath pass as this export
+            throw new RuntimeException(
+              s"bulk operation COMPLETED with objectCount=$count but no url")
+          } else {
+            // legitimately empty export: clear any stale previous file
+            // so readers never consume yesterday's JSONL as today's
+            Files.deleteIfExists(Paths.get(outPath))
           }
           return count
         case "FAILED" =>

@@ -74,9 +74,11 @@ object EtlRunLog {
 
     /** O5 — watermark resolution with overlap lookback
       * (daily_scheduler.py:64-83): restart from
-      * `last_success − (2 + days_since_success)` days; 3-day default
-      * lookback when no history. Rerun-safety comes from upsert
-      * idempotence, not from exactness here. */
+      * `today − (2 + days_since_success)` — i.e. two days BEFORE the
+      * last success (the reference's get_start_date computes
+      * now − (2 + days_gap)); 3-day default lookback when no history.
+      * `daysSince` is clamped at 0 against clock skew. Rerun-safety
+      * comes from upsert idempotence, not from exactness here. */
     def resolveStartDate(store: String, entity: String, today: LocalDate): LocalDate = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"storeName", $"entityName").orderBy($"id".desc, $"ingestedAt".desc)
@@ -88,8 +90,9 @@ object EtlRunLog {
       last match {
         case Some(ts) =>
           val lastDate = LocalDate.parse(ts.take(10))
-          val daysSince = java.time.temporal.ChronoUnit.DAYS.between(lastDate, today)
-          lastDate.minusDays(2 + daysSince)
+          val daysSince = math.max(
+            java.time.temporal.ChronoUnit.DAYS.between(lastDate, today), 0L)
+          today.minusDays(2 + daysSince)
         case None => today.minusDays(3)
       }
     }

@@ -44,7 +44,9 @@ class OrchestratorSpec extends SparkSpec {
     assert(orch.runDaily(() => hookFired = true))
     assert(hookFired) // O7: post-success hook
 
-    val orders = spark.read.parquet(s"$root/gold/fact_orders")
+    // default path is bucket-partitioned; goldTable hides the layout column
+    val orders = orch.goldTable("fact_orders").get
+    assert(!orders.columns.contains("bucket"))
     assert(orders.count() == 3) // R-5551234, R-5551235, W-7771
     assert(orders.filter($"order_id" === "W-7771").count() == 1)
 
@@ -69,7 +71,7 @@ class OrchestratorSpec extends SparkSpec {
     // reference's ON CONFLICT DO UPDATE also refreshes per run
     val before = orders.drop("ingested_at").orderBy("order_id").collect().toSeq
     assert(orch.runDaily())
-    val after = spark.read.parquet(s"$root/gold/fact_orders")
+    val after = orch.goldTable("fact_orders").get
       .drop("ingested_at").orderBy("order_id").collect().toSeq
     assert(before == after)
     assert(spark.read.parquet(s"$root/gold/inventory_snapshot").count() == snapCount)
@@ -177,8 +179,9 @@ class OrchestratorSpec extends SparkSpec {
     val id = log.logStart("retail", "orders", java.time.LocalDateTime.parse("2025-12-06T05:45:00"))
     log.logStagingSuccess(id, Some("2025-12-06T04:00:00Z"),
       java.time.LocalDateTime.parse("2025-12-06T05:50:00"))
-    // last success 12-06, 2 days since → start = 12-06 - (2+2) = 12-02
+    // last success 12-06, 2 days since → start = today - (2+2) = 12-04
+    // (= lastDate - 2: the reference's now - (2 + days_gap))
     assert(log.resolveStartDate("retail", "orders", today) ==
-      java.time.LocalDate.parse("2025-12-02"))
+      java.time.LocalDate.parse("2025-12-04"))
   }
 }

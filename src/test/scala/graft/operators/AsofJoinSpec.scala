@@ -26,6 +26,19 @@ class AsofJoinSpec extends SparkSpec {
       ("C", 5L, 500, None)))       // key absent on right
   }
 
+  test("leftAsof: equal-ts right rows resolve deterministically (max value)") {
+    // two quotes share (sym, ts=10): the carried value must be the same
+    // on any partition layout — the greatest value tuple wins
+    val quotes = Seq(("A", 10L, 1.0), ("A", 10L, 5.0), ("A", 10L, 3.0))
+      .toDF("sym", "qts", "price")
+    val trades = Seq(("A", 12L, 100)).toDF("sym", "tts", "qty")
+    (1 to 5).foreach { i =>
+      val out = AsofJoin.leftAsof(
+        trades, quotes.repartition(i), Seq("sym"), "tts", "qts", Seq("price"))
+      assert(out.select("asof_price").as[Double].head() == 5.0, s"repartition($i)")
+    }
+  }
+
   test("leftAsof preserves left row count exactly") {
     val left = (1 to 100).map(i => (i % 7L, i.toLong, i)).toDF("k", "ts", "v")
     val right = (1 to 30).map(i => (i % 5L, i * 3L, i * 1.5)).toDF("k", "ts", "w")

@@ -75,6 +75,26 @@ class PartitionedMergeSpec extends SparkSpec {
     assert(out.filter($"k" === "k7").select("v").as[Double].head() == 700.0)
   }
 
+  test("bucketedUpsert pins the bucket count; a different count fails fast") {
+    val root = Files.createTempDirectory("pmerge5").toString + "/t"
+    val init = (1 to 50).map(i => (s"k$i", i.toDouble)).toDF("k", "v")
+    PartitionedMerge.bucketedUpsert(spark, root, init, Seq("k"), nBuckets = 8)
+    assert(PartitionedMerge.readBucketCount(spark, root).contains(8))
+    // same count keeps working
+    val staged = Seq(("k7", 700.0)).toDF("k", "v")
+    PartitionedMerge.bucketedUpsert(spark, root, staged, Seq("k"), nBuckets = 8)
+    assert(spark.read.parquet(root).filter($"k" === "k7")
+      .select("v").as[Double].head() == 700.0)
+    // changed count would re-hash keys into other buckets → refuse
+    val e = intercept[IllegalStateException] {
+      PartitionedMerge.bucketedUpsert(spark, root, staged, Seq("k"), nBuckets = 16)
+    }
+    assert(e.getMessage.contains("bucket-count mismatch"))
+    intercept[IllegalStateException] {
+      PartitionedMerge.bucketedDeleteReload(spark, root, staged, Seq("k"), nBuckets = 4)
+    }
+  }
+
   test("pruned scan plan shows partition filters, not a full read") {
     val root = Files.createTempDirectory("pmerge4").toString + "/t"
     mkTable(root)

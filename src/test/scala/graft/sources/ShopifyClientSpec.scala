@@ -98,6 +98,33 @@ class ShopifyClientSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(java.nio.file.Paths.get(out)).linesIterator.size == 3)
   }
 
+  test("S5 empty bulk export clears a stale JSONL; count>0 without url throws") {
+    // empty export (url null, objectCount 0): stale file must not survive
+    val emptyT = new ShopifyClient.Transport {
+      def post(url: String, body: String, headers: Map[String, String]): String =
+        if (body.contains("bulkOperationRunQuery"))
+          """{"data": {"bulkOperationRunQuery": {"bulkOperation": {"id": "b1", "status": "CREATED"}}}}"""
+        else """{"data": {"currentBulkOperation": {"id": "b1", "status": "COMPLETED", "objectCount": 0, "url": null}}}"""
+      def get(url: String): String = ""
+    }
+    val out = java.nio.file.Files.createTempDirectory("bulk2").resolve("c.jsonl")
+    java.nio.file.Files.writeString(out, "{\"id\": 99}\n") // yesterday's export
+    assert(client(emptyT).runBulkExport("q", out.toString, pollIntervalMs = 1, maxPolls = 3) == 0)
+    assert(!java.nio.file.Files.exists(out), "stale JSONL must be cleared")
+    // inconsistent: objects reported but nothing to download
+    val badT = new ShopifyClient.Transport {
+      def post(url: String, body: String, headers: Map[String, String]): String =
+        if (body.contains("bulkOperationRunQuery"))
+          """{"data": {"bulkOperationRunQuery": {"bulkOperation": {"id": "b1", "status": "CREATED"}}}}"""
+        else """{"data": {"currentBulkOperation": {"id": "b1", "status": "COMPLETED", "objectCount": 5, "url": null}}}"""
+      def get(url: String): String = ""
+    }
+    val e = intercept[RuntimeException] {
+      client(badT).runBulkExport("q", out.toString, pollIntervalMs = 1, maxPolls = 3)
+    }
+    assert(e.getMessage.contains("no url"))
+  }
+
   test("end-to-end: fake API -> envelope file -> RawReader -> Flatten") {
     import spark.implicits._
     val t = new FakeTransport(Seq(

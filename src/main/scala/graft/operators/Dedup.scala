@@ -201,6 +201,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[embeddingDuplicates]] over integer-quantized vectors: buckets
+    * are signs of exact integer projections and the verify cosine is
+    * exact integer arithmetic, so the whole blocking+verify pipeline is
+    * deterministic across engines and partition counts — the
+    * oracle-checked form (q48). */
+  def embeddingDuplicatesQuantized(df: DataFrame, idCol: String, vecCol: String,
+                                   threshold: Double, planes: Int = 12,
+                                   seed: Int = 0, dims: Int = 512): DataFrame = {
+    val b = fanOut(df).select(col(idCol).as("id"),
+      VectorFunctions.quantize(col(vecCol)).as("qv"))
+      .withColumn("bucket",
+        VectorFunctions.srpBucketQuantized(col("qv"), planes, seed, dims))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", VectorFunctions.quantizedCosine(col("a.qv"), col("b.qv")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
   /** Embedding near-dup pairs: SRP-LSH buckets then in-bucket cosine
     * verify. `planes` trades recall for bucket size (16 planes ≈ 65k
     * buckets). For guaranteed-exact small corpora use

@@ -110,7 +110,23 @@ object VectorQueries {
       .orderBy("doc_id")
   }
 
+  /** SRP-LSH embedding near-dup END-TO-END (blocking + verify), oracle
+    * checked: the corpus is extended with exact copies of every 10th
+    * vector (identical vectors always share a bucket), buckets are
+    * quantized-projection signs, verification is quantized cosine ≥
+    * 0.5. Both engines build the same corpus, so the pair list must
+    * match bit-for-bit. */
+  val q48EmbeddingLsh: Q = (s, d) => {
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    val corpus = e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    graft.operators.Dedup.embeddingDuplicatesQuantized(corpus, "vec_id",
+      "embedding", threshold = 0.5, planes = 8, seed = 0, dims = 64)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q48_embedding_lsh" -> q48EmbeddingLsh,
     "q28_knn_brute" -> q28KnnBrute,
     "q29_embedding_pairs" -> q29EmbeddingPairs,
     "q30_label_centroids" -> q30LabelCentroids,
@@ -150,6 +166,29 @@ object VectorQueries {
          |  CAST(sum(qv[2]) AS BIGINT) AS sum_d1,
          |  CAST(sum(${dot("qv", "qv")}) AS BIGINT) AS sum_sqnorm
          |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    "q48_embedding_lsh" -> {
+      val wRows = (0 until 8).map { p =>
+        val w = graft.functions.VectorFunctions.quantizedHyperplane(0, p, 64)
+          .mkString("[", ",", "]")
+        s"($p, $w::BIGINT[])"
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, $qv AS qv FROM embeddings),
+         |c AS (SELECT vec_id, qv FROM e
+         |      UNION ALL SELECT vec_id + 1000000, qv FROM e WHERE vec_id % 10 = 0),
+         |w(p, wv) AS (VALUES
+         |$wRows),
+         |bk AS (SELECT c.vec_id,
+         |  CAST(sum(CASE WHEN ${dot("c.qv", "w.wv")} >= 0 THEN power(2, w.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM c, w GROUP BY c.vec_id)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(${dot("ca.qv", "cb.qv")} AS DOUBLE) /
+         |  (sqrt(CAST(${dot("ca.qv", "ca.qv")} AS DOUBLE)) * sqrt(CAST(${dot("cb.qv", "cb.qv")} AS DOUBLE))) AS cosine
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |JOIN c ca ON ca.vec_id = a.vec_id JOIN c cb ON cb.vec_id = b.vec_id
+         |WHERE CAST(${dot("ca.qv", "cb.qv")} AS DOUBLE) /
+         |  (sqrt(CAST(${dot("ca.qv", "ca.qv")} AS DOUBLE)) * sqrt(CAST(${dot("cb.qv", "cb.qv")} AS DOUBLE))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q32_ann_srp" -> {
       // the same (table, plane) hyperplanes the Spark side uses,
       // quantized to BIGINT — one VALUES row per (t, p)

@@ -89,5 +89,11 @@ class DedupSpec extends SparkSpec {
       threshold = 0.99, planes = 8)
     val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(found.contains((3L, 100L)))
+    // quantized path: same collision guarantee, bit-deterministic cosine
+    val qpairs = Dedup.embeddingDuplicatesQuantized(withDup, "id", "vec",
+      threshold = 0.99, planes = 8, dims = 16)
+    val qdup = qpairs.filter($"id_a" === 3 && $"id_b" === 100)
+      .select("cosine").as[Double].collect()
+    assert(qdup.length == 1 && qdup.head == 1.0)
   }
 }

@@ -71,10 +71,18 @@ object TextFunctions {
   def minhashB(i: Int): Long = (40503L * 65537L * (i + 1)) % MinhashP
 
   /** MinHash signature over a shingle array: sig[i] = min over shingles
-    * of h_i(s). Single pass over the shingles (fold keeps all n running
-    * minima), so the base md5 hash is evaluated once per shingle. Empty
-    * shingle set → null signature. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    * of h_i(s). Compiled single-pass Expression (see
+    * org.apache.spark.sql.graft.MinhashSignature): one md5 per shingle,
+    * all n minima updated in registers, zero shuffle. Empty shingle
+    * set → null signature. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.MinhashSignature(shingles,
+      (0 until numHashes).map(minhashA), (0 until numHashes).map(minhashB),
+      MinhashP)
+
+  /** Interpreted higher-order-function reference implementation of
+    * [[minhashSignature]]; kept for differential testing only. */
+  private[graft] def minhashSignatureHof(shingles: Column, numHashes: Int): Column = {
     val aLit = array((0 until numHashes).map(i => lit(minhashA(i))): _*)
     val bLit = array((0 until numHashes).map(i => lit(minhashB(i))): _*)
     val base = transform(array_distinct(shingles),
@@ -103,12 +111,16 @@ object TextFunctions {
 
   /** 32-bit SimHash over the token multiset (duplicates weigh in, as in
     * the classic Charikar construction): bit b is set iff
-    * Σ_tokens (±1 by bit b of h(token)) >= 0.
-    *
-    * Single pass: one fold over the hashed tokens accumulates all 32
-    * bit counters, so md5 runs once per token (a per-bit outer loop
-    * would re-hash every token 32×). */
-  def simhash32(text: Column): Column = {
+    * Σ_tokens (±1 by bit b of h(token)) >= 0. Compiled single-pass
+    * Expression (see org.apache.spark.sql.graft.Simhash32) — a pure
+    * projection, so the signature stage of SimHash dedup costs zero
+    * shuffle. */
+  def simhash32(text: Column): Column =
+    org.apache.spark.sql.graft.Simhash32(text)
+
+  /** Interpreted higher-order-function reference implementation of
+    * [[simhash32]]; kept for differential testing only. */
+  private[graft] def simhash32Hof(text: Column): Column = {
     val hs = transform(tokens(text), t => portableHash(t))
     val bits = sequence(lit(0), lit(31))
     val counts = aggregate(

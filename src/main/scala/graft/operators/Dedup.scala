@@ -77,19 +77,17 @@ object Dedup {
     fanOut(df).select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
 
-  /** Band-collision candidate pairs from a pre-computed (id, sh) frame. */
+  /** Band-collision candidate pairs from a pre-computed (id, sh) frame.
+    * Signatures are a compiled per-row projection (zero shuffle — see
+    * MinhashSignature); docs with no shingles drop out, mirroring the
+    * oracle's len>0 filter. */
   private def minhashCandidatesFromShingles(sh: DataFrame, bands: Int,
                                             rowsPerBand: Int): DataFrame = {
     val n = bands * rowsPerBand
-    val hashed = sh
-      .select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), pmod(portableHash(col("s")), lit(MinhashP)).as("h"))
-    val sigCols = (0 until n).map(i =>
-      min(pmod(col("h") * minhashA(i) + minhashB(i), lit(MinhashP))).as(s"m$i"))
-    val sig = hashed.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = sh.filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), n).as("sig"))
     val bandCols = (0 until bands).map { b =>
-      val ms = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(",", ms: _*)).as("key"))
+      struct(lit(b).as("band"), bandKey(col("sig"), b, rowsPerBand).as("key"))
     }
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
@@ -136,19 +134,12 @@ object Dedup {
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "32-bit simhash pigeonhole supports maxHamming <= 3")
-    // vectorized signature: explode tokens, hash once (codegen'd), sum
-    // 32 ±1 bit counters per doc, recompose — same math as simhash32
-    val hashed = fanOut(df).select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("t"))
-      .select(col("id"), portableHash(col("t")).as("h"))
-    val bitCols = (0 until 32).map(b =>
-      sum(when(pmod(floor(col("h").cast("double") / math.pow(2.0, b)).cast("long"), lit(2L)) === 1, 1)
-        .otherwise(-1)).as(s"c$b"))
-    val counts = hashed.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
-    val sig = counts.select(col("id"),
-      (0 until 32).map(b =>
-        when(col(s"c$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sig"))
+    // signature as a compiled per-row projection (zero shuffle — the
+    // earlier explode+groupBy shape shuffled one row per TOKEN); docs
+    // with no tokens are excluded, as the explode formulation did
+    val sig = fanOut(df)
+      .filter(size(tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"), simhash32(col(textCol)).as("sig"))
     val blocked = sig.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         blk => struct(blk.as("blk"),

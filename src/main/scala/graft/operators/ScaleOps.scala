@@ -69,13 +69,15 @@ object ScaleOps {
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("plabel"))
+      // carry the previous label through the checkpoint so convergence
+      // is a filter on materialized data, not another join+shuffle
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"),
+          col("label").as("__old"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels = next
+      changed = next.filter(col("label") =!= col("__old")).limit(1).count() > 0
+      labels = next.drop("__old")
       i += 1
     }
     if (changed)

@@ -57,6 +57,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sigs(0) != sigs(2))
   }
 
+  test("minhashSignature (compiled) ≡ HOF reference incl. empty → null") {
+    val texts = Seq("a b c d e f", "one two", "x", "", "  ",
+      "dup dup dup words words", (1 to 80).map(i => s"w$i").mkString(" "))
+    val df = texts.toDF("t")
+    for (n <- Seq(4, 16)) {
+      val got = df.select(minhashSignature(wordShingles($"t", 2), n)).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+      val ref = df.select(minhashSignatureHof(wordShingles($"t", 2), n)).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+      assert(got.toSeq == ref.toSeq, s"mismatch at n=$n")
+    }
+  }
+
   test("simhash32: 32-bit range, equal for equal text, near for near text") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (2 to 60).map(i => s"tok$i").mkString(" ") // one token dropped
@@ -66,6 +79,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(hs(0) == hs(1))
     val xor = hs(0) ^ hs(2)
     assert(java.lang.Long.bitCount(xor) <= 8) // near text → small hamming
+  }
+
+  test("simhash32 (compiled) ≡ HOF reference incl. edge cases") {
+    val texts = Seq(
+      "a b c d e", "  padded  with   spaces  ", "\tleading tab", "a\nb\nc",
+      " ", "", "one", "repeated repeated repeated distinct",
+      "ünïcode tökens here", (1 to 120).map(i => s"tok$i").mkString(" "))
+    val df = texts.toDF("t")
+    val got = df.select(simhash32($"t")).as[Long].collect()
+    val ref = df.select(simhash32Hof($"t")).as[Long].collect()
+    assert(got.toSeq == ref.toSeq)
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(simhash32($"t")).head().isNullAt(0))
   }
 
   test("langId: stopword vote with deterministic tie-break") {

@@ -51,6 +51,12 @@ object GraftExtensions {
       (e: Seq[Expression]) => x(TF.stopwordRatio(c(e(0))))),
     ("graft_simhash32", "32-bit SimHash of the token multiset",
       (e: Seq[Expression]) => x(TF.simhash32(c(e(0))))),
+    ("graft_word_shingles", "word k-shingles: graft_word_shingles(text, k)",
+      (e: Seq[Expression]) =>
+        new org.apache.spark.sql.graft.WordShingles(e(0), B.litInt(e(1), "k"))),
+    ("graft_minhash_signature",
+      "n-hash MinHash signature of a shingle array: graft_minhash_signature(shingles, n)",
+      (e: Seq[Expression]) => x(TF.minhashSignature(c(e(0)), B.litInt(e(1), "n")))),
     ("graft_fingerprint", "md5 content fingerprint of trimmed text",
       (e: Seq[Expression]) => x(TF.fingerprint(c(e(0))))),
     ("graft_hash32", "portable 32-bit hash (md5 prefix)",

@@ -31,6 +31,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.all.size >= 14)
   }
 
+  test("compiled shingle/minhash expressions work from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_word_shingles('a b c d', 3) AS sh,
+        |  graft_minhash_signature(graft_word_shingles('a b c d', 2), 4) AS sig,
+        |  graft_simhash32('a b c') AS sim
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[Long](1).length == 4)
+    assert(r.getLong(2) >= 0 && r.getLong(2) < (1L << 32))
+    // non-literal k is rejected with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles('a b c', cast(rand()*3 AS INT))").head()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("SQL minhash-ish pipeline runs end-to-end through the registry") {
     GraftExtensions.register(spark)
     Seq((1L, "spark table scan join"), (2L, "spark table scan join"),

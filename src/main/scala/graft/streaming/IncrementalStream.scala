@@ -63,6 +63,20 @@ object IncrementalStream {
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exact`: drop
+    * rows whose content fingerprint was already seen within the
+    * watermark horizon (`dropDuplicatesWithinWatermark`, so the
+    * dedup-key state store is bounded on unbounded streams — an
+    * unwindowed dropDuplicates would grow state forever). Replayed or
+    * duplicated documents inside the horizon are emitted once. */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermark: String): DataFrame =
+    docs
+      .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   // ---------------------------------------------------- custom state
   case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionCount: Long, lastTs: Long, events: Long, total: Double)

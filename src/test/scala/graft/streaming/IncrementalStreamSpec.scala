@@ -68,6 +68,27 @@ class IncrementalStreamSpec extends SparkSpec {
       Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming exact dedup drops in-horizon duplicates, keeps distinct docs") {
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (java.sql.Timestamp, Long, String)](spark)
+    val df = docs.toDF().toDF("ts", "doc_id", "text")
+    val deduped = IncrementalStream.dedupStream(df, "ts", "text", "1 hour")
+    assert(deduped.isStreaming)
+    val q = deduped.writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    docs.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox"),
+      (ts("2024-01-01 10:05:00"), 2L, "the quick brown fox"), // dup content
+      (ts("2024-01-01 10:10:00"), 3L, "a different document"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_docs")
+    assert(out.count() == 2) // one copy per distinct fingerprint
+    assert(out.select("text").as[String].collect().toSet ==
+      Set("the quick brown fox", "a different document"))
+    q.stop()
+  }
+
   test("mapGroupsWithState sessionization counts gap-separated sessions") {
     import IncrementalStream._
     val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent](spark)

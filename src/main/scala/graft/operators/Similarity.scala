@@ -55,12 +55,20 @@ object Similarity {
   }
 
   /** Fit the k-means coarse quantizer and return the centroids, indexed
-    * by cell id. */
+    * by cell id. Training is capped at `maxTrainRows` via a seeded
+    * sample — a coarse quantizer needs a representative sample, not the
+    * corpus: at 100 TB the multi-pass k-means must NOT scan everything,
+    * while the (single-pass, shuffle-free) assignment step still covers
+    * every row. */
   private def fitCentroids(corpus: DataFrame, vecCol: String, nCells: Int,
-                           seed: Long): Array[Array[Double]] = {
+                           seed: Long, maxTrainRows: Long): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(
+    val n = corpus.count()
+    val base = if (n > maxTrainRows)
+      corpus.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+    else corpus
+    val train = base.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .fit(train).clusterCenters.map(_.toArray)
@@ -85,8 +93,8 @@ object Similarity {
     * with [[buildIvfIndex]] and query with [[ivfProbe]]. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 3,
-              seed: Long = 42L): DataFrame = {
-    val centroids = fitCentroids(corpus, vecCol, nCells, seed)
+              seed: Long = 42L, maxTrainRows: Long = 100000L): DataFrame = {
+    val centroids = fitCentroids(corpus, vecCol, nCells, seed, maxTrainRows)
     val assigned = assignCells(
       fanOut(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
       "cv", centroids)
@@ -116,10 +124,10 @@ object Similarity {
     * partitions — at 100 TB with nCells=4096, nProbe=8, a query touches
     * ~0.2% of the bytes. Returns the centroids for immediate reuse. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    path: String, nCells: Int = 16,
-                    seed: Long = 42L): Array[Array[Double]] = {
+                    path: String, nCells: Int = 16, seed: Long = 42L,
+                    maxTrainRows: Long = 100000L): Array[Array[Double]] = {
     val spark = corpus.sparkSession
-    val centroids = fitCentroids(corpus, vecCol, nCells, seed)
+    val centroids = fitCentroids(corpus, vecCol, nCells, seed, maxTrainRows)
     assignCells(
       fanOut(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
       "cv", centroids)

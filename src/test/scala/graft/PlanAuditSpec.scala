@@ -1,0 +1,60 @@
+package graft
+
+/** Plan-shape regression guard: the properties that make these queries
+  * scale are in the PLAN, not the output — filters reaching the parquet
+  * scan, column pruning, broadcast dimension joins, whole-stage codegen,
+  * no cartesian products. Output hashes can't catch a plan regression
+  * (the answer stays right, 100× slower), so these assert on the
+  * executed plan directly, against the real testdata tables. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed to the lineitem scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("LessThanOrEqual(l_shipdate"), s"no pushed filter:\n$p")
+  }
+
+  test("q2: scan prunes to the two needed orders columns") {
+    val p = plan("q2_revenue_by_day")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("o_comment"), "column pruning lost: o_comment read")
+    assert(!p.contains("o_clerk"), "column pruning lost: o_clerk read")
+  }
+
+  test("q3/q5: dimension joins broadcast (no shuffle of the fact side)") {
+    assert(plan("q3_top_orders").contains("BroadcastHashJoin"))
+    val p5 = plan("q5_region_revenue")
+    assert(p5.contains("BroadcastHashJoin"))
+    assert(!p5.contains("SortMergeJoin"), "star join degraded to SMJ")
+  }
+
+  test("q28: broadcast nested loop, never a cartesian product") {
+    val p = plan("q28_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("aggregation queries stay inside whole-stage codegen") {
+    // AQE finalizes stages (and their codegen wrapping) only at
+    // execution; run the query, then inspect the same plan
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // codegen stages print as "*(n) Operator" in the final plan tree
+    assert(finalPlan("q1_pricing_summary").contains("*(1) "))
+    assert(finalPlan("q17_events_hourly").contains("*(1) "))
+  }
+
+  test("no query plans a cartesian product") {
+    // cross joins in this library are always broadcast-bounded
+    for (name <- Seq("q24_minhash_dedup", "q26_simhash_dedup",
+        "q27_ngram_jaccard", "q29_embedding_pairs", "q48_embedding_lsh"))
+      assert(!plan(name).contains("CartesianProduct"), s"$name")
+  }
+}

@@ -167,29 +167,62 @@ object Dedup {
     *
     * Work is Σ_shingle (postings²), i.e. proportional to real shingle
     * overlap, never O(n²) over the corpus; one shuffle on the shingle
-    * key + one on the pair key. For corpora with pathological hot
-    * shingles, drop shingles with document frequency above a cutoff
-    * before the join (semantics-changing; left to the caller). */
+    * key + one on the pair key.
+    *
+    * For corpora with pathological hot shingles set `maxDocFrequency`:
+    * shingles appearing in more documents are excluded from CANDIDATE
+    * GENERATION (bounding the postings² blowup), and surviving
+    * candidate pairs are verified with the exact full-shingle-set
+    * Jaccard — so every emitted pair carries its true score, and the
+    * only semantic change is lost recall for pairs sharing nothing but
+    * hot shingles (the standard ssjoin trade). */
   def ngramJaccardDuplicates(df: DataFrame, idCol: String, textCol: String,
-                             threshold: Double, shingleSize: Int = 3): DataFrame = {
+                             threshold: Double, shingleSize: Int = 3,
+                             maxDocFrequency: Long = 0L): DataFrame = {
     val docs = fanOut(df).select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val postings = docs.select(col("id"), size(col("sh")).as("len"),
-      explode(col("sh")).as("s"))
-      .localCheckpoint(true) // shingling is the expensive stage; both join sides read it
-    postings.as("a")
-      .join(postings.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-        col("a.len") >= col("b.len") * threshold &&
-        col("b.len") >= col("a.len") * threshold)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.len").as("la"), col("b.len").as("lb"))
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (col("la") + col("lb") - col("shared")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (maxDocFrequency <= 0L) {
+      // exact path: |A∩B| falls straight out of the count join
+      val postings = docs.select(col("id"), size(col("sh")).as("len"),
+        explode(col("sh")).as("s"))
+        .localCheckpoint(true) // shingling is the expensive stage; both join sides read it
+      postings.as("a")
+        .join(postings.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.len") >= col("b.len") * threshold &&
+          col("b.len") >= col("a.len") * threshold)
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.len").as("la"), col("b.len").as("lb"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard", col("shared").cast("double") /
+          (col("la") + col("lb") - col("shared")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } else {
+      // hot-shingle-capped path: candidates from cold postings only,
+      // then exact verify over the full shingle sets
+      val sh = docs.localCheckpoint(true) // read by postings + 2 verify joins
+      val postings = sh.select(col("id"), size(col("sh")).as("len"),
+        explode(col("sh")).as("s"))
+      val cold = postings.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("s"))))
+        .filter(col("df") <= maxDocFrequency)
+        .localCheckpoint(true)
+      val cands = cold.as("a")
+        .join(cold.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.len") >= col("b.len") * threshold &&
+          col("b.len") >= col("a.len") * threshold)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      cands
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
   }
 
   /** [[embeddingDuplicates]] over integer-quantized vectors: buckets

@@ -69,6 +69,23 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // planted dups make this a real check
   }
 
+  test("ngramJaccard hot-shingle cutoff: subset of exact, true scores, finds dups") {
+    val exact = Dedup.ngramJaccardDuplicates(corpus, "id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // generous cutoff (no shingle is that hot) → identical to exact
+    val capped = Dedup.ngramJaccardDuplicates(corpus, "id", "text",
+      threshold = 0.6, maxDocFrequency = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped == exact)
+    // aggressive cutoff: pairs found are a subset, scores stay exact
+    val tight = Dedup.ngramJaccardDuplicates(corpus, "id", "text",
+      threshold = 0.6, maxDocFrequency = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    tight.foreach { case (pair, j) =>
+      assert(exact.contains(pair) && exact(pair) == j, s"$pair")
+    }
+  }
+
   test("operators leave the SQL cache empty (localCheckpoint lifetime)") {
     import org.apache.spark.sql.graft.CacheIntrospect
     spark.catalog.clearCache() // session is shared; other suites .cache()

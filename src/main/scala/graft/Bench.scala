@@ -39,21 +39,24 @@ object Bench {
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to runs; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators may leave block-manager state; clear SQL cache so
       // queries are measured independently and memory doesn't accumulate
       spark.catalog.clearCache()
-      samples(name) = samples(name) :+ dt
+      // a crashing query must NOT read as a fast one: poison its median
+      samples(name) = samples(name) :+ (if (ok) dt else -1.0)
     }
-    def median(xs: Vector[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
+    def median(xs: Vector[Double]): Double =
+      if (xs.exists(_ < 0)) -1.0
+      else {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
     val results = names.map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).sum // failures drag the total negative — visible
     println(f"""{"metric":"total","value":$total%.3f,"median":$total%.3f,"runs":$runs,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

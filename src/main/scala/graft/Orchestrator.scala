@@ -135,6 +135,14 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
     AtomicTableWriter.read(spark, goldPath(table))
       .map(df => if (df.columns.contains("bucket")) df.drop("bucket") else df)
 
+  /** A gold table created by an earlier release WITHOUT bucketing (no
+    * `bucket` column) must keep the whole-table merge path — stamping
+    * buckets onto it would fail (and rebuilding is the operator's
+    * call). Fresh tables are created bucketed. */
+  private def bucketPathUsable(table: String): Boolean =
+    AtomicTableWriter.read(spark, goldPath(table))
+      .forall(_.columns.contains("bucket"))
+
   /** R∪W staging view; degenerates to one side when the other is absent
     * (run_etl_with_retries.py:41-44). */
   private def combined(table: String): Option[DataFrame] = {
@@ -156,10 +164,10 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
         Seq(col("updated_at").desc, col("created_at").desc, col("order_number").desc))
         .withColumn("ingested_at", lit(ingestedAt))
       factBuckets match {
-        case Some(n) =>
+        case Some(n) if bucketPathUsable("fact_orders") =>
           PartitionedMerge.bucketedUpsert(spark, goldPath("fact_orders"),
             staged, Seq("order_id"), n)
-        case None =>
+        case _ =>
           val merged = AtomicTableWriter.read(spark, goldPath("fact_orders")) match {
             case Some(target) => MergeOps.upsert(target, staged, Seq("order_id"))
             case None => staged
@@ -179,10 +187,10 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
           .map(c => col(c).desc).toSeq)
         .withColumn("ingested_at", lit(ingestedAt))
       factBuckets match {
-        case Some(n) =>
+        case Some(n) if bucketPathUsable("fact_order_items") =>
           PartitionedMerge.bucketedDeleteReload(spark, goldPath("fact_order_items"),
             items, Seq("order_id"), n)
-        case None =>
+        case _ =>
           val merged = AtomicTableWriter.read(spark, goldPath("fact_order_items")) match {
             case Some(target) =>
               MergeOps.deleteReload(target, items, items.select("order_id"), Seq("order_id"))

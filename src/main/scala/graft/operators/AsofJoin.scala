@@ -42,12 +42,21 @@ object AsofJoin {
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(c => col(c).as(s"__r_$c"))): _*)
     // right rows sort before left rows at equal ts → `<=` match
-    // semantics; the carried value columns complete the order so that
-    // several right rows sharing (key, ts) always resolve to the same
-    // survivor (the greatest by value tuple) on any partition layout
+    // semantics; the ORDERABLE carried value columns complete the order
+    // so that several right rows sharing (key, ts) always resolve to
+    // the same survivor (the greatest by value tuple) on any partition
+    // layout. Unorderable types (maps) are skipped — sorting on them
+    // would throw; ties on such columns alone stay layout-dependent.
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case _ => true
+    }
+    val tieBreak = valueCols.filter(c => orderable(right.schema(c).dataType))
+      .map(c => col(s"__r_$c"))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts") +: col("__side") +:
-        valueCols.map(c => col(s"__r_$c")): _*)
+      .orderBy(col("__ts") +: col("__side") +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(col("*") +:

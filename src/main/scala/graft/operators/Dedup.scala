@@ -23,11 +23,12 @@ import graft.functions.VectorFunctions
   * Pair outputs are canonical: (idA < idB), ordered, deterministic.
   *
   * Re-read intermediates (shingle sets, band keys) are materialized
-  * eagerly via `localCheckpoint(eager = true)` rather than `persist()`:
-  * the expensive stage runs exactly once, nothing is registered in the
-  * SQL cache (DedupSpec asserts the cache stays empty), and the blocks
-  * are released by the ContextCleaner as soon as the returned plan is
-  * garbage-collected — no unpersist obligation leaks to the caller.
+  * exactly once via [[Materialize.once]] — eager localCheckpoint by
+  * default (no SQL-cache registration leaks to the caller; DedupSpec
+  * asserts the cache stays empty), with
+  * `spark.graft.localCheckpoint=false` falling back to `persist()` on
+  * clusters where lineage truncation is unsafe (see Materialize's doc
+  * for the trade-off).
   */
 object Dedup {
 
@@ -91,7 +92,7 @@ object Dedup {
     }
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-      .localCheckpoint(true) // read twice by the self-join; computed once
+      .transform(Materialize.once) // read twice by the self-join; computed once
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -116,7 +117,7 @@ object Dedup {
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleSize: Int = 3,
                         bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, shingleSize).localCheckpoint(true)
+    val sh = Materialize.once(shingleSets(df, idCol, textCol, shingleSize))
     val cands = minhashCandidatesFromShingles(sh, bands, rowsPerBand)
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
@@ -136,9 +137,12 @@ object Dedup {
     require(maxHamming <= 3, "32-bit simhash pigeonhole supports maxHamming <= 3")
     // signature as a compiled per-row projection (zero shuffle — the
     // earlier explode+groupBy shape shuffled one row per TOKEN); docs
-    // with no tokens are excluded, as the explode formulation did
+    // with no tokens are excluded, as the explode formulation did —
+    // tokens() is non-empty iff trim(text) is, so test THAT (a full
+    // regex tokenization per row just for blankness would double the
+    // per-row scan this path exists to avoid)
     val sig = fanOut(df)
-      .filter(size(tokens(col(textCol))) > 0)
+      .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"), simhash32(col(textCol)).as("sig"))
     val blocked = sig.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
@@ -146,7 +150,7 @@ object Dedup {
           pmod(floor(col("sig").cast("double") / pow(lit(256.0), blk)).cast("long"),
             lit(256L)).as("key")))).as("bk"))
       .select(col("id"), col("sig"), col("bk.blk"), col("bk.key"))
-      .localCheckpoint(true) // sig fold computed once; self-join reads it twice
+      .transform(Materialize.once) // sig fold computed once; self-join reads it twice
     val a = blocked.as("a")
     val b = blocked.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
@@ -186,7 +190,7 @@ object Dedup {
       // exact path: |A∩B| falls straight out of the count join
       val postings = docs.select(col("id"), size(col("sh")).as("len"),
         explode(col("sh")).as("s"))
-        .localCheckpoint(true) // shingling is the expensive stage; both join sides read it
+        .transform(Materialize.once) // shingling is the expensive stage; both join sides read it
       postings.as("a")
         .join(postings.as("b"),
           col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
@@ -202,13 +206,13 @@ object Dedup {
     } else {
       // hot-shingle-capped path: candidates from cold postings only,
       // then exact verify over the full shingle sets
-      val sh = docs.localCheckpoint(true) // read by postings + 2 verify joins
+      val sh = Materialize.once(docs) // read by postings + 2 verify joins
       val postings = sh.select(col("id"), size(col("sh")).as("len"),
         explode(col("sh")).as("s"))
       val cold = postings.withColumn("df",
           count(lit(1)).over(Window.partitionBy(col("s"))))
         .filter(col("df") <= maxDocFrequency)
-        .localCheckpoint(true)
+        .transform(Materialize.once)
       val cands = cold.as("a")
         .join(cold.as("b"),
           col("a.s") === col("b.s") && col("a.id") < col("b.id") &&

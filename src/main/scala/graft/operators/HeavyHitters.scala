@@ -64,10 +64,15 @@ object HeavyHitters {
     *
     * `sketchCapacity` (default 8k) controls the candidate guarantee:
     * any token absent from the sketch has true frequency ≤
-    * n/(capacity+1), so with capacity comfortably above k the exact
-    * top-k always survives into the recount and the output equals the
-    * exact `groupBy(token).count()` top-k — which is what the q43
-    * DuckDB oracle checks. */
+    * n/(capacity+1). The recount output therefore equals the exact
+    * `groupBy(token).count()` top-k WHENEVER the k-th most frequent
+    * token's count exceeds n/(capacity+1) — the usual regime for
+    * natural text, where stopword counts dwarf n/capacity. On
+    * near-uniform distributions (no token above n/(capacity+1)) true
+    * top-k members can be evicted and the output is approximate, as
+    * with any bounded-state sketch; raise the capacity toward the
+    * vocabulary size to recover exactness. q43's oracle pins the exact
+    * regime on the documents corpus. */
   def frequentTokens(df: DataFrame, textCol: String, k: Int,
                      sketchCapacity: Int = 0): DataFrame = {
     val spark = df.sparkSession

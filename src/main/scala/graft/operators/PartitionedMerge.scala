@@ -71,9 +71,11 @@ object PartitionedMerge {
   }
 
   /** Fail fast when `n` disagrees with the table's pinned bucket count.
-    * Tables created before the sidecar existed are adopted: any
-    * `bucket=` directory ≥ n proves a mismatch; otherwise n is pinned
-    * from here on. */
+    * A bucketed table (has `bucket=` directories) WITHOUT a sidecar is
+    * refused outright: the original count cannot be inferred from the
+    * directories (high buckets may simply be empty), and merging with a
+    * guessed count silently re-hashes keys past existing rows. Migrate
+    * such a table by pinning its true count with [[pinBucketCount]]. */
   private def validateBucketCount(spark: SparkSession, targetPath: String, n: Int): Unit = {
     require(n > 0, s"nBuckets must be positive, got $n")
     readBucketCount(spark, targetPath) match {
@@ -86,16 +88,29 @@ object PartitionedMerge {
       case None =>
         val root = new Path(targetPath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(root)) {
-          val maxBucket = fs.listStatus(root).map(_.getPath.getName)
-            .filter(_.startsWith("bucket="))
-            .map(_.stripPrefix("bucket=").toInt)
-          if (maxBucket.nonEmpty && maxBucket.max >= n)
-            throw new IllegalStateException(
-              s"bucket-count mismatch at $targetPath: found partition bucket=${maxBucket.max} " +
-                s"but merge requested only $n buckets")
-        }
+        if (fs.exists(root) &&
+            fs.listStatus(root).exists(_.getPath.getName.startsWith("bucket=")))
+          throw new IllegalStateException(
+            s"bucketed table at $targetPath has no $BucketMeta sidecar; its bucket " +
+              s"count cannot be inferred safely. Pin the true count with " +
+              s"PartitionedMerge.pinBucketCount(spark, path, n) before merging.")
     }
+  }
+
+  /** Migration/recovery helper: pin an existing bucketed table's true
+    * bucket count (tables created before the sidecar existed, or after
+    * a crash between table create and sidecar write). */
+  def pinBucketCount(spark: SparkSession, targetPath: String, n: Int): Unit = {
+    require(n > 0, s"nBuckets must be positive, got $n")
+    val root = new Path(targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      val maxBucket = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
+      require(maxBucket.isEmpty || maxBucket.max < n,
+        s"found partition bucket=${maxBucket.max} at $targetPath, inconsistent with n=$n")
+    }
+    writeBucketCount(spark, targetPath, n)
   }
 
   /** [[upsert]] for hash-bucketed tables: stamps `bucket` from the

@@ -56,11 +56,11 @@ object ScaleOps {
     // registered in the SQL cache after the operator returns.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(Materialize.once)
     // start: every node labels itself with min(self, neighbors)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     var changed = true
     var i = 0
     while (changed && i < maxIterations) {
@@ -75,7 +75,7 @@ object ScaleOps {
         .select(col("id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"),
           col("label").as("__old"))
-        .localCheckpoint(true)
+        .transform(Materialize.once)
       changed = next.filter(col("label") =!= col("__old")).limit(1).count() > 0
       labels = next.drop("__old")
       i += 1

@@ -102,12 +102,15 @@ object Similarity {
     rankCandidates(assigned.join(broadcast(probes), Seq("cell")), k)
   }
 
-  /** Each query row fanned out to its `nProbe` nearest cells. */
+  /** Each query row fanned out to its `nProbe` nearest cells (clamped
+    * to the cell count — probing more cells than exist means probing
+    * all of them). */
   private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
                          centroids: Array[Array[Double]], nProbe: Int): DataFrame =
     queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(
-        org.apache.spark.sql.graft.NearestCentroids(col("qv"), centroids, nProbe)))
+        org.apache.spark.sql.graft.NearestCentroids(col("qv"), centroids,
+          math.min(nProbe, centroids.length))))
 
   private def rankCandidates(cands: DataFrame, k: Int): DataFrame =
     cands.filter(col("query_id") =!= col("neighbor_id"))
@@ -149,7 +152,7 @@ object Similarity {
       .orderBy("cell").select("centroid")
       .collect().map(_.getSeq[Double](0).toArray)
     val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
-      .localCheckpoint(true) // read twice: cell list + candidate join
+      .transform(Materialize.once) // read twice: cell list + candidate join
     val cells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq // control-plane: ≤ |queries|·nProbe values
     val data = spark.read.parquet(s"$indexPath/data")

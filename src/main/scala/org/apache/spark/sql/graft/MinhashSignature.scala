@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -41,14 +41,10 @@ case class MinhashSignature(child: Expression, a: Seq[Long], b: Seq[Long],
     if (m == 0) return null
     val n = aArr.length
     val mins = Array.fill(n)(p)
-    val md = MinhashSignature.digest.get()
     var i = 0
     while (i < m) {
       if (!arr.isNullAt(i)) {
-        md.reset()
-        val d = md.digest(arr.getUTF8String(i).getBytes)
-        val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
+        val h = TextCodec.md5Prefix32(arr.getUTF8String(i).getBytes) % p
         var j = 0
         while (j < n) {
           val v = (h * aArr(j) + bArr(j)) % p
@@ -77,9 +73,6 @@ case class MinhashSignature(child: Expression, a: Seq[Long], b: Seq[Long],
 }
 
 object MinhashSignature {
-  private val digest: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
-
   def apply(shingles: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(new MinhashSignature(
       ExpressionUtils.expression(shingles), a, b, p))

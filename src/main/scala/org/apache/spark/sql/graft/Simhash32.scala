@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -30,28 +30,19 @@ case class Simhash32(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
 
-  @transient private lazy val splitter = java.util.regex.Pattern.compile("\\s+")
-
   def compute(s: UTF8String): Long = {
-    val trimmed = s.trim() // U+0020 only, like Spark's trim()
+    val toks = TextCodec.tokenize(s)
     val counts = new Array[Int](32)
-    if (trimmed.numBytes() > 0) {
-      val toks = splitter.split(trimmed.toString, -1)
-      val md = Simhash32.digest.get()
-      var i = 0
-      while (i < toks.length) {
-        md.reset()
-        val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // first 8 md5 hex chars == first 4 bytes, big-endian unsigned
-        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-        var b = 0
-        while (b < 32) {
-          counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
-          b += 1
-        }
-        i += 1
+    var i = 0
+    while (i < toks.length) {
+      val h = TextCodec.md5Prefix32(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var b = 0
+      while (b < 32) {
+        counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
       }
+      i += 1
     }
     var sig = 0L
     var b = 0
@@ -74,12 +65,6 @@ case class Simhash32(child: Expression)
 }
 
 object Simhash32 {
-  /** MessageDigest is stateful and the expression object is shared
-    * across tasks via the codegen references array — one digest per
-    * thread. */
-  private val digest: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
-
   def apply(text: Column): Column =
     ExpressionUtils.column(new Simhash32(ExpressionUtils.expression(text)))
 }

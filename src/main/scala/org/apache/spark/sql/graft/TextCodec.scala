@@ -1,0 +1,43 @@
+package org.apache.spark.sql.graft
+
+import java.security.MessageDigest
+import org.apache.spark.unsafe.types.UTF8String
+
+/** THE single definition of the cross-engine text contract shared by
+  * the compiled expressions ([[WordShingles]], [[Simhash32]],
+  * [[MinhashSignature]]):
+  *
+  *  - tokenize: Spark semantics — trim U+0020 only (like `trim()`),
+  *    Java-regex `\s+` split with limit -1 (like `split()`); blank →
+  *    empty. Non-space leading whitespace yields a leading "" token,
+  *    exactly as the Column formulation does.
+  *  - md5Prefix32: first 8 md5 hex chars of the UTF-8 bytes as an
+  *    unsigned 32-bit value — `TextFunctions.portableHash`, which every
+  *    DuckDB oracle re-derives.
+  *
+  * Keeping both here means a semantics tweak cannot silently diverge
+  * one expression from the others (or from the oracles).
+  */
+private[graft] object TextCodec {
+
+  private val whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** MessageDigest is stateful and expression objects are shared across
+    * tasks via the codegen references array — one digest per thread. */
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  def tokenize(s: UTF8String): Array[String] = {
+    val trimmed = s.trim()
+    if (trimmed.numBytes() == 0) Array.empty
+    else whitespace.split(trimmed.toString, -1)
+  }
+
+  def md5Prefix32(bytes: Array[Byte]): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}

@@ -36,12 +36,8 @@ case class WordShingles(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  @transient private lazy val splitter = java.util.regex.Pattern.compile("\\s+")
-
   def compute(s: UTF8String): ArrayData = {
-    val trimmed = s.trim() // U+0020 only, like Spark's trim()
-    if (trimmed.numBytes() == 0) return new GenericArrayData(Array.empty[Any])
-    val toks = splitter.split(trimmed.toString, -1)
+    val toks = TextCodec.tokenize(s)
     val n = toks.length - (k - 1)
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n)

@@ -115,6 +115,23 @@ class OrchestratorSpec extends SparkSpec {
       .select("total_price").as[Double].head() == 112.5) // untouched
   }
 
+  test("legacy non-bucketed gold tables keep the whole-table merge path") {
+    val root = Files.createTempDirectory("graft-legacy").toString
+    setupBronze(root)
+    // day 1 under the old default: whole-table, no bucket column
+    val legacy = new Orchestrator(spark, s"$root/bronze", s"$root/silver",
+      s"$root/gold", s"$root/state", factBuckets = None)
+    assert(legacy.runDaily())
+    assert(!spark.read.parquet(s"$root/gold/fact_orders").columns.contains("bucket"))
+    // day 2 under the new bucketed default: must not crash, must merge
+    val current = new Orchestrator(spark, s"$root/bronze", s"$root/silver",
+      s"$root/gold", s"$root/state2")
+    assert(current.runDaily())
+    val orders = current.goldTable("fact_orders").get
+    assert(orders.count() == 3) // merged, not duplicated or crashed
+    assert(!spark.read.parquet(s"$root/gold/fact_orders").columns.contains("bucket"))
+  }
+
   test("two versions of one order across bronze files collapse to the latest") {
     val root = Files.createTempDirectory("graft-dup").toString
     def write(rel: String, content: String): Unit = {

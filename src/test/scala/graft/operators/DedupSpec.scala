@@ -96,6 +96,18 @@ class DedupSpec extends SparkSpec {
       "dedup operators must not leak persist() registrations to callers")
   }
 
+  test("persist fallback mode (spark.graft.localCheckpoint=false) stays correct") {
+    spark.conf.set("spark.graft.localCheckpoint", "false")
+    try {
+      val pairs = Dedup.minhashDuplicates(corpus, "id", "text", threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      (0 until 5).foreach(i => assert(pairs.contains((i.toLong, 100L + i))))
+    } finally {
+      spark.conf.unset("spark.graft.localCheckpoint")
+      spark.catalog.clearCache() // persist mode leaves cache entries by design
+    }
+  }
+
   test("embeddingDuplicates: identical vectors always collide") {
     val vecs = (0 until 20).map { i =>
       val rnd = new scala.util.Random(i)

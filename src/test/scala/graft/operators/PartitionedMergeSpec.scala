@@ -95,6 +95,30 @@ class PartitionedMergeSpec extends SparkSpec {
     }
   }
 
+  test("sidecar-less bucketed table is refused until pinBucketCount") {
+    val root = Files.createTempDirectory("pmerge6").toString + "/t"
+    val init = (1 to 50).map(i => (s"k$i", i.toDouble)).toDF("k", "v")
+      .withColumn("bucket", PartitionedMerge.bucketOf("k", 8))
+    // simulate a pre-sidecar table (raw upsert, no metadata)
+    PartitionedMerge.upsert(spark, root, init, Seq("k"), "bucket")
+    val staged = Seq(("k7", 700.0)).toDF("k", "v")
+    val e = intercept[IllegalStateException] {
+      // a guessed count (even a "larger, so it fits" one) must be refused:
+      // the original count cannot be inferred from the directories
+      PartitionedMerge.bucketedUpsert(spark, root, staged, Seq("k"), nBuckets = 32)
+    }
+    assert(e.getMessage.contains("pinBucketCount"))
+    // migration: pin the true count, then merges proceed
+    PartitionedMerge.pinBucketCount(spark, root, 8)
+    PartitionedMerge.bucketedUpsert(spark, root, staged, Seq("k"), nBuckets = 8)
+    assert(spark.read.parquet(root).filter($"k" === "k7")
+      .select("v").as[Double].head() == 700.0)
+    // pinning a count inconsistent with existing dirs is rejected
+    intercept[IllegalArgumentException] {
+      PartitionedMerge.pinBucketCount(spark, root + "x", 0)
+    }
+  }
+
   test("pruned scan plan shows partition filters, not a full read") {
     val root = Files.createTempDirectory("pmerge4").toString + "/t"
     mkTable(root)

@@ -56,13 +56,9 @@ object Dedup {
   /** Candidate pairs whose MinHash band keys collide.
     * numHashes = bands × rowsPerBand. Each band is one shuffle key; a
     * pair appears once regardless of how many bands it collides in.
-    *
-    * Signatures are computed the vectorized way: explode shingles to
-    * rows, hash once per shingle (codegen'd), then groupBy(id) with n
-    * min() aggregates — whole-stage codegen end to end with map-side
-    * partial aggregation, versus an interpreted per-row array fold.
-    * Docs with no shingles vanish at the explode (mirrors the oracle's
-    * len>0 filter). */
+    * Signatures are a compiled per-row projection (zero shuffle — see
+    * o.a.s.sql.graft.MinhashSignature); docs with no shingles drop
+    * out, mirroring the oracle's len>0 filter. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 2): DataFrame =

@@ -462,7 +462,25 @@ object EtlQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Salted two-phase aggregation (the skew-mitigation shape: hot keys
+    * split across `saltBuckets` reducers first, then re-aggregated).
+    * Values are summed as DECIMAL(18,2) so both phases are exact and
+    * the result is bit-identical to the oracle's single-phase sum on
+    * any partition layout — the algebraic-correctness proof of the
+    * salting rewrite. */
+  val q49SaltedSum: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+    graft.operators.ScaleOps.saltedSum(li, "l_returnflag", "qty")
+      .select(col("l_returnflag"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("count"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q49_salted_sum" -> q49SaltedSum,
     "q34_json_flatten" -> q34JsonFlatten,
     "q46_asof_join" -> q46AsofJoin,
     "q40_funnel" -> q40Funnel,
@@ -505,6 +523,9 @@ object EtlQueries {
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS order_date, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1) SELECT order_date, CAST(rev AS DOUBLE) AS revenue, CAST(sum(rev) OVER (ORDER BY order_date ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue FROM daily ORDER BY order_date""",
     "q45_median" ->
       """SELECT o_orderstatus, CAST(median(o_totalprice) AS DOUBLE) AS median_price, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // single-phase exact sum — the salted two-phase plan must equal it
+    "q49_salted_sum" ->
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS count FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q35_left_join_histogram" ->
       """SELECT n_orders, count(*) AS n_customers FROM (SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC""",
     "q36_distinct_counts" ->

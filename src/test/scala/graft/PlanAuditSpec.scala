@@ -51,6 +51,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalPlan("q17_events_hourly").contains("*(1) "))
   }
 
+  test("top-k shapes: bounded group-limit and top-k sort, not full sorts") {
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // latest-per-key dedup (the W1 merge shape): rank<=1 must plan as
+    // WindowGroupLimit (bounded per-key state), not a full partition sort
+    assert(finalPlan("q9_latest_order").contains("WindowGroupLimit"))
+    // global top-10: TakeOrderedAndProject (per-partition heaps + driver
+    // merge), never sort-everything-then-limit
+    assert(finalPlan("q3_top_orders").contains("TakeOrderedAndProject"))
+  }
+
   test("no query plans a cartesian product") {
     // cross joins in this library are always broadcast-bounded
     for (name <- Seq("q24_minhash_dedup", "q26_simhash_dedup",

@@ -153,8 +153,11 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming32(col("a.sig"), col("b.sig")).as("hamming"))
-      .distinct()
+      // verify BEFORE distinct: the block join's false positives (same
+      // byte, far signatures) die in the codegen'd filter instead of
+      // being shuffled through the pair dedup
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** n-gram Jaccard near-dup pairs via an inverted-index count join:

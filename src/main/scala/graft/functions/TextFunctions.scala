@@ -53,6 +53,24 @@ object TextFunctions {
         i => concat_ws(" ", slice(ts, i, lit(k)))))
   }
 
+  /** Fixed-size token chunks with overlap — the context-window packing
+    * step of a training pipeline: chunk i covers tokens
+    * [1 + i·(maxTokens−overlap), …][..maxTokens]. Chunk starts advance
+    * by the stride while `start ≤ max(len − overlap, 1)`, so the final
+    * chunk reaches the end exactly once (no degenerate fully-contained
+    * tail chunks); blank text → empty array. */
+  def tokenChunks(text: Column, maxTokens: Int, overlap: Int): Column = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
+    val ts = tokens(text)
+    val stride = maxTokens - overlap
+    val n = size(ts)
+    when(n <= 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), greatest(n - overlap, lit(1)), lit(stride)),
+        s => concat_ws(" ", slice(ts, s, lit(maxTokens)))))
+  }
+
   /** Character n-grams of the raw text. */
   def charNgrams(text: Column, n: Int): Column = {
     val len = length(text) - (n - 1)

@@ -134,7 +134,23 @@ object TextQueries {
         floor(col("tf_idf") * 1e6).cast("long").as("tfidf_q"), col("rank"))
       .orderBy("id", "rank")
 
+  /** Context-window chunking: every document split into 64-token
+    * windows with 16-token overlap; one row per chunk with its ordinal,
+    * token count, and content fingerprint (the compact deterministic
+    * signature of each chunk — emitting hashes keeps the compared
+    * output small while still pinning the full chunk text). */
+  val q50Chunks: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        posexplode(tokenChunks(col("text"), maxTokens = 64, overlap = 16))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        tokenCount(col("chunk")).cast("long").as("chunk_tokens"),
+        md5(col("chunk")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, Q] = Map(
+    "q50_chunks" -> q50Chunks,
     "q47_tfidf_top_terms" -> q47TfIdf,
     "q19_doc_stats" -> q19DocStats,
     "q20_lang_id" -> q20LangId,
@@ -251,6 +267,19 @@ object TextQueries {
       s"""WITH tok AS (SELECT unnest($tok) AS token FROM documents)
          |SELECT token, count(*) AS freq FROM tok
          |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    // chunk starts at stride 48 while start <= max(len-16, 1); DuckDB
+    // range() is end-exclusive where Spark sequence() is inclusive
+    "q50_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),
+         |ch AS (SELECT doc_id,
+         |  [array_to_string(ts[s:s+63], ' ') for s in range(1, greatest(len(ts) - 16, 1) + 1, 48)] AS chunks
+         |  FROM tok),
+         |ex AS (SELECT doc_id, i.i - 1 AS chunk_idx, chunks[i.i] AS chunk
+         |  FROM ch, LATERAL (SELECT unnest(range(1, len(chunks) + 1)) AS i) i)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |  CAST(len(regexp_split_to_array(trim(chunk), '\\s+')) AS BIGINT) AS chunk_tokens,
+         |  md5(chunk) AS chunk_fp
+         |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin,
     // smoothed tf-idf: ln on the same integer ratios in both engines;
     // emitted score quantized (floor(x*1e6)) per determinism rule 4
     "q47_tfidf_top_terms" ->

@@ -81,6 +81,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(xor) <= 8) // near text → small hamming
   }
 
+  test("tokenChunks: stride windows, exact tail, no degenerate chunks") {
+    def chunks(text: String, max: Int, ov: Int): Seq[Seq[String]] =
+      Seq(text).toDF("t").select(tokenChunks($"t", max, ov))
+        .as[Seq[String]].head().map(_.split(" ").toSeq)
+    // 10 tokens, max 8, overlap 4 → starts 1, 5: [1..8], [5..10]
+    val t10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    assert(chunks(t10, 8, 4) == Seq((1 to 8).map(i => s"t$i"), (5 to 10).map(i => s"t$i")))
+    // 13 tokens → starts 1, 5, 9: last chunk reaches the end exactly
+    val t13 = (1 to 13).map(i => s"t$i").mkString(" ")
+    assert(chunks(t13, 8, 4).last == (9 to 13).map(i => s"t$i"))
+    // shorter than one window → single chunk
+    assert(chunks("a b c", 8, 4) == Seq(Seq("a", "b", "c")))
+    // blank → no chunks
+    assert(Seq("  ").toDF("t").select(tokenChunks($"t", 8, 4))
+      .as[Seq[String]].head().isEmpty)
+    // every token is covered by at least one chunk, in order
+    val got = chunks(t13, 8, 4)
+    assert(got.flatten.distinct == (1 to 13).map(i => s"t$i"))
+    intercept[IllegalArgumentException] { tokenChunks($"t", 4, 4) }
+  }
+
   test("simhash32 (compiled) ≡ HOF reference incl. edge cases") {
     val texts = Seq(
       "a b c d e", "  padded  with   spaces  ", "\tleading tab", "a\nb\nc",

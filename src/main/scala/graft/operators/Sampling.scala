@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.portableHash
+
+/** Deterministic sampling, splitting and corpus mixing for reproducible
+  * training datasets.
+  *
+  * `sample(fraction)`/`randomSplit` draw from a per-task RNG, so the
+  * selected ROWS change with partitioning, retries, and cluster size —
+  * acceptable for statistics, fatal for "train on exactly this 30%,
+  * hold out exactly that 10%, forever". These operators decide
+  * membership from the md5-portable hash of (seed, id) instead: a pure
+  * per-row projection (no shuffle, no RNG state), the same rows on any
+  * cluster, any partition count, any engine — and therefore
+  * oracle-checkable in DuckDB (q51).
+  *
+  * The hash is uniform on [0, 2³²), so `fraction` is honored in
+  * expectation with binomial concentration (±O(1/√n) realized), the
+  * same contract as Bernoulli sampling.
+  */
+object Sampling {
+
+  private val Bound = 4294967296L // 2^32: portableHash range
+
+  /** Uniform [0, 1) decision value for a row: h32(seed:id) / 2³². */
+  private def decision(idCol: Column, seed: Int): Column =
+    portableHash(idCol.cast("string"), seed).cast("double") / lit(Bound.toDouble)
+
+  /** Keep exactly the rows whose decision value < fraction —
+    * deterministic in (seed, id), independent of everything else. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+                          seed: Int = 0): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction out of [0,1]")
+    df.filter(decision(col(idCol), seed) < fraction)
+  }
+
+  /** Assign every row a split label by carving [0,1) into cumulative
+    * weight ranges — the reproducible train/val/test split. Weights
+    * need not sum to 1; they are normalized. */
+  def assignSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                  seed: Int = 0): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "need positive split weights")
+    val total = splits.map(_._2).sum
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+    val d = decision(col(idCol), seed)
+    val label = splits.zip(cuts.sliding(2).toSeq).foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), Seq(lo, hi))) =>
+        when(d >= lo && d < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Mix corpora with per-source sampling rates, tagging provenance:
+    * the reproducible "40% of web, all of books" dataset-mixing step.
+    * Columns are unioned by name (sources must share a schema). */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)], idCol: String,
+                 seed: Int = 0): DataFrame =
+    sources.map { case (name, df, fraction) =>
+      deterministicSample(df, idCol, fraction, seed)
+        .withColumn("source_corpus", lit(name))
+    }.reduce(_.unionByName(_))
+}

@@ -149,7 +149,21 @@ object TextQueries {
         md5(col("chunk")).as("chunk_fp"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Reproducible sampling + train/val/test split: membership is a pure
+    * function of (seed, doc_id) via the portable hash, so the EXACT row
+    * set — not just its size — is pinned across partitionings, reruns
+    * and engines. The oracle recomputes every membership decision. */
+  val q51Splits: Q = (s, d) => {
+    val sampled = graft.operators.Sampling
+      .deterministicSample(docs(s, d), "doc_id", fraction = 0.3, seed = 1)
+    graft.operators.Sampling.assignSplit(sampled, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q51_splits" -> q51Splits,
     "q50_chunks" -> q50Chunks,
     "q47_tfidf_top_terms" -> q47TfIdf,
     "q19_doc_stats" -> q19DocStats,
@@ -267,6 +281,16 @@ object TextQueries {
       s"""WITH tok AS (SELECT unnest($tok) AS token FROM documents)
          |SELECT token, count(*) AS freq FROM tok
          |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    // membership decisions: h32(seed:id)/2^32 — division by 2^32 is
+    // exact, literals parse to identical doubles, so compares agree
+    "q51_splits" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  CAST(${hx("'1:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 AS pick,
+         |  CAST(${hx("'7:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 AS sp
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN sp < 0.8 THEN 'train' WHEN sp < 0.9 THEN 'val' ELSE 'test' END AS split
+         |FROM d WHERE pick < 0.3 ORDER BY doc_id""".stripMargin,
     // chunk starts at stride 48 while start <= max(len-16, 1); DuckDB
     // range() is end-exclusive where Spark sequence() is inclusive
     "q50_chunks" ->

@@ -39,6 +39,35 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("leftAsof ≡ brute force on randomized data (incl. duplicate ts)") {
+    import org.scalacheck.{Gen, Prop}
+    val row = for {
+      k <- Gen.choose(0L, 4L)    // few keys → collisions guaranteed
+      ts <- Gen.choose(0L, 20L)  // small range → duplicate ts guaranteed
+      v <- Gen.choose(0, 99).map(_.toDouble)
+    } yield (k, ts, v)
+    val prop = Prop.forAll(Gen.listOfN(30, row), Gen.listOfN(30, row)) { (l, r) =>
+      val left = l.toDF("k", "ts", "v")
+      val right = r.toDF("k", "ts", "w")
+      val got = AsofJoin.leftAsof(left, right, Seq("k"), "ts", "ts", Seq("w"))
+        .select("k", "ts", "v", "asof_w").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+          if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+        .sortBy(t => (t._1, t._2, t._3))
+      val expect = l.map { case (k, ts, v) =>
+        val cands = r.filter(q => q._1 == k && q._2 <= ts)
+        // latest ts wins; equal-ts ties resolve to the max value tuple
+        val w = if (cands.isEmpty) None
+          else Some(cands.maxBy(q => (q._2, q._3))._3)
+        (k, ts, v, w)
+      }.sortBy(t => (t._1, t._2, t._3))
+      Prop(got.toSeq == expect) :| s"got=${got.take(5).toSeq} expect=${expect.take(5)}"
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("leftAsof preserves left row count exactly") {
     val left = (1 to 100).map(i => (i % 7L, i.toLong, i)).toDF("k", "ts", "v")
     val right = (1 to 30).map(i => (i % 5L, i * 3L, i * 1.5)).toDF("k", "ts", "w")

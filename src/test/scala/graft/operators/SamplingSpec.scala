@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (1L to 2000L).map(i => (i, s"doc$i")).toDF("id", "payload")
+
+  test("deterministicSample: same rows on any partition layout, ~fraction") {
+    val base = Sampling.deterministicSample(ids, "id", 0.3, seed = 5)
+      .select("id").as[Long].collect().toSet
+    for (p <- Seq(1, 7, 32)) {
+      val again = Sampling.deterministicSample(ids.repartition(p), "id", 0.3, seed = 5)
+        .select("id").as[Long].collect().toSet
+      assert(again == base, s"membership changed at $p partitions")
+    }
+    assert(math.abs(base.size / 2000.0 - 0.3) < 0.05) // binomial concentration
+    // different seed → different (but still deterministic) draw
+    val other = Sampling.deterministicSample(ids, "id", 0.3, seed = 6)
+      .select("id").as[Long].collect().toSet
+    assert(other != base)
+    // nested fractions: 0.1 sample ⊂ same-seed 0.3 sample
+    val tenth = Sampling.deterministicSample(ids, "id", 0.1, seed = 5)
+      .select("id").as[Long].collect().toSet
+    assert(tenth.subsetOf(base))
+  }
+
+  test("assignSplit: total, disjoint, weight-proportional, reproducible") {
+    val split = Sampling.assignSplit(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7).cache()
+    assert(split.count() == 2000) // every row labeled
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") / 2000.0 - 0.8) < 0.05)
+    // reproducible row-level: rerun assigns identical labels
+    val a = split.select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(ids.repartition(11), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    split.unpersist()
+  }
+
+  test("mixCorpora: per-source rates with provenance tags") {
+    val a = (1L to 1000L).map(i => (i, "a")).toDF("id", "payload")
+    val b = (1L to 1000L).map(i => (i + 10000, "b")).toDF("id", "payload")
+    val mixed = Sampling.mixCorpora(
+      Seq(("web", a, 0.4), ("books", b, 1.0)), "id", seed = 3).cache()
+    val bySource = mixed.groupBy("source_corpus").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource("books") == 1000) // fraction 1.0 keeps everything
+    assert(math.abs(bySource("web") / 1000.0 - 0.4) < 0.07)
+    assert(mixed.columns.contains("source_corpus"))
+    mixed.unpersist()
+  }
+}

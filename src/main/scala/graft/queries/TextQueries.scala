@@ -162,7 +162,27 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Chunk → pack pipeline: q50's chunks laid into 512-token packs via
+    * per-shard concat-and-split (4 shards by doc_id; each shard packs
+    * independently in parallel — no global ordering bottleneck). Pack
+    * assignment and offsets are exact integer arithmetic on token
+    * counts, oracle-checked row by row. */
+  val q52Packing: Q = (s, d) => {
+    val ch = docs(s, d)
+      .select(col("doc_id"),
+        posexplode(tokenChunks(col("text"), maxTokens = 64, overlap = 16))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        tokenCount(col("chunk")).cast("long").as("chunk_tokens"))
+    graft.operators.Packing.packChunks(ch, "chunk_tokens",
+        Seq("doc_id", "chunk_idx"), pmod(col("doc_id"), lit(4)), budget = 512)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        col("pack_id"), col("pack_offset"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q52_packing" -> q52Packing,
     "q51_splits" -> q51Splits,
     "q50_chunks" -> q50Chunks,
     "q47_tfidf_top_terms" -> q47TfIdf,
@@ -281,6 +301,23 @@ object TextQueries {
       s"""WITH tok AS (SELECT unnest($tok) AS token FROM documents)
          |SELECT token, count(*) AS freq FROM tok
          |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    // per-shard running offsets cut into 512-token packs; integer math
+    "q52_packing" ->
+      s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),
+         |ch AS (SELECT doc_id,
+         |  [array_to_string(ts[s:s+63], ' ') for s in range(1, greatest(len(ts) - 16, 1) + 1, 48)] AS chunks
+         |  FROM tok),
+         |ex AS (SELECT doc_id, i.i - 1 AS chunk_idx,
+         |  CAST(len(regexp_split_to_array(trim(chunks[i.i]), '\\s+')) AS BIGINT) AS chunk_tokens
+         |  FROM ch, LATERAL (SELECT unnest(range(1, len(chunks) + 1)) AS i) i),
+         |run AS (SELECT doc_id, chunk_idx, chunk_tokens, doc_id % 4 AS shard,
+         |  sum(chunk_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id, chunk_idx
+         |    ROWS UNBOUNDED PRECEDING) - chunk_tokens AS start
+         |  FROM ex)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_tokens,
+         |  CAST(shard AS VARCHAR) || '-' || CAST(CAST(floor(start / 512.0) AS BIGINT) AS VARCHAR) AS pack_id,
+         |  CAST(start - CAST(floor(start / 512.0) AS BIGINT) * 512 AS BIGINT) AS pack_offset
+         |FROM run ORDER BY doc_id, chunk_idx""".stripMargin,
     // membership decisions: h32(seed:id)/2^32 — division by 2^32 is
     // exact, literals parse to identical doubles, so compares agree
     "q51_splits" ->

@@ -181,7 +181,22 @@ object TextQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** The curation pipeline COMPOSED end-to-end — what a data-pipeline
+    * user actually runs: exact dedup (planted copies collapse to the
+    * min-id survivor) → quality gate (the cheap pretraining heuristics)
+    * → reproducible split assignment. Row-level oracle over the whole
+    * chain. */
+  val q53Curation: Q = (s, d) => {
+    val deduped = Dedup.exactRows(corpusExact(s, d), "doc_id", "text")
+    val quality = deduped.filter(qualityScore(col("text")) > 0.5)
+    graft.operators.Sampling.assignSplit(quality, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.1), seed = 11)
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q53_curation" -> q53Curation,
     "q52_packing" -> q52Packing,
     "q51_splits" -> q51Splits,
     "q50_chunks" -> q50Chunks,
@@ -301,6 +316,23 @@ object TextQueries {
       s"""WITH tok AS (SELECT unnest($tok) AS token FROM documents)
          |SELECT token, count(*) AS freq FROM tok
          |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    // quality > 0.5 over three 0/1 criteria ⇔ at least 2 hold (integer
+    // logic, no double compare); split = h32(11:id)/2^32 < 0.9
+    "q53_curation" ->
+      s"""WITH corpus AS ($corpusExactSql),
+         |dedup AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text,
+         |    row_number() OVER (PARTITION BY md5(trim(text)) ORDER BY doc_id) AS rn
+         |  FROM corpus) WHERE rn = 1),
+         |feat AS (SELECT doc_id, text, $tok AS ts FROM dedup),
+         |gated AS (SELECT doc_id FROM feat WHERE
+         |  (CASE WHEN len(ts) BETWEEN 5 AND 100000 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN CAST(len(list_filter(ts, x -> x IN ($stopwordsSql))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) > 0.01 THEN 1 ELSE 0 END) +
+         |  (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.3 THEN 1 ELSE 0 END) >= 2)
+         |SELECT doc_id,
+         |  CASE WHEN CAST(${hx("'11:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < 0.9
+         |       THEN 'train' ELSE 'val' END AS split
+         |FROM gated ORDER BY doc_id""".stripMargin,
     // per-shard running offsets cut into 512-token packs; integer math
     "q52_packing" ->
       s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),

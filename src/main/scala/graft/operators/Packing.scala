@@ -10,19 +10,23 @@ import org.apache.spark.sql.functions._
   * The classic greedy bin-packer is inherently sequential; the
   * distributable formulation is CONCAT-AND-SPLIT PER SHARD: within each
   * shard, lay the chunks out in a deterministic total order, take the
-  * running token offset, and cut packs every `budget` tokens. Each
-  * shard packs independently (one window partition each, all shards in
-  * parallel), so the operator scales by adding shards — a GLOBAL
-  * running offset would serialize the corpus through one partition,
-  * the q44-style anti-pattern this shape exists to avoid.
+  * running token offset, and cut packs every `budget` tokens. A chunk
+  * that straddles a cut is SPLIT across the adjacent packs — one
+  * output row per (chunk, pack) span — so every pack holds EXACTLY
+  * `budget` tokens (only each shard's final pack is shorter), which is
+  * what a fixed-context training buffer needs. Documents crossing pack
+  * boundaries is the standard pretraining-packing trade.
   *
-  * A chunk longer than the budget still gets a pack of its own (packs
-  * are cut at start offsets; oversized chunks overflow their pack, the
-  * caller's chunker bounds chunk length ≤ budget in practice).
+  * Each shard packs independently (one window partition each, all
+  * shards in parallel), so the operator scales by adding shards — a
+  * GLOBAL running offset would serialize the corpus through one
+  * partition, the q44-style anti-pattern this shape exists to avoid.
   *
-  * Output adds: `pack_id` — globally unique (shard, ordinal) pack key;
-  * `pack_offset` — the chunk's token start within its pack. All
-  * integer arithmetic on exact counts → bit-stable anywhere.
+  * Output adds: `pack_id` — globally unique "shard-ordinal" pack key;
+  * `pack_offset` — the span's token start within its pack;
+  * `span_tokens` — how many of the chunk's tokens land in this pack;
+  * `span_start` — where the span begins within the chunk. All integer
+  * arithmetic on exact counts → bit-stable on any layout.
   */
 object Packing {
 
@@ -33,13 +37,26 @@ object Packing {
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
+      // zero-token chunks occupy no span (and would otherwise produce a
+      // DESCENDING sequence() below); drop them up front
+      .filter(col(tokensCol) > 0)
       .withColumn("__shard", shardCol)
       .withColumn("__end", sum(col(tokensCol)).over(w))
       .withColumn("__start", col("__end") - col(tokensCol))
-      .withColumn("pack_seq", floor(col("__start") / budget).cast("long"))
+      // one row per pack this chunk touches: floor(start/b)..floor((end-1)/b)
+      .withColumn("__pack", explode(sequence(
+        floor(col("__start") / budget).cast("long"),
+        floor((col("__end") - 1) / budget).cast("long"))))
       .withColumn("pack_id",
-        concat_ws("-", col("__shard").cast("string"), col("pack_seq").cast("string")))
-      .withColumn("pack_offset", (col("__start") - col("pack_seq") * budget).cast("long"))
-      .drop("__shard", "__end", "__start")
+        concat_ws("-", col("__shard").cast("string"), col("__pack").cast("string")))
+      .withColumn("__pack_lo", col("__pack") * budget)
+      .withColumn("__span_from", greatest(col("__start"), col("__pack_lo")))
+      .withColumn("__span_to",
+        least(col("__end"), col("__pack_lo") + budget))
+      .withColumn("pack_offset", (col("__span_from") - col("__pack_lo")).cast("long"))
+      .withColumn("span_start", (col("__span_from") - col("__start")).cast("long"))
+      .withColumn("span_tokens", (col("__span_to") - col("__span_from")).cast("long"))
+      .drop("__shard", "__end", "__start", "__pack", "__pack_lo",
+        "__span_from", "__span_to")
   }
 }

@@ -29,7 +29,9 @@ object Sampling {
     portableHash(idCol.cast("string"), seed).cast("double") / lit(Bound.toDouble)
 
   /** Keep exactly the rows whose decision value < fraction —
-    * deterministic in (seed, id), independent of everything else. */
+    * deterministic in (seed, id), independent of everything else.
+    * NULL ids have no decision value and are dropped (same as
+    * [[assignSplit]], which labels them null). */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
                           seed: Int = 0): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction out of [0,1]")
@@ -38,7 +40,9 @@ object Sampling {
 
   /** Assign every row a split label by carving [0,1) into cumulative
     * weight ranges — the reproducible train/val/test split. Weights
-    * need not sum to 1; they are normalized. */
+    * need not sum to 1; they are normalized. NULL ids get a NULL label
+    * (not a silent assignment to the last split — polluting the
+    * holdout set with every unkeyed row would be invisible). */
   def assignSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
                   seed: Int = 0): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "need positive split weights")
@@ -49,16 +53,25 @@ object Sampling {
       case (acc, ((name, _), Seq(lo, hi))) =>
         when(d >= lo && d < hi, lit(name)).otherwise(acc)
     }
-    df.withColumn("split", label)
+    df.withColumn("split",
+      when(col(idCol).isNull, lit(null).cast("string")).otherwise(label))
   }
 
   /** Mix corpora with per-source sampling rates, tagging provenance:
     * the reproducible "40% of web, all of books" dataset-mixing step.
-    * Columns are unioned by name (sources must share a schema). */
+    * Columns are unioned by name (sources must share a schema). Each
+    * source draws with its own seed (derived from the source name), so
+    * corpora sharing an id scheme get INDEPENDENT samples — one shared
+    * hash would select id-identical subsets from every source. */
   def mixCorpora(sources: Seq[(String, DataFrame, Double)], idCol: String,
-                 seed: Int = 0): DataFrame =
+                 seed: Int = 0): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "source names must be unique (they derive the per-source seed)")
     sources.map { case (name, df, fraction) =>
-      deterministicSample(df, idCol, fraction, seed)
+      // String.hashCode is specified (31-polynomial) → stable everywhere
+      deterministicSample(df, idCol, fraction, seed ^ name.hashCode)
         .withColumn("source_corpus", lit(name))
     }.reduce(_.unionByName(_))
+  }
 }

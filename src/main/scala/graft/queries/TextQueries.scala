@@ -134,18 +134,24 @@ object TextQueries {
         floor(col("tf_idf") * 1e6).cast("long").as("tfidf_q"), col("rank"))
       .orderBy("id", "rank")
 
+  /** Shared chunk derivation for q50/q52: one row per 64-token window
+    * (16-token overlap) with its ordinal and token count. */
+  private def chunked(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        posexplode(tokenChunks(col("text"), maxTokens = 64, overlap = 16))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        tokenCount(col("chunk")).cast("long").as("chunk_tokens"))
+
   /** Context-window chunking: every document split into 64-token
     * windows with 16-token overlap; one row per chunk with its ordinal,
     * token count, and content fingerprint (the compact deterministic
     * signature of each chunk — emitting hashes keeps the compared
     * output small while still pinning the full chunk text). */
   val q50Chunks: Q = (s, d) =>
-    docs(s, d)
-      .select(col("doc_id"),
-        posexplode(tokenChunks(col("text"), maxTokens = 64, overlap = 16))
-          .as(Seq("chunk_idx", "chunk")))
-      .select(col("doc_id"), col("chunk_idx"),
-        tokenCount(col("chunk")).cast("long").as("chunk_tokens"),
+    chunked(s, d)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
         md5(col("chunk")).as("chunk_fp"))
       .orderBy("doc_id", "chunk_idx")
 
@@ -164,22 +170,17 @@ object TextQueries {
 
   /** Chunk → pack pipeline: q50's chunks laid into 512-token packs via
     * per-shard concat-and-split (4 shards by doc_id; each shard packs
-    * independently in parallel — no global ordering bottleneck). Pack
-    * assignment and offsets are exact integer arithmetic on token
-    * counts, oracle-checked row by row. */
-  val q52Packing: Q = (s, d) => {
-    val ch = docs(s, d)
-      .select(col("doc_id"),
-        posexplode(tokenChunks(col("text"), maxTokens = 64, overlap = 16))
-          .as(Seq("chunk_idx", "chunk")))
-      .select(col("doc_id"), col("chunk_idx"),
-        tokenCount(col("chunk")).cast("long").as("chunk_tokens"))
-    graft.operators.Packing.packChunks(ch, "chunk_tokens",
+    * independently in parallel — no global ordering bottleneck).
+    * Straddling chunks split into one span row per pack, so every pack
+    * holds exactly 512 tokens; all integer arithmetic, oracle-checked
+    * row by row. */
+  val q52Packing: Q = (s, d) =>
+    graft.operators.Packing.packChunks(
+        chunked(s, d).drop("chunk"), "chunk_tokens",
         Seq("doc_id", "chunk_idx"), pmod(col("doc_id"), lit(4)), budget = 512)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
-        col("pack_id"), col("pack_offset"))
-      .orderBy("doc_id", "chunk_idx")
-  }
+        col("pack_id"), col("pack_offset"), col("span_start"), col("span_tokens"))
+      .orderBy("doc_id", "chunk_idx", "span_start")
 
   /** The curation pipeline COMPOSED end-to-end — what a data-pipeline
     * user actually runs: exact dedup (planted copies collapse to the
@@ -333,9 +334,12 @@ object TextQueries {
          |  CASE WHEN CAST(${hx("'11:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < 0.9
          |       THEN 'train' ELSE 'val' END AS split
          |FROM gated ORDER BY doc_id""".stripMargin,
-    // per-shard running offsets cut into 512-token packs; integer math
+    // per-shard running offsets cut into 512-token packs; straddling
+    // chunks emit one span per touched pack. The trim(text)<>'' guard
+    // mirrors Spark's blank→no-chunks branch (DuckDB would otherwise
+    // split '' into [''] and emit a phantom chunk).
     "q52_packing" ->
-      s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),
+      s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents WHERE trim(text) <> ''),
          |ch AS (SELECT doc_id,
          |  [array_to_string(ts[s:s+63], ' ') for s in range(1, greatest(len(ts) - 16, 1) + 1, 48)] AS chunks
          |  FROM tok),
@@ -345,11 +349,18 @@ object TextQueries {
          |run AS (SELECT doc_id, chunk_idx, chunk_tokens, doc_id % 4 AS shard,
          |  sum(chunk_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id, chunk_idx
          |    ROWS UNBOUNDED PRECEDING) - chunk_tokens AS start
-         |  FROM ex)
+         |  FROM ex WHERE chunk_tokens > 0),
+         |spans AS (SELECT doc_id, chunk_idx, chunk_tokens, shard, start,
+         |  start + chunk_tokens AS fin, p.p AS pack
+         |  FROM run, LATERAL (SELECT unnest(range(
+         |    CAST(floor(start / 512.0) AS BIGINT),
+         |    CAST(floor((start + chunk_tokens - 1) / 512.0) AS BIGINT) + 1)) AS p) p)
          |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_tokens,
-         |  CAST(shard AS VARCHAR) || '-' || CAST(CAST(floor(start / 512.0) AS BIGINT) AS VARCHAR) AS pack_id,
-         |  CAST(start - CAST(floor(start / 512.0) AS BIGINT) * 512 AS BIGINT) AS pack_offset
-         |FROM run ORDER BY doc_id, chunk_idx""".stripMargin,
+         |  CAST(shard AS VARCHAR) || '-' || CAST(pack AS VARCHAR) AS pack_id,
+         |  CAST(greatest(start, pack * 512) - pack * 512 AS BIGINT) AS pack_offset,
+         |  CAST(greatest(start, pack * 512) - start AS BIGINT) AS span_start,
+         |  CAST(least(fin, (pack + 1) * 512) - greatest(start, pack * 512) AS BIGINT) AS span_tokens
+         |FROM spans ORDER BY doc_id, chunk_idx, span_start""".stripMargin,
     // membership decisions: h32(seed:id)/2^32 — division by 2^32 is
     // exact, literals parse to identical doubles, so compares agree
     "q51_splits" ->
@@ -363,7 +374,7 @@ object TextQueries {
     // chunk starts at stride 48 while start <= max(len-16, 1); DuckDB
     // range() is end-exclusive where Spark sequence() is inclusive
     "q50_chunks" ->
-      s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),
+      s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents WHERE trim(text) <> ''),
          |ch AS (SELECT doc_id,
          |  [array_to_string(ts[s:s+63], ' ') for s in range(1, greatest(len(ts) - 16, 1) + 1, 48)] AS chunks
          |  FROM tok),

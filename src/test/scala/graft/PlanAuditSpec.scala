@@ -12,6 +12,14 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** AQE finalizes stages (and their codegen wrapping) only at
+    * execution; run the query, then inspect the same plan. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("q1: shipdate filter is pushed to the lineitem scan") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
@@ -39,24 +47,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("aggregation queries stay inside whole-stage codegen") {
-    // AQE finalizes stages (and their codegen wrapping) only at
-    // execution; run the query, then inspect the same plan
-    def finalPlan(name: String): String = {
-      val df = SparkEntry.queries(name)(spark, dir)
-      df.collect()
-      df.queryExecution.executedPlan.toString
-    }
     // codegen stages print as "*(n) Operator" in the final plan tree
     assert(finalPlan("q1_pricing_summary").contains("*(1) "))
     assert(finalPlan("q17_events_hourly").contains("*(1) "))
   }
 
   test("top-k shapes: bounded group-limit and top-k sort, not full sorts") {
-    def finalPlan(name: String): String = {
-      val df = SparkEntry.queries(name)(spark, dir)
-      df.collect()
-      df.queryExecution.executedPlan.toString
-    }
     // latest-per-key dedup (the W1 merge shape): rank<=1 must plan as
     // WindowGroupLimit (bounded per-key state), not a full partition sort
     assert(finalPlan("q9_latest_order").contains("WindowGroupLimit"))

@@ -44,6 +44,30 @@ class SamplingSpec extends SparkSpec {
     split.unpersist()
   }
 
+  test("null ids: dropped by sample, null-labeled by split") {
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("id")
+    assert(Sampling.deterministicSample(withNull, "id", 1.0).count() == 2)
+    val labeled = Sampling.assignSplit(withNull, "id", Seq("train" -> 1.0))
+    assert(labeled.filter($"id".isNull).select("split").head().isNullAt(0))
+    assert(labeled.filter($"id".isNotNull && $"split".isNull).count() == 0)
+  }
+
+  test("mixCorpora: per-source samples are independent across sources") {
+    // two corpora SHARING an id scheme must not draw id-identical subsets
+    val a = (1L to 2000L).map(i => (i, "a")).toDF("id", "payload")
+    val b = (1L to 2000L).map(i => (i, "b")).toDF("id", "payload")
+    val mixed = Sampling.mixCorpora(Seq(("web", a, 0.3), ("forums", b, 0.3)), "id")
+    val byS = mixed.select("source_corpus", "id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val overlap = byS("web").intersect(byS("forums")).size.toDouble /
+      math.max(byS("web").size, 1)
+    assert(overlap < 0.6, s"draws look correlated: overlap=$overlap") // ~0.3 expected
+    intercept[IllegalArgumentException] { Sampling.mixCorpora(Seq.empty, "id") }
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorpora(Seq(("x", a, 0.5), ("x", b, 0.5)), "id")
+    }
+  }
+
   test("mixCorpora: per-source rates with provenance tags") {
     val a = (1L to 1000L).map(i => (i, "a")).toDF("id", "payload")
     val b = (1L to 1000L).map(i => (i + 10000, "b")).toDF("id", "payload")

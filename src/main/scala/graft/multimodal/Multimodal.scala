@@ -32,6 +32,7 @@ object Multimodal {
     def decodeMeta(content: Array[Byte]): MediaMeta
     def extractFeatures(content: Array[Byte], dim: Int): Array[Float]
     def sampleFrames(content: Array[Byte], everyMs: Long): Seq[Array[Byte]]
+    def resize(content: Array[Byte], width: Int, height: Int): Array[Byte]
   }
 
   /** Deterministic fake decoder (STUB — see object doc): every output is
@@ -54,6 +55,25 @@ object Multimodal {
       (0 until math.min(n, 32)).map(i => java.security.MessageDigest
         .getInstance("MD5").digest(content ++ Array(i.toByte)))
     }
+    def resize(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      // stub: a deterministic (w*h/64)-byte payload derived from the
+      // content — size scales with the target like a real thumbnail
+      val out = new Array[Byte](math.max(16, width * height / 64))
+      var i = 0
+      while (i < out.length) {
+        out(i) = (h(content, 32 + i / 16) >> (8 * (i % 8)) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Resize/thumbnail pass: binary → binary at target dimensions, the
+    * same partition-amortized batch shape as the other decode steps. */
+  def resizeAll(rows: Dataset[MediaRow], width: Int, height: Int,
+                decoder: Decoder = StubDecoder): Dataset[(Long, Array[Byte])] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map(r => (r.id, decoder.resize(r.content, width, height))))
   }
 
   /** Attach decoded metadata to a binary content column. Runs the

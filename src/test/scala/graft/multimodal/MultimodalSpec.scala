@@ -34,6 +34,18 @@ class MultimodalSpec extends SparkSpec {
     assert(knn.count() == 6)
   }
 
+  test("resizeAll: deterministic stub thumbnails sized to the target") {
+    val rows = Multimodal.withMetadata(media, "id", "content")
+    val small = Multimodal.resizeAll(rows, 64, 64).collect().toMap
+    val large = Multimodal.resizeAll(rows, 256, 256).collect().toMap
+    assert(small.keySet == (0L until 20L).toSet)
+    assert(small.values.forall(_.length == 64 * 64 / 64))
+    assert(large.values.forall(_.length == 256 * 256 / 64))
+    // pure function of (content, target): rerun is byte-identical
+    val again = Multimodal.resizeAll(rows, 64, 64).collect().toMap
+    assert(small.keys.forall(k => small(k).sameElements(again(k))))
+  }
+
   test("repartitionBySize balances partitions and preserves rows") {
     val out = Multimodal.repartitionBySize(media, "content",
       targetBytes = 64, partitions = 4)

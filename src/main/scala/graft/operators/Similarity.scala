@@ -160,6 +160,69 @@ object Similarity {
     rankCandidates(data.join(broadcast(probes), Seq("cell")), k)
   }
 
+  // ------------------------------------------------- quantized IVF (exact)
+
+  /** [[buildIvfIndex]] over integer-quantized vectors — the
+    * oracle-checkable IVF form (q31). The k-means quantizer trains on
+    * the float vectors as usual, but the FITTED centroids are quantized
+    * to the same floor(x·10⁶) integer grid as the vectors, so cell
+    * assignment is an argmin over exact integer squared-L2 distances
+    * (integer-valued doubles; |q|≤~2·10⁶ ⇒ per-dim square ≤ 4·10¹²,
+    * 64-dim sums ≪ 2⁵³ — bit-exact in double AND in an engine-portable
+    * BIGINT SQL oracle). Index layout matches [[buildIvfIndex]]:
+    * `data/cell=N/` parquet (with the quantized vector) + `centroids/`.
+    * Returns the quantized centroids — embed them as literals in an
+    * oracle's VALUES CTE to replay assignment/probe/rank in plain SQL. */
+  def buildIvfIndexQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                             path: String, nCells: Int = 16, seed: Long = 42L,
+                             maxTrainRows: Long = 100000L): Array[Array[Long]] = {
+    val spark = corpus.sparkSession
+    val qCentroids = fitCentroids(corpus, vecCol, nCells, seed, maxTrainRows)
+      .map(_.map(x => math.floor(x * 1e6)))
+    assignCells(
+      fanOut(corpus).select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
+      "cv", qCentroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    val longs = qCentroids.map(_.map(_.toLong))
+    spark.createDataFrame(longs.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    longs
+  }
+
+  /** [[ivfProbe]] against a [[buildIvfIndexQuantized]] index: probe-cell
+    * selection and final cosine are exact integer arithmetic, so the
+    * whole probe pipeline is bit-identical across engines and partition
+    * counts. The `cell isin` filter is static partition pruning — a
+    * probe reads only the probed cells' directories. */
+  def ivfProbeQuantized(queries: DataFrame, indexPath: String, idCol: String,
+                        vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    val qCentroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").select("centroid")
+      .collect().map(_.getSeq[Long](0).map(_.toDouble).toArray)
+    val probes = queries
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(
+        org.apache.spark.sql.graft.NearestCentroids(col("qv"), qCentroids,
+          math.min(nProbe, qCentroids.length))))
+      .transform(Materialize.once) // read twice: cell list + candidate join
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val data = spark.read.parquet(s"$indexPath/data")
+      .filter(col("cell").isin(cells: _*)) // static partition pruning
+    rankCandidatesQuantized(data.join(broadcast(probes), Seq("cell")), k)
+  }
+
+  private def rankCandidatesQuantized(cands: DataFrame, k: Int): DataFrame =
+    cands.filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", quantizedCosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+
   /** [[srpTopK]] over integer-quantized vectors (floor(x·10⁶)): buckets
     * and cosines are exact integer arithmetic, so results are
     * bit-identical across engines and partition counts — the

@@ -68,13 +68,46 @@ object VectorQueries {
       .orderBy("label")
   }
 
-  /** IVF ANN (k-means coarse quantizer + nProbe cells) — float path,
-    * rows-only check (no SQL-expressible oracle for k-means). */
+  /** Persistent-index state for q31: the index is built ONCE per (JVM,
+    * sf dir) — repeated bench passes and the verify run all probe the
+    * same on-disk index, the shape a real user runs. The fitted
+    * quantized centroids are held so [[oracles]] can render them as
+    * BIGINT[] literals in the DuckDB oracle (training isn't
+    * SQL-expressible; replaying the FITTED quantizer is — Verify runs
+    * every query before dumping oracle_sql.json, so the centroids are
+    * always set by render time). */
+  private[queries] object IvfIndex {
+    val NCells = 16
+    val NProbe = 4
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Long]])]()
+    @volatile private[queries] var lastCentroids: Option[Array[Array[Long]]] = None
+
+    def getOrBuild(s: SparkSession, sfDir: String): String = {
+      val entry = cache.computeIfAbsent(sfDir, { _ =>
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val path = s"/root/repo/target/graft-ivf/$tag"
+        val cents = Similarity.buildIvfIndexQuantized(
+          Tables(s, sfDir, "embeddings"), "vec_id", "embedding", path,
+          nCells = NCells, seed = 42L)
+        (path, cents)
+      })
+      lastCentroids = Some(entry._2)
+      entry._1
+    }
+  }
+
+  /** IVF ANN through the persistent index (k-means coarse quantizer,
+    * nProbe cells, quantized arithmetic): build-once [[IvfIndex]] +
+    * partition-pruned probe. Oracle replays the fitted quantized
+    * centroids as literals — assignment argmin, probe fan-out, and
+    * quantized-cosine ranking are plain SQL. */
   val q31AnnIvf: Q = (s, d) => {
     val e = emb(s, d)
-    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
-      k = 5, nCells = 16, nProbe = 4)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val idx = IvfIndex.getOrBuild(s, d)
+    Similarity.ivfProbeQuantized(e.filter(col("vec_id") < 10), idx,
+      "vec_id", "embedding", k = 5, nProbe = IvfIndex.NProbe)
       .orderBy("query_id", "rank")
   }
 
@@ -140,7 +173,54 @@ object VectorQueries {
   private def dot(a: String, b: String) =
     s"CAST(list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]) AS BIGINT)"
 
-  val oracles: Map[String, String] = Map(
+  /** A def, not a val: the q31 oracle embeds the centroids FITTED during
+    * the query run (set by [[IvfIndex.getOrBuild]]), so it must render
+    * after the queries execute — Verify's dump order guarantees that. */
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle
+
+  private def sqdist(a: String, b: String) =
+    s"CAST(list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, len($a) + 1)]) AS BIGINT)"
+
+  /** q31's oracle: the fitted quantized centroids as a VALUES CTE, then
+    * assignment (argmin squared-L2, ties → lower cell — the
+    * NearestCentroids tie-break), probe fan-out (nProbe nearest cells
+    * per query), and quantized-cosine ranking, all exact integer
+    * arithmetic. Empty until q31 has run in this JVM (→ rows-only). */
+  private def ivfOracle: Map[String, String] = IvfIndex.lastCentroids match {
+    case None => Map.empty
+    case Some(cents) =>
+      val rows = cents.zipWithIndex
+        .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")}::BIGINT[])" }
+        .mkString(",\n")
+      Map("q31_ann_ivf" ->
+        s"""WITH e AS (SELECT vec_id, $qv AS qv FROM embeddings),
+           |cent(cell, cv) AS (VALUES
+           |$rows),
+           |asn AS (SELECT vec_id, cell FROM (
+           |  SELECT e.vec_id, cent.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${sqdist("e.qv", "cent.cv")}, cent.cell) AS rn
+           |  FROM e, cent) WHERE rn = 1),
+           |probes AS (SELECT query_id, cell FROM (
+           |  SELECT e.vec_id AS query_id, cent.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${sqdist("e.qv", "cent.cv")}, cent.cell) AS rn
+           |  FROM e, cent WHERE e.vec_id < 10) WHERE rn <= ${IvfIndex.NProbe}),
+           |cands AS (SELECT p.query_id, a.vec_id AS neighbor_id
+           |  FROM probes p JOIN asn a ON a.cell = p.cell
+           |  WHERE p.query_id <> a.vec_id),
+           |scored AS (SELECT cands.query_id, cands.neighbor_id,
+           |  CAST(${dot("qe.qv", "ce.qv")} AS DOUBLE) /
+           |  (sqrt(CAST(${dot("qe.qv", "qe.qv")} AS DOUBLE)) * sqrt(CAST(${dot("ce.qv", "ce.qv")} AS DOUBLE))) AS cosine
+           |  FROM cands JOIN e qe ON qe.vec_id = cands.query_id
+           |  JOIN e ce ON ce.vec_id = cands.neighbor_id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |  ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+           |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+  }
+
+  private val staticOracles: Map[String, String] = Map(
     "q28_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, $qv AS qv FROM embeddings),
          |q AS (SELECT vec_id AS query_id, qv AS qq FROM e WHERE vec_id < 10),
@@ -221,7 +301,5 @@ object VectorQueries {
         |CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) AS BIGINT) % 1280 AS fake_width,
         |CAST(CAST(('0x' || substr(md5(text), 9, 8)) AS UBIGINT) AS BIGINT) % 720 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // q31_ann_ivf: k-means quantizer not SQL-expressible → rows-only
-    // check by design (the only remaining rows-only query)
   )
 }

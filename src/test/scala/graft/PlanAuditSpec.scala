@@ -61,6 +61,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalPlan("q3_top_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("q31: IVF probe scan prunes to the probed cell= partitions") {
+    // the persistent-index path: the data scan must carry a partition
+    // filter on `cell` — a probe reads the probed directories only
+    val p = plan("q31_ann_ivf")
+    assert(p.matches("(?s).*PartitionFilters: \\[.*cell.*"), s"no cell pruning:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     // cross joins in this library are always broadcast-bounded
     for (name <- Seq("q24_minhash_dedup", "q26_simhash_dedup",

@@ -83,6 +83,44 @@ class SimilaritySpec extends SparkSpec {
     assert(probed == direct) // same seed → same quantizer → identical results
   }
 
+  test("buildIvfIndexQuantized + ivfProbeQuantized: pruned scan, exact integer ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfq").toString
+    val queries = vecs.filter($"id" < 10)
+    val cents = Similarity.buildIvfIndexQuantized(vecs, "id", "vec", dir, nCells = 8)
+    assert(cents.length == 8 && cents.forall(_.length == 16))
+    val probed = Similarity.ivfProbeQuantized(queries, dir, "id", "vec", k = 5, nProbe = 4)
+    // the scale property is in the PLAN: the index scan must carry a
+    // partition filter on the cell directory column (pruned read)
+    val planStr = probed.queryExecution.executedPlan.toString
+    assert(planStr.matches("(?s).*PartitionFilters: \\[.*cell.*"), planStr)
+    // replay the whole probe pipeline on the driver in the same exact
+    // integer arithmetic — results must match row for row
+    val raw = vecs.select("id", "vec").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(x => math.floor(x.toDouble * 1e6).toLong).toArray }
+    def sq(a: Array[Long], c: Array[Long]): Long =
+      a.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val assign = raw.map { case (id, q) =>
+      id -> cents.zipWithIndex.minBy { case (c, i) => (sq(q, c), i) }._2
+    }.toMap
+    val expect = raw.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      val cells = cents.zipWithIndex.sortBy { case (c, i) => (sq(qv, c), i) }
+        .take(4).map(_._2).toSet
+      raw.filter { case (nid, _) => nid != qid && cells(assign(nid)) }
+        .map { case (nid, nv) =>
+          val cos = dot(qv, nv).toDouble /
+            (math.sqrt(dot(qv, qv).toDouble) * math.sqrt(dot(nv, nv).toDouble))
+          (qid, nid, cos)
+        }
+        .sortBy { case (_, nid, cos) => (-cos, nid) }.take(5).zipWithIndex
+        .map { case ((q, n, c), r) => (q, n, c, r + 1) }
+    }.toSet
+    val got = probed.select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == expect)
+  }
+
   test("srpTopKQuantized: deterministic, identical vectors rank first") {
     val withDup = vecs.unionByName(
       vecs.filter($"id" === 3).select(($"id" + 500).as("id"), $"vec"))

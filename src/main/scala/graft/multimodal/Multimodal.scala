@@ -7,13 +7,19 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus the decode / feature-extract /
   * resize / frame-sample operator shapes a training-data pipeline needs.
   *
-  * ====== STUB BOUNDARY ======
-  * This container has no media libraries, so the byte-level decoders are
-  * STUBS: [[StubDecoder]] produces deterministic fake pixels/frames from
-  * the content hash. The Spark-side plumbing — schema, batch iteration
-  * via `mapPartitions`, size-bucketed repartitioning, feature-vector
-  * shape — is real and tested; swap [[Decoder]] for a JNI/FFI
-  * implementation in production.
+  * IMAGES are decoded for real by [[ImageIoDecoder]] — `javax.imageio`
+  * (PNG/JPEG/GIF/BMP) and `java.awt.Graphics2D` ship with every JDK, no
+  * external jars. [[AutoDecoder]] sniffs the magic bytes and routes
+  * image content there per row.
+  *
+  * ====== STUB BOUNDARY (video/audio only) ======
+  * The JDK has no video/audio codecs and this container has no media
+  * libraries, so non-image byte-level decoding is a STUB:
+  * [[StubDecoder]] produces deterministic fake pixels/frames from the
+  * content hash. The Spark-side plumbing — schema, batch iteration via
+  * `mapPartitions`, size-bucketed repartitioning, feature-vector
+  * shape — is real and tested for every modality; swap [[Decoder]] for
+  * an FFmpeg JNI/FFI implementation in production.
   *
   * Scale notes: media blobs skew partition sizes badly (a 4 GB video
   * next to 10 kB thumbnails), so [[repartitionBySize]] salts rows into
@@ -66,6 +72,97 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** Real image decoder on pure-JDK codecs: `javax.imageio` decode
+    * (PNG/JPEG/GIF/BMP/WBMP), `Graphics2D` bilinear resize (re-encoded
+    * PNG — lossless, so resize output is itself decodable), and a
+    * luminance-grid feature vector. A still image is its own single
+    * "frame". Undecodable bytes throw `IllegalArgumentException` —
+    * route mixed-modality columns through [[AutoDecoder]] instead. */
+  object ImageIoDecoder extends Decoder {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    private def read(content: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(content))
+      if (img == null)
+        throw new IllegalArgumentException("bytes not decodable by javax.imageio")
+      img
+    }
+
+    private def formatName(content: Array[Byte]): String = {
+      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(content))
+      try {
+        val readers = ImageIO.getImageReaders(in)
+        if (readers.hasNext) readers.next().getFormatName.toLowerCase
+        else throw new IllegalArgumentException("bytes not decodable by javax.imageio")
+      } finally in.close()
+    }
+
+    def decodeMeta(content: Array[Byte]): MediaMeta = {
+      val img = read(content)
+      MediaMeta(s"image/${formatName(content)}", img.getWidth, img.getHeight,
+        durationMs = 0L) // still image
+    }
+
+    /** Downsampled luminance grid, row-major, scaled to [-1, 1]: the
+      * classic no-model image fingerprint (what pHash averages). `dim`
+      * cells are sampled at cell centers of a ⌈√dim⌉ grid. */
+    def extractFeatures(content: Array[Byte], dim: Int): Array[Float] = {
+      val img = read(content)
+      val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+      Array.tabulate(dim) { i =>
+        val x = ((i % g) * img.getWidth + img.getWidth / 2) / g
+        val y = ((i / g) * img.getHeight + img.getHeight / 2) / g
+        val rgb = img.getRGB(math.min(x, img.getWidth - 1),
+          math.min(y, img.getHeight - 1))
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        (lum / 127.5 - 1.0).toFloat
+      }
+    }
+
+    def sampleFrames(content: Array[Byte], everyMs: Long): Seq[Array[Byte]] =
+      Seq(content) // a still image has exactly one frame: itself
+
+    def resize(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      import java.awt.RenderingHints
+      val src = read(content)
+      val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      val gfx = dst.createGraphics()
+      try {
+        gfx.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(src, 0, 0, width, height, null)
+      } finally gfx.dispose()
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Magic-byte router: image content (PNG/JPEG/GIF/BMP signatures) →
+    * [[ImageIoDecoder]]; everything else (video/audio/unknown) →
+    * [[StubDecoder]]. Sniffing is a few byte compares per row — noise
+    * next to the decode itself. */
+  object AutoDecoder extends Decoder {
+    private[multimodal] def isImage(c: Array[Byte]): Boolean =
+      c.length >= 8 && (
+        (c(0) == 0x89.toByte && c(1) == 'P' && c(2) == 'N' && c(3) == 'G') ||
+        (c(0) == 0xff.toByte && c(1) == 0xd8.toByte) || // JPEG SOI
+        (c(0) == 'G' && c(1) == 'I' && c(2) == 'F' && c(3) == '8') ||
+        (c(0) == 'B' && c(1) == 'M')) // BMP
+    private def pick(c: Array[Byte]): Decoder =
+      if (isImage(c)) ImageIoDecoder else StubDecoder
+    def decodeMeta(content: Array[Byte]): MediaMeta = pick(content).decodeMeta(content)
+    def extractFeatures(content: Array[Byte], dim: Int): Array[Float] =
+      pick(content).extractFeatures(content, dim)
+    def sampleFrames(content: Array[Byte], everyMs: Long): Seq[Array[Byte]] =
+      pick(content).sampleFrames(content, everyMs)
+    def resize(content: Array[Byte], width: Int, height: Int): Array[Byte] =
+      pick(content).resize(content, width, height)
   }
 
   /** Resize/thumbnail pass: binary → binary at target dimensions, the

@@ -46,6 +46,76 @@ class MultimodalSpec extends SparkSpec {
     assert(small.keys.forall(k => small(k).sameElements(again(k))))
   }
 
+  // -------------------------------------------- real JDK image decode
+
+  /** A real 40×30 PNG: deterministic RGB gradient, encoded in-memory. */
+  private def pngBytes(w: Int = 40, h: Int = 30, tint: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | (tint & 0xff))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoDecoder: real PNG meta through the Spark pipeline") {
+    val imgs = (0 until 6).map(i => (i.toLong, pngBytes(40 + i, 30 + i, i * 40)))
+      .toDF("id", "content")
+    val rows = Multimodal.withMetadata(imgs, "id", "content",
+      Multimodal.ImageIoDecoder).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.meta.mimeType == "image/png")
+      assert(r.meta.width == 40 + r.id && r.meta.height == 30 + r.id)
+      assert(r.meta.durationMs == 0L)
+    }
+  }
+
+  test("ImageIoDecoder: resize output is itself a decodable image") {
+    val imgs = Seq((1L, pngBytes())).toDF("id", "content")
+    val rows = Multimodal.withMetadata(imgs, "id", "content",
+      Multimodal.ImageIoDecoder)
+    val thumb = Multimodal.resizeAll(rows, 16, 12, Multimodal.ImageIoDecoder)
+      .collect().head._2
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(thumb))
+    assert(back != null && back.getWidth == 16 && back.getHeight == 12)
+  }
+
+  test("ImageIoDecoder: luminance features are deterministic and discriminative") {
+    val a = Multimodal.ImageIoDecoder.extractFeatures(pngBytes(), 16)
+    val b = Multimodal.ImageIoDecoder.extractFeatures(pngBytes(), 16)
+    assert(a.toSeq == b.toSeq) // pure function of the pixels
+    assert(a.length == 16 && a.forall(v => v >= -1f && v <= 1f))
+    assert(a.distinct.length > 1) // a gradient is not a constant vector
+    // a darker image must yield a different fingerprint
+    val dark = Multimodal.ImageIoDecoder.extractFeatures(pngBytes(40, 30, 0), 16)
+    val lit = {
+      val img = new java.awt.image.BufferedImage(40, 30,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 40; y <- 0 until 30) img.setRGB(x, y, 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      Multimodal.ImageIoDecoder.extractFeatures(out.toByteArray, 16)
+    }
+    assert(lit.forall(_ > 0.9f) && dark.exists(_ < 0.9f))
+  }
+
+  test("AutoDecoder: routes images to ImageIO, other bytes to the stub") {
+    val png = pngBytes()
+    assert(Multimodal.AutoDecoder.isImage(png))
+    assert(!Multimodal.AutoDecoder.isImage("not-an-image-payload".getBytes))
+    assert(Multimodal.AutoDecoder.decodeMeta(png).mimeType == "image/png")
+    val other = Multimodal.AutoDecoder.decodeMeta("fake-video-bytes-123".getBytes)
+    assert(other.mimeType == "application/x-stub") // stub fence for non-images
+    // mixed-modality column through one Spark pass
+    val mixed = Seq((1L, png), (2L, "opaque-video-blob".getBytes))
+      .toDF("id", "content")
+    val metas = Multimodal.withMetadata(mixed, "id", "content",
+      Multimodal.AutoDecoder).collect().map(r => r.id -> r.meta.mimeType).toMap
+    assert(metas(1L) == "image/png" && metas(2L) == "application/x-stub")
+  }
+
   test("repartitionBySize balances partitions and preserves rows") {
     val out = Multimodal.repartitionBySize(media, "content",
       targetBytes = 64, partitions = 4)

@@ -40,15 +40,27 @@ object ScaleOps {
       .agg(sum(col("__partial")).as(s"sum_$valueCol"),
         sum(col("__pcount")).as("count"))
 
+  /** Rounds the last [[canonicalize]] call took — test/monitoring
+    * introspection (the round count is the operator's scale metric). */
+  @volatile private[operators] var lastCanonicalizeRounds: Int = 0
+
   /** Duplicate-cluster canonicalization: given near-dup pairs
     * (id_a < id_b), assign every id the MINIMUM id of its connected
     * component (transitive closure) — the "keep one copy" step after
-    * any Dedup.*Duplicates operator. Iterative min-label propagation
-    * over direct neighbors: converges in O(component diameter) rounds
-    * (one join + aggregate each). `maxIterations` bounds pathological
-    * chains; if the bound is hit before convergence a warning is
-    * emitted and the partially-converged labels are returned (members
-    * may then map to more than one "canonical" id). */
+    * any Dedup.*Duplicates operator.
+    *
+    * Each round does (1) neighbor-min propagation (my label =
+    * min(mine, neighbors')) and (2) a POINTER JUMP (my label = label of
+    * my label) — the jump forwards a label straight to wherever its
+    * holder already points, so long chains collapse doubly per round
+    * and convergence is O(log component-diameter) rounds instead of the
+    * plain propagation's O(diameter) (a 1M-row chain: ~20 rounds, not
+    * ~1M). Convergence is checked every 2 rounds — each check is a
+    * driver sync, and at 100 TB round-trip latency, not data volume, is
+    * what dominates this operator. `maxIterations` bounds pathological
+    * graphs; on hitting it a warning is emitted and partially-converged
+    * labels are returned (members may then map to more than one
+    * "canonical" id). */
   def canonicalize(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     // undirected edge list, both directions. localCheckpoint (not
     // persist): materialized once, re-read every round, blocks freed by
@@ -61,26 +73,44 @@ object ScaleOps {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
       .transform(Materialize.once)
-    var changed = true
+    val checkEvery = 2
+    var converged = false
     var i = 0
-    while (changed && i < maxIterations) {
-      // propagate: my new label = min(my label, labels of my neighbors)
+    while (!converged && i < maxIterations) {
+      // (1) propagate: my new label = min(my label, labels of my neighbors)
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("plabel"))
-      // carry the previous label through the checkpoint so convergence
-      // is a filter on materialized data, not another join+shuffle
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"),
           col("label").as("__old"))
+      // (2) pointer jump: follow my label to ITS label (synchronous —
+      // the lookup table is the materialized PRE-ROUND state, so the
+      // neighbor join isn't recomputed through a self-reference). A
+      // label is always a member id of the same component, so the jump
+      // stays in the component and is monotone non-increasing — it only
+      // accelerates the walk toward the component minimum.
+      val lut = labels.select(col("id").as("__lid"), col("label").as("__jlabel"))
+      // carry the pre-round label through the checkpoint so convergence
+      // is a filter on materialized data, not another join+shuffle
+      val next = stepped.join(lut, stepped("label") === lut("__lid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__jlabel"), col("label"))).as("label"),
+          col("__old"))
         .transform(Materialize.once)
-      changed = next.filter(col("label") =!= col("__old")).limit(1).count() > 0
-      labels = next.drop("__old")
       i += 1
+      // fixpoint test: one full round with zero label changes. Checked
+      // at round 1 (near-dup components are usually shallow — init
+      // already holds the neighbor min, so round 1 often IS the
+      // fixpoint), then every `checkEvery` rounds for deep graphs.
+      if (i == 1 || i % checkEvery == 0 || i == maxIterations)
+        converged = next.filter(col("label") =!= col("__old")).limit(1).count() == 0
+      labels = next.drop("__old")
     }
-    if (changed)
+    lastCanonicalizeRounds = i
+    if (!converged)
       System.err.println(
         s"[canonicalize] WARNING: not converged after $maxIterations rounds; " +
           "components wider than the bound carry split canonical ids")

@@ -45,6 +45,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("canonicalize: pointer doubling converges a 64-chain in O(log n) rounds") {
+    // a 64-node chain has diameter 63 — plain neighbor propagation
+    // needs ~63 rounds (it would blow the default 20-round bound);
+    // pointer doubling must land it in ~log2(64)+slack
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val canon = ScaleOps.canonicalize(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon.size == 64 && canon.values.forall(_ == 0L))
+    assert(ScaleOps.lastCanonicalizeRounds <= 10,
+      s"took ${ScaleOps.lastCanonicalizeRounds} rounds — doubling regressed")
+  }
+
   test("dropDuplicateRows keeps one survivor per near-dup cluster") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"), (20L, "c"))
       .toDF("id", "text")

@@ -37,15 +37,22 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to runs; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators may leave block-manager state; clear SQL cache so
-      // queries are measured independently and memory doesn't accumulate
-      spark.catalog.clearCache()
-      // a crashing query must NOT read as a fast one: poison its median
-      samples(name) = samples(name) :+ (if (ok) dt else -1.0)
+    for (_ <- 1 to runs) {
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators may leave block-manager state; clear SQL cache so
+        // queries are measured independently and memory doesn't accumulate
+        spark.catalog.clearCache()
+        // a crashing query must NOT read as a fast one: poison its median
+        samples(name) = samples(name) :+ (if (ok) dt else -1.0)
+      }
+      // localCheckpoint blocks (Materialize.once) aren't in the SQL
+      // cache — they free when their plan objects are GC'd. Hint a
+      // collection between passes so later passes aren't timed against
+      // earlier passes' lingering block-manager memory.
+      System.gc()
     }
     def median(xs: Vector[Double]): Double =
       if (xs.exists(_ < 0)) -1.0

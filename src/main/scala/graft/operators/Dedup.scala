@@ -28,7 +28,9 @@ import graft.functions.VectorFunctions
   * asserts the cache stays empty), with
   * `spark.graft.localCheckpoint=false` falling back to `persist()` on
   * clusters where lineage truncation is unsafe (see Materialize's doc
-  * for the trade-off).
+  * for the trade-off). In the default mode that materialization is
+  * EAGER: these operators run Spark jobs at DataFrame-CONSTRUCTION
+  * time, before any caller action.
   */
 object Dedup {
 

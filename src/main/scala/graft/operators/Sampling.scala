@@ -42,7 +42,16 @@ object Sampling {
     * weight ranges — the reproducible train/val/test split. Weights
     * need not sum to 1; they are normalized. NULL ids get a NULL label
     * (not a silent assignment to the last split — polluting the
-    * holdout set with every unkeyed row would be invisible). */
+    * holdout set with every unkeyed row would be invisible).
+    *
+    * Cross-engine caveat: the cut points are the IEEE-double cumulative
+    * sum `acc + w/total` in declaration order. An external replica
+    * (e.g. a hand-written SQL oracle) must derive its thresholds with
+    * the SAME float fold, not algebraically equivalent decimals —
+    * arbitrary weights can put a cut one ulp away from the "exact"
+    * value, and a row whose decision value lands in that ulp would be
+    * labeled differently. (Round decimal weights like 0.8/0.1/0.1
+    * reproduce exactly; q51's oracle relies on that.) */
   def assignSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
                   seed: Int = 0): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "need positive split weights")

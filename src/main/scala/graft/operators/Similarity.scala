@@ -20,6 +20,11 @@ import graft.functions.VectorFunctions._
   *
   * Results are deterministic: ranking on rounded similarity with id
   * tie-break.
+  *
+  * Construction-time side effects: quantizer fitting, index builds, and
+  * [[Materialize.once]] stages run Spark jobs when the result DataFrame
+  * is CONSTRUCTED, not at the first caller action (see Materialize's
+  * doc for the localCheckpoint trade-off).
   */
 object Similarity {
 

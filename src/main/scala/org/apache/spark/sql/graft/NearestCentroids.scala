@@ -81,6 +81,25 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
+
+  // the case-class equals/hashCode would compare the Array[Array[_]]
+  // field by reference, so two semantically identical expressions never
+  // compare equal — defeating Catalyst canonicalization, subexpression
+  // elimination, and plan-cache hits. Compare contents instead.
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCentroids =>
+      child == that.child && n == that.n &&
+        centroids.length == that.centroids.length &&
+        centroids.indices.forall(i =>
+          java.util.Arrays.equals(centroids(i), that.centroids(i)))
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = java.util.Objects.hash(child, Integer.valueOf(n))
+    centroids.foreach(c => h = h * 31 + java.util.Arrays.hashCode(c))
+    h
+  }
 }
 
 object NearestCentroids {

@@ -17,10 +17,14 @@ import graft.functions.{ShopifyFunctions => SF, TextFunctions => TF, VectorFunct
   * codegen Expression.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((B.ident(name), B.info(name, usage), e => builder(e)))
     }
+    // whole-operator extension: plans graft's TopKPerKeyPlan logical
+    // node as a two-phase bounded-heap physical operator
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -67,8 +71,10 @@ object GraftExtensions {
       (e: Seq[Expression]) => x(VF.quantize(c(e(0))))))
 
   /** Register on an existing session (tests, notebooks). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, _, builder) =>
       B.registerTemp(spark, name, builder)
     }
+    org.apache.spark.sql.graft.TopKPerKey.ensureStrategy(spark)
+  }
 }

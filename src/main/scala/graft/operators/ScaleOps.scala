@@ -27,6 +27,17 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Top-k rows per key through the custom whole-operator plan node
+    * (see [[org.apache.spark.sql.graft.TopKPerKey]]): a two-phase
+    * bounded-heap operator — partial top-k before the key shuffle
+    * (map-side combine), exact top-k after — instead of the window
+    * composition's full per-partition sorts. The Exchange carries at
+    * most `partitions × keys × k` rows. `order` must be total (add a
+    * unique-id tie-break) for deterministic output. */
+  def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                 k: Int): DataFrame =
+    org.apache.spark.sql.graft.TopKPerKey(df, keys.map(col), order, k)
+
   /** Two-phase aggregation for skewed group keys: groupBy (key, salt)
     * first (splits a hot key's rows over `saltBuckets` reducers), then
     * re-aggregate by key. `partials` must be re-aggregable (sum/count/

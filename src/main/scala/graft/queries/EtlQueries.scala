@@ -86,6 +86,20 @@ object EtlQueries {
       .limit(10)
   }
 
+  /** Top-3 orders per priority class through the custom whole-operator
+    * plan node (partial bounded heap → key Exchange → final heap; see
+    * [[org.apache.spark.sql.graft.TopKPerKey]]) — the §7.6 extension
+    * surface exercised end-to-end against a window-function oracle.
+    * The (price desc, orderkey) order is total, so the row set equals
+    * the row_number composition's. */
+  val q54TopkPerKey: Q = (s, d) => {
+    val o = t(s, d, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    graft.operators.ScaleOps.topKPerKey(o, Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** TPC-H Q4-style: EXISTS as left-semi join with a non-equi conjunct. */
   val q4OrderPriority: Q = (s, d) => {
     val o = t(s, d, "orders").filter(
@@ -510,9 +524,17 @@ object EtlQueries {
     "q16_events_json" -> q16EventsJson,
     "q17_events_hourly" -> q17EventsHourly,
     "q18_sessions" -> q18Sessions,
+    "q54_topk_per_key" -> q54TopkPerKey,
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_topk_per_key" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q46_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events), v AS (SELECT user_id, event_id, ts, value FROM e WHERE event_type = 'view'), c AS (SELECT user_id, ts, value AS click_value FROM e WHERE event_type = 'click') SELECT v.user_id, v.event_id, v.value, c.click_value AS asof_click_value FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts ORDER BY v.user_id, v.event_id""",
     "q40_funnel" ->

@@ -222,13 +222,24 @@ final class Orchestrator(spark: SparkSession, bronzeDir: String,
       } yield InventoryPipeline.storeInventory(inv, vars, prods, st)
     }
     if (perStore.nonEmpty) {
+      import graft.operators.PartitionedMerge
       val current = perStore.reduce(InventoryPipeline.combine)
         .withColumn("ingested_at", lit(ingestedAt))
-      val merged = AtomicTableWriter.read(spark, goldPath("fact_current_inventory")) match {
-        case Some(target) => MergeOps.upsert(target, current, Seq("sku"))
-        case None => current
+      // W6 merges through the same bucketed path as the facts (W1/W2):
+      // today the table is dim-sized, but an upsert keyed on sku must
+      // scale with the staged batch, not the table — whole-table
+      // rewrite survives only as the legacy/opt-out path
+      factBuckets match {
+        case Some(n) if bucketPathUsable("fact_current_inventory") =>
+          PartitionedMerge.bucketedUpsert(spark,
+            goldPath("fact_current_inventory"), current, Seq("sku"), n)
+        case _ =>
+          val merged = AtomicTableWriter.read(spark, goldPath("fact_current_inventory")) match {
+            case Some(target) => MergeOps.upsert(target, current, Seq("sku"))
+            case None => current
+          }
+          write(merged, goldPath("fact_current_inventory"))
       }
-      write(merged, goldPath("fact_current_inventory"))
 
       // W7 — idempotent snapshot append keyed (sku, snapshot_date)
       val today = LocalDate.now().toString

@@ -70,10 +70,18 @@ class OrchestratorSpec extends SparkSpec {
     // rerun the whole day: tables unchanged modulo ingested_at, which the
     // reference's ON CONFLICT DO UPDATE also refreshes per run
     val before = orders.drop("ingested_at").orderBy("order_id").collect().toSeq
+    // W6 rides the bucketed merge path by default, like the facts
+    val invBefore = orch.goldTable("fact_current_inventory").get
+      .drop("ingested_at").orderBy("sku").collect().toSeq
+    assert(spark.read.parquet(s"$root/gold/fact_current_inventory")
+      .columns.contains("bucket"))
     assert(orch.runDaily())
     val after = orch.goldTable("fact_orders").get
       .drop("ingested_at").orderBy("order_id").collect().toSeq
     assert(before == after)
+    val invAfter = orch.goldTable("fact_current_inventory").get
+      .drop("ingested_at").orderBy("sku").collect().toSeq
+    assert(invBefore == invAfter && !invAfter.isEmpty)
     assert(spark.read.parquet(s"$root/gold/inventory_snapshot").count() == snapCount)
   }
 

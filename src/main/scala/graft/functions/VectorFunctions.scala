@@ -78,16 +78,17 @@ object VectorFunctions {
     hyperplane(seed, plane, dims).map(x => math.floor(x * 1e6).toLong)
 
   /** SRP bucket over a PRE-QUANTIZED `array<long>` vector (see
-    * [[quantize]]): bit p = sign(qv · floor(h_p·10⁶)) via the codegen
-    * integer dot — exact, commutative, and therefore expressible 1:1 in
-    * a DuckDB oracle, unlike the float [[srpBucket]] whose projection
-    * sign can depend on summation order at the zero boundary. */
+    * [[quantize]]): bit p = sign(qv · floor(h_p·10⁶)) — exact,
+    * commutative, and therefore expressible 1:1 in a DuckDB oracle,
+    * unlike the float [[srpBucket]] whose projection sign can depend on
+    * summation order at the zero boundary. All `planes` projections run
+    * in ONE compiled matrix-vector expression
+    * (o.a.s.sql.graft.LongMatrixBits) rather than `planes` separate
+    * dot-product expressions; bit semantics are identical. */
   def srpBucketQuantized(qvec: Column, planes: Int, seed: Int = 0,
                          dims: Int = 512): Column =
-    (0 until planes).map { p =>
-      val w = quantizedHyperplane(seed, p, dims)
-      when(intDot(qvec, lit(w)) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    org.apache.spark.sql.graft.LongMatrixBits(qvec,
+      Array.tabulate(planes)(p => quantizedHyperplane(seed, p, dims)))
 
   /** Sign-random-projection LSH bucket: one bit per hyperplane, bit p =
     * sign(v · h_p), hyperplanes seeded deterministically per (seed, p,

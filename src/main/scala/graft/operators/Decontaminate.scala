@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.wordShingles
+
+/** Train/test decontamination: remove (or report) training documents
+  * that share word n-grams with an evaluation corpus — the step that
+  * keeps benchmark answers out of a training set.
+  *
+  * Scale shape: the test corpus is a benchmark suite — small by
+  * contract — so its distinct n-gram set is BROADCAST and the training
+  * corpus is never shuffled for the membership probe; only the matched
+  * (doc, gram) rows shuffle for the per-doc count. With
+  * `broadcastTest = false` (a huge holdout corpus) the probe degrades
+  * to a plain shuffle join keyed on the gram. n-grams stay strings
+  * end-to-end here for oracle-checkability; at extreme scale hash the
+  * gram first (`portableHash`) to shrink the broadcast and the
+  * shuffle keys.
+  */
+object Decontaminate {
+
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Distinct n-gram set of the evaluation corpus. */
+  private def testGrams(test: DataFrame, textCol: String, n: Int,
+                        broadcastTest: Boolean): DataFrame = {
+    val g = fanOut(test)
+      .select(explode(wordShingles(col(textCol), n)).as("gram")).distinct()
+    if (broadcastTest) broadcast(g) else g
+  }
+
+  /** Per-train-doc contamination report: (idCol, n_shared) where
+    * `n_shared` counts DISTINCT n-grams the doc shares with the test
+    * corpus; clean docs are absent. */
+  def overlapReport(train: DataFrame, test: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8,
+                    broadcastTest: Boolean = true): DataFrame =
+    fanOut(train)
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .join(testGrams(test, textCol, n, broadcastTest), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** The training corpus with every contaminated document removed
+    * (any shared n-gram disqualifies — the conservative policy). */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8,
+                    broadcastTest: Boolean = true): DataFrame = {
+    val contaminated = fanOut(train)
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
+      .join(testGrams(test, textCol, n, broadcastTest), Seq("gram"), "left_semi")
+      .select(col(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+}

@@ -73,12 +73,16 @@ object ScaleOps {
     * labels are returned (members may then map to more than one
     * "canonical" id). */
   def canonicalize(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    // undirected edge list, both directions. localCheckpoint (not
-    // persist): materialized once, re-read every round, blocks freed by
-    // the ContextCleaner when the final plan is GC'd — nothing stays
-    // registered in the SQL cache after the operator returns.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // undirected edge list, both directions, in ONE pass over `pairs`
+    // (a union of two selects would compute the upstream pair-finding
+    // pipeline twice). localCheckpoint (not persist): materialized
+    // once, re-read every round, blocks freed by the ContextCleaner
+    // when the final plan is GC'd — nothing stays registered in the SQL
+    // cache after the operator returns.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().transform(Materialize.once)
     // start: every node labels itself with min(self, neighbors)
     var labels = edges.groupBy(col("src").as("id"))

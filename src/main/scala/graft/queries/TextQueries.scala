@@ -196,7 +196,48 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Train/test decontamination report: test corpus = every 13th doc,
+    * train = the rest; a train doc is contaminated iff it shares a
+    * word 3-gram with the test set. Test grams broadcast (benchmark
+    * suites are small by contract); the train corpus is never shuffled
+    * for the probe. */
+  val q55Decontaminate: Q = (s, d) => {
+    val all = docs(s, d)
+    graft.operators.Decontaminate.overlapReport(
+      all.filter(col("doc_id") % 13 =!= 0),
+      all.filter(col("doc_id") % 13 === 0),
+      "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition profile over word 2-grams: total/distinct
+    * gram counts, hottest gram frequency, duplicate-gram ratio. */
+  val q56Repetition: Q = (s, d) =>
+    graft.operators.QualityOps.repetitionProfile(docs(s, d), "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+
+  /** PII scrub over a corpus with planted emails/phones (both engines
+    * synthesize the identical corpus, q48-style): redaction counts plus
+    * the md5 of the scrubbed text — a full-content hash check without
+    * hauling the text through the compare. */
+  val q57PiiScrub: Q = (s, d) => {
+    val planted = docs(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or "),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+        lit("-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+    graft.operators.QualityOps.scrubPii(planted, "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("text")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q57_pii_scrub" -> q57PiiScrub,
+    "q56_repetition" -> q56Repetition,
+    "q55_decontaminate" -> q55Decontaminate,
     "q53_curation" -> q53Curation,
     "q52_packing" -> q52Packing,
     "q51_splits" -> q51Splits,
@@ -257,6 +298,41 @@ object TextQueries {
        |  FROM cands JOIN sig sa ON cands.id_a = sa.id JOIN sig sb ON cands.id_b = sb.id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q55_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),
+         |sh AS (SELECT doc_id, $shingles3 AS sh FROM tok),
+         |tg AS (SELECT DISTINCT gram FROM
+         |  (SELECT unnest(sh) AS gram FROM sh WHERE doc_id % 13 = 0)),
+         |tr AS (SELECT DISTINCT doc_id, gram FROM
+         |  (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 13 <> 0))
+         |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM tr JOIN tg USING (gram)
+         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    "q56_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |  [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS gram FROM tok),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(max(c) AS BIGINT) AS max_freq,
+         |  CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_ratio
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q57_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}-\\d{3}-\\d{4}"
+      s"""WITH planted AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or ' ||
+         |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-' ||
+         |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g')) AS scrubbed_md5
+         |FROM planted ORDER BY doc_id""".stripMargin
+    },
     "q19_doc_stats" ->
       s"""WITH tok AS (SELECT doc_id, lang, text, $tok AS ts FROM documents)
          |SELECT doc_id, lang, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct,

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QualityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionProfile: exact gram accounting on a hand fixture") {
+    val df = Seq(
+      (1L, "a a a a"),          // grams: "a a" x3
+      (2L, "x y x y z"),        // grams: "x y","y x","x y","y z"
+      (3L, "solo")              // too short: absent
+    ).toDF("doc_id", "text")
+    val got = QualityOps.repetitionProfile(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((3L, 1L, 3L, 2.0 / 3.0)))
+    assert(got(2L) == ((4L, 3L, 2L, 1.0 / 4.0)))
+    assert(!got.contains(3L))
+  }
+
+  test("scrubPii: counts then redacts; a scrubbed text re-scrubs to zero") {
+    val df = Seq(
+      (1L, "mail a.b@x.io and c@y.org, call 555-123-4567"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = QualityOps.scrubPii(df, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val (t1, e1, p1) = out(1L)
+    assert(e1 == 2L && p1 == 1L)
+    assert(t1 == "mail <EMAIL> and <EMAIL>, call <PHONE>")
+    val (t2, e2, p2) = out(2L)
+    assert(e2 == 0L && p2 == 0L && t2 == "no pii here at all")
+    // idempotence: redaction tokens contain no matchable PII
+    val again = QualityOps.scrubPii(
+      Seq((1L, t1)).toDF("doc_id", "text"), "text").head()
+    assert(again.getLong(2) == 0L && again.getLong(3) == 0L)
+  }
+}

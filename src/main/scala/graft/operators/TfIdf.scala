@@ -28,8 +28,13 @@ object TfIdf {
                   topK: Int = 0): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
+    // tf feeds BOTH the df aggregation and the weight join — without
+    // materialization the tokenize+count pass over the corpus runs twice
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .transform(Materialize.once)
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N counts ALL input docs (token-less docs too — they shape the
+    // smoothed idf), so it must scan the input, not tf
     val n = df.select(col(idCol)).distinct().count()
     val weighted = tf.join(broadcast(docFreq), Seq("term"))
       .withColumn("idf",

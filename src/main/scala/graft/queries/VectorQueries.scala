@@ -158,7 +158,51 @@ object VectorQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** REAL image decode end-to-end, oracle-checked: every doc becomes a
+    * solid-color PNG whose dimensions and RGB derive from doc_id; Spark
+    * must actually ENCODE, DECODE (javax.imageio), and feature-extract
+    * the pixels to recover them, while the oracle replays the closed
+    * forms in SQL. The luminance check: feature f = (lum/127.5 − 1)
+    * as float, so round((f+1)·127.5·1000) must equal the exact integer
+    * 299r+587g+114b (float roundoff ≈ 8·10⁻³ ≪ 0.5). PNG is lossless —
+    * any decoder deviation breaks the hash. */
+  val q58ImageDecode: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 16 + (id % 32).toInt
+          val h = 16 + (id % 24).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gfx = img.createGraphics()
+          gfx.setColor(new java.awt.Color(((id * 7) % 256).toInt,
+            ((id * 13) % 256).toInt, ((id * 29) % 256).toInt))
+          gfx.fillRect(0, 0, w, h)
+          gfx.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }.toDF("doc_id", "content")
+    val rows = Multimodal.withMetadata(media, "doc_id", "content",
+      Multimodal.ImageIoDecoder)
+    val feats = Multimodal.extractFeatures(rows, dim = 4,
+      Multimodal.ImageIoDecoder)
+    rows.toDF().select(col("id").as("doc_id"),
+        col("meta.mimeType").as("mime"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .join(feats.toDF().select(col("id").as("doc_id"),
+        col("frames").as("n_frames"),
+        round((element_at(col("embedding"), 1).cast("double") + 1.0)
+          * 127.5 * 1000.0).cast("long").as("lum_x1000")), Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q58_image_decode" -> q58ImageDecode,
     "q48_embedding_lsh" -> q48EmbeddingLsh,
     "q28_knn_brute" -> q28KnnBrute,
     "q29_embedding_pairs" -> q29EmbeddingPairs,
@@ -221,6 +265,14 @@ object VectorQueries {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    "q58_image_decode" ->
+      """SELECT doc_id, 'image/png' AS mime,
+        |  CAST(16 + doc_id % 32 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 24 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_frames,
+        |  CAST(299 * ((doc_id * 7) % 256) + 587 * ((doc_id * 13) % 256)
+        |    + 114 * ((doc_id * 29) % 256) AS BIGINT) AS lum_x1000
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q28_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, $qv AS qv FROM embeddings),
          |q AS (SELECT vec_id AS query_id, qv AS qq FROM e WHERE vec_id < 10),

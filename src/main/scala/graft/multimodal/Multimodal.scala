@@ -85,6 +85,10 @@ object Multimodal {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
 
+    // by default ImageIO spills every ImageInputStream to a temp FILE —
+    // a large constant cost per tiny in-memory image; decode from heap
+    ImageIO.setUseCache(false)
+
     private def read(content: Array[Byte]): BufferedImage = {
       val img = ImageIO.read(new ByteArrayInputStream(content))
       if (img == null)

@@ -170,6 +170,9 @@ object VectorQueries {
     import s.implicits._
     import graft.multimodal.Multimodal
     val media = Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      // CPU-heavy per-row encode must not inherit the parquet file's
+      // 1-2 splits (the Dedup.fanOut rule)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val w = 16 + (id % 32).toInt
@@ -186,6 +189,9 @@ object VectorQueries {
           (id, out.toByteArray)
         }
       }.toDF("doc_id", "content")
+      // both the meta branch and the feature branch read the PNGs —
+      // encode once, not once per branch
+      .transform(graft.operators.Materialize.once)
     val rows = Multimodal.withMetadata(media, "doc_id", "content",
       Multimodal.ImageIoDecoder)
     val feats = Multimodal.extractFeatures(rows, dim = 4,

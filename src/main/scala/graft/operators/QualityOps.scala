@@ -30,6 +30,46 @@ object QualityOps {
         (col("n_grams") - col("n_distinct")).cast("double") /
           col("n_grams").cast("double"))
 
+  /** Gopher/C4-style projection-rule battery (Rae et al. 2021 §A1.1,
+    * adapted): per-rule boolean flags plus the overall `pass` verdict,
+    * from the existing codegen'd quality signals — a pure per-row
+    * projection, no shuffle. Repetition rules (duplicate-gram
+    * fractions) are the aggregation-shaped complement in
+    * [[repetitionProfile]]. Token-less docs fail `len_ok` and carry
+    * false flags throughout (no NaN comparisons reach the output). */
+  def gopherFlags(df: DataFrame, textCol: String,
+                  minTokens: Int = 50, maxTokens: Int = 100000,
+                  minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0,
+                  maxDigitRatio: Double = 0.2,
+                  minStopwordRatio: Double = 0.02): DataFrame = {
+    import graft.functions.TextFunctions._
+    val t = col(textCol)
+    val nonEmpty = tokenCount(t) > 0
+    val lenOk = tokenCount(t).between(minTokens, maxTokens)
+    val meanOk = nonEmpty && meanTokenLength(t).between(minMeanTokLen, maxMeanTokLen)
+    val digitOk = nonEmpty && digitRatio(t) <= maxDigitRatio
+    val stopOk = nonEmpty && stopwordRatio(t) >= minStopwordRatio
+    df.withColumn("len_ok", lenOk)
+      .withColumn("mean_len_ok", meanOk)
+      .withColumn("digit_ok", digitOk)
+      .withColumn("stopword_ok", stopOk)
+      .withColumn("pass", lenOk && meanOk && digitOk && stopOk)
+  }
+
+  /** `https?` host of a URL column (empty string when no match). */
+  def extractDomain(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(url, "^https?://([^/]+)", 1)
+
+  /** Drop rows whose URL host appears in `blocked` (single `domain`-like
+    * column; first column is used). Blocklists are small by contract —
+    * broadcast anti-join, so the corpus never shuffles. */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+                           blocked: DataFrame): DataFrame =
+    df.withColumn("__domain", extractDomain(col(urlCol)))
+      .join(broadcast(blocked.select(col(blocked.columns.head).as("__domain"))),
+        Seq("__domain"), "left_anti")
+      .drop("__domain")
+
   /** Conservative PII patterns, chosen to behave identically under
     * Java regex and RE2 (the DuckDB oracle dialect): emails and
     * NNN-NNN-NNNN phone numbers. */

@@ -234,7 +234,36 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** URL hygiene: per-doc planted URLs (host derived from doc_id, two
+    * hosts blocklisted), host extraction, broadcast anti-join blocklist
+    * filter, per-domain survivor counts. */
+  val q59UrlFilter: Q = (s, d) => {
+    import s.implicits._
+    val hosts = array(Seq("news.example", "blog.example", "docs.example",
+      "spam.example", "wiki.example", "ads.example").map(lit): _*)
+    val planted = docs(s, d).select(col("doc_id"),
+      concat(lit("https://"),
+        element_at(hosts, (pmod(col("doc_id"), lit(6)) + 1).cast("int")),
+        lit("/d/"), col("doc_id").cast("string")).as("url"))
+    val blocked = Seq("spam.example", "ads.example").toDF("domain")
+    graft.operators.QualityOps.filterBlockedDomains(planted, "url", blocked)
+      .withColumn("domain", graft.operators.QualityOps.extractDomain(col("url")))
+      .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+      .orderBy("domain")
+  }
+
+  /** Gopher-style projection-rule battery: per-rule flags + verdict. */
+  val q60GopherFlags: Q = (s, d) =>
+    graft.operators.QualityOps.gopherFlags(
+      docs(s, d).select(col("doc_id"), col("text")), "text",
+      minTokens = 20, maxTokens = 1000)
+      .select(col("doc_id"), col("len_ok"), col("mean_len_ok"),
+        col("digit_ok"), col("stopword_ok"), col("pass"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q60_gopher_flags" -> q60GopherFlags,
+    "q59_url_filter" -> q59UrlFilter,
     "q57_pii_scrub" -> q57PiiScrub,
     "q56_repetition" -> q56Repetition,
     "q55_decontaminate" -> q55Decontaminate,
@@ -298,6 +327,30 @@ object TextQueries {
        |  FROM cands JOIN sig sa ON cands.id_a = sa.id JOIN sig sb ON cands.id_b = sb.id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q59_url_filter" ->
+      """WITH planted AS (SELECT doc_id,
+        |  'https://' || ['news.example','blog.example','docs.example','spam.example','wiki.example','ads.example'][CAST(doc_id % 6 AS INTEGER) + 1]
+        |    || '/d/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |dom AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM planted)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs FROM dom
+        |WHERE domain NOT IN ('spam.example', 'ads.example')
+        |GROUP BY domain ORDER BY domain""".stripMargin,
+    "q60_gopher_flags" ->
+      s"""WITH tok AS (SELECT doc_id, text, $tok AS ts FROM documents),
+         |sig AS (SELECT doc_id, len(ts) AS n,
+         |  CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS mean_len,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_r,
+         |  CAST(len(list_filter(ts, x -> x IN ($stopwordsSql))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS stop_r
+         |  FROM tok)
+         |SELECT doc_id,
+         |  n BETWEEN 20 AND 1000 AS len_ok,
+         |  n > 0 AND mean_len BETWEEN 3.0 AND 10.0 AS mean_len_ok,
+         |  n > 0 AND digit_r <= 0.2 AS digit_ok,
+         |  n > 0 AND stop_r >= 0.02 AS stopword_ok,
+         |  (n BETWEEN 20 AND 1000) AND (n > 0 AND mean_len BETWEEN 3.0 AND 10.0)
+         |    AND (n > 0 AND digit_r <= 0.2) AND (n > 0 AND stop_r >= 0.02) AS pass
+         |FROM sig ORDER BY doc_id""".stripMargin,
     "q55_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents),
          |sh AS (SELECT doc_id, $shingles3 AS sh FROM tok),

@@ -20,6 +20,40 @@ class QualityOpsSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("gopherFlags: rules fire per signal; token-less docs fail closed") {
+    val good = ("w" * 5 + " ") * 30 // 30 tokens, mean len 5, no digits
+    val df = Seq(
+      (1L, good + "the and of to is " * 3),   // stopwords present: passes
+      (2L, good),                             // no stopwords: stopword_ok=false
+      (3L, "short doc"),                      // under minTokens
+      (4L, ("1234 " * 40) + "the and of"),    // digit-heavy
+      (5L, "   ")                             // token-less: all false
+    ).toDF("doc_id", "text")
+    val got = QualityOps.gopherFlags(df, "text", minTokens = 20, maxTokens = 1000)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("len_ok"), r.getAs[Boolean]("stopword_ok"),
+          r.getAs[Boolean]("digit_ok"), r.getAs[Boolean]("pass")))).toMap
+    assert(got(1L)._4) // the engineered good doc passes everything
+    assert(got(2L)._1 && !got(2L)._2 && !got(2L)._4)
+    assert(!got(3L)._1 && !got(3L)._4)
+    assert(got(4L)._1 && !got(4L)._3 && !got(4L)._4)
+    assert(got(5L) == ((false, false, false, false)))
+  }
+
+  test("filterBlockedDomains: broadcast anti-join on the extracted host") {
+    val rows = Seq(
+      (1L, "https://good.example/x"),
+      (2L, "http://spam.example/y"),
+      (3L, "https://spam.example.good/z"), // host is spam.example.good: kept
+      (4L, "not a url")
+    ).toDF("id", "url")
+    val blocked = Seq("spam.example").toDF("domain")
+    val kept = QualityOps.filterBlockedDomains(rows, "url", blocked)
+    assert(kept.select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("scrubPii: counts then redacts; a scrubbed text re-scrubs to zero") {
     val df = Seq(
       (1L, "mail a.b@x.io and c@y.org, call 555-123-4567"),

@@ -57,6 +57,34 @@ class ScaleOpsSpec extends SparkSpec {
       s"took ${ScaleOps.lastCanonicalizeRounds} rounds — doubling regressed")
   }
 
+  test("canonicalize: randomized graphs match a driver union-find reference") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val nodes = 120
+      val edges = (0 until 150).map { _ =>
+        val a = rnd.nextInt(nodes).toLong
+        val b = rnd.nextInt(nodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val got = ScaleOps.canonicalize(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver reference: plain union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = edges.flatMap(p => Seq(p._1, p._2)).distinct
+      val expect = members
+        .groupBy(find).flatMap { case (_, ms) => ms.map(_ -> ms.min) }.toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("dropDuplicateRows keeps one survivor per near-dup cluster") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"), (20L, "c"))
       .toDF("id", "text")

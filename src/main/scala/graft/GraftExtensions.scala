@@ -68,7 +68,11 @@ object GraftExtensions {
     ("graft_cosine", "cosine similarity of two float/double arrays",
       (e: Seq[Expression]) => x(VF.cosine(c(e(0)), c(e(1))))),
     ("graft_quantize", "floor(x*1e6) integer quantization of a vector",
-      (e: Seq[Expression]) => x(VF.quantize(c(e(0))))))
+      (e: Seq[Expression]) => x(VF.quantize(c(e(0))))),
+    ("graft_domain", "https? host of a url ('' when no match)",
+      (e: Seq[Expression]) => x(graft.operators.QualityOps.extractDomain(c(e(0))))),
+    ("graft_quality_score", "composite [0,1] text quality heuristic",
+      (e: Seq[Expression]) => x(TF.qualityScore(c(e(0))))))
 
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -22,6 +22,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[String]("fp") == org.apache.commons.codec.digest.DigestUtils.md5Hex("x"))
     assert(r.getAs[Long]("dot") == 32L)
     assert(r.getAs[Double]("cos") == 1.0)
+    val r2 = spark.sql(
+      """SELECT graft_domain('https://spam.example/x/y') AS d,
+        |  graft_quality_score('the quick brown fox and the lazy dog of june') AS q
+        |""".stripMargin).head()
+    assert(r2.getAs[String]("d") == "spam.example")
+    assert(r2.getAs[Double]("q") > 0.0 && r2.getAs[Double]("q") <= 1.0)
   }
 
   test("extensions class wires the same registry at session build") {

@@ -119,6 +119,31 @@ class PartitionedMergeSpec extends SparkSpec {
     }
   }
 
+  test("crash mid-commit recovery: rerunning the same merge converges") {
+    // dynamic-partition-overwrite commits per partition, so a driver
+    // crash can leave a SUBSET of touched partitions replaced (the
+    // documented durability gap). The recovery contract: rerun the
+    // merge with the same staged batch -> every partition converges.
+    val root = Files.createTempDirectory("pmerge-crash").toString + "/t"
+    mkTable(root)
+    val staged = Seq(("k2", "2025-01-01", 20.0), ("k3", "2025-01-02", 30.0))
+      .toDF("k", "day", "v")
+    // the "crashed" run: simulate partial commit by merging ONLY the
+    // 2025-01-01 slice (one of the two touched partitions replaced)
+    PartitionedMerge.upsert(spark, root,
+      staged.filter($"day" === "2025-01-01"), Seq("k"), "day")
+    // recovery: rerun the FULL merge with the same staged batch
+    PartitionedMerge.upsert(spark, root, staged, Seq("k"), "day")
+    val got = spark.read.parquet(root)
+      .select("k", "v").as[(String, Double)].collect().toMap
+    assert(got == Map("k1" -> 1.0, "k2" -> 20.0, "k3" -> 30.0, "k4" -> 4.0))
+    // and a further identical rerun is a no-op content-wise
+    PartitionedMerge.upsert(spark, root, staged, Seq("k"), "day")
+    val again = spark.read.parquet(root)
+      .select("k", "v").as[(String, Double)].collect().toMap
+    assert(again == got)
+  }
+
   test("pruned scan plan shows partition filters, not a full read") {
     val root = Files.createTempDirectory("pmerge4").toString + "/t"
     mkTable(root)

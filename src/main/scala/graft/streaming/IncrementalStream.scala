@@ -77,6 +77,29 @@ object IncrementalStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming curation — the continuous twin of q53's batch pipeline:
+    * quality gate (pure projection) → PII scrub (projection) →
+    * exact dedup bounded by the watermark horizon → reproducible split
+    * assignment (hash membership — stream-safe: no RNG, no global
+    * state; the same doc gets the same split on any replay). Documents
+    * arriving as an unbounded stream come out train/val-labeled,
+    * deduped, scrubbed — append-mode compatible (every operator here is
+    * projection or watermark-bounded). */
+  def curationStream(docs: DataFrame, idCol: String, tsCol: String,
+                     textCol: String, watermark: String,
+                     minQuality: Double = 0.5): DataFrame = {
+    val gated = docs
+      .filter(graft.functions.TextFunctions.qualityScore(col(textCol)) > minQuality)
+      .transform(graft.operators.QualityOps.scrubPii(_, textCol))
+    graft.operators.Sampling.assignSplit(
+      gated
+        .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+        .withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("__fp")
+        .drop("__fp"),
+      idCol, Seq("train" -> 0.9, "val" -> 0.1), seed = 11)
+  }
+
   // ---------------------------------------------------- custom state
   case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionCount: Long, lastTs: Long, events: Long, total: Double)

@@ -89,6 +89,40 @@ class IncrementalStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming curation: gate -> scrub -> bounded dedup -> stable splits") {
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (java.sql.Timestamp, Long, String)](spark)
+    val df = docs.toDF().toDF("ts", "doc_id", "text")
+    val curated = IncrementalStream.curationStream(df, "doc_id", "ts", "text", "1 hour")
+    assert(curated.isStreaming)
+    val q = curated.writeStream.format("memory").queryName("curated_docs")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val good = "the quick brown fox jumps over the lazy dog and runs far away home"
+    docs.addData(
+      (ts("2024-01-01 10:00:00"), 1L, good + " mail me a.b@x.io today"),
+      (ts("2024-01-01 10:05:00"), 2L, good + " mail me a.b@x.io today"), // dup post-scrub
+      (ts("2024-01-01 10:10:00"), 3L, "zz"), // fails the quality gate
+      (ts("2024-01-01 10:15:00"), 4L, good + " something different entirely"))
+    q.processAllAvailable()
+    val out = spark.table("curated_docs").select("doc_id", "text", "split")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    q.stop()
+    assert(out.size == 2 && !out.contains(3L)) // gate + dedup applied
+    val survivor = out.keySet.intersect(Set(1L, 2L)).head
+    assert(out(survivor)._1.contains("<EMAIL>")) // scrubbed before emission
+    assert(out.contains(4L))
+    // split label matches the batch operator for the same (seed, id) —
+    // replay/engine-independent by construction
+    import org.apache.spark.sql.functions.col
+    val batch = graft.operators.Sampling.assignSplit(
+      Seq((survivor, "x"), (4L, "y")).toDF("doc_id", "text"),
+      "doc_id", Seq("train" -> 0.9, "val" -> 0.1), seed = 11)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(survivor)._2 == batch(survivor) && out(4L)._2 == batch(4L))
+  }
+
   test("mapGroupsWithState sessionization counts gap-separated sessions") {
     import IncrementalStream._
     val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent](spark)

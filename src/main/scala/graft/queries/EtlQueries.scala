@@ -452,6 +452,20 @@ object EtlQueries {
       .orderBy("order_date")
   }
 
+  /** Per-user purchase deltas via lag/lead — the bounded-frame window
+    * shape (state per partition key only; no global sort). Gaps in
+    * exact integer micros; value deltas are double-minus-double of
+    * identical inputs, so both are engine-portable. */
+  val q61EventDeltas: Q = (s, d) => {
+    val e = events(s, d).filter(col("event_type") === "purchase")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+        (col("value") - lag(col("value"), 1).over(w)).as("dvalue"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Exact median per group (both engines interpolate the middle pair). */
   val q45Median: Q = (s, d) =>
     t(s, d, "orders")
@@ -525,9 +539,19 @@ object EtlQueries {
     "q17_events_hourly" -> q17EventsHourly,
     "q18_sessions" -> q18Sessions,
     "q54_topk_per_key" -> q54TopkPerKey,
+    "q61_event_deltas" -> q61EventDeltas,
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_event_deltas" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+        |  value - lag(value) OVER w AS dvalue,
+        |  lead(event_id) OVER w AS next_event_id
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q54_topk_per_key" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

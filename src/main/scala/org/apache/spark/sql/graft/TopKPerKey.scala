@@ -36,7 +36,8 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * deterministic output, as with any top-k.
   */
 case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
-                          k: Int, child: LogicalPlan) extends UnaryNode {
+                          k: Int, child: LogicalPlan,
+                          maxKeysInMemory: Int = 1 << 20) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
@@ -48,9 +49,20 @@ case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
   * emits ≤ keys·k rows per input partition with no distribution
   * requirement); `partial = false` declares `ClusteredDistribution` on
   * the keys, so `EnsureRequirements` inserts the hash Exchange, and
-  * produces the exact per-key top-k. */
+  * produces the exact per-key top-k.
+  *
+  * Memory bound: the partial phase's heap map holds (distinct keys in
+  * the partition) × k rows. On high-cardinality keys that can exceed
+  * memory, so when the map passes `maxKeysInMemory` the partial phase
+  * EMITS its buffer and resets — still correct, because a partial
+  * phase is only a superset filter (everything it emits re-reduces in
+  * the final phase); the trade is a bigger Exchange, not a wrong
+  * answer. The final phase runs after the key Exchange, so its map is
+  * bounded by the keys of one task's hash range (the same bound as
+  * hash aggregation). */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-                          k: Int, partial: Boolean, child: SparkPlan)
+                          k: Int, partial: Boolean, child: SparkPlan,
+                          maxKeysInMemory: Int = 1 << 20)
   extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -65,28 +77,64 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val maxKeys = math.max(1, maxKeysInMemory)
+    val isPartial = partial
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val ordering = GenerateOrdering.generate(sortOrder, childOutput)
-      // head of each heap = WORST retained row (reverse order), so an
-      // incoming better row evicts in O(log k)
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit, ordering.reverse)
-          heaps.put(key.copy(), heap)
+      // chunked emit-and-reset: fill the heap map until the partial cap
+      // would be exceeded, stream that chunk out, start a fresh map —
+      // at most one chunk of (maxKeys × k) rows is ever live
+      new Iterator[InternalRow] {
+        private var pending: UnsafeRow = null // overflow row, already copied
+        private var out: Iterator[InternalRow] = Iterator.empty
+
+        private def refill(): Unit = {
+          // head of each heap = WORST retained row (reverse order), so
+          // an incoming better row evicts in O(log k)
+          val heaps =
+            new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+          def insert(row: InternalRow, key: UnsafeRow): Boolean = {
+            var heap = heaps.get(key)
+            if (heap == null) {
+              if (isPartial && heaps.size() >= maxKeys) return false
+              heap = new java.util.PriorityQueue[InternalRow](limit, ordering.reverse)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size() < limit) heap.add(toUnsafe(row).copy())
+            else if (ordering.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(toUnsafe(row).copy())
+            }
+            true
+          }
+          if (pending != null) {
+            val p = pending
+            pending = null
+            insert(p, keyProj(p)) // fresh map: always fits
+          }
+          var overflow = false
+          while (!overflow && iter.hasNext) {
+            val row = iter.next()
+            if (!insert(row, keyProj(row))) {
+              // the (maxKeys+1)-th key: close this chunk, carry the row
+              pending = toUnsafe(row).copy()
+              overflow = true
+            }
+          }
+          out = heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
         }
-        if (heap.size() < limit) heap.add(toUnsafe(row).copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(toUnsafe(row).copy())
+
+        override def hasNext: Boolean = {
+          while (!out.hasNext && (pending != null || iter.hasNext)) refill()
+          out.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          out.next()
         }
       }
-      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
     }
   }
 
@@ -100,9 +148,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   * `experimental.extraStrategies` ([[TopKPerKey.ensureStrategy]]). */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(keys, order, k, child) =>
+    case TopKPerKeyPlan(keys, order, k, child, maxKeys) =>
       TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child), maxKeys),
+        maxKeys) :: Nil
     case _ => Nil
   }
 }
@@ -120,7 +169,7 @@ object TopKPerKey {
   /** The `k` best rows per key group under `order` (ascending unless
     * the Column carries an explicit sort order, e.g. `col.desc`). */
   def apply(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column],
-            k: Int): DataFrame = {
+            k: Int, maxKeysInMemory: Int = 1 << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(keyCols.nonEmpty, "need at least one key column")
     val session = df.sparkSession.asInstanceOf[classic.SparkSession]
@@ -131,6 +180,6 @@ object TopKPerKey {
       case e => SortOrder(e, Ascending)
     })
     classic.Dataset.ofRows(session,
-      TopKPerKeyPlan(keys, order, k, df.queryExecution.analyzed))
+      TopKPerKeyPlan(keys, order, k, df.queryExecution.analyzed, maxKeysInMemory))
   }
 }

@@ -48,6 +48,21 @@ class TopKPerKeySpec extends SparkSpec {
     assert(best == Set(2L, 3L)) // ascending: the LOWEST score per key
   }
 
+  test("bounded-memory partial phase: emit-and-reset flushes stay exact") {
+    val expect = rows.withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy($"score".desc, $"id")))
+      .filter($"rn" <= 3).select("id").as[Long].collect().toSet
+    // cap of 3 in-memory keys vs 25 distinct keys: the partial phase
+    // must flush repeatedly; every flush is a superset filter, so the
+    // final phase still produces the exact top-k
+    for (cap <- Seq(1, 3)) {
+      val got = org.apache.spark.sql.graft.TopKPerKey(rows,
+        Seq(col("key")), Seq($"score".desc, $"id"), k = 3, maxKeysInMemory = cap)
+        .select("id").as[Long].collect().toSet
+      assert(got == expect, s"cap=$cap")
+    }
+  }
+
   test("strategy registers via GraftExtensions.register, idempotently") {
     graft.GraftExtensions.register(spark)
     graft.GraftExtensions.register(spark)

@@ -109,12 +109,19 @@ object ScaleOps {
       // accelerates the walk toward the component minimum.
       val lut = labels.select(col("id").as("__lid"), col("label").as("__jlabel"))
       // carry the pre-round label through the checkpoint so convergence
-      // is a filter on materialized data, not another join+shuffle
-      val next = stepped.join(lut, stepped("label") === lut("__lid"), "left")
+      // is a filter on materialized data, not another join+shuffle.
+      // The round checkpoint is LAZY: on check rounds the convergence
+      // count is the materializing action (one job, not checkpoint-job
+      // + count-job), and unchecked rounds schedule no job at all —
+      // their chunk materializes inside the next round's job.
+      val next0 = stepped.join(lut, stepped("label") === lut("__lid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__jlabel"), col("label"))).as("label"),
           col("__old"))
-        .transform(Materialize.once)
+      val next =
+        if (pairs.sparkSession.conf.get("spark.graft.localCheckpoint", "true").toBoolean)
+          next0.localCheckpoint(false)
+        else next0.persist()
       i += 1
       // fixpoint test: one full round with zero label changes. Checked
       // at round 1 (near-dup components are usually shallow — init

@@ -22,6 +22,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // full SQL surface (17 graft_* functions) + the TopKPerKey
+      // planner strategy, wired at session build
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()
@@ -38,5 +41,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    // events.parquet carries TIMESTAMP(NANOS), which the vectorized
+    // reader rejects — route through the ns-safe reader (raw INT64 ts
+    // truncated to micros, matching DuckDB's CAST semantics)
+    if (name == "events") graft.queries.EtlQueries.events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -228,6 +228,65 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
 
+  // ------------------------------------------------ persistent SRP index
+
+  /** Persistent multi-table SRP-LSH index at `path`: the quantized
+    * corpus written `tables` times, partitioned by `t=<table>/bucket=
+    * <key>` (`data/`), plus a one-row `meta/` table pinning (planes,
+    * tables, dims) — probing with different parameters would compute
+    * different buckets and silently miss, so the probe always reads
+    * them from the index. The LSH trade vs [[buildIvfIndex]]: no
+    * training pass, `tables`× storage, and `tables × 2^planes`
+    * partitions (pick `planes` so partitions stay file-sized at the
+    * corpus scale). A probe reads only the probed (t, bucket)
+    * directories — `tables`/`2^planes` of the bytes per query. */
+  def buildSrpIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, planes: Int = 8, tables: Int = 4,
+                    dims: Int = 64): Unit = {
+    require(planes >= 1 && planes <= 20, s"planes=$planes out of [1, 20]")
+    val c = fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    (0 until tables).map { t =>
+        c.withColumn("t", lit(t))
+          .withColumn("bucket", srpBucketQuantized(col("cv"), planes, seed = t, dims))
+      }.reduce(_.unionByName(_))
+      .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$path/data")
+    corpus.sparkSession.createDataFrame(Seq((planes, tables, dims)))
+      .toDF("planes", "tables", "dims")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Query a [[buildSrpIndex]] index: bucket each query with the
+    * index's pinned parameters, prune the scan to the probed
+    * (t, bucket) partitions, union candidates across tables, exact
+    * re-rank by quantized cosine. Bit-identical to [[srpTopKQuantized]]
+    * on the same corpus (asserted in SimilaritySpec). */
+  def srpProbe(queries: DataFrame, indexPath: String, idCol: String,
+               vecCol: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (planes, tables, dims) =
+      (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"), meta.getAs[Int]("dims"))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val probes = (0 until tables).map { t =>
+        q.withColumn("t", lit(t))
+          .withColumn("bucket", srpBucketQuantized(col("qv"), planes, seed = t, dims))
+      }.reduce(_.unionByName(_))
+      .transform(Materialize.once) // read twice: partition list + join
+    // control-plane: ≤ |queries|·tables (t, bucket) values
+    val probed = probes.select("t", "bucket").distinct()
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val prune = probed.groupBy(_._1).map { case (t, bs) =>
+        col("t") === t && col("bucket").isin(bs.map(_._2).toSeq: _*)
+      }.reduce(_ || _) // partition-level predicate → directory pruning
+    val data = spark.read.parquet(s"$indexPath/data").filter(prune)
+    rankCandidatesQuantized(
+      data.join(broadcast(probes), Seq("t", "bucket"))
+        .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+        .distinct(), // a pair found by several tables ranks once
+      k)
+  }
+
   /** [[srpTopK]] over integer-quantized vectors (floor(x·10⁶)): buckets
     * and cosines are exact integer arithmetic, so results are
     * bit-identical across engines and partition counts — the

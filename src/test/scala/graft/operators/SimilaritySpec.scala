@@ -121,6 +121,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("buildSrpIndex + srpProbe: pruned scan, identical to the direct path") {
+    val dir = java.nio.file.Files.createTempDirectory("srpidx").toString
+    val queries = vecs.filter($"id" < 10)
+    Similarity.buildSrpIndex(vecs, "id", "vec", dir, planes = 4, tables = 2, dims = 16)
+    val probed = Similarity.srpProbe(queries, dir, "id", "vec", k = 5)
+    // partition pruning on the (t, bucket) directories is in the plan
+    val planStr = probed.queryExecution.executedPlan.toString
+    assert(planStr.matches("(?s).*PartitionFilters: \\[.*bucket.*"), planStr)
+    val direct = Similarity.srpTopKQuantized(queries, vecs, "id", "vec",
+      k = 5, planes = 4, tables = 2, dims = 16)
+    assert(probed.collect().map(_.toString).sorted.toSeq ==
+      direct.collect().map(_.toString).sorted.toSeq)
+    // probing with the index's own pinned parameters: meta round-trips
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    assert(meta.getAs[Int]("planes") == 4 && meta.getAs[Int]("tables") == 2)
+  }
+
   test("srpTopKQuantized: deterministic, identical vectors rank first") {
     val withDup = vecs.unionByName(
       vecs.filter($"id" === 3).select(($"id" + 500).as("id"), $"vec"))

@@ -68,6 +68,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.matches("(?s).*PartitionFilters: \\[.*cell.*"), s"no cell pruning:\n$p")
   }
 
+  test("q54: the custom TopKPerKey operator plans (not a window fallback)") {
+    val p = finalPlan("q54_topk_per_key")
+    assert(p.contains("TopKPerKeyFinal") && p.contains("TopKPerKeyPartial"), p)
+    assert(!p.contains("Window"), s"fell back to Window:\n$p")
+  }
+
+  test("q55: the decontamination probe broadcasts the test-gram set") {
+    val p = plan("q55_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"probe degraded to SMJ:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     // cross joins in this library are always broadcast-bounded
     for (name <- Seq("q24_minhash_dedup", "q26_simhash_dedup",

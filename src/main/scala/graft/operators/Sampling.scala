@@ -66,6 +66,41 @@ object Sampling {
       when(col(idCol).isNull, lit(null).cast("string")).otherwise(label))
   }
 
+  /** Stratified deterministic sampling: per-stratum keep fractions over
+    * the same hash decision as [[deterministicSample]] — "50% of en,
+    * all of de, none of the rest" in one shuffle-free pass. Strata
+    * absent from `fractions` fall back to `defaultFraction`. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0, seed: Int = 0): DataFrame = {
+    require((fractions.values.toSeq :+ defaultFraction)
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    val frac = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultFraction)) { case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(f)).otherwise(acc)
+      }
+    df.filter(decision(col(idCol), seed) < frac)
+  }
+
+  /** Deterministic token-budget fill: within each stratum, walk rows in
+    * (seed, id)-hash order and keep them while the stratum's running
+    * token total stays within `budgetPerStratum` — the "fill 10B
+    * tokens from this mix" step, reproducible on any cluster because
+    * the walk order is a pure hash, not arrival order. One window per
+    * stratum (state = one running sum per partition key); at extreme
+    * per-stratum cardinality pre-aggregate or sub-stratify first. */
+  def fillTokenBudget(df: DataFrame, idCol: String, stratumCol: String,
+                      tokenCol: String, budgetPerStratum: Long,
+                      seed: Int = 0): DataFrame = {
+    require(budgetPerStratum > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(portableHash(col(idCol).cast("string"), seed), col(idCol))
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= budgetPerStratum)
+      .drop("__cum")
+  }
+
   /** Mix corpora with per-source sampling rates, tagging provenance:
     * the reproducible "40% of web, all of books" dataset-mixing step.
     * Columns are unioned by name (sources must share a schema). Each

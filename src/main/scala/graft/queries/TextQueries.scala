@@ -261,7 +261,25 @@ object TextQueries {
         col("digit_ok"), col("stopword_ok"), col("pass"))
       .orderBy("doc_id")
 
+  /** Stratified sampling: per-lang keep fractions, hash-deterministic. */
+  val q62Stratified: Q = (s, d) =>
+    graft.operators.Sampling.stratifiedSample(
+      docs(s, d).select(col("doc_id"), col("lang")), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), seed = 5)
+      .orderBy("doc_id")
+
+  /** Token-budget fill: walk each lang's docs in seeded-hash order and
+    * keep them while the running token total stays within 2000. */
+  val q63TokenBudget: Q = (s, d) =>
+    graft.operators.Sampling.fillTokenBudget(
+      docs(s, d).select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "lang", "n_tokens", budgetPerStratum = 2000L, seed = 3)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q63_token_budget" -> q63TokenBudget,
+    "q62_stratified" -> q62Stratified,
     "q60_gopher_flags" -> q60GopherFlags,
     "q59_url_filter" -> q59UrlFilter,
     "q57_pii_scrub" -> q57PiiScrub,
@@ -327,6 +345,21 @@ object TextQueries {
        |  FROM cands JOIN sig sa ON cands.id_a = sa.id JOIN sig sb ON cands.id_b = sb.id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q62_stratified" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  CAST(${hx("'5:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 AS pick
+         |  FROM documents)
+         |SELECT doc_id, lang FROM d
+         |WHERE pick < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+         |  WHEN 'fr' THEN 0.25 ELSE 0.0 END
+         |ORDER BY doc_id""".stripMargin,
+    "q63_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($tok) AS BIGINT) AS n_tokens,
+         |  ${hx("'3:' || CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum FROM t)
+         |SELECT doc_id, lang, n_tokens FROM c WHERE cum <= 2000
+         |ORDER BY doc_id""".stripMargin,
     "q59_url_filter" ->
       """WITH planted AS (SELECT doc_id,
         |  'https://' || ['news.example','blog.example','docs.example','spam.example','wiki.example','ads.example'][CAST(doc_id % 6 AS INTEGER) + 1]

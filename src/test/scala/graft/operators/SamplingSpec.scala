@@ -52,6 +52,41 @@ class SamplingSpec extends SparkSpec {
     assert(labeled.filter($"id".isNotNull && $"split".isNull).count() == 0)
   }
 
+  test("stratifiedSample: per-stratum fractions honored, partition-independent") {
+    val strat = ids.withColumn("lang",
+      element_at(array(lit("en"), lit("de"), lit("fr")), (pmod($"id", lit(3)) + 1).cast("int")))
+    val kept = Sampling.stratifiedSample(strat, "id", "lang",
+      Map("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.0, seed = 2)
+    val byLang = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("fr", 0L) == 0L)     // default 0: dropped
+    assert(byLang("de") > 600)                   // fraction 1.0: all ~667
+    assert(math.abs(byLang("en") / 667.0 - 0.5) < 0.1)
+    val again = Sampling.stratifiedSample(strat.repartition(13), "id", "lang",
+      Map("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.0, seed = 2)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
+  test("fillTokenBudget: per-stratum totals within budget, layout-independent") {
+    val rnd = new scala.util.Random(9)
+    val docs = (1L to 300L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L + rnd.nextInt(90)))
+      .toDF("id", "stratum", "n_tokens")
+    val kept = Sampling.fillTokenBudget(docs, "id", "stratum", "n_tokens",
+      budgetPerStratum = 1000L, seed = 4)
+    val sums = kept.groupBy("stratum").agg(sum("n_tokens").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.values.forall(_ <= 1000L))
+    // greedy fill in hash order: adding the NEXT doc in order would
+    // overflow, so totals sit near the budget, not far under it
+    assert(sums.values.forall(_ >= 1000L - 100L))
+    val again = Sampling.fillTokenBudget(docs.repartition(11), "id", "stratum",
+      "n_tokens", budgetPerStratum = 1000L, seed = 4)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
   test("mixCorpora: per-source samples are independent across sources") {
     // two corpora SHARING an id scheme must not draw id-identical subsets
     val a = (1L to 2000L).map(i => (i, "a")).toDF("id", "payload")

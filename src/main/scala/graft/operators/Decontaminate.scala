@@ -33,14 +33,17 @@ object Decontaminate {
 
   /** Per-train-doc contamination report: (idCol, n_shared) where
     * `n_shared` counts DISTINCT n-grams the doc shares with the test
-    * corpus; clean docs are absent. */
+    * corpus; clean docs are absent. The broadcast probe runs FIRST and
+    * the (doc, gram) dedup only on the matched survivors — deduping
+    * before the probe would shuffle the whole exploded corpus, the
+    * exact cost this operator exists to avoid. */
   def overlapReport(train: DataFrame, test: DataFrame, idCol: String,
                     textCol: String, n: Int = 8,
                     broadcastTest: Boolean = true): DataFrame =
     fanOut(train)
       .select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
-      .distinct()
       .join(testGrams(test, textCol, n, broadcastTest), Seq("gram"))
+      .distinct() // matched rows only — tiny next to the corpus
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
 

@@ -35,12 +35,17 @@ object Export {
   private def writeManifest(df: DataFrame, path: String): (Int, Long) = {
     val root = new Path(path)
     val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    // qualify the root first: listFiles returns scheme-qualified paths
+    // (file:/..., hdfs://...), and URI.relativize against an
+    // unqualified root is a silent no-op that would record ABSOLUTE
+    // paths — breaking the move-the-tree / partial-copy contract
+    val qualifiedRoot = fs.makeQualified(root).toUri
     val files = {
       val it = fs.listFiles(root, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       while (it.hasNext) {
         val f = it.next()
-        val rel = root.toUri.relativize(f.getPath.toUri).getPath
+        val rel = qualifiedRoot.relativize(f.getPath.toUri).getPath
         if (rel.endsWith(".parquet")) buf += rel -> f.getLen
       }
       buf.sortBy(_._1)

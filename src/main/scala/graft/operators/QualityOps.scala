@@ -77,14 +77,18 @@ object QualityOps {
   val PhonePattern = "\\d{3}-\\d{3}-\\d{4}"
 
   /** Redact emails/phones in `textCol` (in place) and count what was
-    * redacted in `n_emails`/`n_phones`. Pure per-row projection — no
-    * shuffle, trivially 100 TB-parallel. */
-  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    * redacted in `n_emails`/`n_phones`. Emails redact first, and the
+    * phone count runs on the post-email text — a phone-shaped
+    * substring consumed by an email match (e.g. `123-456-7890@x.com`)
+    * is one email redaction, not a phantom phone one. Pure per-row
+    * projection — no shuffle, trivially 100 TB-parallel. */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
     df.withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).cast("long"))
       .withColumn("n_phones",
-        size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))).cast("long"))
+        size(regexp_extract_all(afterEmail, lit(PhonePattern), lit(0))).cast("long"))
       .withColumn(textCol,
-        regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
-          PhonePattern, "<PHONE>"))
+        regexp_replace(afterEmail, PhonePattern, "<PHONE>"))
+  }
 }

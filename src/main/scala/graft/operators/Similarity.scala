@@ -278,7 +278,8 @@ object Similarity {
       .collect().map(r => r.getInt(0) -> r.getLong(1))
     val prune = probed.groupBy(_._1).map { case (t, bs) =>
         col("t") === t && col("bucket").isin(bs.map(_._2).toSeq: _*)
-      }.reduce(_ || _) // partition-level predicate → directory pruning
+      } // partition-level predicate → directory pruning
+      .reduceOption(_ || _).getOrElse(lit(false)) // empty query set → empty result
     val data = spark.read.parquet(s"$indexPath/data").filter(prune)
     rankCandidatesQuantized(
       data.join(broadcast(probes), Seq("t", "bucket"))
@@ -303,14 +304,7 @@ object Similarity {
       qb.join(cb, Seq("bucket")).select(col("query_id"), col("qv"),
         col("neighbor_id"), col("cv"))
     }.reduce(_.unionByName(_)).distinct()
-    val scored = cands
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", quantizedCosine(col("qv"), col("cv")))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankCandidatesQuantized(cands, k)
   }
 
   /** Multi-table SRP-LSH top-k: union candidates from `tables`

@@ -371,7 +371,8 @@ object TextQueries {
         |GROUP BY domain ORDER BY domain""".stripMargin,
     "q60_gopher_flags" ->
       s"""WITH tok AS (SELECT doc_id, text, $tok AS ts FROM documents),
-         |sig AS (SELECT doc_id, len(ts) AS n,
+         |sig AS (SELECT doc_id,
+         |  CASE WHEN trim(text) = '' THEN 0 ELSE len(ts) END AS n,
          |  CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS mean_len,
          |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_r,
          |  CAST(len(list_filter(ts, x -> x IN ($stopwordsSql))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS stop_r
@@ -414,7 +415,8 @@ object TextQueries {
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(text, '$email', '<EMAIL>', 'g'), '$phone')) AS BIGINT) AS n_phones,
          |  md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
          |    '$phone', '<PHONE>', 'g')) AS scrubbed_md5
          |FROM planted ORDER BY doc_id""".stripMargin

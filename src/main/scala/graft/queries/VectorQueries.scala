@@ -87,7 +87,11 @@ object VectorQueries {
       val entry = cache.computeIfAbsent(sfDir, { _ =>
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-        val path = s"/root/repo/target/graft-ivf/$tag"
+        // location override via -Dgraft.ivf.dir; default to the JVM
+        // temp dir — no assumption about checkout location/writability
+        val base = sys.props.getOrElse("graft.ivf.dir",
+          s"${sys.props("java.io.tmpdir")}/graft-ivf")
+        val path = s"$base/$tag"
         val cents = Similarity.buildIvfIndexQuantized(
           Tables(s, sfDir, "embeddings"), "vec_id", "embedding", path,
           nCells = NCells, seed = 42L)

@@ -29,13 +29,15 @@ class ExportSpec extends SparkSpec {
       assert(spark.read.parquet(f.toString).count() <= 100, f.toString)
     }
 
-    // manifest lists exactly the data files with their true sizes
+    // manifest lists exactly the data files, by RELATIVE path (a moved
+    // or copied tree must still resolve), with their true sizes
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(root, "_manifest.json")), "UTF-8")
     files.foreach { f =>
       val rel = java.nio.file.Paths.get(root).relativize(f).toString
-      assert(manifest.contains(rel), s"manifest missing $rel")
+      assert(manifest.contains("\"" + rel + "\""), s"manifest missing relative $rel")
     }
+    assert(!manifest.contains(root), "manifest must not embed absolute paths")
     assert(totalBytes == files.map(java.nio.file.Files.size(_)).sum)
     // and the manifest itself is invisible to Spark's listing
     assert(back.columns.toSet == Set("doc_id", "split", "text"))

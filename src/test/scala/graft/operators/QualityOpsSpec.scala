@@ -70,5 +70,12 @@ class QualityOpsSpec extends SparkSpec {
     val again = QualityOps.scrubPii(
       Seq((1L, t1)).toDF("doc_id", "text"), "text").head()
     assert(again.getLong(2) == 0L && again.getLong(3) == 0L)
+    // a phone-shaped substring consumed by an email match is one email
+    // redaction — no phantom phone count for a never-made replacement
+    val tricky = QualityOps.scrubPii(
+      Seq((1L, "reach 123-456-7890@mail.com now")).toDF("doc_id", "text"),
+      "text").head()
+    assert(tricky.getString(1) == "reach <EMAIL> now")
+    assert(tricky.getLong(2) == 1L && tricky.getLong(3) == 0L)
   }
 }

@@ -136,6 +136,9 @@ class SimilaritySpec extends SparkSpec {
     // probing with the index's own pinned parameters: meta round-trips
     val meta = spark.read.parquet(s"$dir/meta").head()
     assert(meta.getAs[Int]("planes") == 4 && meta.getAs[Int]("tables") == 2)
+    // an empty query set probes nothing and returns an empty frame
+    assert(Similarity.srpProbe(vecs.filter($"id" < 0), dir, "id", "vec", 5)
+      .count() == 0)
   }
 
   test("srpTopKQuantized: deterministic, identical vectors rank first") {

@@ -277,7 +277,17 @@ object TextQueries {
       "doc_id", "lang", "n_tokens", budgetPerStratum = 2000L, seed = 3)
       .orderBy("doc_id")
 
+  /** Character-trigram profile — the boundary-less-script (CJK-style)
+    * complement to word shingles: gram and distinct-gram counts per
+    * doc, the inputs to char-level near-dup blocking. */
+  val q64CharNgrams: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      size(charNgrams(col("text"), 3)).cast("long").as("n_grams"),
+      size(array_distinct(charNgrams(col("text"), 3))).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q64_char_ngrams" -> q64CharNgrams,
     "q63_token_budget" -> q63TokenBudget,
     "q62_stratified" -> q62Stratified,
     "q60_gopher_flags" -> q60GopherFlags,
@@ -345,6 +355,12 @@ object TextQueries {
        |  FROM cands JOIN sig sa ON cands.id_a = sa.id JOIN sig sb ON cands.id_b = sb.id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q64_char_ngrams" ->
+      """SELECT doc_id,
+        |  CAST(greatest(length(text) - 2, 0) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(
+        |    [text[i:i+2] for i in range(1, greatest(length(text) - 2, 0) + 1)])) AS BIGINT) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q62_stratified" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |  CAST(${hx("'5:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 AS pick

@@ -100,6 +100,41 @@ object IncrementalStream {
       idCol, Seq("train" -> 0.9, "val" -> 0.1), seed = 11)
   }
 
+  case class TokenWeight(shard: Int, token: String, minCount: Long)
+
+  /** Streaming heavy hitters: Misra–Gries sketches as
+    * `flatMapGroupsWithState` state, sharded by token hash. Tokens hash
+    * to exactly ONE shard, so a globally frequent token accumulates in
+    * a single shard's sketch and the per-shard MG guarantee applies to
+    * it directly; total state is bounded at `shards × capacity`
+    * entries no matter how long the stream runs — the property a
+    * naive streaming `groupBy(token).count()` (vocabulary-sized state)
+    * can't give. Each micro-batch emits the updated shards' current
+    * (token, minCount) candidates; the exact-recount second pass is
+    * the batch-side `HeavyHitters.frequentTokens` once candidates
+    * settle. */
+  def streamingHeavyHitters(docs: DataFrame, textCol: String,
+                            capacity: Int = 1000,
+                            shards: Int = 64): org.apache.spark.sql.Dataset[TokenWeight] = {
+    import docs.sparkSession.implicits._
+    val mg = new graft.operators.HeavyHitters.MisraGries(capacity)
+    docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .withColumn("shard", pmod(hash(col("token")), lit(shards)).cast("int"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[graft.operators.HeavyHitters.Sketch, TokenWeight](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        case (shard, rows, state: GroupState[graft.operators.HeavyHitters.Sketch]) =>
+          val next = rows.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+            (buf, row) => mg.reduce(buf, row._1)
+          }
+          state.update(next)
+          next.iterator.map { case (t, c) => TokenWeight(shard, t, c) }
+      }
+  }
+
   // ---------------------------------------------------- custom state
   case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionCount: Long, lastTs: Long, events: Long, total: Double)

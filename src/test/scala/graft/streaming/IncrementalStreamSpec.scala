@@ -123,6 +123,29 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out(survivor)._2 == batch(survivor) && out(4L)._2 == batch(4L))
   }
 
+  test("streaming heavy hitters: bounded sketches track the hot token across batches") {
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
+    val hh = IncrementalStream.streamingHeavyHitters(
+      docs.toDF().toDF("text"), "text", capacity = 4, shards = 2)
+    val q = hh.writeStream.format("memory").queryName("hot_tokens")
+      .outputMode("update").start()
+    // batch 1: "hot" dominates a small vocabulary
+    docs.addData((1 to 30).map(i => s"hot filler$i hot"): _*)
+    q.processAllAvailable()
+    val b1 = spark.table("hot_tokens")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(b1.contains("hot") && b1("hot") >= 30) // 60 occurrences, MG underestimate allowed
+    // batch 2: state persists — the count keeps accumulating
+    docs.addData((1 to 20).map(i => s"hot other$i"): _*)
+    q.processAllAvailable()
+    val b2 = spark.table("hot_tokens")
+      .collect().filter(_.getString(1) == "hot").map(_.getLong(2)).max
+    q.stop()
+    assert(b2 > b1("hot")) // accumulated across micro-batches
+    // bounded state: never more than shards x capacity live entries
+    assert(spark.table("hot_tokens").select("shard", "token").distinct().count() <= 2 * 4 * 2)
+  }
+
   test("mapGroupsWithState sessionization counts gap-separated sessions") {
     import IncrementalStream._
     val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent](spark)

@@ -80,6 +80,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"probe degraded to SMJ:\n$p")
   }
 
+  test("document queries prune the scan to the needed columns") {
+    // documents carries (doc_id, text, lang, source, n_chars); the
+    // text operators must not drag the unused columns through the scan
+    for (name <- Seq("q21_dedup_exact", "q56_repetition", "q64_char_ngrams")) {
+      val p = plan(name)
+      assert(!p.contains("n_chars"), s"$name reads n_chars:\n$p")
+      assert(!p.contains("source"), s"$name reads source:\n$p")
+    }
+  }
+
   test("no query plans a cartesian product") {
     // cross joins in this library are always broadcast-bounded
     for (name <- Seq("q24_minhash_dedup", "q26_simhash_dedup",

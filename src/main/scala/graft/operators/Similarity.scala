@@ -244,12 +244,11 @@ object Similarity {
                     path: String, planes: Int = 8, tables: Int = 4,
                     dims: Int = 64): Unit = {
     require(planes >= 1 && planes <= 20, s"planes=$planes out of [1, 20]")
-    val c = fanOut(corpus)
+    fanOut(corpus)
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
-    (0 until tables).map { t =>
-        c.withColumn("t", lit(t))
-          .withColumn("bucket", srpBucketQuantized(col("cv"), planes, seed = t, dims))
-      }.reduce(_.unionByName(_))
+      // one corpus scan: all tables' buckets in a single projection
+      .select(col("neighbor_id"), col("cv"),
+        posexplode(srpBucketsAll(col("cv"), planes, tables, dims)).as(Seq("t", "bucket")))
       .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$path/data")
     corpus.sparkSession.createDataFrame(Seq((planes, tables, dims)))
       .toDF("planes", "tables", "dims")
@@ -267,11 +266,10 @@ object Similarity {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val (planes, tables, dims) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"), meta.getAs[Int]("dims"))
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
-    val probes = (0 until tables).map { t =>
-        q.withColumn("t", lit(t))
-          .withColumn("bucket", srpBucketQuantized(col("qv"), planes, seed = t, dims))
-      }.reduce(_.unionByName(_))
+    val probes = queries
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        posexplode(srpBucketsAll(col("qv"), planes, tables, dims)).as(Seq("t", "bucket")))
       .transform(Materialize.once) // read twice: partition list + join
     // control-plane: ≤ |queries|·tables (t, bucket) values
     val probed = probes.select("t", "bucket").distinct()
@@ -288,22 +286,40 @@ object Similarity {
       k)
   }
 
+  /** All `tables` bucket keys of a vector in one projection —
+    * `posexplode` it into (t, bucket) rows so multi-table LSH costs ONE
+    * pass over the source instead of a union of per-table scans. Bucket
+    * bits are identical to calling [[srpBucketQuantized]] per table. */
+  private def srpBucketsAll(vec: org.apache.spark.sql.Column, planes: Int,
+                            tables: Int, dims: Int): org.apache.spark.sql.Column =
+    array((0 until tables).map(t =>
+      srpBucketQuantized(vec, planes, seed = t, dims)): _*)
+
   /** [[srpTopK]] over integer-quantized vectors (floor(x·10⁶)): buckets
     * and cosines are exact integer arithmetic, so results are
     * bit-identical across engines and partition counts — the
     * oracle-checkable form (q32). `dims` should be the true vector
-    * dimensionality so the hyperplane literals stay small. */
+    * dimensionality so the hyperplane literals stay small.
+    *
+    * The corpus is scanned and quantized ONCE: all `tables` bucket keys
+    * are computed in a single projection and fanned out with
+    * `posexplode`, and the (tiny by contract) query side is broadcast —
+    * one equi-join on (t, bucket) instead of `tables` separate
+    * scan+join branches. */
   def srpTopKQuantized(queries: DataFrame, corpus: DataFrame, idCol: String,
                        vecCol: String, k: Int, planes: Int = 10,
                        tables: Int = 4, dims: Int = 512): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
-    val c = fanOut(corpus).select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
-    val cands = (0 until tables).map { t =>
-      val qb = q.withColumn("bucket", srpBucketQuantized(col("qv"), planes, seed = t, dims))
-      val cb = c.withColumn("bucket", srpBucketQuantized(col("cv"), planes, seed = t, dims))
-      qb.join(cb, Seq("bucket")).select(col("query_id"), col("qv"),
-        col("neighbor_id"), col("cv"))
-    }.reduce(_.unionByName(_)).distinct()
+    val qb = queries
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        posexplode(srpBucketsAll(col("qv"), planes, tables, dims)).as(Seq("t", "bucket")))
+    val cb = fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"), col("cv"),
+        posexplode(srpBucketsAll(col("cv"), planes, tables, dims)).as(Seq("t", "bucket")))
+    val cands = cb.join(broadcast(qb), Seq("t", "bucket"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .distinct() // a pair found by several tables ranks once
     rankCandidatesQuantized(cands, k)
   }
 

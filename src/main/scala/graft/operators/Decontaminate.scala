@@ -58,4 +58,29 @@ object Decontaminate {
       .select(col(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** SUBSTRING-level contamination — exact verbatim-span detection, the
+    * stricter sibling of the word-n-gram probe (catches spans that
+    * tokenization would split differently, e.g. punctuation-fused
+    * benchmark answers). Returns (idCol, span_id) for every document
+    * containing `spans(span_id)` as a raw substring.
+    *
+    * The span set rides along as a constant inside one compiled
+    * Rabin–Karp pass (o.a.s.sql.graft.MultiPatternMatch): the corpus
+    * is scanned once with zero shuffle and per-row cost
+    * O(|text| · distinct-span-lengths), not O(|text| · spans) — the
+    * shape that survives a benchmark suite of thousands of spans. Spans
+    * are driver-side by contract (an eval suite, not a corpus); empty
+    * spans are rejected by the expression. */
+  def substringMatches(train: DataFrame, idCol: String, textCol: String,
+                       spans: Seq[(Long, String)]): DataFrame = {
+    require(spans.nonEmpty, "need at least one span")
+    val ids = spans.map(_._1).toArray
+    fanOut(train)
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graft.MultiPatternMatch(
+          col(textCol), spans.map(_._2))).as("__pi"))
+      .select(col(idCol),
+        element_at(lit(ids), col("__pi") + 1).as("span_id"))
+  }
 }

@@ -263,4 +263,49 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** Corpus-level PARAGRAPH dedup — the sub-document hygiene pass (à la
+    * C4/Dolma) that strips boilerplate repeated across pages: split
+    * every document on `sep`, keep only the globally FIRST occurrence
+    * of each distinct paragraph (first = minimal (id, position) — total
+    * and engine-independent), and reassemble documents preserving
+    * original paragraph order. Returns one row per input document:
+    * (idCol, n_paras, n_kept, textCol rebuilt from the kept
+    * paragraphs; "" when every paragraph was claimed elsewhere).
+    *
+    * Scale shape: one shuffle keyed on the 128-bit paragraph
+    * fingerprint to elect keepers (paragraph text never travels — only
+    * fingerprint + (id, idx)), a fingerprint-keyed join back, and one
+    * doc-keyed shuffle to reassemble. No pairwise comparisons, no
+    * driver-side state. Null-text documents contribute no paragraphs
+    * and report n_paras = 0. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    val paras = fanOut(df)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__idx", "__para")))
+      .withColumn("__fp", md5(col("__para")))
+      .transform(Materialize.once) // read by keeper election AND join-back
+    val keepers = paras
+      .groupBy("__fp")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__keep"))
+    val kept = paras.join(keepers, Seq("__fp"))
+      .filter(col("__id") === col("__keep.__id") &&
+        col("__idx") === col("__keep.__idx"))
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__idx"), col("__para")))),
+            p => p.getField("__para")), sep).as("__text"))
+    val totals = paras.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_paras"))
+    df.select(col(idCol))
+      .join(totals.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__text"), lit("")).as(textCol))
+  }
 }

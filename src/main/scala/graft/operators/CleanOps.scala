@@ -65,6 +65,29 @@ object CleanOps {
     regexp_replace(nlRun, EdgePattern, "")
   }
 
+  /** HTML/XML tags (including attributes) — boilerplate markup left by
+    * web extraction. Deliberately simple tag-shaped regex: real HTML
+    * parsing is an extraction concern; this is the salvage pass for
+    * text that mostly escaped it. */
+  val TagPattern: String = "<[^>]*>"
+
+  /** The HTML character entities worth decoding in cleaned text, in
+    * apply order — `&amp;` LAST so `&amp;lt;` decodes to the literal
+    * `&lt;` (one level, exactly like a browser). Shared with the DuckDB
+    * oracle, which replays the same replace chain. */
+  val Entities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+    "&amp;" -> "&")
+
+  /** Strip markup: tags → a space (so `a<br>b` stays two words), then
+    * decode the common entities. Compose with [[cleanText]] to collapse
+    * the leftover whitespace. */
+  def stripHtml(text: Column): Column =
+    Entities.foldLeft(regexp_replace(text, TagPattern, " ")) {
+      case (c, (entity, repl)) => replace(c, lit(entity), lit(repl))
+    }
+
   /** The standard cleaning pipeline: NFC → newline canonicalization →
     * control strip → whitespace collapse → NFC again. The second
     * normalize is what makes the pipeline idempotent: stripping a

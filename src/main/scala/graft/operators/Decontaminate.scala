@@ -59,6 +59,47 @@ object Decontaminate {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** FUZZY contamination — near-duplicate pairs BETWEEN corpora
+    * (train × test), the MinHash-LSH sibling of the exact n-gram probe:
+    * catches test documents that were lightly edited before landing in
+    * the training set, which share most-but-not-all n-grams and can
+    * slip under an exact-overlap threshold. Returns
+    * (train_id, test_id, jaccard) for pairs with exact shingle-set
+    * Jaccard ≥ `threshold` among LSH band-collision candidates — the
+    * same signature/band/verify contract as `Dedup.minhashDuplicates`,
+    * but joined across corpora instead of self-joined.
+    *
+    * Scale shape: each corpus is shingled ONCE; band keys are a
+    * compiled zero-shuffle projection; the (small by contract) test
+    * side's bands and shingle sets are broadcast, so the train corpus
+    * is never shuffled — candidates and their verify rows are the only
+    * moving data. `broadcastTest = false` degrades to shuffle joins for
+    * a holdout corpus too large to broadcast. */
+  def nearDuplicateReport(train: DataFrame, test: DataFrame, idCol: String,
+                          textCol: String, threshold: Double,
+                          shingleSize: Int = 3, bands: Int = 8,
+                          rowsPerBand: Int = 2,
+                          broadcastTest: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (broadcastTest) broadcast(df) else df
+    val shTrain = Materialize.once(
+      Dedup.shingleSets(train, idCol, textCol, shingleSize))
+    val shTest = Materialize.once(
+      Dedup.shingleSets(test, idCol, textCol, shingleSize))
+    val cands = Dedup.bandedKeys(shTrain, bands, rowsPerBand)
+      .join(bc(Dedup.bandedKeys(shTest, bands, rowsPerBand)
+        .withColumnRenamed("id", "test_id")), Seq("band", "key"))
+      .select(col("id").as("train_id"), col("test_id"))
+      .distinct()
+    cands
+      .join(shTrain.select(col("id").as("train_id"), col("sh").as("sh_a")),
+        Seq("train_id"))
+      .join(bc(shTest.select(col("id").as("test_id"), col("sh").as("sh_b"))),
+        Seq("test_id"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("train_id"), col("test_id"), col("jaccard"))
+  }
+
   /** SUBSTRING-level contamination — exact verbatim-span detection, the
     * stricter sibling of the word-n-gram probe (catches spans that
     * tokenization would split differently, e.g. punctuation-fused

@@ -71,25 +71,32 @@ object Dedup {
     * the dominant per-row cost of every MinHash/Jaccard operator, so
     * callers that need it twice (signature pass + verify pass)
     * materialize this ONCE via localCheckpoint. */
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
-                          shingleSize: Int): DataFrame =
+  private[operators] def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                                     shingleSize: Int): DataFrame =
     fanOut(df).select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
 
-  /** Band-collision candidate pairs from a pre-computed (id, sh) frame.
-    * Signatures are a compiled per-row projection (zero shuffle — see
-    * MinhashSignature); docs with no shingles drop out, mirroring the
-    * oracle's len>0 filter. */
-  private def minhashCandidatesFromShingles(sh: DataFrame, bands: Int,
-                                            rowsPerBand: Int): DataFrame = {
+  /** (id, band, key) LSH band keys from a pre-computed (id, sh) frame —
+    * the blocking side of every MinHash operator (self-join dedup here,
+    * cross-corpus probe in Decontaminate). Signatures are a compiled
+    * per-row projection (zero shuffle — see MinhashSignature); docs
+    * with no shingles drop out, mirroring the oracle's len>0 filter. */
+  private[operators] def bandedKeys(sh: DataFrame, bands: Int,
+                                    rowsPerBand: Int): DataFrame = {
     val n = bands * rowsPerBand
     val sig = sh.filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), n).as("sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("sig"), b, rowsPerBand).as("key"))
     }
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Band-collision candidate pairs from a pre-computed (id, sh) frame. */
+  private def minhashCandidatesFromShingles(sh: DataFrame, bands: Int,
+                                            rowsPerBand: Int): DataFrame = {
+    val banded = bandedKeys(sh, bands, rowsPerBand)
       .transform(Materialize.once) // read twice by the self-join; computed once
     val a = banded.as("a")
     val b = banded.as("b")
@@ -100,7 +107,7 @@ object Dedup {
   }
 
   /** Exact Jaccard between two documents' shingle sets. */
-  private def jaccard(sa: Column, sb: Column): Column = {
+  private[operators] def jaccard(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb))
     val uni = size(array_union(sa, sb))
     when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))

@@ -90,11 +90,47 @@ object HygieneQueries {
       .orderBy("doc_id", "span_id")
   }
 
+  /** Fuzzy (MinHash-LSH) cross-corpus decontamination: the "test set"
+    * is every 13th document with its first token dropped — a light
+    * edit that defeats exact matching but keeps Jaccard high. Each
+    * test doc must surface its source (and any true near-dups). */
+  val q69FuzzyDecontam: Q = (s, d) => {
+    val train = docs(s, d).select(col("doc_id"), col("text"))
+    val test = docs(s, d).filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    Decontaminate.nearDuplicateReport(train, test, "doc_id", "text",
+      threshold = 0.5)
+      .orderBy("train_id", "test_id")
+  }
+
+  /** The HTML suffix planted by q70 — entities in both single and
+    * double depth (`&amp;amp;` must decode exactly one level). */
+  private val HtmlPrefix = """<html><body class="main"><p>"""
+  private val HtmlSuffix =
+    """</p><br><div id='f'>footer &amp;amp; more&nbsp;&lt;end&gt; """ +
+      """&quot;q&quot; &#39;a&#39;</div></body></html>"""
+
+  /** HTML boilerplate strip + entity decode + full clean, end-to-end
+    * hash-matched. */
+  val q70HtmlStrip: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        concat(lit(HtmlPrefix), col("text"), lit(HtmlSuffix)).as("page"))
+      .select(col("doc_id"),
+        CleanOps.cleanText(CleanOps.stripHtml(col("page"))).as("clean"))
+      .select(col("doc_id"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q65_unicode_clean" -> q65UnicodeClean,
     "q66_paragraph_dedup" -> q66ParagraphDedup,
     "q67_vocab_oov" -> q67VocabOov,
     "q68_substring_contam" -> q68SubstringContam,
+    "q69_fuzzy_decontam" -> q69FuzzyDecontam,
+    "q70_html_strip" -> q70HtmlStrip,
   )
 
   // ------------------------------------------------------------- oracles
@@ -123,7 +159,59 @@ object HygieneQueries {
 
   private val tok = """regexp_split_to_array(trim(text), '\s+')"""
 
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** regexp_replace + replace chain = CleanOps.stripHtml, generated
+    * from the same Entities table (single definition of the decode
+    * order). */
+  private def stripHtmlSql(expr: String): String =
+    CleanOps.Entities.foldLeft(
+      s"regexp_replace($expr, '${CleanOps.TagPattern}', ' ', 'g')") {
+      case (acc, (entity, repl)) =>
+        s"replace($acc, ${sqlLit(entity)}, ${sqlLit(repl)})"
+    }
+
+  /** The MinHash signature / band-key CTE fragment for one corpus CTE
+    * named `src` — mirrors TextQueries.minhashPairCtes (bands=8,
+    * rowsPerBand=2, n=16, 3-token shingles), but parameterized so q69
+    * can instantiate it for train and test separately. */
+  private def minhashSigCtes(prefix: String, src: String): String = {
+    import TextQueries.{hx, minhashSigSql, shingles3, tok => ttok}
+    s"""${prefix}tok AS (SELECT doc_id AS id, $ttok AS ts FROM $src),
+       |${prefix}shraw AS (SELECT id, $shingles3 AS shr FROM ${prefix}tok),
+       |${prefix}sig AS (SELECT id, list_distinct(shr) AS sh,
+       |  ${minhashSigSql("list_transform(list_distinct(shr), s -> " + hx("s") + " % 2147483647)", 16)} AS sig
+       |  FROM ${prefix}shraw WHERE len(shr) > 0),
+       |${prefix}band AS (SELECT id, band,
+       |  md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS key
+       |  FROM ${prefix}sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS band) b)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q69_fuzzy_decontam" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |test AS (SELECT doc_id + 1000000 AS doc_id,
+         |  regexp_replace(text, '^\\S+\\s+', '') AS text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |${minhashSigCtes("tr", "train")},
+         |${minhashSigCtes("te", "test")},
+         |cands AS (SELECT DISTINCT tr.id AS train_id, te.id AS test_id
+         |  FROM trband tr JOIN teband te ON tr.band = te.band AND tr.key = te.key),
+         |pairs AS (SELECT train_id, test_id,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+         |  FROM cands JOIN trsig sa ON cands.train_id = sa.id
+         |  JOIN tesig sb ON cands.test_id = sb.id)
+         |SELECT train_id, test_id, jaccard FROM pairs WHERE jaccard >= 0.5
+         |ORDER BY train_id, test_id""".stripMargin,
+    "q70_html_strip" -> {
+      val pageSql = s"${sqlLit(HtmlPrefix)} || text || ${sqlLit(HtmlSuffix)}"
+      s"""WITH page AS (SELECT doc_id, $pageSql AS page FROM documents),
+         |clean AS (SELECT doc_id, ${cleanSql(stripHtmlSql("page"))} AS clean FROM page)
+         |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+         |  md5(clean) AS clean_md5
+         |FROM clean ORDER BY doc_id""".stripMargin
+    },
     "q65_unicode_clean" ->
       s"""WITH dirty AS (SELECT doc_id,
          |  chr(65279) || text || $dirtySuffixSql AS dirty FROM documents),

@@ -315,11 +315,11 @@ object TextQueries {
 
   // shared SQL fragments -------------------------------------------------
   /** Portable hash: first 8 md5 hex chars as BIGINT. */
-  private def hx(e: String) =
+  private[queries] def hx(e: String) =
     s"CAST(CAST(('0x' || substr(md5($e), 1, 8)) AS UBIGINT) AS BIGINT)"
-  private val tok = """regexp_split_to_array(trim(text), '\s+')"""
+  private[queries] val tok = """regexp_split_to_array(trim(text), '\s+')"""
   /** 3-token shingles from a token array `ts`. */
-  private val shingles3 =
+  private[queries] val shingles3 =
     """[array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]"""
   private val corpusNearSql =
     """SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '') FROM documents WHERE doc_id % 10 = 0"""
@@ -332,7 +332,7 @@ object TextQueries {
     import graft.functions.TextFunctions.{minhashA, minhashB, MinhashP}
     s"list_aggregate(list_transform($hs, h -> (h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP), 'min')"
   }
-  private def minhashSigSql(hs: String, n: Int): String =
+  private[queries] def minhashSigSql(hs: String, n: Int): String =
     (0 until n).map(i => minhashMinSql(hs, i)).mkString("[", ", ", "]")
 
   /** The full q24 MinHash-LSH pipeline as a CTE chain ending in

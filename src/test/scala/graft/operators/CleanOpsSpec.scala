@@ -64,6 +64,25 @@ class CleanOpsSpec extends SparkSpec {
     assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
   }
 
+  test("stripHtml removes tags and decodes entities one level") {
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(CleanOps.stripHtml(col("t"))).as[String].head()
+    assert(strip("<p>a</p><br/>b") == " a  b")
+    assert(strip("""<div id='x' class="y z">t</div>""") == " t ")
+    assert(strip("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;done") ==
+      """a <tag> "q" 's'  done""")
+    // double-encoded decodes exactly ONE level (&amp; applied last)
+    assert(strip("&amp;amp; &amp;lt;") == "&amp; &lt;")
+    assert(strip("no markup at all") == "no markup at all")
+  }
+
+  test("stripHtml composed with cleanText yields tidy text") {
+    val got = Seq("<html><body><p>hello   world</p><br></body></html>")
+      .toDF("t")
+      .select(CleanOps.cleanText(CleanOps.stripHtml(col("t")))).as[String].head()
+    assert(got == "hello world")
+  }
+
   test("null text stays null; empty stays empty") {
     val got = Seq(Some("x"), None).toDF("t")
       .select(CleanOps.cleanText(col("t"))).as[Option[String]].collect().toSeq

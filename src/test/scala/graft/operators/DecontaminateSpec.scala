@@ -37,4 +37,42 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  // ---------------------------------------------- fuzzy (MinHash) probe
+
+  private lazy val fuzzyTrain = Seq(
+    (1L, "one two three four five six seven eight"),
+    (2L, "totally unrelated words about other things here"),
+    (3L, "one two three four five six seven eight nine") // near-dup of 1
+  ).toDF("doc_id", "text")
+
+  test("nearDuplicateReport surfaces edited copies across corpora") {
+    // test doc = train doc 1 with one word changed at the end
+    val fuzzyTest = Seq((100L, "one two three four five six seven NINE"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.nearDuplicateReport(
+      fuzzyTrain, fuzzyTest, "doc_id", "text", threshold = 0.4,
+      bands = 8, rowsPerBand = 2)
+      .select("train_id", "test_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 100L)))       // the edited source
+    assert(!got.exists(_._1 == 2L))        // the unrelated doc stays clean
+    val shuffled = Decontaminate.nearDuplicateReport(
+      fuzzyTrain, fuzzyTest, "doc_id", "text", threshold = 0.4,
+      bands = 8, rowsPerBand = 2, broadcastTest = false)
+      .select("train_id", "test_id").as[(Long, Long)].collect().toSet
+    assert(shuffled == got)
+  }
+
+  test("nearDuplicateReport jaccard agrees with the exact set jaccard") {
+    val fuzzyTest = Seq((100L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text") // identical to train doc 1
+    val got = Decontaminate.nearDuplicateReport(
+      fuzzyTrain, fuzzyTest, "doc_id", "text", threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got((1L, 100L)) == 1.0)
+    // doc 3 shares 6 of its 7 3-shingles with the 6-shingle test doc:
+    // |inter|=6, |union|=7 -> 6/7
+    assert(math.abs(got((3L, 100L)) - 6.0 / 7.0) < 1e-15)
+  }
 }

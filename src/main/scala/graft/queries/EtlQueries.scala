@@ -507,7 +507,31 @@ object EtlQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Range (point-in-interval) join via the bin-join rewrite: per
+    * order, the number of distinct corpus-wide ship DAYS that fall in
+    * its deterministic fulfillment window [orderdate, orderdate + 1 +
+    * orderkey%14 days). The naive inequality join is a nested loop /
+    * cartesian; RangeJoin makes it a hash equi-join on 7-day bins with
+    * an exact residual — same rows, scale-safe plan (RangeJoinSpec
+    * proves bin-width independence). Dates compare as epoch days in
+    * Spark and as native DATEs in DuckDB — identical order under UTC. */
+  val q71RangeJoin: Q = (s, d) => {
+    val orders = t(s, d, "orders").select(
+      col("o_orderkey"),
+      unix_date(to_date(col("o_orderdate"))).cast("long").as("win_start"))
+      .withColumn("win_end", col("win_start") + 1 + pmod(col("o_orderkey"), lit(14)))
+    val shipDays = t(s, d, "lineitem")
+      .select(unix_date(to_date(col("l_shipdate"))).cast("long").as("ship_day"))
+      .distinct()
+    graft.operators.RangeJoin.intervalPointJoin(
+        orders, shipDays, "win_start", "win_end", "ship_day", binWidth = 7L)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_ship_days"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q71_range_join" -> q71RangeJoin,
     "q49_salted_sum" -> q49SaltedSum,
     "q34_json_flatten" -> q34JsonFlatten,
     "q46_asof_join" -> q46AsofJoin,
@@ -572,6 +596,14 @@ object EtlQueries {
     // single-phase exact sum — the salted two-phase plan must equal it
     "q49_salted_sum" ->
       """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS count FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q71_range_join" ->
+      """WITH w AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ws,
+        |  CAST(o_orderdate AS DATE) + CAST(1 + o_orderkey % 14 AS INTEGER) AS we
+        |  FROM orders),
+        |days AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS ship_day FROM lineitem)
+        |SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_ship_days
+        |FROM w JOIN days ON ship_day >= ws AND ship_day < we
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "q35_left_join_histogram" ->
       """SELECT n_orders, count(*) AS n_customers FROM (SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC""",
     "q36_distinct_counts" ->

@@ -93,7 +93,30 @@ class PlanAuditSpec extends SparkSpec {
   test("no query plans a cartesian product") {
     // cross joins in this library are always broadcast-bounded
     for (name <- Seq("q24_minhash_dedup", "q26_simhash_dedup",
-        "q27_ngram_jaccard", "q29_embedding_pairs", "q48_embedding_lsh"))
+        "q27_ngram_jaccard", "q29_embedding_pairs", "q48_embedding_lsh",
+        "q69_fuzzy_decontam"))
       assert(!plan(name).contains("CartesianProduct"), s"$name")
+  }
+
+  test("hygiene queries prune the documents scan and stay shuffle-lean") {
+    // q65/q70 are pure per-row projections: no Exchange anywhere before
+    // the final presentation sort
+    for (name <- Seq("q65_unicode_clean", "q70_html_strip")) {
+      val p = plan(name)
+      assert(!p.contains("n_chars") && !p.contains("lang"),
+        s"$name lost column pruning:\n$p")
+      assert(!p.split("Sort", 2)(0).contains("Exchange"),
+        s"$name shuffles before its presentation sort:\n$p")
+    }
+    // q32 single-scan SRP: exactly one scan of embeddings on the corpus
+    // side plus one on the (broadcast) query side
+    val p32 = plan("q32_ann_srp")
+    val scans = "Scan parquet".r.findAllIn(p32).size
+    assert(scans <= 2, s"q32 scans embeddings $scans times:\n$p32")
+  }
+
+  test("q67/q69: the small probe side broadcasts") {
+    assert(plan("q67_vocab_oov").contains("BroadcastHashJoin"))
+    assert(plan("q69_fuzzy_decontam").contains("BroadcastHashJoin"))
   }
 }

@@ -165,4 +165,28 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out(1L).sessionCount == 2 && out(1L).events == 3)
     assert(out(2L).sessionCount == 1)
   }
+
+  test("hygiene cleaning (NFC + HTML strip) runs inside a streaming query") {
+    import graft.operators.CleanOps
+    import org.apache.spark.sql.functions._
+    // cleanText/stripHtml are stateless projections (compiled
+    // expressions + regexp_replace), so they must compose with any
+    // streaming source with no extra output mode constraints
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String)](spark)
+    val cleaned = docs.toDF().toDF("doc_id", "page")
+      .select(col("doc_id"),
+        CleanOps.cleanText(CleanOps.stripHtml(col("page"))).as("text"))
+    assert(cleaned.isStreaming)
+    val q = cleaned.writeStream.format("memory").queryName("clean_docs")
+      .outputMode("append").start()
+    docs.addData(
+      (1L, "<p>cafe\u0301   one</p>"),
+      (2L, "plain &amp; simple\r\n"))
+    q.processAllAvailable()
+    val out = spark.table("clean_docs").orderBy("doc_id")
+      .select("text").as[String].collect().toSeq
+    assert(out == Seq("caf\u00e9 one", "plain & simple"))
+    q.stop()
+  }
 }

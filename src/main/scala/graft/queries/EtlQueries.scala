@@ -452,6 +452,37 @@ object EtlQueries {
       .orderBy("order_date")
   }
 
+  /** RANGE-frame moving window (7 calendar days, not 7 rows): trailing
+    * revenue per day keyed on epoch-day so the frame bound is a value
+    * range — days absent from the data correctly shrink the window,
+    * which a ROWS frame gets wrong. Decimal accumulation, double only
+    * at presentation. */
+  val q72MovingWindow: Q = (s, d) => {
+    val daily = t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      .withColumn("day", unix_date(col("order_date")).cast("long"))
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    daily.select(col("order_date"),
+        col("rev").cast("double").as("revenue"),
+        sum(col("rev")).over(w).cast("double").as("trailing_7d"),
+        count(lit(1)).over(w).as("days_in_window"))
+      .orderBy("order_date")
+  }
+
+  /** CUBE aggregate with grouping_id: all four (status × priority)
+    * grouping combinations in one pass — the OLAP subtotal lattice.
+    * The grouping id disambiguates a NULL key from an aggregated-out
+    * key. */
+  val q73Cube: Q = (s, d) =>
+    t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy("gid", "o_orderstatus", "o_orderpriority")
+
   /** Per-user purchase deltas via lag/lead — the bounded-frame window
     * shape (state per partition key only; no global sort). Gaps in
     * exact integer micros; value deltas are double-minus-double of
@@ -539,6 +570,8 @@ object EtlQueries {
     "q41_rollup" -> q41Rollup,
     "q44_running_total" -> q44RunningTotal,
     "q45_median" -> q45Median,
+    "q72_moving_window" -> q72MovingWindow,
+    "q73_cube" -> q73Cube,
     "q35_left_join_histogram" -> q35LeftJoinHistogram,
     "q36_distinct_counts" -> q36DistinctCounts,
     "q37_large_orders" -> q37LargeOrders,
@@ -591,6 +624,24 @@ object EtlQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS BIGINT) AS gid FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY gid, coalesce(o_orderstatus, '~'), coalesce(o_orderpriority, '~')""",
     "q44_running_total" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS order_date, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1) SELECT order_date, CAST(rev AS DOUBLE) AS revenue, CAST(sum(rev) OVER (ORDER BY order_date ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue FROM daily ORDER BY order_date""",
+    "q72_moving_window" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+        |  CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day
+        |  FROM orders GROUP BY 1, 3)
+        |SELECT order_date, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(sum(rev) OVER w AS DOUBLE) AS trailing_7d,
+        |  CAST(count(*) OVER w AS BIGINT) AS days_in_window
+        |FROM daily
+        |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY order_date""".stripMargin,
+    "q73_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
     "q45_median" ->
       """SELECT o_orderstatus, CAST(median(o_totalprice) AS DOUBLE) AS median_price, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // single-phase exact sum — the salted two-phase plan must equal it

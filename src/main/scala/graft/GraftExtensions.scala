@@ -72,7 +72,14 @@ object GraftExtensions {
     ("graft_domain", "https? host of a url ('' when no match)",
       (e: Seq[Expression]) => x(graft.operators.QualityOps.extractDomain(c(e(0))))),
     ("graft_quality_score", "composite [0,1] text quality heuristic",
-      (e: Seq[Expression]) => x(TF.qualityScore(c(e(0))))))
+      (e: Seq[Expression]) => x(TF.qualityScore(c(e(0))))),
+    ("graft_nfc", "Unicode NFC normalization (compiled, fast no-op path)",
+      (e: Seq[Expression]) =>
+        new org.apache.spark.sql.graft.UnicodeNormalize(e(0), "NFC")),
+    ("graft_clean_text", "full cleaning pipeline: NFC, control strip, ws collapse",
+      (e: Seq[Expression]) => x(graft.operators.CleanOps.cleanText(c(e(0))))),
+    ("graft_strip_html", "tag strip + one-level HTML entity decode",
+      (e: Seq[Expression]) => x(graft.operators.CleanOps.stripHtml(c(e(0))))))
 
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

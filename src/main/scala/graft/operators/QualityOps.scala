@@ -10,6 +10,34 @@ import graft.functions.TextFunctions.wordShingles
   */
 object QualityOps {
 
+  /** Per-doc n-gram NOVELTY against the corpus: how many of a
+    * document's distinct shingles appear in NO lower-id document —
+    * the "how much new text does this doc add" curation signal (docs
+    * that only restate earlier content score 0 and are crawl-dup /
+    * boilerplate suspects). Ordering by id makes the metric
+    * deterministic and engine-independent; any total order column
+    * works. Returns (idCol, n_shingles, n_novel) for EVERY input doc
+    * (0/0 when too short to shingle).
+    *
+    * Scale shape: one explode + one shuffle keyed on the shingle for
+    * the first-seen election (min id — an associative aggregate with
+    * map-side partials), one join back keyed the same way, one per-doc
+    * count. No pairwise doc comparisons. */
+  def noveltyProfile(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame = {
+    val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        explode(array_distinct(wordShingles(col(textCol), n))).as("__sh"))
+    val firstSeen = sh.groupBy("__sh").agg(min(col(idCol)).as("__first"))
+    val stats = sh.join(firstSeen, Seq("__sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_shingles", "n_novel"))
+  }
+
   /** Per-doc word-n-gram repetition profile: total grams, distinct
     * grams, the hottest gram's frequency, and the duplicate-gram ratio
     * `(total - distinct) / total` (the "repetition fraction" filters

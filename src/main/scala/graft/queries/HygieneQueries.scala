@@ -124,6 +124,27 @@ object HygieneQueries {
         md5(col("clean")).as("clean_md5"))
       .orderBy("doc_id")
 
+
+  /** Corpus novelty profile: distinct 3-shingles per doc vs shingles
+    * first seen in a lower-id doc — the crawl-dup/boilerplate signal. */
+  val q75Novelty: Q = (s, d) =>
+    graft.operators.QualityOps.noveltyProfile(docs(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Decile binning by token count (ntile over a deterministic total
+    * order): the curriculum/difficulty bucketing shape. The global
+    * window is presentation-sized here; at corpus scale the same
+    * binning runs from broadcast quantile cutoffs instead. */
+  val q74QualityBins: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q65_unicode_clean" -> q65UnicodeClean,
     "q66_paragraph_dedup" -> q66ParagraphDedup,
@@ -131,6 +152,8 @@ object HygieneQueries {
     "q68_substring_contam" -> q68SubstringContam,
     "q69_fuzzy_decontam" -> q69FuzzyDecontam,
     "q70_html_strip" -> q70HtmlStrip,
+    "q74_quality_bins" -> q74QualityBins,
+    "q75_novelty" -> q75Novelty,
   )
 
   // ------------------------------------------------------------- oracles
@@ -188,6 +211,24 @@ object HygieneQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q74_quality_bins" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($tok) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS decile
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q75_novelty" -> {
+      import TextQueries.{shingles3, tok => ttok}
+      s"""WITH tk AS (SELECT doc_id, $ttok AS ts FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle FROM tk),
+         |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+         |st AS (SELECT sh.doc_id, count(*) AS n_shingles,
+         |  sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+         |  FROM sh JOIN fs USING (shingle) GROUP BY sh.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(st.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(st.n_novel, 0) AS BIGINT) AS n_novel
+         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "q69_fuzzy_decontam" ->
       s"""WITH train AS (SELECT doc_id, text FROM documents),
          |test AS (SELECT doc_id + 1000000 AS doc_id,

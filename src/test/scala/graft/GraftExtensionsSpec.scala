@@ -66,4 +66,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(groups.head.getAs[Long]("n") == 2)
     assert(groups.head.getAs[Long]("canon") == 1L)
   }
+
+  test("hygiene functions work from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_nfc('café') AS nfc, " +
+        "graft_clean_text('  a​  b\r\n\r\n\r\nc ') AS ct, " +
+        "graft_strip_html('<p>x &amp; y</p>') AS sh").head()
+    assert(r.getAs[String]("nfc") == "caf\u00e9")
+    assert(r.getAs[String]("ct") == "a b\n\nc")
+    assert(r.getAs[String]("sh") == " x & y ")
+  }
 }

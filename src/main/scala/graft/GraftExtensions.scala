@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans graft's TopKPerKeyPlan logical
     // node as a two-phase bounded-heap physical operator
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
+    // optimizer rewrite: inequality-only range joins → bin equi-joins
+    ext.injectOptimizerRule(s => org.apache.spark.sql.graft.RangeBinJoinRule(s))
   }
 }
 
@@ -87,5 +89,10 @@ object GraftExtensions {
       B.registerTemp(spark, name, builder)
     }
     org.apache.spark.sql.graft.TopKPerKey.ensureStrategy(spark)
+    val rule = org.apache.spark.sql.graft.RangeBinJoinRule(spark)
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.RangeBinJoinRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
   }
 }

@@ -22,7 +22,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // full SQL surface (17 graft_* functions) + the TopKPerKey
+      // full SQL surface (20 graft_* functions + long_array_dot), the
+      // RangeBinJoin optimizer rewrite, and the TopKPerKey
       // planner strategy, wired at session build
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
 

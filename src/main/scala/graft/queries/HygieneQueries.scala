@@ -145,6 +145,25 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+
+  /** The HYGIENE pipeline composed end-to-end — what a web-corpus
+    * preparation job actually runs: HTML strip → unicode clean →
+    * paragraph dedup (boilerplate removal) → length gate → reproducible
+    * split. Row-level oracle across the whole chain. */
+  val q76HygienePipeline: Q = (s, d) => {
+    val pages = paraDocs(s, d).select(col("doc_id"),
+      concat(lit(HtmlPrefix), col("text"), lit(HtmlSuffix)).as("page"))
+    val cleaned = pages.select(col("doc_id"),
+      CleanOps.cleanText(CleanOps.stripHtml(col("page"))).as("text"))
+    val deduped = Dedup.paragraphDedup(cleaned, "doc_id", "text", ParaSep)
+    val gated = deduped.filter(col("n_kept") >= 2)
+    graft.operators.Sampling.assignSplit(gated, "doc_id",
+      Seq("train" -> 0.9, "holdout" -> 0.1), seed = 4)
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("split"),
+        md5(col("text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q65_unicode_clean" -> q65UnicodeClean,
     "q66_paragraph_dedup" -> q66ParagraphDedup,
@@ -154,6 +173,7 @@ object HygieneQueries {
     "q70_html_strip" -> q70HtmlStrip,
     "q74_quality_bins" -> q74QualityBins,
     "q75_novelty" -> q75Novelty,
+    "q76_hygiene_pipeline" -> q76HygienePipeline,
   )
 
   // ------------------------------------------------------------- oracles
@@ -211,6 +231,36 @@ object HygieneQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q76_hygiene_pipeline" -> {
+      val pageSql = s"${sqlLit(HtmlPrefix)} || text || ${sqlLit(HtmlSuffix)}"
+      s"""WITH built AS (SELECT doc_id,
+         |  text || $sepSql || '$Boilerplate' || $sepSql ||
+         |  'footer block ' || CAST(doc_id % 7 AS VARCHAR) || $sepSql ||
+         |  substr(text, 1, 40) AS text FROM documents),
+         |page AS (SELECT doc_id, $pageSql AS page FROM built),
+         |cleaned AS (SELECT doc_id, ${cleanSql(stripHtmlSql("page"))} AS ctext FROM page),
+         |splits AS (SELECT doc_id, string_split(ctext, $sepSql) AS parts FROM cleaned),
+         |paras AS (SELECT doc_id, unnest(
+         |  [struct_pack(idx := i - 1, para := parts[i])
+         |   for i in range(1, len(parts) + 1)], recursive := true) FROM splits),
+         |keep AS (SELECT doc_id, idx, para,
+         |  row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+         |  FROM paras),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(para, $sepSql ORDER BY idx) AS rebuilt
+         |  FROM keep WHERE rn = 1 GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
+         |ded AS (SELECT t.doc_id, t.n_paras, coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.rebuilt, '') AS rebuilt
+         |  FROM tot t LEFT JOIN agg a USING (doc_id)),
+         |gated AS (SELECT * FROM ded WHERE n_kept >= 2)
+         |SELECT doc_id, CAST(n_paras AS BIGINT) AS n_paras,
+         |  CAST(n_kept AS BIGINT) AS n_kept,
+         |  CASE WHEN CAST(${TextQueries.hx("'4:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < 0.9
+         |    THEN 'train' ELSE 'holdout' END AS split,
+         |  md5(rebuilt) AS clean_md5
+         |FROM gated ORDER BY doc_id""".stripMargin
+    },
     "q74_quality_bins" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($tok) AS BIGINT) AS n_tokens FROM documents)
          |SELECT doc_id, n_tokens,

@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned table persistence with time travel — the poor-man's
+  * lakehouse layer on top of [[AtomicTableWriter]]'s swap idea:
+  *
+  * {{{
+  *   <table>/_versions/v00000042/   immutable parquet snapshot
+  *   <table>/_CURRENT               pointer file: "42\n"
+  * }}}
+  *
+  * Every write lands a COMPLETE new snapshot under `_versions/` (tmp
+  * dir + atomic rename, so a version dir either fully exists or not at
+  * all) and then commits by atomically replacing the `_CURRENT`
+  * pointer. Readers resolve the pointer first — a crash mid-write
+  * leaves at worst an orphan version dir that no reader resolves, and
+  * a crash mid-commit (between pointer delete and rename — the one
+  * non-atomic window on filesystems without overwriting rename) is
+  * recovered by falling back to the NEWEST fully-landed version, with
+  * a warning. Single concurrent writer by contract (the reference was
+  * a single-driver pipeline; same as EtlRunLog).
+  *
+  * Retention keeps the last `keepVersions` snapshots, so recent
+  * history stays queryable ([[readVersion]]) for audits, diffs and
+  * rollback — storage cost is bounded and old snapshots are dropped
+  * only AFTER a successful commit. This is deliberately a pointer
+  * commit, not a transaction log: no concurrent writers, no row-level
+  * merges — those need a real table format; the value here is crash
+  * safety + time travel with nothing but a filesystem.
+  */
+object VersionedTable {
+
+  private val VersionsDir = "_versions"
+  private val Pointer = "_CURRENT"
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionDir(table: Path, v: Long) =
+    new Path(new Path(table, VersionsDir), f"v$v%08d")
+
+  /** Committed current version, resolving the pointer; falls back to
+    * the newest landed version (with a warning) if the pointer is
+    * missing but versions exist. */
+  def currentVersion(spark: SparkSession, tablePath: String): Option[Long] = {
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    val ptr = new Path(table, Pointer)
+    if (f.exists(ptr)) {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(f.open(ptr), "UTF-8"))
+      try Some(in.readLine().trim.toLong) finally in.close()
+    } else {
+      val vs = versions(spark, tablePath)
+      if (vs.isEmpty) None
+      else {
+        System.err.println(
+          s"[VersionedTable] $tablePath: pointer missing; recovering to v${vs.max}")
+        Some(vs.max)
+      }
+    }
+  }
+
+  /** All landed versions, oldest first (committed or orphaned). */
+  def versions(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    val dir = new Path(table, VersionsDir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d{8}"))
+      .map(_.drop(1).toLong)
+      .sorted
+  }
+
+  /** Write `df` as the next version and commit the pointer; returns
+    * the new version number. Old snapshots beyond `keepVersions` are
+    * pruned after the commit succeeds. */
+  def write(df: DataFrame, tablePath: String, keepVersions: Int = 3,
+            partitionBy: Seq[String] = Nil): Long = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val spark = df.sparkSession
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    val next = currentVersion(spark, tablePath).getOrElse(0L) + 1L
+    val dest = versionDir(table, next)
+    val tmp = new Path(dest.toString + ".__tmp")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    if (f.exists(dest)) f.delete(dest, true) // stale orphan from a crash
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"versioned write: cannot land $dest")
+    commitPointer(f, table, next)
+    // retention: drop everything older than the newest keepVersions
+    versions(spark, tablePath).dropRight(keepVersions)
+      .foreach(v => f.delete(versionDir(table, v), true))
+    next
+  }
+
+  private def commitPointer(f: org.apache.hadoop.fs.FileSystem,
+                            table: Path, v: Long): Unit = {
+    val ptr = new Path(table, Pointer)
+    val tmp = new Path(table, Pointer + ".__tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    if (f.exists(ptr)) f.delete(ptr, false)
+    if (!f.rename(tmp, ptr))
+      throw new java.io.IOException(s"versioned write: cannot commit $ptr")
+  }
+
+  /** The current snapshot, or None for a missing/empty table. */
+  def read(spark: SparkSession, tablePath: String): Option[DataFrame] =
+    currentVersion(spark, tablePath).flatMap(readVersion(spark, tablePath, _))
+
+  /** Time travel: a specific retained snapshot, or None if that
+    * version never existed or was pruned. */
+  def readVersion(spark: SparkSession, tablePath: String,
+                  version: Long): Option[DataFrame] = {
+    val table = new Path(tablePath)
+    val dir = versionDir(table, version)
+    if (fs(spark, table).exists(dir)) Some(spark.read.parquet(dir.toString))
+    else None
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("vt").resolve("t").toString
+
+  test("write/read roundtrip, versions advance, time travel works") {
+    val path = tmpTable()
+    assert(VersionedTable.read(spark, path).isEmpty)
+    assert(VersionedTable.write(Seq(1, 2).toDF("x"), path) == 1L)
+    assert(VersionedTable.write(Seq(3).toDF("x"), path) == 2L)
+    assert(VersionedTable.write(Seq(4, 5, 6).toDF("x"), path) == 3L)
+    assert(VersionedTable.currentVersion(spark, path).contains(3L))
+    assert(VersionedTable.read(spark, path).get
+      .as[Int].collect().sorted.toSeq == Seq(4, 5, 6))
+    assert(VersionedTable.readVersion(spark, path, 2L).get
+      .as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("retention prunes beyond keepVersions, current survives") {
+    val path = tmpTable()
+    for (i <- 1 to 5)
+      VersionedTable.write(Seq(i).toDF("x"), path, keepVersions = 2)
+    assert(VersionedTable.versions(spark, path) == Seq(4L, 5L))
+    assert(VersionedTable.readVersion(spark, path, 1L).isEmpty) // pruned
+    assert(VersionedTable.read(spark, path).get.as[Int].head() == 5)
+  }
+
+  test("missing pointer recovers to the newest landed version") {
+    val path = tmpTable()
+    VersionedTable.write(Seq(1).toDF("x"), path)
+    VersionedTable.write(Seq(2).toDF("x"), path)
+    // simulate a crash between pointer delete and rename
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_CURRENT"), false)
+    assert(VersionedTable.currentVersion(spark, path).contains(2L))
+    assert(VersionedTable.read(spark, path).get.as[Int].head() == 2)
+    // the next write repairs the pointer
+    assert(VersionedTable.write(Seq(3).toDF("x"), path) == 3L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_CURRENT")))
+  }
+
+  test("a stale orphan version dir from a crashed write is replaced") {
+    val path = tmpTable()
+    VersionedTable.write(Seq(1).toDF("x"), path)
+    // land an orphan v2 with no commit (simulated crash after rename)
+    val table = new org.apache.hadoop.fs.Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(99).toDF("x").write.parquet(s"$path/_versions/v00000002")
+    // pointer still says v1, so reads serve v1
+    assert(VersionedTable.read(spark, path).get.as[Int].head() == 1)
+    // next write claims v2 (pointer + 1), replacing the orphan
+    assert(VersionedTable.write(Seq(2).toDF("x"), path) == 2L)
+    assert(VersionedTable.read(spark, path).get.as[Int].head() == 2)
+  }
+
+  test("partitioned snapshots retain their layout") {
+    val path = tmpTable()
+    VersionedTable.write(
+      Seq((1, "a"), (2, "b")).toDF("x", "p"), path, partitionBy = Seq("p"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      path, "_versions/v00000001/p=a")))
+    assert(VersionedTable.read(spark, path).get.count() == 2)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency / cardinality sketches with PORTABLE hashing.
+  *
+  * At 100 TB the exact answer to "how often does key k appear" or "how
+  * many distinct keys are there" costs a full shuffle on the key; the
+  * sketch answer costs one map-side-combined aggregation into a few KB
+  * of counters that merge associatively across partitions, days, and
+  * clusters. Spark ships approx sketches (`approx_count_distinct`,
+  * `count_min_sketch`) but their state depends on engine-internal
+  * hashing (xxHash/Murmur) — useless for a cross-engine contract. These
+  * sketches hash with the md5-derived portable hash, so the EXACT
+  * counter/register table is reproducible anywhere (any partitioning,
+  * any engine) and the DuckDB oracle replays it bit-for-bit (q77/q78).
+  *
+  * Reference behavior: the reference has no sketches — its audits are
+  * exact Postgres counts (vivek-neenopal/shopify-etl merge jobs);
+  * these are the scale path for the same audit numbers.
+  *
+  * Both builds are plain `groupBy` aggregations: partial aggregation
+  * (map-side combine) happens automatically, so the shuffle carries at
+  * most `depth·width` (CMS) or `2^b` (HLL) rows per upstream partition
+  * — the sketch property, expressed declaratively instead of via a
+  * custom accumulator.
+  */
+object Sketches {
+
+  /** Two independent 60-bit hashes from ONE md5 pass (hex chars 1-15
+    * and 16-30): the Kirsch–Mitzenmacher base pair. One digest per
+    * element regardless of sketch depth — at scale, hashing is the
+    * whole map-side cost. */
+  private def h12(key: Column): (Column, Column) = {
+    val hex = md5(concat(lit("cms:"), key))
+    (conv(substring(hex, 1, 15), 16, 10).cast("long"),
+      conv(substring(hex, 16, 15), 16, 10).cast("long"))
+  }
+
+  /** Bucket of `key` on hash row i: (h1 + i·h2) mod width, with both
+    * terms pre-reduced mod width so the arithmetic never overflows.
+    * h2 is forced odd so that for power-of-two widths the per-row
+    * offsets cycle through distinct buckets. Shared by build and probe
+    * so the two can never drift. */
+  private def cmsBucket(key: Column, row: Column, width: Int): Column = {
+    val (h1, h2) = h12(key)
+    pmod(pmod(h1, lit(width.toLong)) +
+      row.cast("long") * (pmod(h2, lit(width.toLong)).bitwiseOR(lit(1L))),
+      lit(width.toLong))
+  }
+
+  /** Count-min sketch over a key column: `depth` hash rows of `width`
+    * counters. Returns the counter table (row, bucket, cnt) —
+    * `depth·width` rows max, small enough to broadcast, mergeable with
+    * a further groupBy-sum. */
+  def countMin(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1, width>=2 (got $depth x $width)")
+    df.select(col(keyCol).cast("string").as("k"))
+      .select(col("k"), explode(lit((0 until depth).toArray)).as("row"))
+      .select(col("row").cast("long").as("row"),
+        cmsBucket(col("k"), col("row"), width).as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of each probe key against a built
+    * sketch: est(k) = min over rows of counter[row][bucket_row(k)] —
+    * the classic CMS upper bound (est >= true count, never under).
+    * The sketch side is broadcast (at most depth·width rows by
+    * construction); missing counters are zero, so an unseen key
+    * estimates 0. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    probes
+      .select(col(keyCol).cast("string").as("probe_key"))
+      .distinct()
+      .select(col("probe_key"), explode(lit((0 until depth).toArray)).as("row"))
+      .select(col("probe_key"), col("row").cast("long").as("row"),
+        cmsBucket(col("probe_key"), col("row"), width).as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("probe_key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** HyperLogLog register table over a key column with `2^b` buckets:
+    * (bucket, register) where register = 1 + leading-zero count of the
+    * hash remainder — the full mergeable HLL state (merge = max per
+    * bucket), NOT a float estimate.
+    *
+    * The hash is the first 15 md5 hex chars = 60 uniform bits (fits a
+    * positive BIGINT in both engines); b bits select the bucket and the
+    * remaining 60-b drive the register. Registers are INTEGERS, so the
+    * state compares hash-exact across engines; the (float) cardinality
+    * estimate is computed from the registers driver-side
+    * ([[hllEstimate]]) where cross-engine float determinism no longer
+    * matters. Buckets that saw no key are absent (the estimate treats
+    * them as register 0). */
+  def hllRegisters(df: DataFrame, keyCol: String, b: Int): DataFrame = {
+    require(b >= 2 && b <= 16, s"bucket bits out of range: $b")
+    val m = 1L << b
+    val restBits = 60 - b
+    val h = conv(substring(md5(concat(lit("hll:"), col(keyCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    // bit_length(rest) = length(bin(rest)) for rest > 0 (no leading
+    // zeros in either engine's bin); rest = 0 -> all restBits zeros
+    val register = when(col("rest") === 0L, lit(restBits + 1))
+      .otherwise(lit(restBits + 1) - length(bin(col("rest"))))
+      .cast("int")
+    df.select(pmod(h, lit(m)).as("bucket"), floor(h / lit(m)).cast("long").as("rest"))
+      .select(col("bucket"), register.as("register"))
+      .groupBy("bucket").agg(max("register").as("register"))
+  }
+
+  /** Standard HLL estimate from a register table (driver-side: the
+    * register table is at most 2^b rows), with the small-range
+    * linear-counting correction. */
+  def hllEstimate(registers: Array[(Long, Int)], b: Int): Double = {
+    val m = 1 << b
+    val regs = Array.fill(m)(0)
+    registers.foreach { case (bucket, r) => regs(bucket.toInt) = r }
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    val z = 1.0 / regs.map(r => math.pow(2.0, -r)).sum
+    val raw = alpha * m * m * z
+    val zeros = regs.count(_ == 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+}

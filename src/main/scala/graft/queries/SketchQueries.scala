@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Sketches
+
+/** Mergeable-sketch queries (round 6): count-min frequency estimation
+  * and HyperLogLog cardinality state, both with the md5-derived
+  * portable hash so the EXACT counter/register tables are reproducible
+  * in DuckDB (the oracles replay every hash decision bit-for-bit).
+  *
+  * Reference behavior: the reference audits row counts exactly in
+  * Postgres (vivek-neenopal/shopify-etl merge jobs, run_logs.txt row
+  * audits); these sketches are the 100 TB path for the same audit
+  * numbers — a few KB of mergeable state instead of a full shuffle on
+  * the key.
+  */
+object SketchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+  private val HllBits = 10
+
+  /** Count-min frequency estimation end-to-end: build a 4×256 sketch
+    * over `orders.o_custkey`, then point-estimate every customer's
+    * order count against it, alongside the exact count. The CMS
+    * guarantee (`cms_est >= exact_cnt`, overestimates only from bucket
+    * collisions) holds row-by-row in the output; the oracle rebuilds
+    * the identical counter table and estimates from SQL. */
+  val q77CmsFreq: Q = (s, d) => {
+    val orders = Tables(s, d, "orders")
+    val sketch = Sketches.countMin(orders, "o_custkey", CmsDepth, CmsWidth)
+    val probes = Tables(s, d, "customer")
+    val est = Sketches.cmsEstimate(sketch, probes, "c_custkey", CmsDepth, CmsWidth)
+    val exact = orders.groupBy(col("o_custkey").cast("string").as("probe_key"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("cms_est"),
+        coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+      .orderBy("probe_key")
+  }
+
+  /** HyperLogLog state over `orders.o_custkey` with 2^10 buckets: the
+    * full mergeable (bucket, register) table — integer state that
+    * compares hash-exact across engines. The float cardinality
+    * estimate is a driver-side fold over this table
+    * ([[graft.operators.Sketches.hllEstimate]], covered by
+    * SketchesSpec) where cross-engine float determinism no longer
+    * matters. */
+  val q78HllRegisters: Q = (s, d) =>
+    Sketches.hllRegisters(Tables(s, d, "orders"), "o_custkey", HllBits)
+      .orderBy("bucket")
+
+  val queries: Map[String, Q] = Map(
+    "q77_cms_freq" -> q77CmsFreq,
+    "q78_hll_registers" -> q78HllRegisters,
+  )
+
+  /** DuckDB replay of the portable md5 hashing: h1/h2 are hex chars
+    * 1-15 / 16-30 of one digest (60 bits each — fits BIGINT in both
+    * engines). */
+  val oracles: Map[String, String] = Map(
+    // counter table: bucket_r(k) = (h1%w + r*((h2%w)|1)) % w, all
+    // nonnegative so % == pmod; estimate = min over rows, absent
+    // counters are 0 (unseen key estimates 0)
+    "q77_cms_freq" ->
+      s"""WITH ks AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+         |h AS (SELECT k,
+         |  CAST(CAST(('0x' || substr(md5('cms:' || k), 1, 15)) AS UBIGINT) AS BIGINT) % $CmsWidth AS h1,
+         |  (CAST(CAST(('0x' || substr(md5('cms:' || k), 16, 15)) AS UBIGINT) AS BIGINT) % $CmsWidth) | 1 AS h2
+         |  FROM ks),
+         |sk AS (SELECT r.r AS row, (h1 + r.r * h2) % $CmsWidth AS bucket, count(*) AS cnt
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r) r GROUP BY 1, 2),
+         |pr AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS probe_key FROM customer),
+         |ph AS (SELECT probe_key,
+         |  CAST(CAST(('0x' || substr(md5('cms:' || probe_key), 1, 15)) AS UBIGINT) AS BIGINT) % $CmsWidth AS h1,
+         |  (CAST(CAST(('0x' || substr(md5('cms:' || probe_key), 16, 15)) AS UBIGINT) AS BIGINT) % $CmsWidth) | 1 AS h2
+         |  FROM pr),
+         |est AS (SELECT probe_key, min(coalesce(sk.cnt, 0)) AS cms_est
+         |  FROM ph CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r) r
+         |  LEFT JOIN sk ON sk.row = r.r AND sk.bucket = (ph.h1 + r.r * ph.h2) % $CmsWidth
+         |  GROUP BY probe_key),
+         |ex AS (SELECT CAST(o_custkey AS VARCHAR) AS probe_key, count(*) AS exact_cnt
+         |  FROM orders GROUP BY 1)
+         |SELECT est.probe_key, CAST(est.cms_est AS BIGINT) AS cms_est,
+         |  CAST(coalesce(ex.exact_cnt, 0) AS BIGINT) AS exact_cnt
+         |FROM est LEFT JOIN ex USING (probe_key) ORDER BY probe_key""".stripMargin,
+    // register = 1 + leading zeros of the 50-bit remainder
+    //          = 51 - bit_length(rest); bin() has no leading zeros in
+    // either engine, rest = 0 -> all 50 zeros -> register 51
+    "q78_hll_registers" ->
+      s"""WITH h AS (SELECT
+         |  CAST(CAST(('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+         |  FROM orders),
+         |r AS (SELECT h % ${1 << HllBits} AS bucket, h // ${1 << HllBits} AS rest FROM h)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(max(CASE WHEN rest = 0 THEN ${60 - HllBits + 1}
+         |    ELSE ${60 - HllBits + 1} - length(bin(rest)) END) AS INTEGER) AS register
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+  )
+}

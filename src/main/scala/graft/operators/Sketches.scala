@@ -32,8 +32,8 @@ object Sketches {
     * and 16-30): the Kirsch–Mitzenmacher base pair. One digest per
     * element regardless of sketch depth — at scale, hashing is the
     * whole map-side cost. */
-  private def h12(key: Column): (Column, Column) = {
-    val hex = md5(concat(lit("cms:"), key))
+  private def h12(key: Column, prefix: String): (Column, Column) = {
+    val hex = md5(concat(lit(prefix), key))
     (conv(substring(hex, 1, 15), 16, 10).cast("long"),
       conv(substring(hex, 16, 15), 16, 10).cast("long"))
   }
@@ -44,7 +44,7 @@ object Sketches {
     * offsets cycle through distinct buckets. Shared by build and probe
     * so the two can never drift. */
   private def cmsBucket(key: Column, row: Column, width: Int): Column = {
-    val (h1, h2) = h12(key)
+    val (h1, h2) = h12(key, "cms:")
     pmod(pmod(h1, lit(width.toLong)) +
       row.cast("long") * (pmod(h2, lit(width.toLong)).bitwiseOR(lit(1L))),
       lit(width.toLong))
@@ -109,6 +109,40 @@ object Sketches {
     df.select(pmod(h, lit(m)).as("bucket"), floor(h / lit(m)).cast("long").as("rest"))
       .select(col("bucket"), register.as("register"))
       .groupBy("bucket").agg(max("register").as("register"))
+  }
+
+  /** Bloom filter state over a key column: the DISTINCT set-bit
+    * positions for `k` Kirsch–Mitzenmacher hash functions over an
+    * `m`-bit filter — at most `min(k·n, m)` rows, mergeable by plain
+    * union-distinct across batches/days/clusters. Positions share the
+    * formula (and the "blm:" md5 prefix) with the compiled probe
+    * ([[org.apache.spark.sql.graft.BloomContains]]) and the DuckDB
+    * oracle, so the three can never drift. */
+  def bloomBits(df: DataFrame, keyCol: String, m: Int, k: Int): DataFrame = {
+    require(k >= 1 && m >= 64 && m % 64 == 0, s"need k>=1, m>=64 divisible by 64 (got k=$k m=$m)")
+    val (h1, h2) = h12(col("k"), "blm:")
+    df.select(col(keyCol).cast("string").as("k"))
+      .select(pmod(h1, lit(m.toLong)).as("h1"),
+        pmod(h2, lit(m.toLong)).bitwiseOR(lit(1L)).as("h2"))
+      .select(explode(lit((0 until k).toArray)).as("i"), col("h1"), col("h2"))
+      .select(pmod(col("h1") + col("i").cast("long") * col("h2"), lit(m.toLong)).as("pos"))
+      .distinct()
+  }
+
+  /** Collect a [[bloomBits]] position table into the packed bitmap the
+    * compiled probe expression carries. Driver-side by design: the
+    * whole point of the filter is that its state is small enough to
+    * broadcast (m/8 bytes — 2 KB at m=16384), so the collect is
+    * control-plane, not data-plane. */
+  def bloomBitmap(bits: DataFrame, m: Int): Array[Long] = {
+    require(m >= 64 && m % 64 == 0 && m <= (1 << 27),
+      s"bitmap out of range: m=$m (max 2^27 = 16 MB)")
+    val arr = new Array[Long](m / 64)
+    bits.select(col("pos").cast("long")).collect().foreach { r =>
+      val pos = r.getLong(0).toInt
+      arr(pos >>> 6) |= 1L << (pos & 63)
+    }
+    arr
   }
 
   /** Standard HLL estimate from a register table (driver-side: the

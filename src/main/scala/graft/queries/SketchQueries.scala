@@ -53,9 +53,42 @@ object SketchQueries {
     Sketches.hllRegisters(Tables(s, d, "orders"), "o_custkey", HllBits)
       .orderBy("bucket")
 
+  private val BloomM = 16384
+  private val BloomK = 5
+
+  /** Bloom semi-join pre-filter end-to-end: build a 2 KB filter over
+    * the selective dim (customers in ASIA nations), probe every order
+    * through the compiled [[org.apache.spark.sql.graft.BloomContains]]
+    * projection — zero shuffle, zero row expansion, inside whole-stage
+    * codegen — and emit the bloom verdict next to exact membership.
+    * The bloom admits a superset (`might_contain >= is_member`
+    * row-by-row, pinned by the hash compare); false positives at this
+    * m/k over ~3k keys run a few percent — the price of dropping the
+    * other ~80% of the fact before any exchange. */
+  val q79BloomPrefilter: Q = (s, d) => {
+    val nations = Tables(s, d, "nation")
+      .join(Tables(s, d, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    val dim = Tables(s, d, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val bitmap = Sketches.bloomBitmap(
+      Sketches.bloomBits(dim, "c_custkey", BloomM, BloomK), BloomM)
+    val probe = org.apache.spark.sql.graft.BloomContains(
+      col("o_custkey"), bitmap, BloomK, BloomM)
+    Tables(s, d, "orders")
+      .join(broadcast(dim.withColumn("member", lit(1))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"),
+        probe.cast("int").as("might_contain"),
+        coalesce(col("member"), lit(0)).as("is_member"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q77_cms_freq" -> q77CmsFreq,
     "q78_hll_registers" -> q78HllRegisters,
+    "q79_bloom_prefilter" -> q79BloomPrefilter,
   )
 
   /** DuckDB replay of the portable md5 hashing: h1/h2 are hex chars
@@ -99,5 +132,29 @@ object SketchQueries {
          |  CAST(max(CASE WHEN rest = 0 THEN ${60 - HllBits + 1}
          |    ELSE ${60 - HllBits + 1} - length(bin(rest)) END) AS INTEGER) AS register
          |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // bloom replay: set-bit positions from the dim keys, then each
+    // order's k positions all-present check (bool_and over LEFT JOIN)
+    "q79_bloom_prefilter" ->
+      s"""WITH dim AS (SELECT DISTINCT c_custkey FROM customer, nation, region
+         |  WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |    AND r_name = 'ASIA'),
+         |dh AS (SELECT
+         |  CAST(CAST(('0x' || substr(md5('blm:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % $BloomM AS h1,
+         |  (CAST(CAST(('0x' || substr(md5('blm:' || CAST(c_custkey AS VARCHAR)), 16, 15)) AS UBIGINT) AS BIGINT) % $BloomM) | 1 AS h2
+         |  FROM dim),
+         |bits AS (SELECT DISTINCT (h1 + i.i * h2) % $BloomM AS pos
+         |  FROM dh CROSS JOIN (SELECT unnest(range(0, $BloomK)) AS i) i),
+         |oh AS (SELECT o_orderkey, o_custkey,
+         |  CAST(CAST(('0x' || substr(md5('blm:' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % $BloomM AS h1,
+         |  (CAST(CAST(('0x' || substr(md5('blm:' || CAST(o_custkey AS VARCHAR)), 16, 15)) AS UBIGINT) AS BIGINT) % $BloomM) | 1 AS h2
+         |  FROM orders),
+         |probe AS (SELECT o_orderkey, o_custkey,
+         |  bool_and(b.pos IS NOT NULL) AS hit
+         |  FROM oh CROSS JOIN (SELECT unnest(range(0, $BloomK)) AS i) i
+         |  LEFT JOIN bits b ON b.pos = (oh.h1 + i.i * oh.h2) % $BloomM
+         |  GROUP BY o_orderkey, o_custkey)
+         |SELECT o_orderkey, CAST(hit AS INTEGER) AS might_contain,
+         |  CAST(o_custkey IN (SELECT c_custkey FROM dim) AS INTEGER) AS is_member
+         |FROM probe ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -40,4 +40,24 @@ private[graft] object TextCodec {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
+
+  /** Two independent 60-bit hashes from one md5 pass: the numeric
+    * values of hex chars 1-15 and 16-30 — exactly
+    * `conv(substring(md5(x), 1, 15), 16, 10)` /
+    * `conv(substring(md5(x), 16, 15), 16, 10)`, the Kirsch–Mitzenmacher
+    * base pair every sketch oracle re-derives in DuckDB. */
+  def md5Pair60(bytes: Array[Byte]): (Long, Long) = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var a = 0L
+    var i = 0
+    while (i < 8) { a = (a << 8) | (d(i) & 0xffL); i += 1 }
+    var b = 0L
+    while (i < 16) { b = (b << 8) | (d(i) & 0xffL); i += 1 }
+    // hex char j = nibble j of the big-endian digest: chars 1-15 are
+    // nibbles 0-14 (top 60 bits of a), chars 16-30 are nibble 15 (low
+    // nibble of a) followed by nibbles 16-29 (top 56 bits of b)
+    (a >>> 4, ((a & 0xfL) << 56) | (b >>> 8))
+  }
 }

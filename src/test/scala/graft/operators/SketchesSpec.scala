@@ -75,6 +75,51 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 20.0) < 2.0, s"estimate $est")
   }
 
+  test("Bloom: no false negatives, bounded false positives") {
+    val m = 4096; val k = 5
+    val dim = (1 to 300).map(i => s"key$i").toDF("k")
+    val bitmap = Sketches.bloomBitmap(Sketches.bloomBits(dim, "k", m, k), m)
+    val probes = (1 to 2000).map(i => s"key$i").toDF("k")
+    val res = probes.select($"k",
+        org.apache.spark.sql.graft.BloomContains($"k", bitmap, k, m).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // every member must hit (bloom admits a superset)
+    assert((1 to 300).forall(i => res(s"key$i")))
+    // 300 keys in 4096 bits / 5 hashes: FP ≈ (1-e^-0.366)^5 ≈ 0.26%
+    val fps = (301 to 2000).count(i => res(s"key$i"))
+    assert(fps < 50, s"false positives: $fps / 1700")
+  }
+
+  test("Bloom expression positions match the Column-side builder bit-for-bit") {
+    val m = 1024; val k = 7
+    val keys = (1 to 500).map(i => s"zz$i%x-${i * 31}").toDF("k")
+    // a bitmap built from ONLY key i must report key i present for all i:
+    // every position the expression derives is a position the builder set
+    val bitmap = Sketches.bloomBitmap(Sketches.bloomBits(keys, "k", m, k), m)
+    val misses = keys.select($"k",
+        org.apache.spark.sql.graft.BloomContains($"k", bitmap, k, m).as("hit"))
+      .filter(!$"hit").count()
+    assert(misses == 0L)
+    // and the builder sets no MORE than k positions per key: a single-key
+    // filter has at most k bits — probe expression agrees with each
+    val one = Seq("solo-key").toDF("k")
+    val bits = Sketches.bloomBits(one, "k", m, k).collect().map(_.getLong(0)).toSet
+    assert(bits.nonEmpty && bits.size <= k)
+    val soloMap = Sketches.bloomBitmap(Sketches.bloomBits(one, "k", m, k), m)
+    assert(one.select(org.apache.spark.sql.graft.BloomContains($"k", soloMap, k, m))
+      .head().getBoolean(0))
+  }
+
+  test("Bloom state merges by union-distinct") {
+    val m = 2048; val k = 4
+    val (a, b) = ((1 to 100).map(i => s"a$i").toDF("k"),
+      (1 to 100).map(i => s"b$i").toDF("k"))
+    val merged = Sketches.bloomBits(a, "k", m, k)
+      .union(Sketches.bloomBits(b, "k", m, k)).distinct()
+    val whole = Sketches.bloomBits(a.union(b), "k", m, k)
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+  }
+
   test("HLL registers are within range and deterministic") {
     val df = (1 to 1000).map(i => s"v$i").toDF("k")
     val regs = Sketches.hllRegisters(df.repartition(7), "k", 10).collect()

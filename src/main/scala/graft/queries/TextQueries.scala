@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, IncrementalDedup}
 
 /** Text-analysis + dedup operators over the `documents` table, each
   * oracle-checked against DuckDB via the portable md5-based hash (see
@@ -286,7 +286,30 @@ object TextQueries {
       size(array_distinct(charNgrams(col("text"), 3))).cast("long").as("n_distinct"))
       .orderBy("doc_id")
 
+  /** Incremental dedup — the production daily shape: the corpus
+    * (doc_id % 3 ≠ 0) is indexed ONCE (fingerprint + MinHash signature
+    * per doc); the new batch (fresh docs, planted exact copies at
+    * +1e6, planted near-copies at +2e6) is verdicted against that
+    * index without re-reading any corpus text. The oracle replays
+    * fingerprints, signatures, band keys, and the signature-agreement
+    * verify for every batch doc. */
+  val q80IncrementalDedup: Q = (s, d) => {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val corpus = base.filter(col("doc_id") % 3 =!= 0)
+    val batch = base.filter(col("doc_id") % 3 === 0)
+      .unionByName(corpus.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionByName(corpus.filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+    val index = IncrementalDedup.buildIndex(corpus, "doc_id", "text")
+    IncrementalDedup.dedupAgainst(batch, index, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q80_incremental_dedup" -> q80IncrementalDedup,
     "q64_char_ngrams" -> q64CharNgrams,
     "q63_token_budget" -> q63TokenBudget,
     "q62_stratified" -> q62Stratified,
@@ -354,7 +377,55 @@ object TextQueries {
        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
        |  FROM cands JOIN sig sa ON cands.id_a = sa.id JOIN sig sb ON cands.id_b = sb.id)""".stripMargin
 
+  /** 16-value MinHash signature over a `shr` shingle list (shared by
+    * the q80 oracle for both corpus and batch sides). */
+  private val sig16 =
+    minhashSigSql("list_transform(list_distinct(shr), s -> " + hx("s") + " % 2147483647)", 16)
+
   val oracles: Map[String, String] = Map(
+    "q80_incremental_dedup" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 5 = 1
+         |  UNION ALL SELECT doc_id + 2000000, regexp_replace(text, '^\\S+\\s+', '')
+         |    FROM corpus WHERE doc_id % 7 = 2),
+         |ctok AS (SELECT doc_id AS id, text, $tok AS ts FROM corpus),
+         |cshr AS (SELECT id, text, $shingles3 AS shr FROM ctok),
+         |csig AS (SELECT id, md5(text) AS fp,
+         |  CASE WHEN len(shr) > 0 THEN $sig16 END AS sig FROM cshr),
+         |btok AS (SELECT doc_id AS id, text, $tok AS ts FROM batch),
+         |bshr AS (SELECT id, text, $shingles3 AS shr FROM btok),
+         |bsig AS (SELECT id, md5(text) AS fp,
+         |  CASE WHEN len(shr) > 0 THEN $sig16 END AS sig FROM bshr),
+         |cband AS (SELECT id, b.band AS band,
+         |  md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS key
+         |  FROM csig, LATERAL (SELECT unnest(generate_series(0, 7)) AS band) b
+         |  WHERE sig IS NOT NULL),
+         |bband AS (SELECT id, b.band AS band,
+         |  md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS key
+         |  FROM bsig, LATERAL (SELECT unnest(generate_series(0, 7)) AS band) b
+         |  WHERE sig IS NOT NULL),
+         |ex AS (SELECT b.id, min(c.id) AS exact_of
+         |  FROM bsig b JOIN csig c ON b.fp = c.fp GROUP BY b.id),
+         |cand AS (SELECT DISTINCT bb.id, cb.id AS idx_id
+         |  FROM bband bb JOIN cband cb ON bb.band = cb.band AND bb.key = cb.key),
+         |scored AS (SELECT id, idx_id, m FROM (
+         |  SELECT cand.id, cand.idx_id,
+         |    len(list_filter(range(1, 17), i -> bs.sig[i] = cs.sig[i])) AS m
+         |  FROM cand JOIN bsig bs ON cand.id = bs.id
+         |    JOIN csig cs ON cand.idx_id = cs.id) WHERE m >= 8),
+         |near AS (SELECT s.id, s.idx_id AS near_of, s.m
+         |  FROM scored s JOIN (SELECT id, min(idx_id) AS mid FROM scored GROUP BY id) q
+         |    ON s.id = q.id AND s.idx_id = q.mid)
+         |SELECT b.id AS doc_id,
+         |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+         |       WHEN n.near_of IS NOT NULL THEN 'near_dup'
+         |       ELSE 'new' END AS verdict,
+         |  coalesce(e.exact_of, n.near_of) AS dup_of,
+         |  CAST(CASE WHEN e.exact_of IS NULL THEN n.m END AS INTEGER) AS sig_match
+         |FROM bsig b LEFT JOIN ex e ON b.id = e.id LEFT JOIN near n ON b.id = n.id
+         |ORDER BY doc_id""".stripMargin,
     "q64_char_ngrams" ->
       """SELECT doc_id,
         |  CAST(greatest(length(text) - 2, 0) AS BIGINT) AS n_grams,

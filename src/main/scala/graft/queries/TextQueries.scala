@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, IncrementalDedup}
+import graft.operators.{Dedup, IncrementalDedup, LmScore}
 
 /** Text-analysis + dedup operators over the `documents` table, each
   * oracle-checked against DuckDB via the portable md5-based hash (see
@@ -308,7 +308,24 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM quality scoring (perplexity-proxy filtering): count a
+    * bigram model over the corpus, score every doc by its summed
+    * add-one-smoothed bigram log-probability — quantized PER BIGRAM so
+    * the per-doc integer sum is summation-order-independent and the
+    * oracle replays it exactly. */
+  val q81BigramLm: Q = (s, d) => {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    // read twice (vocab count + context join) — computed once
+    val uni = graft.operators.Materialize.once(
+      LmScore.unigramCounts(base, "text"))
+    LmScore.scoreQuantized(base, uni, LmScore.bigramCounts(base, "text"),
+        uni.count(), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q81_bigram_lm" -> q81BigramLm,
     "q80_incremental_dedup" -> q80IncrementalDedup,
     "q64_char_ngrams" -> q64CharNgrams,
     "q63_token_budget" -> q63TokenBudget,
@@ -383,6 +400,27 @@ object TextQueries {
     minhashSigSql("list_transform(list_distinct(shr), s -> " + hx("s") + " % 2147483647)", 16)
 
   val oracles: Map[String, String] = Map(
+    // add-one-smoothed ln((bc+1)/(uc+V)) per bigram, floor-quantized
+    // to 1e-6 BEFORE the per-doc integer sum (order-independence)
+    "q81_bigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, $tok AS ts FROM documents WHERE trim(text) <> ''),
+         |uni AS (SELECT w, count(*) AS uc
+         |  FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY w),
+         |v AS (SELECT count(*) AS v FROM uni),
+         |bgr AS (SELECT doc_id, ts[i] AS w, ts[i] || ' ' || ts[i+1] AS bg
+         |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i),
+         |bcnt AS (SELECT bg, count(*) AS bc FROM bgr GROUP BY bg),
+         |sc AS (SELECT g.doc_id,
+         |  CAST(floor(ln(CAST(coalesce(bcnt.bc, 0) + 1 AS DOUBLE) /
+         |    CAST(coalesce(u.uc, 0) + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
+         |  FROM bgr g LEFT JOIN bcnt ON g.bg = bcnt.bg
+         |  LEFT JOIN uni u ON g.w = u.w CROSS JOIN v),
+         |agg AS (SELECT doc_id, count(*) AS n, CAST(sum(lp_q) AS BIGINT) AS lps
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+         |  agg.lps AS lp_q_sum
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q80_incremental_dedup" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
          |batch AS (

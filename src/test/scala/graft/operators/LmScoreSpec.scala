@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bigram-LM scoring: counts, smoothing, the quantized-sum contract,
+  * and the filtering property (in-domain text outscores gibberish). */
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat ran to the mat"),
+    (3L, "the dog sat on the rug"),
+    (4L, ""),          // blank: no tokens, no bigrams
+    (5L, "single"))    // one token: no bigrams
+    .toDF("doc_id", "text")
+
+  private lazy val uni = LmScore.unigramCounts(corpus, "text")
+  private lazy val bi = LmScore.bigramCounts(corpus, "text")
+  private lazy val vocab = uni.count()
+
+  test("unigram and bigram counts are exact") {
+    val u = uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(u("the") == 6L && u("cat") == 2L && u("single") == 1L)
+    assert(!u.contains(""))
+    val b = bi.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(b("the cat") == 2L && b("sat on") == 2L && b("cat ran") == 1L)
+  }
+
+  test("score rows cover every doc; blank and 1-token docs score null") {
+    val out = LmScore.scoreQuantized(corpus, uni, bi, vocab, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(4L) == (0L, None) && out(5L) == (0L, None))
+    assert(out(1L)._1 == 5L && out(1L)._2.isDefined)
+  }
+
+  test("per-bigram quantization: score matches a hand fold and is exact") {
+    // doc 1 bigrams (bc, uc_ctx): the cat (2, the=6), cat sat (1, cat=2),
+    // sat on (2, sat=2), on the (2, on=2), the mat (2, the=6)
+    val expected = Seq(
+      (2L, 6L), (1L, 2L), (2L, 2L), (2L, 2L), (2L, 6L)).map { case (bc, uc) =>
+      math.floor(math.log((bc + 1).toDouble / (uc + vocab).toDouble) * 1e6).toLong
+    }.sum
+    val got = LmScore.scoreQuantized(corpus, uni, bi, vocab, "doc_id", "text")
+      .filter($"id" === 1L).head().getLong(2)
+    assert(got == expected)
+  }
+
+  test("in-domain text outscores gibberish per bigram") {
+    val probes = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "zxq vbn mmw qqp zzl aap"))
+      .toDF("doc_id", "text")
+    val out = LmScore.scoreQuantized(probes, uni, bi, vocab, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
+    assert(out(10L) > out(11L))
+  }
+
+  test("score is independent of partitioning (integer sums)") {
+    val a = LmScore.scoreQuantized(corpus, uni, bi, vocab, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = LmScore.scoreQuantized(corpus.repartition(7), uni.repartition(3),
+        bi.repartition(5), vocab, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+}

@@ -95,21 +95,34 @@ object Sketches {
     * ([[hllEstimate]]) where cross-engine float determinism no longer
     * matters. Buckets that saw no key are absent (the estimate treats
     * them as register 0). */
-  def hllRegisters(df: DataFrame, keyCol: String, b: Int): DataFrame = {
+  def hllRegisters(df: DataFrame, keyCol: String, b: Int): DataFrame =
+    df.select(hllBucket(col(keyCol), b).as("bucket"),
+        hllRegister(col(keyCol), b).as("register"))
+      .groupBy("bucket").agg(max("register").as("register"))
+
+  /** The (bucket, register) pair for one key — exposed so callers that
+    * group registers by an extra key (e.g. [[Profile]]'s per-column
+    * profiling) share the exact hash contract with [[hllRegisters]]
+    * and its oracles. */
+  private[operators] def hllBucket(key: Column, b: Int): Column = {
     require(b >= 2 && b <= 16, s"bucket bits out of range: $b")
-    val m = 1L << b
+    pmod(hllHash(key), lit(1L << b))
+  }
+
+  private[operators] def hllRegister(key: Column, b: Int): Column = {
+    require(b >= 2 && b <= 16, s"bucket bits out of range: $b")
     val restBits = 60 - b
-    val h = conv(substring(md5(concat(lit("hll:"), col(keyCol).cast("string"))), 1, 15), 16, 10)
-      .cast("long")
     // bit_length(rest) = length(bin(rest)) for rest > 0 (no leading
     // zeros in either engine's bin); rest = 0 -> all restBits zeros
-    val register = when(col("rest") === 0L, lit(restBits + 1))
-      .otherwise(lit(restBits + 1) - length(bin(col("rest"))))
+    val rest = floor(hllHash(key) / lit(1L << b)).cast("long")
+    when(rest === 0L, lit(restBits + 1))
+      .otherwise(lit(restBits + 1) - length(bin(rest)))
       .cast("int")
-    df.select(pmod(h, lit(m)).as("bucket"), floor(h / lit(m)).cast("long").as("rest"))
-      .select(col("bucket"), register.as("register"))
-      .groupBy("bucket").agg(max("register").as("register"))
   }
+
+  private def hllHash(key: Column): Column =
+    conv(substring(md5(concat(lit("hll:"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
 
   /** Bloom filter state over a key column: the DISTINCT set-bit
     * positions for `k` Kirsch–Mitzenmacher hash functions over an

@@ -85,7 +85,24 @@ object SketchQueries {
       .orderBy("o_orderkey")
   }
 
+  /** One-pass table profile over lineitem: per-column row/null counts,
+    * exact distinct, and the HLL distinct estimate from keyed register
+    * state — including a planted nullable column so the null
+    * accounting is exercised. The estimate is oracle-stable because
+    * the harmonic register sum is dyadic-exact (see
+    * [[graft.operators.Profile]]). */
+  val q82Profile: Q = (s, d) =>
+    graft.operators.Profile.profile(Tables(s, d, "lineitem"), Seq(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_suppkey" -> col("l_suppkey"),
+        "l_returnflag" -> col("l_returnflag"),
+        "l_linestatus" -> col("l_linestatus"),
+        "ship_nullable" -> when(col("l_linenumber") === 1, lit(null))
+          .otherwise(col("l_linestatus"))))
+      .orderBy("column")
+
   val queries: Map[String, Q] = Map(
+    "q82_profile" -> q82Profile,
     "q77_cms_freq" -> q77CmsFreq,
     "q78_hll_registers" -> q78HllRegisters,
     "q79_bloom_prefilter" -> q79BloomPrefilter,
@@ -132,6 +149,41 @@ object SketchQueries {
          |  CAST(max(CASE WHEN rest = 0 THEN ${60 - HllBits + 1}
          |    ELSE ${60 - HllBits + 1} - length(bin(rest)) END) AS INTEGER) AS register
          |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // per-column HLL replay: same "hll:" hash keyed by column name;
+    // estimate = alpha·m²/Z with absent buckets contributing 2^0 = 1
+    // each, small-range linear counting below 2.5·m
+    "q82_profile" -> {
+      val m = 1 << HllBits
+      val am2 = s"0.7213 / (1.0 + 1.079 / $m) * $m * $m"
+      s"""WITH st AS (
+         |  SELECT 'l_orderkey' AS c, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+         |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+         |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+         |  UNION ALL SELECT 'ship_nullable',
+         |    CASE WHEN l_linenumber = 1 THEN NULL ELSE l_linestatus END FROM lineitem),
+         |counts AS (SELECT c, count(*) AS n_rows, count(*) - count(v) AS n_nulls,
+         |  count(DISTINCT v) AS exact_distinct FROM st GROUP BY c),
+         |h AS (SELECT c,
+         |  CAST(CAST(('0x' || substr(md5('hll:' || v), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+         |  FROM st WHERE v IS NOT NULL),
+         |regs AS (SELECT c, h % $m AS bucket,
+         |  max(CASE WHEN h // $m = 0 THEN ${60 - HllBits + 1}
+         |    ELSE ${60 - HllBits + 1} - length(bin(h // $m)) END) AS r
+         |  FROM h GROUP BY c, h % $m),
+         |z AS (SELECT c, count(*) AS present, sum(pow(2.0, -r)) AS zsum
+         |  FROM regs GROUP BY c),
+         |est AS (SELECT c,
+         |  CASE WHEN $am2 / (($m.0 - present) + zsum) <= ${2.5 * m}
+         |        AND ($m - present) > 0
+         |    THEN CAST(floor($m.0 * ln($m.0 / ($m - present))) AS BIGINT)
+         |    ELSE CAST(floor($am2 / (($m.0 - present) + zsum)) AS BIGINT)
+         |  END AS distinct_est FROM z)
+         |SELECT counts.c AS "column", CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(n_nulls AS BIGINT) AS n_nulls,
+         |  CAST(exact_distinct AS BIGINT) AS exact_distinct, est.distinct_est
+         |FROM counts JOIN est USING (c) ORDER BY "column"""".stripMargin
+    },
     // bloom replay: set-bit positions from the dim keys, then each
     // order's k positions all-present check (bool_and over LEFT JOIN)
     "q79_bloom_prefilter" ->

@@ -100,6 +100,37 @@ object IncrementalStream {
       idCol, Seq("train" -> 0.9, "val" -> 0.1), seed = 11)
   }
 
+  /** Streaming incremental dedup: verdict every arriving doc against a
+    * STATIC corpus index ([[graft.operators.IncrementalDedup]]) via
+    * foreachBatch — each micro-batch IS the daily batch shrunk to
+    * minutes, so the batch operator (and its oracle-verified
+    * semantics) applies unchanged; the index is read once per batch
+    * from wherever it is persisted. `sink` receives the verdict frame
+    * (id, verdict, dup_of, sig_match) per batch — typically an
+    * append to the accepted-docs table plus an index append of the
+    * `new` rows so later batches catch repeats. */
+  def incrementalDedupSink(docs: DataFrame, index: DataFrame, idCol: String,
+                           textCol: String, checkpoint: String,
+                           minMatches: Int = 8)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.IncrementalDedup.dedupAgainst(
+          batch, index, idCol, textCol, minMatches = minMatches))
+      }
+      .start()
+
+  /** Streaming count-min: [[graft.operators.Sketches.countMin]] is
+    * stream-safe as written — an update-mode aggregation whose state
+    * is bounded BY CONSTRUCTION (≤ depth·width counter rows, ever),
+    * the sketch property doing the watermark's job. The emitted
+    * counter table merges across restarts/streams with a groupBy-sum,
+    * same as the batch sketch. */
+  def cmsStream(keys: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame =
+    graft.operators.Sketches.countMin(keys, keyCol, depth, width)
+
   case class TokenWeight(shard: Int, token: String, minCount: Long)
 
   /** Streaming heavy hitters: Misra–Gries sketches as

@@ -166,6 +166,60 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out(2L).sessionCount == 1)
   }
 
+  test("streaming incremental dedup verdicts match the batch operator") {
+    import graft.operators.IncrementalDedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "pack my box with five dozen liquor jugs before the night ends"))
+      .toDF("doc_id", "text")
+    val index = IncrementalDedup.buildIndex(corpus, "doc_id", "text")
+
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String)](spark)
+    val batchRows = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "quick brown fox jumps over the lazy dog near the river bank"),
+      (12L, "an entirely unrelated document about cooking pasta at home tonight"))
+    docs.addData(batchRows: _*)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Option[Long])]
+    val q = IncrementalStream.incrementalDedupSink(
+      docs.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
+      Files.createTempDirectory("ckpt-inc").toString) { verdicts =>
+      got ++= verdicts.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    }
+    q.awaitTermination(60000)
+
+    val expected = IncrementalDedup
+      .dedupAgainst(batchRows.toDF("doc_id", "text"), index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got.toSet == expected)
+    assert(got.exists(t => t._1 == 10L && t._2 == "exact_dup" && t._3.contains(1L)))
+    assert(got.exists(t => t._1 == 11L && t._2 == "near_dup"))
+    assert(got.exists(t => t._1 == 12L && t._2 == "new"))
+  }
+
+  test("streaming count-min: bounded counter state equals the batch sketch") {
+    import graft.operators.Sketches
+    val keys = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
+    val counters = IncrementalStream.cmsStream(
+      keys.toDF().toDF("k"), "k", depth = 4, width = 64)
+    assert(counters.isStreaming)
+    val q = counters.writeStream.format("memory").queryName("cms_counters")
+      .outputMode("complete").start()
+    val data = (1 to 200).map(i => s"k${i % 37}")
+    keys.addData(data: _*)
+    q.processAllAvailable()
+    val got = spark.table("cms_counters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val exp = Sketches.countMin(data.toDF("k"), "k", 4, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp)
+  }
+
   test("hygiene cleaning (NFC + HTML strip) runs inside a streaming query") {
     import graft.operators.CleanOps
     import org.apache.spark.sql.functions._

@@ -119,4 +119,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q67_vocab_oov").contains("BroadcastHashJoin"))
     assert(plan("q69_fuzzy_decontam").contains("BroadcastHashJoin"))
   }
+
+  test("q77: the sketch side of the CMS estimate join broadcasts") {
+    // the counter table is <= depth*width rows BY CONSTRUCTION; probing
+    // must never shuffle the probe side against it
+    assert(plan("q77_cms_freq").contains("BroadcastHashJoin"))
+  }
+
+  test("q78/q82: sketch aggregations partial-aggregate map-side") {
+    // the whole point of mergeable sketch state: the shuffle carries
+    // per-partition partials, not rows — partial_max/partial aggregate
+    // nodes must appear below the exchange
+    for (name <- Seq("q78_hll_registers", "q82_profile")) {
+      val p = finalPlan(name)
+      assert(p.contains("partial_max") || p.contains("partial_"),
+        s"$name has no map-side partial aggregation:\n$p")
+    }
+  }
+
+  test("q79: the bloom probe is a scan-side filter, not a join") {
+    // BloomContains evaluates inside the fact projection; the only
+    // joins in q79 are the broadcast membership/demo joins, and the
+    // probe itself must stay inside whole-stage codegen
+    val p = finalPlan("q79_bloom_prefilter")
+    assert(p.contains("bloom_contains"), s"probe expression missing:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q79 degraded to SMJ:\n$p")
+  }
+
+  test("q80: incremental dedup never cartesians and scans each side once per stage") {
+    val p = plan("q80_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), s"q80 cartesians:\n$p")
+  }
+
+  test("q81: LM scoring keeps count tables as shuffle joins, no cartesian") {
+    val p = plan("q81_bigram_lm")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q81 BNLJ:\n$p")
+  }
 }

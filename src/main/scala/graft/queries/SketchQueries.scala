@@ -101,7 +101,37 @@ object SketchQueries {
           .otherwise(col("l_linestatus"))))
       .orderBy("column")
 
+  private val HistLo = 0.0
+  private val HistHi = 110000.0
+  private val HistBins = 64
+
+  /** One-pass mergeable histogram over l_extendedprice: the integer
+    * counter table that answers distribution/quantile questions
+    * without ever shuffling a row (vs q45's exact sort-based median).
+    * Quantile interpolation from this table is driver-side
+    * ([[graft.operators.Histogram.quantiles]], spec-covered). */
+  val q83Histogram: Q = (s, d) =>
+    graft.operators.Histogram.counts(Tables(s, d, "lineitem"),
+        "l_extendedprice", HistLo, HistHi, HistBins)
+      .orderBy("bin")
+
+  private val ZBits = 6
+
+  /** Z-order (Morton) curve key over (l_quantity, l_extendedprice):
+    * the multi-dimensional clustering key — range-partitioning a table
+    * on `z` co-locates rows close in BOTH dimensions, the layout
+    * behind multi-dim data skipping. Pure integer arithmetic,
+    * replayed bit-for-bit by the oracle. */
+  val q84ZOrder: Q = (s, d) =>
+    Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ZOrder.zValue(Seq(
+          (col("l_quantity"), 0.0, 64.0),
+          (col("l_extendedprice"), HistLo, HistHi)), ZBits).as("z"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, Q] = Map(
+    "q84_zorder" -> q84ZOrder,
+    "q83_histogram" -> q83Histogram,
     "q82_profile" -> q82Profile,
     "q77_cms_freq" -> q77CmsFreq,
     "q78_hll_registers" -> q78HllRegisters,
@@ -149,6 +179,27 @@ object SketchQueries {
          |  CAST(max(CASE WHEN rest = 0 THEN ${60 - HllBits + 1}
          |    ELSE ${60 - HllBits + 1} - length(bin(rest)) END) AS INTEGER) AS register
          |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // bin = clamped floor((x-lo)/w), pure IEEE double + integers
+    "q83_histogram" ->
+      s"""SELECT least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - $HistLo)
+         |    / ${(HistHi - HistLo) / HistBins}) AS BIGINT), 0), ${HistBins - 1}) AS bin,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM lineitem WHERE l_extendedprice IS NOT NULL
+         |GROUP BY 1 ORDER BY bin""".stripMargin,
+    // Morton interleave replay: bit b of dim i lands at 2^(b*d+i)
+    "q84_zorder" -> {
+      def dim(expr: String, lo: Double, hi: Double, i: Int): String = {
+        val cells = 1L << ZBits
+        val w = (hi - lo) / cells
+        val q = s"least(greatest(CAST(floor((CAST($expr AS DOUBLE) - $lo) / $w) AS BIGINT), 0), ${cells - 1})"
+        (0 until ZBits).map(b =>
+          s"(($q // ${1L << b}) % 2) * ${1L << (b * 2 + i)}").mkString(" + ")
+      }
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(${dim("l_quantity", 0.0, 64.0, 0)}
+         |    + ${dim("l_extendedprice", HistLo, HistHi, 1)} AS BIGINT) AS z
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     // per-column HLL replay: same "hll:" hash keyed by column name;
     // estimate = alpha·m²/Z with absent buckets contributing 2^0 = 1
     // each, small-range linear counting below 2.5·m

@@ -158,6 +158,32 @@ object Sketches {
     arr
   }
 
+  /** KMV (k-minimum-values / theta) sketch state: the k smallest
+    * distinct portable-hash values of the key set. Unlike HLL it
+    * supports SET OPERATIONS: union = bottom-k of the unioned states,
+    * and intersection estimates fall out of bottom-k membership — the
+    * sketch you reach for when the question is "how many keys do these
+    * two 100 TB tables share" and an exact distinct-join is off the
+    * table. State is ≤ k integer rows (`TakeOrdered`, never a full
+    * sort), mergeable, and hash-exact cross-engine. */
+  def kmvState(df: DataFrame, keyCol: String, k: Int, seed: Int = 99): DataFrame = {
+    require(k >= 2, s"need k>=2 (got $k)")
+    df.select(graft.functions.TextFunctions
+        .portableHash(col(keyCol).cast("string"), seed).as("h"))
+      .distinct().orderBy("h").limit(k)
+  }
+
+  /** Distinct estimate from a KMV state: with n = state rows and
+    * h_k = the largest retained hash, est = (n−1)·2³²/h_k — unless the
+    * state never filled (n < k), in which case it IS the distinct set.
+    * One integer division of exact integers, floor-stable. */
+  def kmvEstimate(state: DataFrame, k: Int): DataFrame =
+    state.agg(count(lit(1)).as("n"), max("h").as("hk"))
+      .select(when(col("n") < k, col("n"))
+        .otherwise(floor((col("n") - 1).cast("double") * lit(4294967296.0) /
+          col("hk").cast("double")).cast("long"))
+        .as("kmv_est"))
+
   /** Standard HLL estimate from a register table (driver-side: the
     * register table is at most 2^b rows), with the small-range
     * linear-counting correction. */

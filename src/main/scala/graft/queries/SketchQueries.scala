@@ -129,7 +129,45 @@ object SketchQueries {
           (col("l_extendedprice"), HistLo, HistHi)), ZBits).as("z"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  private val KmvK = 256
+
+  /** KMV set-operation cardinalities: how many customers ordered in
+    * 1994, in 1995, in either, in BOTH — estimated from two ≤256-row
+    * sketch states (union = bottom-k of the union, intersection via
+    * bottom-k membership) next to the exact answers. The state is
+    * hash-exact integers; estimates are single divisions of exact
+    * integers, floor-stable. */
+  val q85KmvSets: Q = (s, d) => {
+    import graft.operators.{Materialize, Sketches}
+    val orders = Tables(s, d, "orders")
+    def keys(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    // each state feeds an estimate, the union bottom-k, and the
+    // membership count — computed once
+    val a = Materialize.once(Sketches.kmvState(keys(1994), "o_custkey", KmvK))
+    val b = Materialize.once(Sketches.kmvState(keys(1995), "o_custkey", KmvK))
+    val u = Materialize.once(a.union(b).distinct().orderBy("h").limit(KmvK))
+    val estA = Sketches.kmvEstimate(a, KmvK).withColumnRenamed("kmv_est", "est_1994")
+    val estB = Sketches.kmvEstimate(b, KmvK).withColumnRenamed("kmv_est", "est_1995")
+    val estU = Sketches.kmvEstimate(u, KmvK).withColumnRenamed("kmv_est", "est_union")
+    val nu = u.agg(count(lit(1)).as("n_u"))
+    val x = u.join(a, Seq("h"), "semi").join(b, Seq("h"), "semi")
+      .agg(count(lit(1)).as("x"))
+    val exactA = keys(1994).agg(countDistinct(col("o_custkey")).as("exact_1994"))
+    val exactB = keys(1995).agg(countDistinct(col("o_custkey")).as("exact_1995"))
+    val exactI = keys(1994).distinct()
+      .join(keys(1995).distinct(), Seq("o_custkey"), "semi")
+      .agg(count(lit(1)).as("exact_inter"))
+    estA.crossJoin(estB).crossJoin(estU).crossJoin(nu).crossJoin(x)
+      .crossJoin(exactA).crossJoin(exactB).crossJoin(exactI)
+      .select(col("est_1994"), col("est_1995"), col("est_union"),
+        floor(col("x").cast("double") * col("est_union").cast("double") /
+          col("n_u").cast("double")).cast("long").as("est_inter"),
+        col("exact_1994"), col("exact_1995"), col("exact_inter"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q85_kmv_sets" -> q85KmvSets,
     "q84_zorder" -> q84ZOrder,
     "q83_histogram" -> q83Histogram,
     "q82_profile" -> q82Profile,
@@ -179,6 +217,43 @@ object SketchQueries {
          |  CAST(max(CASE WHEN rest = 0 THEN ${60 - HllBits + 1}
          |    ELSE ${60 - HllBits + 1} - length(bin(rest)) END) AS INTEGER) AS register
          |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // KMV replay: bottom-k of the seeded portable hash per year;
+    // est = (n-1)*2^32/h_k (or n exact when the state never filled)
+    "q85_kmv_sets" -> {
+      def hq(y: Int) =
+        s"""SELECT DISTINCT ${TextQueries.hx(s"'99:' || CAST(o_custkey AS VARCHAR)")} AS h
+           |  FROM orders WHERE year(o_orderdate) = $y ORDER BY h LIMIT $KmvK""".stripMargin
+      def est(state: String, out: String) =
+        s"""SELECT CASE WHEN count(*) < $KmvK THEN count(*)
+           |  ELSE CAST(floor((CAST(count(*) - 1 AS DOUBLE) * 4294967296.0)
+           |    / CAST(max(h) AS DOUBLE)) AS BIGINT) END AS $out FROM $state""".stripMargin
+      s"""WITH a AS (${hq(1994)}),
+         |b AS (${hq(1995)}),
+         |u AS (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+         |  ORDER BY h LIMIT $KmvK),
+         |ea AS (${est("a", "est_1994")}),
+         |eb AS (${est("b", "est_1995")}),
+         |eu AS (${est("u", "est_union")}),
+         |nu AS (SELECT count(*) AS n_u FROM u),
+         |x AS (SELECT count(*) AS x FROM u
+         |  WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+         |xa AS (SELECT count(DISTINCT o_custkey) AS exact_1994 FROM orders
+         |  WHERE year(o_orderdate) = 1994),
+         |xb AS (SELECT count(DISTINCT o_custkey) AS exact_1995 FROM orders
+         |  WHERE year(o_orderdate) = 1995),
+         |xi AS (SELECT count(DISTINCT o_custkey) AS exact_inter FROM orders
+         |  WHERE year(o_orderdate) = 1994 AND o_custkey IN
+         |    (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995))
+         |SELECT CAST(ea.est_1994 AS BIGINT) AS est_1994,
+         |  CAST(eb.est_1995 AS BIGINT) AS est_1995,
+         |  CAST(eu.est_union AS BIGINT) AS est_union,
+         |  CAST(floor(CAST(x.x AS DOUBLE) * CAST(eu.est_union AS DOUBLE)
+         |    / CAST(nu.n_u AS DOUBLE)) AS BIGINT) AS est_inter,
+         |  CAST(xa.exact_1994 AS BIGINT) AS exact_1994,
+         |  CAST(xb.exact_1995 AS BIGINT) AS exact_1995,
+         |  CAST(xi.exact_inter AS BIGINT) AS exact_inter
+         |FROM ea, eb, eu, nu, x, xa, xb, xi""".stripMargin
+    },
     // bin = clamped floor((x-lo)/w), pure IEEE double + integers
     "q83_histogram" ->
       s"""SELECT least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - $HistLo)

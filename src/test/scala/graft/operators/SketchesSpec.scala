@@ -120,6 +120,28 @@ class SketchesSpec extends SparkSpec {
     assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
   }
 
+  test("KMV: distinct estimate within error bounds; exact below k") {
+    val big = (1 to 10000).map(i => s"u$i").toDF("k")
+    val est = Sketches.kmvEstimate(Sketches.kmvState(big, "k", 256), 256)
+      .head().getLong(0)
+    // KMV sigma ~ 1/sqrt(k-2) ~ 6.3%; allow 3 sigma
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.20, s"estimate $est")
+    val small = (1 to 40).map(i => s"v$i").toDF("k")
+    assert(Sketches.kmvEstimate(Sketches.kmvState(small, "k", 256), 256)
+      .head().getLong(0) == 40L)
+  }
+
+  test("KMV union state == state of the union; independent of partitioning") {
+    val (a, b) = ((1 to 500).map(i => s"a$i").toDF("k"),
+      (300 to 800).map(i => s"x$i").toDF("k"))
+    val viaMerge = Sketches.kmvState(a, "k", 128)
+      .union(Sketches.kmvState(b, "k", 128))
+      .distinct().orderBy("h").limit(128)
+    val direct = Sketches.kmvState(a.union(b).repartition(11), "k", 128)
+    assert(viaMerge.collect().map(_.getLong(0)).toSeq ==
+      direct.collect().map(_.getLong(0)).toSeq)
+  }
+
   test("HLL registers are within range and deterministic") {
     val df = (1 to 1000).map(i => s"v$i").toDF("k")
     val regs = Sketches.hllRegisters(df.repartition(7), "k", 10).collect()

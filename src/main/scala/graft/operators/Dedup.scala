@@ -256,6 +256,42 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with a k-means coarse
+    * quantizer, then verify cosine similarity ONLY within a cluster —
+    * the cluster is the blocking key, so the pair work is
+    * Σ|cell|² instead of n². A row is dropped when a SAME-CELL row
+    * with a SMALLER id has quantized cosine ≥ `threshold`
+    * (first-occurrence keep, the same total-order rule as
+    * [[paragraphDedup]] — deterministic, no RNG).
+    *
+    * `qCentroids` come from [[Similarity.fitQuantizedCentroids]];
+    * assignment is the zero-shuffle codegen argmin
+    * (o.a.s.sql.graft.NearestCentroids) and the cosine is exact
+    * integer arithmetic, so the full decision — cell, pair, verdict —
+    * replays bit-identically in a SQL oracle (q86).
+    *
+    * Returns (id, cell, keep). At 100 TB size the quantizer so cells
+    * stay small (nCells ≈ n/1000 in the paper's regime): the one
+    * shuffle is on `cell`, and a degenerate giant cell turns the
+    * in-cell self-join quadratic — AQE skew-join splits it, but the
+    * real fix is more cells. */
+  def semanticDedupQuantized(df: DataFrame, idCol: String, vecCol: String,
+                             qCentroids: Array[Array[Double]],
+                             threshold: Double): DataFrame = {
+    val assigned = Materialize.once( // both sides of the self-join read it
+      fanOut(df).select(col(idCol).as("id"),
+          VectorFunctions.quantize(col(vecCol)).as("qv"))
+        .withColumn("cell",
+          org.apache.spark.sql.graft.NearestCentroids.nearestCell(col("qv"), qCentroids)))
+    val dupIds = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+          VectorFunctions.quantizedCosine(col("a.qv"), col("b.qv")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    assigned.join(dupIds.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), not(coalesce(col("dup"), lit(false))).as("keep"))
+  }
+
   /** Embedding near-dup pairs: SRP-LSH buckets then in-bucket cosine
     * verify. `planes` trades recall for bucket size (16 planes ≈ 65k
     * buckets). For guaranteed-exact small corpora use

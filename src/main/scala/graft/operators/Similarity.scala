@@ -178,12 +178,24 @@ object Similarity {
     * `data/cell=N/` parquet (with the quantized vector) + `centroids/`.
     * Returns the quantized centroids — embed them as literals in an
     * oracle's VALUES CTE to replay assignment/probe/rank in plain SQL. */
+  /** Fit the k-means quantizer and return the centroids quantized to
+    * the floor(x·10⁶) integer grid (as integer-valued doubles, ready
+    * for [[org.apache.spark.sql.graft.NearestCentroids]]) — the shared
+    * primitive behind quantized IVF (q31) and semantic dedup (q86).
+    * Embed the values as BIGINT[] literals in an oracle VALUES CTE to
+    * replay assignment in plain SQL. */
+  def fitQuantizedCentroids(corpus: DataFrame, vecCol: String, nCells: Int,
+                            seed: Long = 42L,
+                            maxTrainRows: Long = 100000L): Array[Array[Double]] =
+    fitCentroids(corpus, vecCol, nCells, seed, maxTrainRows)
+      .map(_.map(x => math.floor(x * 1e6)))
+
   def buildIvfIndexQuantized(corpus: DataFrame, idCol: String, vecCol: String,
                              path: String, nCells: Int = 16, seed: Long = 42L,
                              maxTrainRows: Long = 100000L): Array[Array[Long]] = {
     val spark = corpus.sparkSession
-    val qCentroids = fitCentroids(corpus, vecCol, nCells, seed, maxTrainRows)
-      .map(_.map(x => math.floor(x * 1e6)))
+    val qCentroids =
+      fitQuantizedCentroids(corpus, vecCol, nCells, seed, maxTrainRows)
     assignCells(
       fanOut(corpus).select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
       "cv", qCentroids)

@@ -162,6 +162,49 @@ object VectorQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The q86 corpus: embeddings plus an exact copy of every 10th vector
+    * (id+1000000) — guaranteed semantic duplicates (cosine 1.0) that
+    * must land in the same k-means cell. Shared by the query and the
+    * oracle renderer. */
+  private def semCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+  }
+
+  /** Fitted-quantizer state for q86 (the q31 holder pattern): fit once
+    * per (JVM, sf dir); hold the quantized centroids so [[oracles]]
+    * can replay assignment as a VALUES CTE. */
+  private[queries] object SemCentroids {
+    val NCells = 8
+    val Threshold = 0.9
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    @volatile private[queries] var lastCentroids: Option[Array[Array[Double]]] = None
+
+    def getOrFit(s: SparkSession, sfDir: String): Array[Array[Double]] = {
+      val cents = cache.computeIfAbsent(sfDir, { _ =>
+        Similarity.fitQuantizedCentroids(semCorpus(s, sfDir), "embedding",
+          NCells, seed = 7L)
+      })
+      lastCentroids = Some(cents)
+      cents
+    }
+  }
+
+  /** SemDeDup (cluster-then-verify semantic dedup, arXiv:2303.09540):
+    * k-means cells as the blocking key, within-cell quantized cosine ≥
+    * 0.9 with first-occurrence keep. The planted exact copies MUST be
+    * dropped; the oracle replays the fitted centroids, assignment
+    * argmin, and pair verdicts in plain SQL. */
+  val q86SemDedup: Q = (s, d) => {
+    val cents = SemCentroids.getOrFit(s, d)
+    graft.operators.Dedup.semanticDedupQuantized(semCorpus(s, d), "vec_id",
+        "embedding", cents, SemCentroids.Threshold)
+      .select(col("id").as("vec_id"), col("cell"), col("keep"))
+      .orderBy("vec_id")
+  }
+
   /** REAL image decode end-to-end, oracle-checked: every doc becomes a
     * solid-color PNG whose dimensions and RGB derive from doc_id; Spark
     * must actually ENCODE, DECODE (javax.imageio), and feature-extract
@@ -220,6 +263,7 @@ object VectorQueries {
     "q31_ann_ivf" -> q31AnnIvf,
     "q32_ann_srp" -> q32AnnSrp,
     "q33_multimodal" -> q33Multimodal,
+    "q86_semdedup" -> q86SemDedup,
   )
 
   private val qv =
@@ -230,7 +274,7 @@ object VectorQueries {
   /** A def, not a val: the q31 oracle embeds the centroids FITTED during
     * the query run (set by [[IvfIndex.getOrBuild]]), so it must render
     * after the queries execute — Verify's dump order guarantees that. */
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ semOracle
 
   private def sqdist(a: String, b: String) =
     s"CAST(list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, len($a) + 1)]) AS BIGINT)"
@@ -272,6 +316,37 @@ object VectorQueries {
            |  ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
            |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
            |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+  }
+
+  /** q86's oracle: the fitted quantized centroids as a VALUES CTE →
+    * same-cell argmin assignment → within-cell pair verdicts → LEFT
+    * JOIN for the keep flag. Exact integer arithmetic end to end. */
+  private def semOracle: Map[String, String] = SemCentroids.lastCentroids match {
+    case None => Map.empty
+    case Some(cents) =>
+      val rows = cents.zipWithIndex
+        .map { case (c, i) => s"($i, ${c.map(_.toLong).mkString("[", ",", "]")}::BIGINT[])" }
+        .mkString(",\n")
+      Map("q86_semdedup" ->
+        s"""WITH e AS (SELECT vec_id, $qv AS qv FROM embeddings),
+           |c AS (SELECT vec_id, qv FROM e
+           |      UNION ALL SELECT vec_id + 1000000, qv FROM e WHERE vec_id % 10 = 0),
+           |cent(cell, cv) AS (VALUES
+           |$rows),
+           |asn AS (SELECT vec_id, qv, cell FROM (
+           |  SELECT c.vec_id, c.qv, cent.cell,
+           |    row_number() OVER (PARTITION BY c.vec_id
+           |      ORDER BY ${sqdist("c.qv", "cent.cv")}, cent.cell) AS rn
+           |  FROM c, cent) WHERE rn = 1),
+           |d AS (SELECT DISTINCT b.vec_id FROM asn a JOIN asn b
+           |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE CAST(${dot("a.qv", "b.qv")} AS DOUBLE) /
+           |    (sqrt(CAST(${dot("a.qv", "a.qv")} AS DOUBLE)) * sqrt(CAST(${dot("b.qv", "b.qv")} AS DOUBLE)))
+           |    >= ${SemCentroids.Threshold})
+           |SELECT asn.vec_id, CAST(asn.cell AS INTEGER) AS cell,
+           |  (d.vec_id IS NULL) AS keep
+           |FROM asn LEFT JOIN d ON d.vec_id = asn.vec_id
+           |ORDER BY asn.vec_id""".stripMargin)
   }
 
   private val staticOracles: Map[String, String] = Map(

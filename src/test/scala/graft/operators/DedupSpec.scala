@@ -125,4 +125,30 @@ class DedupSpec extends SparkSpec {
       .select("cosine").as[Double].collect()
     assert(qdup.length == 1 && qdup.head == 1.0)
   }
+
+  test("semanticDedupQuantized: planted copies drop, first occurrence kept") {
+    val vecs = (0 until 30).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    // exact copies of ids 2, 7 under larger ids
+    val withDups = (vecs ++ Seq((102L, vecs(2)._2), (107L, vecs(7)._2)))
+      .toDF("id", "vec")
+    val cents = Similarity.fitQuantizedCentroids(withDups, "vec", nCells = 4,
+      seed = 1L)
+    val out = Dedup.semanticDedupQuantized(withDups, "id", "vec", cents,
+      threshold = 0.99)
+    val keep = out.select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out.count() == 32)
+    assert(!keep(102L) && !keep(107L), "copies must be dropped")
+    assert(keep(2L) && keep(7L), "first occurrences must survive")
+    // identical vectors are assigned to the same cell
+    val cells = out.select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(cells(2L) == cells(102L) && cells(7L) == cells(107L))
+    // partitioning must not change any verdict (hash decisions only)
+    val out11 = Dedup.semanticDedupQuantized(withDups.repartition(11), "id",
+      "vec", cents, threshold = 0.99)
+    assert(out.orderBy("id").collect().toSeq ==
+      out11.orderBy("id").collect().toSeq)
+  }
 }

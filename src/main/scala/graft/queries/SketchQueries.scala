@@ -129,6 +129,51 @@ object SketchQueries {
           (col("l_extendedprice"), HistLo, HistHi)), ZBits).as("z"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Build-once state for q87 (the q31 index pattern): lineitem
+    * Z-order-clustered on (ship time, price) and written with
+    * file-level min/max stats, once per (JVM, sf dir). */
+  private[queries] object SkipTable {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def getOrBuild(s: SparkSession, sfDir: String): String =
+      cache.computeIfAbsent(sfDir, { _ =>
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val base = sys.props.getOrElse("graft.skip.dir",
+          s"${sys.props("java.io.tmpdir")}/graft-skip")
+        val path = s"$base/$tag"
+        val clustered = graft.operators.ZOrder.cluster(Tables(s, sfDir, "lineitem"),
+          Seq((unix_timestamp(col("l_shipdate")).cast("double"), 6.94224e8, 9.151488e8),
+            (col("l_extendedprice"), HistLo, HistHi)),
+          bits = 8, numPartitions = 32)
+        graft.sources.DataSkipping.writeWithStats(clustered, path,
+          Seq("l_shipdate", "l_extendedprice"))
+        path
+      })
+  }
+
+  /** Data-skipping scan end-to-end: a revenue aggregate over a
+    * shipdate×price window, read through [[graft.sources.DataSkipping]]
+    * file-envelope pruning on the Z-ordered table — only files whose
+    * (shipdate, price) envelopes intersect the window are opened, and
+    * the residual filter makes pruning correctness-neutral, so the
+    * oracle is the PLAIN filter+aggregate over lineitem. The pruning
+    * itself is pinned in DataSkippingSpec/PlanAuditSpec. */
+  val q87DataSkipping: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val path = SkipTable.getOrBuild(s, d)
+    val pruned = graft.sources.DataSkipping.prunedRead(s, path, Seq(
+      graft.sources.DataSkipping.ColRange("l_shipdate",
+        lit("1995-03-01").cast("timestamp"), lit("1995-05-31").cast("timestamp")),
+      graft.sources.DataSkipping.ColRange("l_extendedprice",
+        lit(30000.0), lit(60000.0))))
+    pruned.groupBy("l_returnflag")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+  }
+
   private val KmvK = 256
 
   /** KMV set-operation cardinalities: how many customers ordered in
@@ -167,6 +212,7 @@ object SketchQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q87_data_skipping" -> q87DataSkipping,
     "q85_kmv_sets" -> q85KmvSets,
     "q84_zorder" -> q84ZOrder,
     "q83_histogram" -> q83Histogram,
@@ -180,6 +226,19 @@ object SketchQueries {
     * 1-15 / 16-30 of one digest (60 bits each — fits BIGINT in both
     * engines). */
   val oracles: Map[String, String] = Map(
+    // pruning is correctness-neutral (residual filter re-applied), so
+    // the oracle is the plain filter+aggregate — identical rows prove
+    // the skipping read dropped no file it needed
+    "q87_data_skipping" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |  AND l_shipdate <= TIMESTAMP '1995-05-31'
+        |  AND l_extendedprice >= 30000.0 AND l_extendedprice <= 60000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // counter table: bucket_r(k) = (h1%w + r*((h2%w)|1)) % w, all
     // nonnegative so % == pmod; estimate = min over rows, absent
     // counters are 0 (unseen key estimates 0)

@@ -561,7 +561,22 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Dynamic pivot: revenue per order year × order status, with the
+    * pivot VALUES DISCOVERED from the data (no explicit value list —
+    * Spark runs the distinct scan, then plans the wide aggregate; at
+    * 100 TB that discovery pass is one cheap column-pruned distinct,
+    * and the pivot itself stays a SINGLE hash aggregate, never a
+    * per-value self-join). Exact decimal sums per cell; empty cells
+    * are NULL in both engines. */
+  val q88Pivot: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderstatus")
+      .agg(dsum(col("o_totalprice")))
+      .orderBy("order_year")
+
   val queries: Map[String, Q] = Map(
+    "q88_pivot" -> q88Pivot,
     "q71_range_join" -> q71RangeJoin,
     "q49_salted_sum" -> q49SaltedSum,
     "q34_json_flatten" -> q34JsonFlatten,
@@ -600,6 +615,18 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the pivot values F/O/P are data-discovered on the Spark side;
+    // the oracle enumerates them (DuckDB PIVOT would also work, but
+    // explicit CASE keeps the cell arithmetic visibly identical)
+    "q88_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q61_event_deltas" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
         |  FROM events WHERE event_type = 'purchase')

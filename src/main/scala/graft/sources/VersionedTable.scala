@@ -113,6 +113,59 @@ object VersionedTable {
       throw new java.io.IOException(s"versioned write: cannot commit $ptr")
   }
 
+  /** Compaction (OPTIMIZE): rewrite the CURRENT snapshot into
+    * ~`targetBytes`-sized files as a new committed version. Streaming
+    * micro-batch appends and fine-grained merges accrete small files,
+    * and at 100 TB the scan cost of a table is driven by its file
+    * count (task scheduling, footer reads, open/seek overhead) as much
+    * as its bytes — compaction is the maintenance pass that restores
+    * scan efficiency. Because it rides the versioned-write path it is
+    * crash-safe, readers never see a half-compacted table, and the
+    * pre-compaction snapshot stays time-travelable until retention
+    * drops it. Rows are identical by construction (a repartition, no
+    * filter); file ordering within the table is NOT preserved —
+    * re-cluster with [[graft.operators.ZOrder.cluster]] before calling
+    * if layout matters. Returns the new version, or None for a
+    * missing/empty table or when the table already meets the target
+    * (no-op — committing a pointless rewrite would churn retention). */
+  def compact(spark: SparkSession, tablePath: String,
+              targetBytes: Long = 128L << 20, keepVersions: Int = 3,
+              partitionBy: Seq[String] = Nil): Option[Long] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    currentVersion(spark, tablePath).flatMap { v =>
+      val table = new Path(tablePath)
+      val f = fs(spark, table)
+      val dir = versionDir(table, v)
+      val bytes = f.getContentSummary(dir).getLength
+      val nFiles = dataFiles(f, dir).size
+      val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (nFiles <= want) None // already compact
+      else readVersion(spark, tablePath, v).map { df =>
+        write(df.repartition(want), tablePath, keepVersions, partitionBy)
+      }
+    }
+  }
+
+  /** Data files (parquet parts) of a landed version — the scan-cost
+    * denominator that [[compact]] drives down. */
+  def fileCount(spark: SparkSession, tablePath: String, version: Long): Int = {
+    val table = new Path(tablePath)
+    dataFiles(fs(spark, table), versionDir(table, version)).size
+  }
+
+  private def dataFiles(f: org.apache.hadoop.fs.FileSystem,
+                        dir: Path): Seq[Path] = {
+    val it = f.listFiles(dir, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (s.isFile && name.startsWith("part-") && !name.endsWith(".crc"))
+        out += s.getPath
+    }
+    out.toSeq
+  }
+
   /** The current snapshot, or None for a missing/empty table. */
   def read(spark: SparkSession, tablePath: String): Option[DataFrame] =
     currentVersion(spark, tablePath).flatMap(readVersion(spark, tablePath, _))

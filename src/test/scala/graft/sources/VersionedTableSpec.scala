@@ -70,4 +70,26 @@ class VersionedTableSpec extends SparkSpec {
       path, "_versions/v00000001/p=a")))
     assert(VersionedTable.read(spark, path).get.count() == 2)
   }
+
+  test("compact: small files collapse, rows identical, old version travels") {
+    val path = tmpTable()
+    val df = (1 to 2000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    val v1 = VersionedTable.write(df.repartition(64), path)
+    assert(VersionedTable.fileCount(spark, path, v1) == 64)
+    val v2 = VersionedTable.compact(spark, path, targetBytes = 1L << 30)
+    assert(v2.contains(v1 + 1))
+    assert(VersionedTable.fileCount(spark, path, v2.get) == 1)
+    val now = VersionedTable.read(spark, path).get
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(now == (1 to 2000).map(i => (i.toLong, s"row$i")))
+    // pre-compaction snapshot still reachable until retention drops it
+    assert(VersionedTable.readVersion(spark, path, v1).get.count() == 2000)
+  }
+
+  test("compact is a no-op when the table already meets the target") {
+    val path = tmpTable()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s").repartition(1), path)
+    assert(VersionedTable.compact(spark, path).isEmpty)
+    assert(VersionedTable.currentVersion(spark, path).contains(1L))
+  }
 }

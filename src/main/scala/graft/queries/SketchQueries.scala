@@ -132,7 +132,7 @@ object SketchQueries {
   /** Build-once state for q87 (the q31 index pattern): lineitem
     * Z-order-clustered on (ship time, price) and written with
     * file-level min/max stats, once per (JVM, sf dir). */
-  private[queries] object SkipTable {
+  private[graft] object SkipTable {
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def getOrBuild(s: SparkSession, sfDir: String): String =
       cache.computeIfAbsent(sfDir, { _ =>

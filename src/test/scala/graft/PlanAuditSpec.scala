@@ -156,4 +156,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"), s"q81 BNLJ:\n$p")
   }
+
+  test("q86: cell assignment is a projection (codegen argmin, no Exchange); " +
+    "the verify join is cell-keyed, never all-pairs") {
+    // the full q86 plan starts from the checkpointed assignment, so pin
+    // the assignment's own plan: one projection, no Exchange
+    import org.apache.spark.sql.functions._
+    val cents = Array(Array(0.0, 0.0), Array(1e6, 1e6))
+    val asn = Tables(spark, dir, "embeddings").select(col("vec_id"),
+      org.apache.spark.sql.graft.NearestCentroids.nearestCell(
+        graft.functions.VectorFunctions.quantize(col("embedding")), cents).as("cell"))
+    val ap = asn.queryExecution.executedPlan.toString
+    assert(ap.contains("nearest_centroids"), s"argmin expression missing:\n$ap")
+    assert(!ap.contains("Exchange"), s"cell assignment shuffles:\n$ap")
+    val p = finalPlan("q86_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q86 pair generation degenerated to all-pairs:\n$p")
+  }
+
+  test("q87: the skipping read scans a pruned file subset, filter still pushed") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.DataSkipping, DataSkipping.ColRange
+    val path = graft.queries.SketchQueries.SkipTable.getOrBuild(spark, dir)
+    val ranges = Seq(
+      ColRange("l_shipdate", lit("1995-03-01").cast("timestamp"),
+        lit("1995-05-31").cast("timestamp")),
+      ColRange("l_extendedprice", lit(30000.0), lit(60000.0)))
+    val (files, total) = DataSkipping.pruneFiles(spark, path, ranges)
+    assert(files.size < total / 2,
+      s"Z-order + envelopes must skip most files (read ${files.size}/$total)")
+    // the residual filter must still reach the (pruned) scan
+    val p = DataSkipping.prunedRead(spark, path, ranges)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"residual range not pushed to the pruned scan:\n$p")
+  }
+
+  test("q88: dynamic pivot plans one aggregate, not a per-value self-join") {
+    val p = finalPlan("q88_pivot")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"pivot expanded into joins:\n$p")
+  }
 }

@@ -73,6 +73,9 @@ object GraftExtensions {
       (e: Seq[Expression]) => x(VF.quantize(c(e(0))))),
     ("graft_domain", "https? host of a url ('' when no match)",
       (e: Seq[Expression]) => x(graft.operators.QualityOps.extractDomain(c(e(0))))),
+    ("graft_canon_url", "canonical URL (dedup key): lowercased scheme/host, " +
+      "default port/fragment/trackers dropped, params sorted",
+      (e: Seq[Expression]) => new org.apache.spark.sql.graft.UrlCanonicalize(e(0))),
     ("graft_quality_score", "composite [0,1] text quality heuristic",
       (e: Seq[Expression]) => x(TF.qualityScore(c(e(0))))),
     ("graft_nfc", "Unicode NFC normalization (compiled, fast no-op path)",

@@ -88,6 +88,13 @@ object QualityOps {
   def extractDomain(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_extract(url, "^https?://([^/]+)", 1)
 
+  /** Canonical URL (compiled expression; see
+    * [[org.apache.spark.sql.graft.UrlCanonicalize]] for the exact
+    * rules): the dedup key for by-URL web-corpus dedup — group or
+    * [[graft.operators.Dedup.exact]] on it. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.UrlCanonicalize(url)
+
   /** Drop rows whose URL host appears in `blocked` (single `domain`-like
     * column; first column is used). Blocklists are small by contract —
     * broadcast anti-join, so the corpus never shuffles. */

@@ -324,7 +324,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** URL dedup by canonicalization: every doc gets two surface forms
+    * of the same page — a clean one and a messy one (uppercase
+    * scheme/host, default port, trailing slash, shuffled params,
+    * tracking params, fragment) — and the compiled
+    * [[org.apache.spark.sql.graft.UrlCanonicalize]] key must collapse
+    * each pair to ONE group of exactly 2. The oracle is CLOSED-FORM
+    * (the expected canonical string built directly, the q58 pattern) —
+    * it does not replay the algorithm, so any canonicalization bug
+    * shows up as a row-count/hash mismatch, not a shared blind spot. */
+  val q89UrlCanon: Q = (s, d) => {
+    val hosts = array(Seq("news.example", "blog.example", "docs.example",
+      "spam.example", "wiki.example", "ads.example").map(lit): _*)
+    val base = docs(s, d).select(col("doc_id"),
+      element_at(hosts, (pmod(col("doc_id"), lit(6)) + 1).cast("int")).as("host"),
+      col("doc_id").cast("string").as("id"))
+    val clean = base.select(concat(lit("https://"), col("host"),
+      lit("/d/"), col("id"), lit("?a=1&b=2")).as("url"))
+    val messy = base.select(concat(lit("HTTPS://"), upper(col("host")),
+      lit(":443/d/"), col("id"), lit("/?b=2&utm_source=feed&a=1&gclid="),
+      col("id"), lit("#frag")).as("url"))
+    clean.unionByName(messy)
+      .groupBy(graft.operators.QualityOps.canonicalUrl(col("url"))
+        .as("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"))
+      .orderBy("canonical_url")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q89_url_canon" -> q89UrlCanon,
     "q81_bigram_lm" -> q81BigramLm,
     "q80_incremental_dedup" -> q80IncrementalDedup,
     "q64_char_ngrams" -> q64CharNgrams,
@@ -400,6 +428,15 @@ object TextQueries {
     minhashSigSql("list_transform(list_distinct(shr), s -> " + hx("s") + " % 2147483647)", 16)
 
   val oracles: Map[String, String] = Map(
+    // closed form: both synthesized variants of a doc MUST canonicalize
+    // to this exact string, so each group has exactly 2 members
+    "q89_url_canon" ->
+      """SELECT 'https://' ||
+        |  (['news.example','blog.example','docs.example',
+        |    'spam.example','wiki.example','ads.example'])[CAST(doc_id % 6 AS INTEGER) + 1]
+        |  || '/d/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+        |  CAST(2 AS BIGINT) AS n_variants
+        |FROM documents ORDER BY canonical_url""".stripMargin,
     // add-one-smoothed ln((bc+1)/(uc+V)) per bigram, floor-quantized
     // to 1e-6 BEFORE the per-doc integer sum (order-independence)
     "q81_bigram_lm" ->

@@ -62,6 +62,50 @@ object DataSkipping {
   def stats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/_stats")
 
+  /** Append a batch to a [[writeWithStats]] table, computing envelopes
+    * for the NEW files only — the incremental-ingest path. The old
+    * stats rows are reused untouched (at 100 TB, re-profiling the
+    * whole table per micro-batch would dwarf the batch itself); only
+    * the appended files are opened. The refreshed stats land via
+    * tmp-dir + atomic rename, so a reader never sees a half-written
+    * stats table; a crash between the data append and the stats swap
+    * leaves the new files invisible to [[prunedRead]] (which reads the
+    * file list from the stats) — re-run the append's stats step, never
+    * a wrong answer. `statsCols` must match the original write. */
+  def appendWithStats(df: DataFrame, path: String, statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "need at least one stats column")
+    val spark = df.sparkSession
+    val before = stats(spark, path).collect() // one row per file: tiny
+    // compare by basename: part- names are UUID-unique, and the URI
+    // rendering of _metadata.file_path and a Hadoop listing differ
+    val known = before.map(r => basename(r.getAs[String]("file"))).toSet
+    df.write.mode("append").parquet(path)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newFiles = fs.listStatus(hp).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
+      .filterNot(p => known.contains(p.getName))
+      .map(_.toUri.toString)
+    if (newFiles.isEmpty) return // empty batch: nothing to profile
+    val aggs = count(lit(1)).as("cnt") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val fresh = spark.read.parquet(newFiles: _*) // ONLY the new bytes
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(before.toSeq), stats(spark, path).schema))
+    val statsDir = new org.apache.hadoop.fs.Path(s"$path/_stats")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_stats.__tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    fresh.repartition(1).write.parquet(tmp.toString)
+    fs.delete(statsDir, true)
+    if (!fs.rename(tmp, statsDir))
+      throw new java.io.IOException(s"cannot commit refreshed stats at $statsDir")
+  }
+
+  private def basename(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
+
   /** Driver-side file pruning: the data files whose envelope overlaps
     * EVERY range. Missing stats columns are an error; a file is kept
     * iff `max_c >= lo AND min_c <= hi` for all ranges (NULL envelope →

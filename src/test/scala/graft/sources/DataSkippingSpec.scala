@@ -72,6 +72,30 @@ class DataSkippingSpec extends SparkSpec {
     assert(got == (0L until 100L).filter(_ % 7 == 3).toSeq)
   }
 
+  test("append: only new files are profiled, pruning covers both batches") {
+    val path = tmp()
+    writeClustered(path)
+    val oldStats = DataSkipping.stats(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = (2000 until 2100).map(i => (i.toLong, i % 7, s"r$i"))
+      .toDF("k", "m", "s").repartitionByRange(2, $"k").sortWithinPartitions("k")
+    DataSkipping.appendWithStats(batch, path, Seq("k", "m"))
+    val st = DataSkipping.stats(spark, path).collect()
+    assert(st.length == 12) // 10 original + 2 appended
+    // original rows survive the refresh byte-identical
+    val kept = st.map(r => (r.getString(0), r.getLong(1))).toMap
+    oldStats.foreach { case (f, c) => assert(kept(f) == c, s"stats lost for $f") }
+    // a range inside the appended batch reads only appended files
+    val (files, total) = DataSkipping.pruneFiles(spark, path,
+      Seq(DataSkipping.ColRange("k", lit(2000L), lit(2049L))))
+    assert(total == 12 && files.size <= 1, s"read ${files.size}/$total")
+    assert(DataSkipping.prunedRead(spark, path,
+      Seq(DataSkipping.ColRange("k", lit(2000L), lit(2049L)))).count() == 50)
+    // and a cross-batch range is complete
+    assert(DataSkipping.prunedRead(spark, path,
+      Seq(DataSkipping.ColRange("k", lit(900L), lit(2010L)))).count() == 111)
+  }
+
   test("zorder-clustered table prunes on either dimension") {
     val path = tmp()
     val df = (0 until 4096).map { i => (i.toLong, (i * 37 % 4096).toLong) }

@@ -86,6 +86,18 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, path, v1).get.count() == 2000)
   }
 
+  test("schema evolves freely across versions; time travel keeps old schemas") {
+    val path = tmpTable()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), path)
+    // v2 adds a column and drops nothing — full-snapshot versioning
+    // makes evolution trivially safe: no mixed-schema file soup
+    VersionedTable.write(Seq((1L, "a", 0.5)).toDF("id", "s", "score"), path)
+    assert(VersionedTable.read(spark, path).get.columns.toSeq ==
+      Seq("id", "s", "score"))
+    assert(VersionedTable.readVersion(spark, path, 1L).get.columns.toSeq ==
+      Seq("id", "s"))
+  }
+
   test("compact is a no-op when the table already meets the target") {
     val path = tmpTable()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s").repartition(1), path)

@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      HygieneQueries.queries ++ SketchQueries.queries
+      HygieneQueries.queries ++ SketchQueries.queries ++
+      WarehouseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EtlQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
-      HygieneQueries.oracles ++ SketchQueries.oracles
+      HygieneQueries.oracles ++ SketchQueries.oracles ++
+      WarehouseQueries.oracles
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance self-join via deletion-neighborhood blocking (the
+  * FastSS / SymSpell family — public algorithm): find all pairs of
+  * rows whose strings are within Levenshtein distance 1 WITHOUT the
+  * O(n²) cross join.
+  *
+  * Every string emits `length+1` blocking keys: itself plus each
+  * delete-one-character variant. Two strings s, t with lev(s,t) ≤ 1
+  * always share a key — equal strings share the identity key; a
+  * substitution at position i makes their delete-at-i variants equal;
+  * an insertion means deleting the inserted character of the longer
+  * string yields the shorter one, which is the shorter string's own
+  * identity key. So a hash equi-join on the key set is a COMPLETE
+  * candidate generator (proved against the brute-force cross-join
+  * oracle in q90), and `levenshtein()` verifies candidates exactly.
+  *
+  * Scale shape: key generation is a per-row `transform+explode`
+  * projection (codegen, no shuffle); the candidate join is one hash
+  * shuffle on the key. Blocking-key fan-out is `length+1` per row, so
+  * the exploded set is ~L× corpus — for join keys (names, SKUs, URLs)
+  * L is tens, not thousands. Group sizes are bounded by how many
+  * strings share a deletion variant (data-dependent but tiny for
+  * id-like strings); contrast half-string pigeonhole blocking, which
+  * degenerates to a cross join when the corpus shares long common
+  * prefixes (zero-padded ids — exactly our dimension names).
+  */
+object FuzzyJoin {
+
+  /** Identity + delete-one-character variants of `s`, de-duplicated
+    * (deleting any character of a run of equal characters yields the
+    * same string). Pure projection — stays in whole-stage codegen. */
+  private def deletionKeys(s: org.apache.spark.sql.Column) =
+    array_distinct(concat(
+      array(s),
+      transform(sequence(lit(0), length(s) - 1),
+        i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s))))))
+
+  /** All (id_a, str_a, id_b, str_b, dist) pairs with
+    * `levenshtein(str_a, str_b) <= 1` and `id_a < id_b`, each pair
+    * once. Null ids/strings are dropped — a null has no edit distance
+    * to anything.
+    */
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val rows = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("id").isNotNull && col("s").isNotNull)
+    val keyed = Materialize.once(
+      rows.select(col("id"), col("s"), explode(deletionKeys(col("s"))).as("k")))
+    val a = keyed.select(col("k"), col("id").as("id_a"), col("s").as("str_a"))
+    val b = keyed.select(col("k"), col("id").as("id_b"), col("s").as("str_b"))
+    a.join(b, Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "str_a", "id_b", "str_b")
+      .distinct()
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .filter(col("dist") <= 1)
+  }
+}

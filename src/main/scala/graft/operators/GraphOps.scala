@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph scoring (PageRank) with DETERMINISTIC fixed-point
+  * arithmetic, so the result is bit-identical across engines,
+  * partitionings, and re-runs.
+  *
+  * Floating-point PageRank sums per-node contributions in shuffle
+  * arrival order — the ranks drift in the low bits between runs, which
+  * breaks both the cross-engine oracle and any downstream exact dedup
+  * on rank. Here ranks are scaled longs (`SCALE = 1e9`) and every
+  * operation is integer: contribution = `rank div out_degree`, damping
+  * = `(85 * sum) div 100`. Long addition is associative and
+  * commutative, so the groupBy sum is order-independent — the oracle
+  * (q93) replays the identical arithmetic in SQL and hash-matches.
+  * The mass lost to floor division (< out_degree per node per round)
+  * is a deliberate, documented bias of ~1e-9 per rank unit — noise for
+  * ranking purposes, determinism for engineering purposes.
+  *
+  * Scale shape per iteration: one hash join of ranks onto edges (both
+  * sides partitioned by the same key — at scale, pre-bucket edges by
+  * `src` so the per-round shuffle touches only the rank side) and one
+  * aggregation on `dst`. Rank state is one long per node. Rounds are
+  * checkpointed so the plan does not grow with iteration count —
+  * lineage-safe via [[Materialize.once]]'s persist fallback.
+  */
+object GraphOps {
+
+  val Scale: Long = 1000000000L
+
+  /** `iterations` rounds of damped PageRank over a directed edge list.
+    *
+    * @param edges  (src, dst) string-keyed edges; contributions flow
+    *               src -> dst. Dangling nodes (no out-edges) leak their
+    *               mass — standard for the simple formulation; make the
+    *               graph symmetric if every node must keep mass.
+    * @return (node_id, rank_scaled) — rank in units of 1/SCALE, after
+    *         `iterations` rounds from the uniform start.
+    */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Int = 85): DataFrame = {
+    require(iterations >= 1 && damping >= 0 && damping <= 100,
+      "need iterations >= 1 and damping in [0,100]")
+    val e = Materialize.once(edges
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+      .distinct())
+    val nodes = Materialize.once(
+      e.select(col("src").as("node_id"))
+        .union(e.select(col("dst").as("node_id"))).distinct())
+    val nNodes = nodes.count() // control-plane scalar: one long
+    val degreed = Materialize.once(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
+    val base = (Scale / nNodes) * (100 - damping) / 100
+    var ranks = nodes.withColumn("rank_scaled", lit(Scale / nNodes))
+    for (_ <- 1 to iterations) {
+      val contrib = degreed
+        .join(ranks, degreed("src") === ranks("node_id"))
+        .groupBy(col("dst").as("node_id"))
+        .agg(sum(expr("rank_scaled div deg")).as("__in"))
+      ranks = Materialize.once(
+        nodes.join(contrib, Seq("node_id"), "left")
+          .select(col("node_id"),
+            (lit(base) + expr(s"($damping * coalesce(__in, 0L)) div 100"))
+              .as("rank_scaled")))
+    }
+    ranks
+  }
+
+  /** The q93 DuckDB oracle for [[pageRank]]: unrolled CTE rounds that
+    * replay the identical integer arithmetic. Lives here so the Spark
+    * constant (SCALE, damping) and the oracle can never drift apart. */
+  def pageRankOracleSql(edgesSql: String, iterations: Int, damping: Int = 85): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.node_id,
+         |         (SELECT base FROM bb)
+         |         + ($damping * COALESCE(c.s, 0)) // 100 AS rank_scaled
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node_id, sum(r.rank_scaled // d.deg) AS s
+         |    FROM edges e
+         |    JOIN r${i - 1} r ON r.node_id = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.node_id = nodes.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |nodes AS (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |bb AS (SELECT (($Scale // n) * (100 - $damping)) // 100 AS base FROM nn),
+       |r0 AS (SELECT node_id, $Scale // (SELECT n FROM nn) AS rank_scaled FROM nodes),
+       |$rounds
+       |SELECT node_id, CAST(rank_scaled AS BIGINT) AS rank_scaled
+       |FROM r$iterations ORDER BY node_id""".stripMargin
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series scaffolding: dense date spines for gap-free rollups and
+  * burst collapsing for noisy event streams.
+  *
+  * Reference behavior: the reference's daily revenue reports simply
+  * GROUP BY date (vivek-neenopal/shopify-etl report SQL), which
+  * silently drops zero-activity days — downstream charting and
+  * forecasting then misreads gaps as missing data. The spine join
+  * makes absence explicit.
+  */
+object TimeOps {
+
+  /** One row per calendar day spanning [min(tsCol), max(tsCol)] of
+    * `df`, as a `day: date` column.
+    *
+    * Scale shape: the bounds are a full aggregate (one number per
+    * side), the spine itself is `sequence()+explode` over a single
+    * row — a few thousand rows per decade regardless of fact size.
+    * The fact table is scanned once for min/max (parquet footer
+    * min/max stats make that scan cheap).
+    */
+  def dateSpine(df: DataFrame, tsCol: String): DataFrame =
+    df.agg(min(to_date(col(tsCol))).as("__lo"), max(to_date(col(tsCol))).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+
+  /** Gap-filled daily rollup: aggregate `df` by day, then left-join
+    * onto the dense spine so zero-activity days appear with the given
+    * defaults instead of vanishing.
+    *
+    * The spine side is tiny (days) and broadcasts; the fact aggregates
+    * once on the day key — same shuffle count as the naive GROUP BY.
+    *
+    * @param aggs     (resultName, aggColumn) pairs evaluated in the
+    *                 day-grouped aggregate
+    * @param defaults per-resultName value to use on gap days (missing
+    *                 names stay NULL on gaps)
+    */
+  def gapFilledDaily(df: DataFrame, tsCol: String,
+                     aggs: Seq[(String, Column)],
+                     defaults: Map[String, Column]): DataFrame = {
+    val rolled = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    val filled = aggs.map { case (n, _) =>
+      defaults.get(n).map(d => coalesce(col(n), d).as(n)).getOrElse(col(n))
+    }
+    broadcast(dateSpine(df, tsCol)).join(rolled, Seq("day"), "left")
+      .select(col("day") +: filled: _*)
+  }
+
+  /** Collapse event bursts: group each key's events into bursts —
+    * maximal chains where consecutive events arrive within
+    * `gapSeconds` of each other — and keep one row per burst (its
+    * first event) annotated with `burst_size` and `burst_span_us`
+    * (span in exact integer microseconds: epoch-micro longs, not
+    * float epoch seconds, so the arithmetic is bit-identical across
+    * engines and partitionings).
+    *
+    * This is the q18 sessionization trick pointed at deduplication:
+    * a retried click, a double-fired webhook, or a chatty sensor
+    * produces a burst; the collapsed stream keeps the burst's head
+    * event plus enough metadata to audit what was dropped.
+    *
+    * Scale shape: two windows over the SAME (key, ts, tieBreak)
+    * ordering — Spark plans one Exchange + one sort, per-row lag
+    * state only. No self-join against the burst extent.
+    */
+  def collapseBursts(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                     tieBreak: String, gapSeconds: Long): DataFrame = {
+    require(keyCols.nonEmpty && gapSeconds > 0, "need keys and a positive gap")
+    val us = unix_micros(col(tsCol))
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieBreak))
+    val prevUs = lag(us, 1).over(byKey)
+    val newBurst = when(
+      prevUs.isNull || us - prevUs > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    val withBurst = df.withColumn("__burst", sum(newBurst).over(byKey))
+    val byBurst = Window.partitionBy((keyCols :+ "__burst").map(col): _*)
+      .orderBy(col(tsCol), col(tieBreak))
+    val burstAll = Window.partitionBy((keyCols :+ "__burst").map(col): _*)
+    withBurst
+      .withColumn("__rn", row_number().over(byBurst))
+      .withColumn("burst_size", count(lit(1)).over(burstAll))
+      .withColumn("burst_span_us",
+        max(us).over(burstAll) - min(us).over(burstAll))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__burst")
+  }
+}

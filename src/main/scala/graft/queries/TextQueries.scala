@@ -111,6 +111,28 @@ object TextQueries {
         threshold = 0.5, shingleSize = 3, bands = 8, rowsPerBand = 2))
       .orderBy("id")
 
+  /** Full cluster assignment for the corpus: q42's canonicalization
+    * extended to EVERY document (pair-less docs are their own
+    * singleton cluster), plus cluster size and the keep/drop verdict —
+    * the complete fuzzy-dedup decision table a curation pipeline
+    * consumes, in one frame. */
+  val q97MinhashClusters: Q = (s, d) => {
+    val corpus = corpusNear(s, d)
+    val canon = graft.operators.ScaleOps.canonicalize(
+      Dedup.minhashDuplicates(corpus, "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, bands = 8, rowsPerBand = 2))
+    val assigned = corpus.select(col("doc_id"))
+      .join(canon, corpus("doc_id") === canon("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"))
+    val sizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_representative"))
+      .orderBy("doc_id")
+  }
+
   /** Exact top-20 tokens via the Misra–Gries two-pass pipeline: the
     * bounded-state sketch (capacity 1000 ≫ 20) nominates candidates,
     * an exact broadcast-semi-joined recount ranks them. With capacity m,
@@ -379,6 +401,7 @@ object TextQueries {
     "q27_ngram_jaccard" -> q27NgramJaccard,
     "q42_canonicalize" -> q42Canonicalize,
     "q43_heavy_hitters" -> q43HeavyHitters,
+    "q97_minhash_clusters" -> q97MinhashClusters,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -639,6 +662,27 @@ object TextQueries {
          |  UNION
          |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // q42's components extended to the full corpus: singleton docs keep
+    // their own id, then size + representative verdict per cluster
+    "q97_minhash_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |          UNION SELECT id_b AS src, id_a AS dst FROM dup),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |canon AS (SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+         |assigned AS (
+         |  SELECT c.doc_id, COALESCE(k.canonical_id, c.doc_id) AS cluster_id
+         |  FROM corpus c LEFT JOIN canon k ON k.id = c.doc_id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+         |          FROM assigned GROUP BY cluster_id)
+         |SELECT a.doc_id, a.cluster_id, s.cluster_size,
+         |       a.doc_id = a.cluster_id AS is_representative
+         |FROM assigned a JOIN sizes s USING (cluster_id)
+         |ORDER BY a.doc_id""".stripMargin,
     "q43_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($tok) AS token FROM documents)
          |SELECT token, count(*) AS freq FROM tok

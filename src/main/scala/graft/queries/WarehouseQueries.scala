@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{FuzzyJoin, GraphOps, MaterializedAgg, Scd2, SkewJoin, TimeOps}
+
+/** Warehouse-pattern queries (round 6): SCD2 history, date-spine gap
+  * fill, incremental materialized-aggregate maintenance, fuzzy
+  * (edit-distance) matching, deterministic PageRank, burst collapse,
+  * and the salted-join skew pattern.
+  *
+  * Reference behavior: the reference keeps latest-state dimensions and
+  * recomputes reports from full scans (vivek-neenopal/shopify-etl
+  * merge jobs); these are the standard warehouse extensions of the
+  * same data model — history instead of overwrite, incremental
+  * maintenance instead of rescan, explicit gap handling instead of
+  * silent missing days.
+  */
+object WarehouseQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, d: String) = EtlQueries.events(s, d)
+
+  /** Edit-distance-1 name matching via deletion-neighborhood blocking;
+    * the oracle is the brute-force cross join, so a hash match proves
+    * the blocked join finds EVERY pair (completeness), not just no
+    * false ones. */
+  val q90FuzzyJoin: Q = (s, d) =>
+    FuzzyJoin.editDistance1Pairs(Tables(s, d, "customer"), "c_custkey", "c_name")
+      .select(col("id_a"), col("str_a"), col("id_b"), col("str_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("id_a", "id_b")
+
+  /** Gap-filled daily revenue: the q2 rollup left-joined onto a dense
+    * date spine so zero-order days surface as explicit zeros. */
+  val q91DateSpine: Q = (s, d) =>
+    TimeOps.gapFilledDaily(Tables(s, d, "orders"), "o_orderdate",
+      aggs = Seq(
+        "revenue" -> sum(col("o_totalprice").cast("decimal(18,2)")),
+        "n_orders" -> count(lit(1))),
+      defaults = Map(
+        "revenue" -> lit(0).cast("decimal(18,2)"),
+        "n_orders" -> lit(0L)))
+      .select(col("day"), col("revenue").cast("double").as("revenue"),
+        col("n_orders"))
+      .orderBy("day")
+
+  /** SCD Type-2 history of each user's event_type from the events
+    * change log: collapse consecutive re-statements, version what
+    * remains with half-open validity intervals. */
+  val q92Scd2: Q = (s, d) =>
+    Scd2.fromChangeLog(events(s, d), Seq("user_id"), "ts", "event_id",
+      Seq("event_type"))
+      .orderBy("user_id", "version")
+
+  /** Deterministic fixed-point PageRank (3 damped rounds) over the
+    * symmetric supplier↔part graph from lineitem. Integer arithmetic
+    * end-to-end, so the oracle replays it exactly — see
+    * [[graft.operators.GraphOps]]. */
+  val q93Pagerank: Q = (s, d) => {
+    val sp = Tables(s, d, "lineitem")
+      .select(concat(lit("s"), col("l_suppkey")).as("s"),
+        concat(lit("p"), col("l_partkey")).as("p"))
+      .distinct()
+    val edges = sp.select(col("s").as("src"), col("p").as("dst"))
+      .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
+    GraphOps.pageRank(edges, iterations = 3).orderBy("node_id")
+  }
+
+  /** Incremental materialized-view maintenance: the daily revenue
+    * rollup built from pre-1999 history, maintained with the 1999+
+    * batch WITHOUT rescanning history — and proven equal to the full
+    * recompute by the oracle. */
+  val q94IncrementalAgg: Q = (s, d) => {
+    val orders = Tables(s, d, "orders")
+    val cutoff = lit("1999-01-01").cast("timestamp_ntz")
+    val state = orders.filter(col("o_orderdate") < cutoff)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val batch = orders.filter(col("o_orderdate") >= cutoff)
+      .withColumn("day", to_date(col("o_orderdate")))
+    MaterializedAgg.maintain(state, batch, Seq("day"), Seq(
+      ("revenue", sum(col("o_totalprice").cast("decimal(18,2)")), sum(col("revenue"))),
+      ("n_orders", count(lit(1)), sum(col("n_orders")))))
+      .select(col("day"), col("revenue").cast("double").as("revenue"),
+        col("n_orders"))
+      .orderBy("day")
+  }
+
+  /** Burst collapse over the event stream: one row per ≤24h-gap burst
+    * per (user, event_type), annotated with what was collapsed. */
+  val q95Debounce: Q = (s, d) =>
+    TimeOps.collapseBursts(events(s, d), Seq("user_id", "event_type"),
+      "ts", "event_id", gapSeconds = 86400)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("burst_size"), col("burst_span_us"))
+      .orderBy("user_id", "event_type", "ts", "event_id")
+
+  /** Salted equi-join (8-way) of orders onto a priority dim, then a
+    * rollup — row-identical to the plain join by construction; the
+    * oracle computes the plain-join semantics directly. */
+  val q96SaltedJoin: Q = (s, d) => {
+    val orders = Tables(s, d, "orders")
+      .withColumnRenamed("o_orderpriority", "priority")
+    val dim = orders.select(col("priority")).distinct()
+      .withColumn("weight", substring(col("priority"), 1, 1).cast("int"))
+    SkewJoin.saltedEquiJoin(orders, dim, "priority", "o_orderkey", saltFactor = 8)
+      .groupBy("priority", "weight")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("priority")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q90_fuzzy_join" -> q90FuzzyJoin,
+    "q91_date_spine" -> q91DateSpine,
+    "q92_scd2" -> q92Scd2,
+    "q93_pagerank" -> q93Pagerank,
+    "q94_incremental_agg" -> q94IncrementalAgg,
+    "q95_debounce" -> q95Debounce,
+    "q96_salted_join" -> q96SaltedJoin,
+  )
+
+  private val pagerankEdgesSql =
+    """SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+      |FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+      |UNION ALL
+      |SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+      |FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q90_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, a.c_name AS str_a,
+        |       b.c_custkey AS id_b, b.c_name AS str_b,
+        |       levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a, customer b
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q91_date_spine" ->
+      """WITH bounds AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+        |                       CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM bounds),
+        |rolled AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |                  count(*) AS n_orders
+        |           FROM orders GROUP BY 1)
+        |SELECT s.day, CAST(COALESCE(r.revenue, 0) AS DOUBLE) AS revenue,
+        |       COALESCE(r.n_orders, 0) AS n_orders
+        |FROM spine s LEFT JOIN rolled r USING (day) ORDER BY s.day""".stripMargin,
+    "q92_scd2" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |           FROM events),
+        |lagged AS (SELECT *,
+        |             lag(event_type) OVER w AS prev_attr,
+        |             lag(ts) OVER w AS prev_ts
+        |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |changes AS (SELECT * FROM lagged
+        |            WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_attr),
+        |versioned AS (SELECT user_id, event_type, ts AS valid_from,
+        |                lead(ts) OVER w2 AS valid_to,
+        |                row_number() OVER w2 AS version
+        |              FROM changes
+        |              WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |       valid_to IS NULL AS is_current, CAST(version AS INTEGER) AS version
+        |FROM versioned ORDER BY user_id, version""".stripMargin,
+    "q93_pagerank" -> GraphOps.pageRankOracleSql(pagerankEdgesSql, iterations = 3),
+    "q94_incremental_agg" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q95_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events),
+        |lagged AS (SELECT *, lag(epoch_us(ts)) OVER w AS prev_us FROM e
+        |           WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+        |flagged AS (SELECT *,
+        |              CASE WHEN prev_us IS NULL
+        |                     OR epoch_us(ts) - prev_us > 86400000000 THEN 1
+        |                   ELSE 0 END AS new_burst
+        |            FROM lagged),
+        |bursts AS (SELECT *, sum(new_burst) OVER (PARTITION BY user_id, event_type
+        |             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS burst
+        |           FROM flagged),
+        |heads AS (SELECT *,
+        |            row_number() OVER (PARTITION BY user_id, event_type, burst
+        |              ORDER BY ts, event_id) AS rn,
+        |            count(*) OVER (PARTITION BY user_id, event_type, burst)
+        |              AS burst_size,
+        |            max(epoch_us(ts)) OVER (PARTITION BY user_id, event_type, burst)
+        |            - min(epoch_us(ts)) OVER (PARTITION BY user_id, event_type, burst)
+        |              AS burst_span_us
+        |          FROM bursts)
+        |SELECT user_id, event_type, ts, event_id, burst_size, burst_span_us
+        |FROM heads WHERE rn = 1
+        |ORDER BY user_id, event_type, ts, event_id""".stripMargin,
+    "q96_salted_join" ->
+      """SELECT o_orderpriority AS priority,
+        |       CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS weight,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY priority""".stripMargin,
+  )
+}

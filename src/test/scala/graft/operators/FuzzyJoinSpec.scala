@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(rows: Seq[(Long, String)]): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb))).toSet
+  }
+
+  test("matches brute force exactly: substitutions, inserts, deletes, equals") {
+    val rows = Seq(
+      1L -> "kitten", 2L -> "mitten", 3L -> "kittens", 4L -> "itten",
+      5L -> "kitten", 6L -> "sitting", 7L -> "aaa", 8L -> "aab", 9L -> "ab",
+      10L -> "x")
+    val got = FuzzyJoin
+      .editDistance1Pairs(rows.toDF("id", "s"), "id", "s")
+      .select($"id_a", $"id_b", $"dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute(rows))
+  }
+
+  test("each qualifying pair appears exactly once despite multi-key overlap") {
+    // identical strings share EVERY deletion key — the worst fan-out
+    val rows = Seq(1L -> "aaaa", 2L -> "aaaa", 3L -> "aaa")
+    val got = FuzzyJoin.editDistance1Pairs(rows.toDF("id", "s"), "id", "s")
+    assert(got.count() == got.select("id_a", "id_b").distinct().count())
+    assert(got.count() == 3)
+  }
+
+  test("null ids and null strings are dropped") {
+    val rows = Seq[(java.lang.Long, String)](
+      (1L, "abc"), (2L, null), (null, "abc"), (3L, "abd"))
+      .toDF("id", "s")
+    val got = FuzzyJoin.editDistance1Pairs(rows, "id", "s")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L)))
+  }
+}

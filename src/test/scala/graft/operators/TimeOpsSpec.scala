@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TimeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dateSpine is dense and inclusive of both bounds") {
+    val df = Seq(ts("2024-03-01 10:00:00"), ts("2024-03-05 01:00:00"))
+      .toDF("t")
+    val days = TimeOps.dateSpine(df, "t").orderBy("day")
+      .as[java.sql.Date].collect().map(_.toString)
+    assert(days.toSeq == Seq("2024-03-01", "2024-03-02", "2024-03-03",
+      "2024-03-04", "2024-03-05"))
+  }
+
+  test("gapFilledDaily surfaces zero-activity days with defaults") {
+    val df = Seq(
+      (ts("2024-03-01 10:00:00"), 5L),
+      (ts("2024-03-01 11:00:00"), 7L),
+      (ts("2024-03-03 09:00:00"), 1L)
+    ).toDF("t", "v")
+    val out = TimeOps.gapFilledDaily(df, "t",
+      aggs = Seq("total" -> sum($"v"), "n" -> count(lit(1))),
+      defaults = Map("total" -> lit(0L), "n" -> lit(0L)))
+      .orderBy("day")
+      .select($"day".cast("string"), $"total", $"n")
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("2024-03-01", 12L, 2L),
+      ("2024-03-02", 0L, 0L),   // the gap day exists and is zero, not absent
+      ("2024-03-03", 1L, 1L)))
+  }
+
+  test("collapseBursts keeps the burst head with size and exact span") {
+    val df = Seq(
+      // key 1: burst of 3 (gaps 10s, 20s), then a lone event 100s later
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:00:10"), 2L),
+      (1L, ts("2024-01-01 00:00:30"), 3L),
+      (1L, ts("2024-01-01 00:05:00"), 4L),
+      // key 2: chain semantics — consecutive gaps of 25s each stay one
+      // burst even though first->last exceeds the 30s threshold
+      (2L, ts("2024-01-01 00:00:00"), 5L),
+      (2L, ts("2024-01-01 00:00:25"), 6L),
+      (2L, ts("2024-01-01 00:00:50"), 7L)
+    ).toDF("k", "t", "eid")
+    val out = TimeOps.collapseBursts(df, Seq("k"), "t", "eid", gapSeconds = 30)
+      .orderBy("k", "t")
+      .select($"k", $"eid", $"burst_size", $"burst_span_us")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 30000000L),
+      (1L, 4L, 1L, 0L),
+      (2L, 5L, 3L, 50000000L)))
+  }
+
+  test("collapseBursts ties at equal ts resolve by the tie-break column") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 9L),
+      (1L, ts("2024-01-01 00:00:00"), 3L)
+    ).toDF("k", "t", "eid")
+    val head = TimeOps.collapseBursts(df, Seq("k"), "t", "eid", 60)
+      .select("eid").as[Long].collect()
+    assert(head.toSeq == Seq(3L)) // lower eid is the head
+  }
+}

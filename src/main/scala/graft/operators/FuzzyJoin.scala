@@ -45,17 +45,23 @@ object FuzzyJoin {
     * to anything.
     */
   def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val rows = df.select(col(idCol).as("id"), col(strCol).as("s"))
-      .filter(col("id").isNotNull && col("s").isNotNull)
-    val keyed = Materialize.once(
-      rows.select(col("id"), col("s"), explode(deletionKeys(col("s"))).as("k")))
-    val a = keyed.select(col("k"), col("id").as("id_a"), col("s").as("str_a"))
-    val b = keyed.select(col("k"), col("id").as("id_b"), col("s").as("str_b"))
-    a.join(b, Seq("k"))
+    val rows = Materialize.once(
+      df.select(col(idCol).as("id"), col(strCol).as("s"))
+        .filter(col("id").isNotNull && col("s").isNotNull))
+    val keyed = rows.select(col("id"), explode(deletionKeys(col("s"))).as("k"))
+    // candidate ids only: the multi-key overlap dedup shuffles narrow
+    // (id, id) pairs, not the strings; strings re-attach afterwards via
+    // two joins against the (small, known-size) row side
+    val cand = keyed.select(col("k"), col("id").as("id_a"))
+      .join(keyed.select(col("k"), col("id").as("id_b")), Seq("k"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "str_a", "id_b", "str_b")
+      .select("id_a", "id_b")
       .distinct()
+    cand
+      .join(rows.select(col("id").as("id_a"), col("s").as("str_a")), Seq("id_a"))
+      .join(rows.select(col("id").as("id_b"), col("s").as("str_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
       .filter(col("dist") <= 1)
+      .select("id_a", "str_a", "id_b", "str_b", "dist")
   }
 }

@@ -32,6 +32,15 @@ object GraphOps {
 
   /** `iterations` rounds of damped PageRank over a directed edge list.
     *
+    * Rank frames are checkpointed only every `checkpointEvery` rounds:
+    * checkpointing every round would (a) force a driver sync per
+    * iteration and (b) strip size statistics from the rank side, so
+    * Catalyst/AQE could no longer see that ranks (one row per NODE) are
+    * broadcastable against edges (one row per EDGE — orders of
+    * magnitude larger on real graphs). Between checkpoints the rounds
+    * fuse into one multi-stage job whose shuffles AQE re-plans with
+    * runtime sizes.
+    *
     * @param edges  (src, dst) string-keyed edges; contributions flow
     *               src -> dst. Dangling nodes (no out-edges) leak their
     *               mass — standard for the simple formulation; make the
@@ -39,9 +48,11 @@ object GraphOps {
     * @return (node_id, rank_scaled) — rank in units of 1/SCALE, after
     *         `iterations` rounds from the uniform start.
     */
-  def pageRank(edges: DataFrame, iterations: Int, damping: Int = 85): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int, damping: Int = 85,
+               checkpointEvery: Int = 4): DataFrame = {
     require(iterations >= 1 && damping >= 0 && damping <= 100,
       "need iterations >= 1 and damping in [0,100]")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     val e = Materialize.once(edges
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
       .distinct())
@@ -53,16 +64,18 @@ object GraphOps {
       e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
     val base = (Scale / nNodes) * (100 - damping) / 100
     var ranks = nodes.withColumn("rank_scaled", lit(Scale / nNodes))
-    for (_ <- 1 to iterations) {
+    for (round <- 1 to iterations) {
       val contrib = degreed
         .join(ranks, degreed("src") === ranks("node_id"))
         .groupBy(col("dst").as("node_id"))
         .agg(sum(expr("rank_scaled div deg")).as("__in"))
-      ranks = Materialize.once(
-        nodes.join(contrib, Seq("node_id"), "left")
-          .select(col("node_id"),
-            (lit(base) + expr(s"($damping * coalesce(__in, 0L)) div 100"))
-              .as("rank_scaled")))
+      val next = nodes.join(contrib, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (lit(base) + expr(s"($damping * coalesce(__in, 0L)) div 100"))
+            .as("rank_scaled"))
+      ranks = if (round % checkpointEvery == 0 && round < iterations)
+        Materialize.once(next)
+      else next
     }
     ranks
   }

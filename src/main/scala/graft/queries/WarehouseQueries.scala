@@ -59,10 +59,13 @@ object WarehouseQueries {
     * end-to-end, so the oracle replays it exactly — see
     * [[graft.operators.GraphOps]]. */
   val q93Pagerank: Q = (s, d) => {
-    val sp = Tables(s, d, "lineitem")
-      .select(concat(lit("s"), col("l_suppkey")).as("s"),
-        concat(lit("p"), col("l_partkey")).as("p"))
-      .distinct()
+    // distinct once, materialized once; the symmetric union reads the
+    // checkpointed pairs twice instead of scanning lineitem twice
+    val sp = graft.operators.Materialize.once(
+      Tables(s, d, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("s"),
+          concat(lit("p"), col("l_partkey")).as("p"))
+        .distinct())
     val edges = sp.select(col("s").as("src"), col("p").as("dst"))
       .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
     GraphOps.pageRank(edges, iterations = 3).orderBy("node_id")

@@ -197,4 +197,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Join"),
       s"pivot expanded into joins:\n$p")
   }
+
+  test("q90: deletion-neighborhood blocking, never a cartesian; " +
+    "string re-attach joins broadcast") {
+    val p = finalPlan("q90_fuzzy_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degraded to an all-pairs shape:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"string re-attach did not broadcast the row side:\n$p")
+  }
+
+  test("q91: the date spine broadcasts; the fact aggregates once") {
+    val p = finalPlan("q91_date_spine")
+    assert(p.contains("BroadcastHashJoin"), s"spine join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"spine join degraded to SMJ:\n$p")
+  }
+
+  test("q92/q95: one Exchange on the business key, windows fused on one sort") {
+    // SCD2 and burst collapse are window chains over the SAME key+order:
+    // they must not shuffle once per window function
+    for (name <- Seq("q92_scd2", "q95_debounce")) {
+      // count only the final adaptive plan, not the echoed initial plan
+      val p = finalPlan(name).split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$name: $exchanges key shuffles (want 1):\n$p")
+    }
+  }
+
+  test("q93: per-round aggregation partial-aggregates map-side, no cartesian") {
+    val p = finalPlan("q93_pagerank")
+    assert(!p.contains("CartesianProduct"), s"pagerank cartesianed:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"contribution sum lost map-side partial aggregation:\n$p")
+  }
+
+  test("q96: the salt-replicated dim still broadcasts") {
+    val p = finalPlan("q96_salted_join")
+    assert(p.contains("BroadcastHashJoin"), s"salted dim not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"salted join degraded to SMJ:\n$p")
+  }
 }

@@ -122,6 +122,74 @@ object IncrementalStream {
       }
       .start()
 
+  /** One maintained-rollup step with an exactly-once guard, exposed
+    * for direct testing and reuse by [[maintainedRollupSink]].
+    *
+    * Additive aggregation is NOT naturally idempotent (replaying a
+    * micro-batch after a crash would double-count, unlike the upsert
+    * sinks), so the applied batch id rides IN the state table as a
+    * constant `__batch_id` column — it commits atomically with the
+    * data, and a batch at or below the recorded id is skipped. */
+  def applyRollupBatch(batch: DataFrame, batchId: Long, statePath: String,
+                       keys: Seq[String],
+                       aggs: Seq[(String, org.apache.spark.sql.Column,
+                         org.apache.spark.sql.Column)]): Unit = {
+    val prior = AtomicTableWriter.read(batch.sparkSession, statePath)
+    val applied = prior.map(_.select(max(col("__batch_id"))).first().getLong(0))
+    if (applied.exists(_ >= batchId)) return // replay: already folded in
+    val next = prior match {
+      case Some(st) => graft.operators.MaterializedAgg.maintain(
+        st.drop("__batch_id"), batch, keys, aggs)
+      case None => batch.groupBy(keys.map(col): _*)
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, a, _) => a.as(n) }: _*)
+    }
+    AtomicTableWriter.overwrite(next.withColumn("__batch_id", lit(batchId)),
+      statePath)
+  }
+
+  /** Streaming materialized-aggregate maintenance — the streaming twin
+    * of q94: each micro-batch folds into the persisted rollup via
+    * [[graft.operators.MaterializedAgg.maintain]], moving
+    * `O(state + batch)` rows per trigger, never the fact history. */
+  def maintainedRollupSink(stream: DataFrame, statePath: String,
+                           keys: Seq[String],
+                           aggs: Seq[(String, org.apache.spark.sql.Column,
+                             org.apache.spark.sql.Column)],
+                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyRollupBatch(batch, id, statePath, keys, aggs)
+      }
+      .start()
+
+  /** Streaming SCD2 maintenance: each micro-batch of change events
+    * merges into the persisted history via
+    * [[graft.operators.Scd2.merge]] — closed versions never rewrite,
+    * cost scales with the batch plus touched keys' open rows, and the
+    * merge's below-horizon replay drop makes crash-replayed batches a
+    * no-op (no extra batch-id guard needed). */
+  def scd2Sink(stream: DataFrame, historyPath: String, keyCols: Seq[String],
+               tsCol: String, tieBreak: String, attrCols: Seq[String],
+               checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = AtomicTableWriter.read(batch.sparkSession, historyPath) match {
+          case Some(history) =>
+            graft.operators.Scd2.merge(history, batch, keyCols, tsCol,
+              tieBreak, attrCols)
+          case None =>
+            graft.operators.Scd2.fromChangeLog(batch, keyCols, tsCol,
+              tieBreak, attrCols)
+        }
+        AtomicTableWriter.overwrite(merged, historyPath)
+      }
+      .start()
+
   /** Streaming count-min: [[graft.operators.Sketches.countMin]] is
     * stream-safe as written — an update-mode aggregation whose state
     * is bounded BY CONSTRUCTION (≤ depth·width counter rows, ever),

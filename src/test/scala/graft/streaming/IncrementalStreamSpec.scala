@@ -243,4 +243,73 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out == Seq("caf\u00e9 one", "plain & simple"))
     q.stop()
   }
+
+  test("maintained rollup folds micro-batches; replayed batch ids skip") {
+    val root = Files.createTempDirectory("graft-mv").toString
+    val state = s"$root/rollup"
+    val aggs = Seq(
+      ("total", sum($"v"), sum($"total")),
+      ("n", count(lit(1)), sum($"n")))
+    def read() = spark.read.parquet(state)
+      .select("day", "total", "n").as[(String, Long, Long)].collect().toSet
+
+    IncrementalStream.applyRollupBatch(
+      Seq(("d1", 10L), ("d1", 5L), ("d2", 1L)).toDF("day", "v"),
+      batchId = 0, state, Seq("day"), aggs)
+    assert(read() == Set(("d1", 15L, 2L), ("d2", 1L, 1L)))
+
+    IncrementalStream.applyRollupBatch(
+      Seq(("d2", 4L), ("d3", 7L)).toDF("day", "v"),
+      batchId = 1, state, Seq("day"), aggs)
+    assert(read() == Set(("d1", 15L, 2L), ("d2", 5L, 2L), ("d3", 7L, 1L)))
+
+    // crash-replay of batch 1: must NOT double-count
+    IncrementalStream.applyRollupBatch(
+      Seq(("d2", 4L), ("d3", 7L)).toDF("day", "v"),
+      batchId = 1, state, Seq("day"), aggs)
+    assert(read() == Set(("d1", 15L, 2L), ("d2", 5L, 2L), ("d3", 7L, 1L)))
+  }
+
+  test("maintained rollup end-to-end through the streaming sink") {
+    val root = Files.createTempDirectory("graft-mv2").toString
+    val rows = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, Long)](spark)
+    rows.addData(("d1", 2L), ("d1", 3L), ("d2", 10L)) // before start: AvailableNow
+    val q = IncrementalStream.maintainedRollupSink(
+      rows.toDF().toDF("day", "v"), s"$root/rollup", Seq("day"),
+      Seq(("total", sum($"v"), sum($"total")), ("n", count(lit(1)), sum($"n"))),
+      s"$root/ckpt")
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(s"$root/rollup")
+      .select("day", "total", "n").as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("d1", 5L, 2L), ("d2", 10L, 1L)))
+  }
+
+  test("streaming SCD2: history accretes versions across micro-batches") {
+    val root = Files.createTempDirectory("graft-scd2").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // AvailableNow drains what exists at start, then stops (the daily
+    // batch semantics) — so each "day" is its own short-lived query,
+    // like the upsertSink test above
+    def drain(rows: (Long, java.sql.Timestamp, Long, String)*): Unit = {
+      val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+        (Long, java.sql.Timestamp, Long, String)](spark)
+      events.addData(rows: _*)
+      val q = IncrementalStream.scd2Sink(
+        events.toDF().toDF("k", "ts", "eid", "attr"), s"$root/hist",
+        Seq("k"), "ts", "eid", Seq("attr"),
+        Files.createTempDirectory("graft-scd2-ckpt").toString)
+      q.awaitTermination(60000)
+    }
+    drain((1L, ts("2024-01-01 00:00:00"), 1L, "A"))
+    drain(
+      (1L, ts("2024-01-02 00:00:00"), 2L, "B"),
+      (1L, ts("2024-01-03 00:00:00"), 3L, "B"), // re-statement: no version
+      (2L, ts("2024-01-01 00:00:00"), 4L, "X"))
+    val hist = spark.read.parquet(s"$root/hist")
+    val k1 = hist.filter($"k" === 1).orderBy("version")
+      .select("attr", "is_current").as[(String, Boolean)].collect().toSeq
+    assert(k1 == Seq(("A", false), ("B", true)))
+    assert(hist.filter($"k" === 2).count() == 1)
+  }
 }

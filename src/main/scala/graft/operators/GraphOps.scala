@@ -63,10 +63,17 @@ object GraphOps {
     val degreed = Materialize.once(
       e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
     val base = (Scale / nNodes) * (100 - damping) / 100
+    // nNodes is KNOWN here (unlike a generic plan): when the rank frame
+    // is broadcast-sized, say so explicitly — each round's join then
+    // skips the edge-side Exchange regardless of the checkpoint having
+    // stripped size statistics. Real graphs with billions of nodes keep
+    // the shuffle join (and should pre-bucket edges by src).
+    val rankHint: DataFrame => DataFrame =
+      if (nNodes <= 10000000L) broadcast(_) else identity
     var ranks = nodes.withColumn("rank_scaled", lit(Scale / nNodes))
     for (round <- 1 to iterations) {
       val contrib = degreed
-        .join(ranks, degreed("src") === ranks("node_id"))
+        .join(rankHint(ranks), degreed("src") === ranks("node_id"))
         .groupBy(col("dst").as("node_id"))
         .agg(sum(expr("rank_scaled div deg")).as("__in"))
       val next = nodes.join(contrib, Seq("node_id"), "left")

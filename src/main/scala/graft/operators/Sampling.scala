@@ -101,6 +101,83 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Exact integer square root (floor). For n < 2⁵², equals
+    * `floor(sqrt(CAST(n AS DOUBLE)))` in any engine with a correctly
+    * rounded IEEE sqrt — the rounded value of a non-square's root
+    * stays strictly below the next integer at these magnitudes — so
+    * oracles can replicate it portably. */
+  private[operators] def isqrt(n: Long): Long = {
+    require(n >= 0, "isqrt of a negative")
+    var x = math.sqrt(n.toDouble).toLong
+    while (x > 0 && x * x > n) x -= 1
+    while ((x + 1) * (x + 1) <= n) x += 1
+    x
+  }
+
+  /** Temperature-flattened resampling across strata (T = 2, i.e.
+    * √-scaled weights — the common "flatten the language distribution"
+    * setting): stratum `s` with `size_s` rows receives a keep-quota
+    * proportional to `isqrt(size_s)`, so dominant strata downsample
+    * hard while rare strata keep (nearly) everything, within a total
+    * budget of `sizeTotal · budgetNum / budgetDen` rows.
+    *
+    * Everything is integer arithmetic — isqrt weights, floor-division
+    * quotas, a 2³²-scaled hash threshold per stratum — so the KEPT ROW
+    * SET is bit-identical across engines, partitionings and reruns
+    * (q98's DuckDB oracle replays it exactly). General temperatures
+    * need float `pow`, whose last-ulp behavior is not portable; √ is
+    * IEEE-exact, which is why T = 2 is the deterministic offering.
+    *
+    * Scale shape: stratum sizes are one aggregate (rows = #strata —
+    * control-plane sized, collected to the driver to compute exact
+    * BigInt thresholds); the corpus-side decision is a pure projection
+    * (when-chain threshold + hash compare), no join, no shuffle. Rows
+    * with a NULL stratum or NULL id are dropped.
+    */
+  def temperatureResample(df: DataFrame, idCol: String, stratumCol: String,
+                          budgetNum: Long = 1, budgetDen: Long = 2,
+                          seed: Int = 0): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
+    val TwoPow32 = BigInt(1) << 32
+    val stats = df
+      .filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("sz"))
+      .collect().map(r => (r.getString(0), r.getLong(1))) // one row per stratum
+    if (stats.isEmpty) return df.limit(0)
+    val totalRows = stats.map(_._2).sum
+    val totalWeight = stats.map { case (_, sz) => isqrt(sz) }.sum
+    val budget = BigInt(totalRows) * budgetNum / budgetDen
+    val thresholds = stats.map { case (s, sz) =>
+      val quota = budget * isqrt(sz) / totalWeight
+      s -> (TwoPow32 min (quota * TwoPow32 / sz)).toLong
+    }
+    val thrCol = thresholds.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, thr)) =>
+        when(col(stratumCol).cast("string") === s, lit(thr)).otherwise(acc)
+    }
+    df.filter(col(idCol).isNotNull &&
+      portableHash(col(idCol).cast("string"), seed) < thrCol)
+  }
+
+  /** EXACTLY `k` rows per stratum (fewer if the stratum is smaller),
+    * chosen by hash priority — deterministic bounded-size sampling,
+    * where the rate-based samplers above give binomial sizes. The
+    * selection is a priority sample: keep the k smallest
+    * `h(seed, id)` per stratum, which is uniform over k-subsets and
+    * reproducible anywhere. Runs on the bounded-heap
+    * [[ScaleOps.topKPerKey]] operator — partial top-k before the key
+    * shuffle, so the Exchange carries `partitions × strata × k` rows,
+    * not the corpus. */
+  def exactStratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                            k: Int, seed: Int = 0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    ScaleOps.topKPerKey(
+      df.filter(col(idCol).isNotNull),
+      Seq(stratumCol),
+      Seq(portableHash(col(idCol).cast("string"), seed).asc, col(idCol).asc), k)
+  }
+
   /** Mix corpora with per-source sampling rates, tagging provenance:
     * the reproducible "40% of web, all of books" dataset-mixing step.
     * Columns are unioned by name (sources must share a schema). Each

@@ -116,6 +116,25 @@ object WarehouseQueries {
       .orderBy("priority")
   }
 
+  /** Temperature-flattened language mix (T=2): √-weights per language,
+    * integer thresholds, bit-identical kept set — see
+    * [[graft.operators.Sampling.temperatureResample]]. */
+  val q98TemperatureMix: Q = (s, d) =>
+    graft.operators.Sampling.temperatureResample(
+      Tables(s, d, "documents"), "doc_id", "lang",
+      budgetNum = 1, budgetDen = 2, seed = 13)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Exactly-25-docs-per-language priority sample on the bounded-heap
+    * TopKPerKey operator; the oracle is the row_number composition
+    * (same rows — the hash priority order is total). */
+  val q99ExactSample: Q = (s, d) =>
+    graft.operators.Sampling.exactStratifiedSample(
+      Tables(s, d, "documents"), "doc_id", "lang", k = 25, seed = 7)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q90_fuzzy_join" -> q90FuzzyJoin,
     "q91_date_spine" -> q91DateSpine,
@@ -124,6 +143,8 @@ object WarehouseQueries {
     "q94_incremental_agg" -> q94IncrementalAgg,
     "q95_debounce" -> q95Debounce,
     "q96_salted_join" -> q96SaltedJoin,
+    "q98_temperature_mix" -> q98TemperatureMix,
+    "q99_exact_sample" -> q99ExactSample,
   )
 
   private val pagerankEdgesSql =
@@ -208,5 +229,31 @@ object WarehouseQueries {
         |       count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1, 2 ORDER BY priority""".stripMargin,
+    // replays temperatureResample's integer pipeline exactly: isqrt
+    // weights (floor(sqrt) is exact below 2^52), floor-division budget
+    // and quotas, 2^32-scaled per-stratum hash threshold
+    "q98_temperature_mix" ->
+      s"""WITH sizes AS (SELECT lang, count(*) AS sz FROM documents GROUP BY lang),
+         |w AS (SELECT lang, sz,
+         |        CAST(floor(sqrt(CAST(sz AS DOUBLE))) AS BIGINT) AS wt
+         |      FROM sizes),
+         |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw,
+         |               CAST(sum(sz) AS BIGINT) AS n FROM w),
+         |thr AS (SELECT lang,
+         |          LEAST(4294967296,
+         |            (((((SELECT n FROM tot) * 1) // 2) * wt)
+         |             // (SELECT tw FROM tot)) * 4294967296 // sz) AS thr
+         |        FROM w)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN thr USING (lang)
+         |WHERE ${TextQueries.hx("'13:' || CAST(doc_id AS VARCHAR)")} < thr.thr
+         |ORDER BY d.doc_id""".stripMargin,
+    "q99_exact_sample" ->
+      s"""WITH ranked AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${TextQueries.hx("'7:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, lang FROM ranked WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -103,6 +103,61 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureResample: rare strata keep a higher rate; exact + layout-free") {
+    // 900 'big' rows vs 100 'small' rows: sqrt weights 30 vs 10, so
+    // small's keep RATE must exceed big's despite the smaller quota
+    val df = (1 to 1000).map(i => (i.toLong, if (i <= 900) "big" else "small"))
+      .toDF("id", "lang")
+    val kept = Sampling.temperatureResample(df, "id", "lang", 1, 2, seed = 3)
+    val rates = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val rateBig = rates.getOrElse("big", 0L).toDouble / 900
+    val rateSmall = rates.getOrElse("small", 0L).toDouble / 100
+    assert(rateSmall > rateBig,
+      s"flattening failed: small=$rateSmall big=$rateBig")
+    // total close to the n/2 budget (binomial concentration)
+    val total = rates.values.sum
+    assert(total > 400 && total < 600, s"budget missed: $total")
+    // identical row set under a different partitioning
+    val again = Sampling.temperatureResample(df.repartition(13), "id", "lang",
+      1, 2, seed = 3).select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
+  test("temperatureResample thresholds replay the documented integer math") {
+    val df = (1 to 100).map(i => (i.toLong, if (i <= 64) "a" else "b"))
+      .toDF("id", "lang")
+    // sizes 64/36 -> weights 8/6, budget 50, quotas 28/21,
+    // thresholds floor(28*2^32/64), floor(21*2^32/36)
+    val thrA = BigInt(28) * (BigInt(1) << 32) / 64
+    val thrB = BigInt(21) * (BigInt(1) << 32) / 36
+    val kept = Sampling.temperatureResample(df, "id", "lang", 1, 2, seed = 5)
+      .select("id").as[Long].collect().toSet
+    val hashes = df.select($"id",
+      graft.functions.TextFunctions.portableHash($"id".cast("string"), 5).as("h"),
+      $"lang").as[(Long, Long, String)].collect()
+    val expect = hashes.collect {
+      case (id, h, "a") if h < thrA => id
+      case (id, h, "b") if h < thrB => id
+    }.toSet
+    assert(kept == expect)
+  }
+
+  test("exactStratifiedSample: exactly k per stratum, hash-priority rows") {
+    val df = (1 to 500).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "lang")
+    val out = Sampling.exactStratifiedSample(df, "id", "lang", k = 10, seed = 7)
+    val sizes = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L))
+    // equals the row_number composition (total order -> same row set)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(graft.functions.TextFunctions.portableHash($"id".cast("string"), 7), $"id")
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10).select("id").as[Long].collect().toSet
+    assert(out.select("id").as[Long].collect().toSet == viaWindow)
+    // a stratum smaller than k survives whole
+    val tiny = (1 to 4).map(i => (i.toLong, "only")).toDF("id", "lang")
+    assert(Sampling.exactStratifiedSample(tiny, "id", "lang", 10).count() == 4)
+  }
+
   test("mixCorpora: per-source rates with provenance tags") {
     val a = (1L to 1000L).map(i => (i, "a")).toDF("id", "payload")
     val b = (1L to 1000L).map(i => (i + 10000, "b")).toDF("id", "payload")

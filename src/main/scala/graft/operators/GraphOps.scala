@@ -49,13 +49,18 @@ object GraphOps {
     *         `iterations` rounds from the uniform start.
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Int = 85,
-               checkpointEvery: Int = 4): DataFrame = {
+               checkpointEvery: Int = 4,
+               assumeDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1 && damping >= 0 && damping <= 100,
       "need iterations >= 1 and damping in [0,100]")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
-    val e = Materialize.once(edges
+    val normalized = edges
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
-      .distinct())
+    // a duplicate edge would double its contribution weight, so edges
+    // dedup by default; callers constructing provably-distinct lists
+    // (e.g. a symmetric union of one distinct pair set) skip the shuffle
+    val e = Materialize.once(
+      if (assumeDistinct) normalized else normalized.distinct())
     val nodes = Materialize.once(
       e.select(col("src").as("node_id"))
         .union(e.select(col("dst").as("node_id"))).distinct())

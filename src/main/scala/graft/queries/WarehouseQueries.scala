@@ -68,7 +68,10 @@ object WarehouseQueries {
         .distinct())
     val edges = sp.select(col("s").as("src"), col("p").as("dst"))
       .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
-    GraphOps.pageRank(edges, iterations = 3).orderBy("node_id")
+    // both union halves are projections of one distinct pair set with
+    // disjoint prefixes -> already edge-distinct
+    GraphOps.pageRank(edges, iterations = 3, assumeDistinct = true)
+      .orderBy("node_id")
   }
 
   /** Incremental materialized-view maintenance: the daily revenue

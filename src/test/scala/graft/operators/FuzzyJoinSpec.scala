@@ -42,6 +42,23 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.count() == 3)
   }
 
+  test("randomized differential: blocked join == brute force on collision-heavy corpora") {
+    val rnd = new scala.util.Random(91)
+    for (round <- 1 to 5) {
+      // tiny alphabet + short strings -> dense edit-distance neighborhoods
+      val n = 60 + rnd.nextInt(40)
+      val rows = (1 to n).map { i =>
+        val len = 1 + rnd.nextInt(6)
+        (i.toLong, Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString)
+      }
+      val got = FuzzyJoin
+        .editDistance1Pairs(rows.toDF("id", "s"), "id", "s")
+        .select($"id_a", $"id_b", $"dist")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == brute(rows), s"round $round diverged (n=$n)")
+    }
+  }
+
   test("null ids and null strings are dropped") {
     val rows = Seq[(java.lang.Long, String)](
       (1L, "abc"), (2L, null), (null, "abc"), (3L, "abd"))

@@ -89,6 +89,31 @@ class Scd2Spec extends SparkSpec {
     assert(asSet(twice) == asSet(once))
   }
 
+  test("randomized differential: incremental merge == full rebuild at any split") {
+    val rnd = new scala.util.Random(17)
+    for (round <- 1 to 5) {
+      // random in-order change log: few keys/attrs so re-statements and
+      // same-ts ties happen; eid is globally unique and increasing
+      val events = (1 to 120).map { i =>
+        (rnd.nextInt(6).toLong,                                   // key
+          ts(f"2024-01-${1 + i / 8}%02d 00:00:00"),               // ts grows
+          i.toLong,                                               // eid
+          ("P" + rnd.nextInt(3)): String)                         // attr
+      }
+      val cut = 30 + rnd.nextInt(60)
+      val (past, future) = events.splitAt(cut)
+      val incremental = Scd2.merge(
+        Scd2.fromChangeLog(past.toDF("k", "ts", "eid", "attr"),
+          Seq("k"), "ts", "eid", Seq("attr")),
+        future.toDF("k", "ts", "eid", "attr"),
+        Seq("k"), "ts", "eid", Seq("attr"))
+      val full = Scd2.fromChangeLog(events.toDF("k", "ts", "eid", "attr"),
+        Seq("k"), "ts", "eid", Seq("attr"))
+      assert(asSet(incremental) == asSet(full),
+        s"round $round diverged at cut=$cut")
+    }
+  }
+
   test("merge leaves untouched keys and closed versions byte-identical") {
     val batch = Seq((1L, ts("2024-01-05 00:00:00"), 40L, "C"))
       .toDF("k", "ts", "eid", "attr")

@@ -27,13 +27,27 @@ import org.apache.spark.sql.functions._
   * id-like strings); contrast half-string pigeonhole blocking, which
   * degenerates to a cross join when the corpus shares long common
   * prefixes (zero-padded ids — exactly our dimension names).
+  *
+  * EAGER: runs a Spark job at DataFrame-construction time in the
+  * default [[Materialize]] mode (the keyed rows checkpoint once and
+  * feed both join sides); `spark.graft.localCheckpoint=false` defers
+  * to lazy persist.
   */
 object FuzzyJoin {
 
   /** Identity + delete-one-character variants of `s`, de-duplicated
     * (deleting any character of a run of equal characters yields the
-    * same string). Pure projection — stays in whole-stage codegen. */
+    * same string). Compiled single-pass Expression
+    * ([[org.apache.spark.sql.graft.DeletionNeighborhood]]) — this runs
+    * on every corpus byte before the blocking shuffle, and the HOF
+    * formulation below is interpreted per element. */
   private def deletionKeys(s: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.DeletionNeighborhood(s)
+
+  /** The higher-order-function reference formulation of
+    * [[deletionKeys]] — kept for the differential spec; semantics must
+    * stay bit-compatible with the compiled Expression. */
+  private[operators] def deletionKeysHof(s: org.apache.spark.sql.Column) =
     array_distinct(concat(
       array(s),
       transform(sequence(lit(0), length(s) - 1),

@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   * aggregation on `dst`. Rank state is one long per node. Rounds are
   * checkpointed so the plan does not grow with iteration count —
   * lineage-safe via [[Materialize.once]]'s persist fallback.
+  *
+  * EAGER: [[pageRank]] runs Spark jobs at call time (edge/degree
+  * materialization and the node count are actions, plus one action per
+  * `checkpointEvery` rounds in the default [[Materialize]] mode).
   */
 object GraphOps {
 

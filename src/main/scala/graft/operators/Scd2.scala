@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: everything is windows over one hash partition on the
   * business key — a single shuffle; per-key state is one row of lag
   * context. No self-joins, no driver-side state.
+  *
+  * EAGER: [[merge]] runs a Spark job at DataFrame-construction time in
+  * the default [[Materialize]] mode (the touched-key history
+  * checkpoints once and feeds three readers);
+  * `spark.graft.localCheckpoint=false` defers to lazy persist.
   */
 object Scd2 {
 

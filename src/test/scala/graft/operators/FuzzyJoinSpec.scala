@@ -59,6 +59,24 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("compiled DeletionNeighborhood == HOF reference (differential, random strings)") {
+    val rnd = new scala.util.Random(23)
+    val strings = Seq("", "a", "aa", "aaa", "abba", "mississippi") ++
+      (1 to 200).map { _ =>
+        Seq.fill(1 + rnd.nextInt(12))(('a' + rnd.nextInt(4)).toChar).mkString
+      }
+    val df = strings.toDF("s")
+    val rows = df.select(
+        org.apache.spark.sql.graft.DeletionNeighborhood($"s").as("compiled"),
+        FuzzyJoin.deletionKeysHof($"s").as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    for (((compiled, hof), s) <- rows.zip(strings))
+      assert(compiled.toSet == hof.toSet, s"diverged on '$s'")
+    // dedup is real: no duplicate keys emitted even for runs
+    for ((compiled, _) <- rows)
+      assert(compiled.distinct == compiled)
+  }
+
   test("null ids and null strings are dropped") {
     val rows = Seq[(java.lang.Long, String)](
       (1L, "abc"), (2L, null), (null, "abc"), (3L, "abd"))

@@ -148,6 +148,33 @@ object IncrementalStream {
       statePath)
   }
 
+  /** [[applyRollupBatch]] with the state in a
+    * [[graft.sources.VersionedTable]]: every applied batch commits a
+    * SNAPSHOT, so the maintained aggregate is time-travelable — "the
+    * rollup as of batch N" stays queryable while `keepVersions` lasts,
+    * and the crash-safe pointer commit replaces the atomic swap. The
+    * same `__batch_id` exactly-once guard applies; a skipped replay
+    * commits no version. */
+  def applyVersionedRollupBatch(batch: DataFrame, batchId: Long,
+                                tablePath: String, keys: Seq[String],
+                                aggs: Seq[(String, org.apache.spark.sql.Column,
+                                  org.apache.spark.sql.Column)],
+                                keepVersions: Int = 3): Unit = {
+    import graft.sources.VersionedTable
+    val prior = VersionedTable.read(batch.sparkSession, tablePath)
+    val applied = prior.map(_.select(max(col("__batch_id"))).first().getLong(0))
+    if (applied.exists(_ >= batchId)) return // replay: already folded in
+    val next = prior match {
+      case Some(st) => graft.operators.MaterializedAgg.maintain(
+        st.drop("__batch_id"), batch, keys, aggs)
+      case None => batch.groupBy(keys.map(col): _*)
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, a, _) => a.as(n) }: _*)
+    }
+    VersionedTable.write(next.withColumn("__batch_id", lit(batchId)),
+      tablePath, keepVersions)
+  }
+
   /** Streaming materialized-aggregate maintenance — the streaming twin
     * of q94: each micro-batch folds into the persisted rollup via
     * [[graft.operators.MaterializedAgg.maintain]], moving

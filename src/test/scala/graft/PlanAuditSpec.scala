@@ -237,4 +237,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"salted dim not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"salted join degraded to SMJ:\n$p")
   }
+
+  test("q98: the corpus-side decision is a pure projection (no join, no key shuffle)") {
+    // stratum stats are a control-plane aggregate at construction; the
+    // RETURNED plan must be scan -> filter -> output sort only
+    val p = finalPlan("q98_temperature_mix").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"threshold lookup became a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"decision required a key shuffle:\n$p")
+  }
+
+  test("q99: the exact sample runs on the bounded-heap TopKPerKey operator") {
+    val p = finalPlan("q99_exact_sample")
+    assert(p.contains("TopKPerKeyFinal") && p.contains("TopKPerKeyPartial"), p)
+    assert(!p.contains("Window"), s"fell back to Window:\n$p")
+  }
 }

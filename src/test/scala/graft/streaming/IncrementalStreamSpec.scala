@@ -285,6 +285,32 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out == Set(("d1", 5L, 2L), ("d2", 10L, 1L)))
   }
 
+  test("versioned rollup: each batch commits a time-travelable snapshot") {
+    import graft.sources.VersionedTable
+    val root = Files.createTempDirectory("graft-mv3").toString
+    val state = s"$root/rollup"
+    val aggs = Seq(
+      ("total", sum($"v"), sum($"total")),
+      ("n", count(lit(1)), sum($"n")))
+    IncrementalStream.applyVersionedRollupBatch(
+      Seq(("d1", 10L)).toDF("day", "v"), 0, state, Seq("day"), aggs)
+    IncrementalStream.applyVersionedRollupBatch(
+      Seq(("d1", 5L), ("d2", 2L)).toDF("day", "v"), 1, state, Seq("day"), aggs)
+    // replay of batch 1 must not advance the version chain
+    IncrementalStream.applyVersionedRollupBatch(
+      Seq(("d1", 5L), ("d2", 2L)).toDF("day", "v"), 1, state, Seq("day"), aggs)
+    val vs = VersionedTable.versions(spark, state)
+    assert(vs.size == 2, s"expected 2 snapshots, got $vs")
+    // current = both batches folded
+    val cur = VersionedTable.read(spark, state).get
+      .select("day", "total", "n").as[(String, Long, Long)].collect().toSet
+    assert(cur == Set(("d1", 15L, 2L), ("d2", 2L, 1L)))
+    // time travel: the rollup as of batch 0
+    val v0 = VersionedTable.readVersion(spark, state, vs.head).get
+      .select("day", "total", "n").as[(String, Long, Long)].collect().toSet
+    assert(v0 == Set(("d1", 10L, 1L)))
+  }
+
   test("streaming SCD2: history accretes versions across micro-batches") {
     val root = Files.createTempDirectory("graft-scd2").toString
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

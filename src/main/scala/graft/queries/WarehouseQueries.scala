@@ -138,6 +138,16 @@ object WarehouseQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Deterministic contrastive negatives: 4 hash-ring successors per
+    * anchor (every 10th doc) — uniform, random-state-free, replayed
+    * row-for-row by the oracle's correlated successor lookup. */
+  val q100NegSampling: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    graft.operators.NegativeSampling.hashRingNegatives(
+      docs, docs.filter(col("doc_id") % 10 === 0), "doc_id", k = 4, seed = 0)
+      .orderBy("anchor_id", "j")
+  }
+
   val queries: Map[String, Q] = Map(
     "q90_fuzzy_join" -> q90FuzzyJoin,
     "q91_date_spine" -> q91DateSpine,
@@ -148,6 +158,7 @@ object WarehouseQueries {
     "q96_salted_join" -> q96SaltedJoin,
     "q98_temperature_mix" -> q98TemperatureMix,
     "q99_exact_sample" -> q99ExactSample,
+    "q100_neg_sampling" -> q100NegSampling,
   )
 
   private val pagerankEdgesSql =
@@ -258,5 +269,23 @@ object WarehouseQueries {
          |      ORDER BY ${TextQueries.hx("'7:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
          |  FROM documents)
          |SELECT doc_id, lang FROM ranked WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
+    // the ring successor as correlated lookups: min pos >= target,
+    // wrapping to the global minimum; equal-position ties -> min id
+    "q100_neg_sampling" ->
+      s"""WITH ring AS (SELECT doc_id AS rid,
+         |    ${TextQueries.hx("'0:' || CAST(doc_id AS VARCHAR)")} AS pos
+         |  FROM documents),
+         |probes AS (SELECT d.doc_id AS anchor_id, js.j,
+         |    ${TextQueries.hx("'neg' || CAST(js.j AS VARCHAR) || ':0:' || CAST(d.doc_id AS VARCHAR)")} AS target
+         |  FROM documents d CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) js
+         |  WHERE d.doc_id % 10 = 0),
+         |succ AS (SELECT p.anchor_id, p.j,
+         |    COALESCE((SELECT min(pos) FROM ring WHERE pos >= p.target),
+         |             (SELECT min(pos) FROM ring)) AS spos
+         |  FROM probes p)
+         |SELECT s.anchor_id, CAST(s.j AS INTEGER) AS j,
+         |  (SELECT min(rid) FROM ring WHERE pos = s.spos) AS negative_id,
+         |  s.spos AS negative_pos
+         |FROM succ s ORDER BY s.anchor_id, s.j""".stripMargin,
   )
 }

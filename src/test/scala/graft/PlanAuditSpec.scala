@@ -252,4 +252,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TopKPerKeyFinal") && p.contains("TopKPerKeyPartial"), p)
     assert(!p.contains("Window"), s"fell back to Window:\n$p")
   }
+
+  test("q100: the ring successor is bucket-sharded; the fallback broadcasts") {
+    val p = finalPlan("q100_neg_sampling").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
+      s"successor search degraded:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"fallback not broadcast:\n$p")
+    // ONE key shuffle: the bucket Exchange of the union scan
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges key shuffles (want 1):\n$p")
+  }
 }

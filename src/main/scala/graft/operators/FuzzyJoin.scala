@@ -41,8 +41,8 @@ object FuzzyJoin {
     * ([[org.apache.spark.sql.graft.DeletionNeighborhood]]) — this runs
     * on every corpus byte before the blocking shuffle, and the HOF
     * formulation below is interpreted per element. */
-  private def deletionKeys(s: org.apache.spark.sql.Column) =
-    org.apache.spark.sql.graft.DeletionNeighborhood(s)
+  private def deletionKeys(s: org.apache.spark.sql.Column, radius: Int) =
+    org.apache.spark.sql.graft.DeletionNeighborhood(s, radius)
 
   /** The higher-order-function reference formulation of
     * [[deletionKeys]] — kept for the differential spec; semantics must
@@ -58,11 +58,23 @@ object FuzzyJoin {
     * once. Null ids/strings are dropped — a null has no edit distance
     * to anything.
     */
-  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    editDistancePairs(df, idCol, strCol, maxDist = 1)
+
+  /** [[editDistance1Pairs]] generalized to `maxDist` ∈ {1, 2}: radius-d
+    * deletion neighborhoods stay a COMPLETE candidate generator for
+    * `lev <= d` (each edit touches at most one character per side), at
+    * `O(length^d)` keys per row — the SymSpell trade: key fan-out grows
+    * a factor of ~length per extra distance unit, the join stays a hash
+    * equi-join, and `levenshtein` verification stays exact. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, s"maxDist=$maxDist must be 1 or 2")
     val rows = Materialize.once(
       df.select(col(idCol).as("id"), col(strCol).as("s"))
         .filter(col("id").isNotNull && col("s").isNotNull))
-    val keyed = rows.select(col("id"), explode(deletionKeys(col("s"))).as("k"))
+    val keyed = rows.select(col("id"),
+      explode(deletionKeys(col("s"), maxDist)).as("k"))
     // candidate ids only: the multi-key overlap dedup shuffles narrow
     // (id, id) pairs, not the strings; strings re-attach afterwards via
     // two joins against the (small, known-size) row side
@@ -75,7 +87,7 @@ object FuzzyJoin {
       .join(rows.select(col("id").as("id_a"), col("s").as("str_a")), Seq("id_a"))
       .join(rows.select(col("id").as("id_b"), col("s").as("str_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
       .select("id_a", "str_a", "id_b", "str_b", "dist")
   }
 }

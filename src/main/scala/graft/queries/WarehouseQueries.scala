@@ -148,6 +148,25 @@ object WarehouseQueries {
       .orderBy("anchor_id", "j")
   }
 
+  /** Radius-2 fuzzy neighbor profile of supplier names: per supplier,
+    * how many others sit at edit distance 1 and 2 — the record-linkage
+    * "near-collision audit" shape, on the SymSpell radius-2 keys. */
+  val q101FuzzyNeighbors: Q = (s, d) => {
+    val sup = Tables(s, d, "supplier")
+    val pairs = FuzzyJoin.editDistancePairs(sup, "s_suppkey", "s_name", maxDist = 2)
+    val sym = pairs.select(col("id_a").as("s_suppkey"), col("dist"))
+      .unionByName(pairs.select(col("id_b").as("s_suppkey"), col("dist")))
+    sup.select(col("s_suppkey"), col("s_name"))
+      .join(sym.groupBy("s_suppkey").agg(
+        sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n_d1"),
+        sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n_d2")),
+        Seq("s_suppkey"), "left")
+      .select(col("s_suppkey"), col("s_name"),
+        coalesce(col("n_d1"), lit(0L)).as("n_d1"),
+        coalesce(col("n_d2"), lit(0L)).as("n_d2"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q90_fuzzy_join" -> q90FuzzyJoin,
     "q91_date_spine" -> q91DateSpine,
@@ -159,6 +178,7 @@ object WarehouseQueries {
     "q98_temperature_mix" -> q98TemperatureMix,
     "q99_exact_sample" -> q99ExactSample,
     "q100_neg_sampling" -> q100NegSampling,
+    "q101_fuzzy_neighbors" -> q101FuzzyNeighbors,
   )
 
   private val pagerankEdgesSql =
@@ -287,5 +307,23 @@ object WarehouseQueries {
          |  (SELECT min(rid) FROM ring WHERE pos = s.spos) AS negative_id,
          |  s.spos AS negative_pos
          |FROM succ s ORDER BY s.anchor_id, s.j""".stripMargin,
+    "q101_fuzzy_neighbors" ->
+      """WITH pairs AS (
+        |  SELECT a.s_suppkey AS ka, b.s_suppkey AS kb,
+        |         levenshtein(a.s_name, b.s_name) AS d
+        |  FROM supplier a, supplier b
+        |  WHERE a.s_suppkey < b.s_suppkey
+        |    AND levenshtein(a.s_name, b.s_name) <= 2),
+        |sym AS (SELECT ka AS s_suppkey, d FROM pairs
+        |        UNION ALL SELECT kb, d FROM pairs),
+        |counts AS (SELECT s_suppkey,
+        |             sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_d1,
+        |             sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS n_d2
+        |           FROM sym GROUP BY s_suppkey)
+        |SELECT s.s_suppkey, s.s_name,
+        |       CAST(COALESCE(c.n_d1, 0) AS BIGINT) AS n_d1,
+        |       CAST(COALESCE(c.n_d2, 0) AS BIGINT) AS n_d2
+        |FROM supplier s LEFT JOIN counts c USING (s_suppkey)
+        |ORDER BY s.s_suppkey""".stripMargin,
   )
 }

@@ -9,31 +9,38 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deletion-neighborhood blocking keys as one compiled pass: the
-  * string itself plus every delete-one-character variant,
-  * de-duplicated (deleting any character of a run of equal characters
-  * yields the same variant — emitting it once keeps the candidate
-  * join from manufacturing duplicate pairs it must distinct away).
+  * string itself plus every variant obtainable by deleting up to
+  * `radius` characters, de-duplicated (deleting different characters
+  * of a run yields the same variant — emitting it once keeps the
+  * candidate join from manufacturing duplicate pairs it must distinct
+  * away).
   *
-  * Bit-compatible with the higher-order-function formulation
-  * (`array_distinct(concat(array(s), transform(sequence(0, len-1),
-  * i => concat(substr(s,1,i), substr(s,i+2)))))` — kept as
-  * [[graft.operators.FuzzyJoin.deletionKeysHof]] and
+  * Two strings with `lev(s,t) <= radius` always share a key (the
+  * FastSS alignment argument: each edit touches at most one character
+  * per side, so a common `<= radius`-deletion subsequence exists), so
+  * the key join is a complete candidate generator for edit distance
+  * `<= radius`.
+  *
+  * For radius 1, bit-compatible with the higher-order-function
+  * formulation (`array_distinct(concat(array(s), transform(...)))` —
+  * kept as [[graft.operators.FuzzyJoin.deletionKeysHof]] and
   * differential-tested), but compiled: the HOF chain is interpreted
   * per element and allocates a sequence array, per-variant substring
   * pairs, and a distinct pass per row. This is the per-row hot loop of
-  * the edit-distance-1 join (q90) — every corpus row fans out into
-  * `length+1` keys before the one hash shuffle, so the generator runs
-  * on every byte of the corpus.
+  * the fuzzy joins (q90/q101) — every corpus row fans out into
+  * `O(length^radius)` keys before the one hash shuffle, so the
+  * generator runs on every byte of the corpus.
   *
-  * Dedup strategy: a variant equals the previous variant exactly when
+  * Dedup: radius 1 needs no hashing — a variant repeats exactly when
   * the deleted character equals the previously deleted one (run of
-  * equal chars), so emitting a variant only when `c(i) != c(i-1)`
-  * dedups WITHOUT hashing — character comparison on code-unit level,
-  * which mirrors how the HOF's array_distinct compares strings.
-  * Null string → null; empty string → [""] (its own identity key).
+  * equal chars), so only a run's first position emits. Radius >= 2
+  * dedups through a LinkedHashSet (duplicates across deletion-position
+  * pairs are not run-local). Null string → null; empty string → [""].
   */
-case class DeletionNeighborhood(child: Expression)
+case class DeletionNeighborhood(child: Expression, radius: Int = 1)
   extends UnaryExpression with ExpectsInputTypes {
+
+  require(radius >= 1 && radius <= 2, s"radius=$radius must be 1 or 2")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -42,6 +49,35 @@ case class DeletionNeighborhood(child: Expression)
   def compute(s: UTF8String): ArrayData = {
     val str = s.toString
     val n = str.length
+    if (radius == 1) return computeR1(s, str, n)
+    // radius 2: delete-0, delete-1 and delete-2 variants, set-deduped
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(str)
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(str, 0, i).append(str, i + 1, n)
+      val d1 = sb.toString
+      seen.add(d1)
+      var j = 0
+      val m = d1.length
+      while (j < m) {
+        sb.setLength(0)
+        sb.append(d1, 0, j).append(d1, j + 1, m)
+        seen.add(sb.toString)
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def computeR1(s: UTF8String, str: String, n: Int): ArrayData = {
     val out = new java.util.ArrayList[Any](n + 1)
     out.add(s)
     val sb = new java.lang.StringBuilder(n)
@@ -73,6 +109,7 @@ case class DeletionNeighborhood(child: Expression)
 }
 
 object DeletionNeighborhood {
-  def apply(s: Column): Column =
-    ExpressionUtils.column(new DeletionNeighborhood(ExpressionUtils.expression(s)))
+  def apply(s: Column): Column = apply(s, 1)
+  def apply(s: Column, radius: Int): Column =
+    ExpressionUtils.column(new DeletionNeighborhood(ExpressionUtils.expression(s), radius))
 }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 class FuzzyJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  private def brute(rows: Seq[(Long, String)]): Set[(Long, Long, Int)] = {
+  private def brute(rows: Seq[(Long, String)],
+                    maxDist: Int = 1): Set[(Long, Long, Int)] = {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
         if (i == 0) j else if (j == 0) i else 0
@@ -18,7 +19,7 @@ class FuzzyJoinSpec extends SparkSpec {
     }
     (for {
       (ia, sa) <- rows; (ib, sb) <- rows
-      if ia < ib && lev(sa, sb) <= 1
+      if ia < ib && lev(sa, sb) <= maxDist
     } yield (ia, ib, lev(sa, sb))).toSet
   }
 
@@ -56,6 +57,22 @@ class FuzzyJoinSpec extends SparkSpec {
         .select($"id_a", $"id_b", $"dist")
         .as[(Long, Long, Int)].collect().toSet
       assert(got == brute(rows), s"round $round diverged (n=$n)")
+    }
+  }
+
+  test("randomized differential at maxDist=2: radius-2 keys stay complete") {
+    val rnd = new scala.util.Random(137)
+    for (round <- 1 to 3) {
+      val n = 40 + rnd.nextInt(30)
+      val rows = (1 to n).map { i =>
+        val len = 1 + rnd.nextInt(7)
+        (i.toLong, Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString)
+      }
+      val got = FuzzyJoin
+        .editDistancePairs(rows.toDF("id", "s"), "id", "s", maxDist = 2)
+        .select($"id_a", $"id_b", $"dist")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == brute(rows, maxDist = 2), s"round $round diverged (n=$n)")
     }
   }
 

@@ -254,7 +254,45 @@ object VectorQueries {
       .orderBy("doc_id")
   }
 
+  /** Perceptual image dedup end-to-end: every doc becomes a 72×64
+    * textured PNG (pattern from doc_id/10) with a per-member uniform
+    * brightness shift (doc_id%10) — ten exposure variants of each base
+    * picture. The integer dHash is EXACTLY shift-invariant (see
+    * [[graft.operators.ImageDedup]]), so decode→hash→group must
+    * reassemble the planted clusters, and the oracle reproduces the
+    * hash bits from the texture's closed form — never seeing the
+    * shifts the Spark side must prove irrelevant. */
+  val q102ImagePhash: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 10
+          val shift = (id % 10).toInt
+          val img = new java.awt.image.BufferedImage(72, 64,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 72) {
+              val v = (60L + (g * 31 + x * 7 + y * 13) % 120 + shift).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }.toDF("doc_id", "content")
+    graft.operators.ImageDedup.clusters(media, "doc_id", "content")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q102_image_phash" -> q102ImagePhash,
     "q58_image_decode" -> q58ImageDecode,
     "q48_embedding_lsh" -> q48EmbeddingLsh,
     "q28_knn_brute" -> q28KnnBrute,
@@ -350,6 +388,37 @@ object VectorQueries {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    // closed-form dHash replay: block sums of the planted texture
+    // (brightness shifts PROVABLY cancel — the oracle never models
+    // them), then the same adjacent-block bits and cluster assembly
+    "q102_image_phash" ->
+      """WITH docs AS (SELECT doc_id, doc_id // 10 AS grp FROM documents),
+        |grps AS (SELECT DISTINCT grp FROM docs),
+        |px AS (SELECT grp, x, y, 60 + (grp * 31 + x * 7 + y * 13) % 120 AS v
+        |       FROM grps, generate_series(0, 71) AS gx(x),
+        |                  generate_series(0, 63) AS gy(y)),
+        |blocks AS (SELECT grp, x // 8 AS bx, y // 8 AS by, sum(v) AS s
+        |           FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.grp, a.by * 8 + a.bx AS k,
+        |           CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        |         FROM blocks a JOIN blocks b
+        |           ON b.grp = a.grp AND b.by = a.by AND b.bx = a.bx + 1
+        |         WHERE a.bx < 8),
+        |hashes AS (SELECT grp,
+        |    CAST(sum(CASE WHEN k < 32 AND bit = 1
+        |      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS phash_lo,
+        |    CAST(sum(CASE WHEN k >= 32 AND bit = 1
+        |      THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS phash_hi
+        |  FROM bits GROUP BY grp),
+        |assigned AS (SELECT d.doc_id, h.phash_lo, h.phash_hi
+        |             FROM docs d JOIN hashes h USING (grp)),
+        |cl AS (SELECT phash_lo, phash_hi, min(doc_id) AS cluster_id,
+        |              count(*) AS cluster_size
+        |       FROM assigned GROUP BY 1, 2)
+        |SELECT a.doc_id, a.phash_lo, a.phash_hi, c.cluster_id,
+        |       c.cluster_size, a.doc_id = c.cluster_id AS is_canonical
+        |FROM assigned a JOIN cl c USING (phash_lo, phash_hi)
+        |ORDER BY a.doc_id""".stripMargin,
     "q58_image_decode" ->
       """SELECT doc_id, 'image/png' AS mime,
         |  CAST(16 + doc_id % 32 AS INTEGER) AS width,

@@ -84,7 +84,12 @@ object GraftExtensions {
     ("graft_clean_text", "full cleaning pipeline: NFC, control strip, ws collapse",
       (e: Seq[Expression]) => x(graft.operators.CleanOps.cleanText(c(e(0))))),
     ("graft_strip_html", "tag strip + one-level HTML entity decode",
-      (e: Seq[Expression]) => x(graft.operators.CleanOps.stripHtml(c(e(0))))))
+      (e: Seq[Expression]) => x(graft.operators.CleanOps.stripHtml(c(e(0))))),
+    ("graft_deletion_neighborhood",
+      "edit-distance blocking keys: identity + delete-k variants, " +
+        "graft_deletion_neighborhood(s[, radius 1|2])",
+      (e: Seq[Expression]) => new org.apache.spark.sql.graft.DeletionNeighborhood(
+        e(0), if (e.size > 1) e(1).eval().asInstanceOf[Number].intValue() else 1)))
 
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -55,6 +55,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("deletion-neighborhood keys work from SQL at both radii") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_deletion_neighborhood('abc') AS d1,
+        |       graft_deletion_neighborhood('abc', 2) AS d2""".stripMargin).head()
+    assert(r.getSeq[String](0).toSet == Set("abc", "bc", "ac", "ab"))
+    assert(r.getSeq[String](1).toSet ==
+      Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+  }
+
   test("SQL minhash-ish pipeline runs end-to-end through the registry") {
     GraftExtensions.register(spark)
     Seq((1L, "spark table scan join"), (2L, "spark table scan join"),

@@ -53,6 +53,40 @@ object TimeOps {
       .select(col("day") +: filled: _*)
   }
 
+  /** Flag values more than `k` standard deviations from the global
+    * mean — the daily-metric anomaly gate — with EXACT integer/decimal
+    * arithmetic, so the flags are bit-identical across engines and
+    * partitionings. Float mean/stddev are summation-order-sensitive
+    * and their division/sqrt round differently per engine; instead the
+    * k-sigma test is evaluated in cross-multiplied form over a LONG
+    * value column:
+    *
+    *   (x·n − S)² > k²·(n·Q − S²)
+    *
+    * (population variance both sides scaled by n²) where n, S = Σx and
+    * Q = Σx² are exact decimal aggregates. q103's oracle replays the
+    * identical inequality in HUGEINT SQL.
+    *
+    * Scale shape: one full aggregate (three numbers), broadcast back
+    * over the frame as a one-row cross join; the flag itself is a
+    * projection. Magnitude contract: |x| < 10¹⁵ and n < 10¹⁰ keep
+    * every intermediate inside DECIMAL(38) — ample for cent-scaled
+    * money and centuries of days.
+    */
+  def sigmaOutliers(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val x = col(valueCol).cast("decimal(15,0)")
+    val stats = df.agg(
+      count(lit(1)).cast("decimal(10,0)").as("__n"),
+      sum(x).as("__s"),
+      sum(x * x).as("__q"))
+    val dev = x * col("__n") - col("__s")
+    df.crossJoin(broadcast(stats))
+      .withColumn("is_outlier",
+        dev * dev > lit(k * k) * (col("__n") * col("__q") - col("__s") * col("__s")))
+      .drop("__n", "__s", "__q")
+  }
+
   /** Collapse event bursts: group each key's events into bursts —
     * maximal chains where consecutive events arrive within
     * `gapSeconds` of each other — and keep one row per burst (its

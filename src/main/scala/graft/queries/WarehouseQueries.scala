@@ -167,6 +167,20 @@ object WarehouseQueries {
       .orderBy("s_suppkey")
   }
 
+  /** 3-sigma anomaly flags over daily revenue (cent-scaled longs), via
+    * the exact cross-multiplied variance test — no float mean/stddev
+    * anywhere, so the oracle reproduces every flag bit-for-bit. */
+  val q103Anomaly: Q = (s, d) => {
+    val daily = Tables(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(15,0)").as("cents"))
+    graft.operators.TimeOps.sigmaOutliers(daily, "cents", k = 3)
+      .select(col("day"), col("cents").cast("long").as("cents"),
+        col("is_outlier"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q90_fuzzy_join" -> q90FuzzyJoin,
     "q91_date_spine" -> q91DateSpine,
@@ -179,6 +193,7 @@ object WarehouseQueries {
     "q99_exact_sample" -> q99ExactSample,
     "q100_neg_sampling" -> q100NegSampling,
     "q101_fuzzy_neighbors" -> q101FuzzyNeighbors,
+    "q103_anomaly" -> q103Anomaly,
   )
 
   private val pagerankEdgesSql =
@@ -325,5 +340,17 @@ object WarehouseQueries {
         |       CAST(COALESCE(c.n_d2, 0) AS BIGINT) AS n_d2
         |FROM supplier s LEFT JOIN counts c USING (s_suppkey)
         |ORDER BY s.s_suppkey""".stripMargin,
+    // exact k-sigma test in HUGEINT: (x·n − S)² > 9·(n·Q − S²); sums of
+    // BIGINT promote to HUGEINT so nothing rounds or overflows
+    "q103_anomaly" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(cents) AS s, sum(cents * cents) AS q
+        |       FROM daily)
+        |SELECT day, cents,
+        |       (cents * n - s) * (cents * n - s) > 9 * (n * q - s * s)
+        |         AS is_outlier
+        |FROM daily, st ORDER BY day""".stripMargin,
   )
 }

@@ -59,6 +59,30 @@ class TimeOpsSpec extends SparkSpec {
       (2L, 5L, 3L, 50000000L)))
   }
 
+  test("sigmaOutliers: exact k-sigma flags, no float variance") {
+    // 20 values near 100 plus one extreme: only the extreme flags at 3σ
+    val vals = (Seq.fill(10)(95L) ++ Seq.fill(10)(105L) :+ 1000L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val out = TimeOps.sigmaOutliers(vals.toDF("id", "v"), "v", k = 3)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(20L))
+    assert((0L until 20L).forall(!out(_)))
+    // replay the integer inequality by hand for every row
+    val n = vals.size.toLong
+    val s = vals.map(_._2).sum
+    val q = vals.map(v => v._2 * v._2).sum
+    for ((id, v) <- vals) {
+      val dev = BigInt(v) * n - s
+      val expect = dev * dev > BigInt(9) * (BigInt(n) * q - BigInt(s) * s)
+      assert(out(id) == expect, s"row $id")
+    }
+  }
+
+  test("sigmaOutliers: zero-variance series flags nothing") {
+    val df = (1 to 8).map(i => (i.toLong, 42L)).toDF("id", "v")
+    assert(TimeOps.sigmaOutliers(df, "v", 3).filter($"is_outlier").count() == 0)
+  }
+
   test("collapseBursts ties at equal ts resolve by the tie-break column") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), 9L),

@@ -253,6 +253,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"fell back to Window:\n$p")
   }
 
+  test("q103: one aggregate shuffle; the 1-row stats frame broadcasts back") {
+    val p = finalPlan("q103_anomaly").split("== Initial Plan ==").head
+    // the cross join against the single stats row must be the broadcast
+    // nested-loop form (1 row x N), never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin"), s"stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges hash Exchanges (daily agg + stats agg):\n$p")
+  }
+
   test("q100: the ring successor is bucket-sharded; the fallback broadcasts") {
     val p = finalPlan("q100_neg_sampling").split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct") &&

@@ -24,6 +24,13 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // benchmark hygiene: run Materialize.once in persist() mode so
+      // every re-read intermediate registers in the SQL cache and the
+      // per-query clearCache() below actually frees it. The default
+      // localCheckpoint mode frees blocks only when the plan is GC'd,
+      // so blocks accumulated across runs×queries and skewed the
+      // timings of late-alphabet queries (q9 measurably so).
+      .config("spark.graft.localCheckpoint", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,10 +55,9 @@ object Bench {
         // a crashing query must NOT read as a fast one: poison its median
         samples(name) = samples(name) :+ (if (ok) dt else -1.0)
       }
-      // localCheckpoint blocks (Materialize.once) aren't in the SQL
-      // cache — they free when their plan objects are GC'd. Hint a
-      // collection between passes so later passes aren't timed against
-      // earlier passes' lingering block-manager memory.
+      // belt-and-braces: clearCache() after each query drops the
+      // persist()-mode intermediates; a GC hint between passes also
+      // releases any stray block-manager references
       System.gc()
     }
     def median(xs: Vector[Double]): Double =

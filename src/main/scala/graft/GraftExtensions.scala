@@ -89,7 +89,7 @@ object GraftExtensions {
       "edit-distance blocking keys: identity + delete-k variants, " +
         "graft_deletion_neighborhood(s[, radius 1|2])",
       (e: Seq[Expression]) => new org.apache.spark.sql.graft.DeletionNeighborhood(
-        e(0), if (e.size > 1) e(1).eval().asInstanceOf[Number].intValue() else 1)))
+        e(0), if (e.size > 1) B.litInt(e(1), "radius") else 1)))
 
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -75,10 +75,15 @@ object GraphOps {
     // nNodes is KNOWN here (unlike a generic plan): when the rank frame
     // is broadcast-sized, say so explicitly — each round's join then
     // skips the edge-side Exchange regardless of the checkpoint having
-    // stripped size statistics. Real graphs with billions of nodes keep
-    // the shuffle join (and should pre-bucket edges by src).
+    // stripped size statistics. The cutoff is ~1M nodes: a rank row is
+    // a node id (tens of bytes) + a long, so 1M rows is tens of MB —
+    // inside a sane executor/driver broadcast budget. Forcing the hint
+    // OVERRIDES autoBroadcastJoinThreshold, so it must stay well below
+    // memory, not at "technically fits"; bigger graphs keep the shuffle
+    // join (and should pre-bucket edges by src so only the rank side
+    // moves per round).
     val rankHint: DataFrame => DataFrame =
-      if (nNodes <= 10000000L) broadcast(_) else identity
+      if (nNodes <= 1000000L) broadcast(_) else identity
     var ranks = nodes.withColumn("rank_scaled", lit(Scale / nNodes))
     for (round <- 1 to iterations) {
       val contrib = degreed

@@ -101,6 +101,20 @@ object Scd2 {
     * a genuinely late event below the horizon is also dropped; late
     * data repair means rebuilding those keys from the full log, which
     * is the honest answer anyway (it must rewrite closed intervals).
+    *
+    * Tie-break contract AT the horizon: the open version is replayed
+    * with a NULL tie-break so it sorts before any real event sharing
+    * its `valid_from` timestamp (history does not store the opening
+    * event's tie-break — by design, the output schema is the SCD2
+    * table, nothing more). `merge` therefore matches a full
+    * [[fromChangeLog]] rebuild only when tie-break values are globally
+    * increasing across batches (a sequential event id / log offset —
+    * what the randomized differential spec generates). A batch event
+    * that shares the open version's exact `valid_from` but carries a
+    * SMALLER tie-break than the original opening event would replay
+    * after the open version here yet before it in a full rebuild. If
+    * your tie-break can regress across batches at equal timestamps,
+    * rebuild from the full log instead.
     */
   def merge(history: DataFrame, log: DataFrame, keyCols: Seq[String],
             tsCol: String, tieBreak: String, attrCols: Seq[String]): DataFrame = {

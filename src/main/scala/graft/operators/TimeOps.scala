@@ -58,8 +58,8 @@ object TimeOps {
     * arithmetic, so the flags are bit-identical across engines and
     * partitionings. Float mean/stddev are summation-order-sensitive
     * and their division/sqrt round differently per engine; instead the
-    * k-sigma test is evaluated in cross-multiplied form over a LONG
-    * value column:
+    * k-sigma test is the cross-multiplied inequality over a LONG value
+    * column:
     *
     *   (x·n − S)² > k²·(n·Q − S²)
     *
@@ -67,24 +67,61 @@ object TimeOps {
     * Q = Σx² are exact decimal aggregates. q103's oracle replays the
     * identical inequality in HUGEINT SQL.
     *
-    * Scale shape: one full aggregate (three numbers), broadcast back
-    * over the frame as a one-row cross join; the flag itself is a
-    * projection. Magnitude contract: |x| < 10¹⁵ and n < 10¹⁰ keep
-    * every intermediate inside DECIMAL(38) — ample for cent-scaled
-    * money and centuries of days.
+    * The right-hand side can reach ~10⁵⁰ — past DECIMAL(38) AND
+    * HUGEINT — so it is NOT evaluated per row. The three stats are one
+    * control-plane row, collected and folded in driver-side BigInt
+    * (unbounded), and the per-row test ships as the equivalent
+    *
+    *   |x·n − S| > isqrt(k²·(n·Q − S²))
+    *
+    * (exact for integer dev: dev² > R ⟺ |dev| > ⌊√R⌋), whose only
+    * per-row intermediate is `x·n − S` ≤ 2·10²⁵ — comfortably inside
+    * DECIMAL(38) under the magnitude contract |x| < 10¹⁵, n < 10¹⁰.
+    * The Q = Σx² aggregate itself needs |x|²·n < 10³⁸ (e.g. any
+    * |x| ≤ 10¹⁴ at n ≤ 10¹⁰); past that the decimal sum overflows to
+    * NULL and this fails LOUDLY here instead of emitting NULL flags.
+    *
+    * Scale shape: one full aggregate (four control-plane numbers,
+    * including a loud range check on the raw column) at call time,
+    * then a pure literal projection — no join at all in the returned
+    * plan. Rows with a NULL value are excluded from the stats and get
+    * a NULL flag. EAGER: collecting the stats row runs a Spark job at
+    * DataFrame-construction time.
     */
   def sigmaOutliers(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val x = col(valueCol).cast("decimal(15,0)")
-    val stats = df.agg(
-      count(lit(1)).cast("decimal(10,0)").as("__n"),
+    // range check on a 38-digit cast of the RAW column: a value past
+    // 10^15 would overflow the working cast to NULL and silently drop
+    // out of S and Q — fail loudly instead
+    val row = df.agg(
+      count(col(valueCol)).as("__n"),
+      max(abs(col(valueCol).cast("decimal(38,0)"))).as("__m"),
       sum(x).as("__s"),
-      sum(x * x).as("__q"))
-    val dev = x * col("__n") - col("__s")
-    df.crossJoin(broadcast(stats))
-      .withColumn("is_outlier",
-        dev * dev > lit(k * k) * (col("__n") * col("__q") - col("__s") * col("__s")))
-      .drop("__n", "__s", "__q")
+      sum(x * x).as("__q")).first()
+    val n = row.getLong(0)
+    if (n == 0) // no non-null values: nothing to deviate from
+      return df.withColumn("is_outlier", lit(null).cast("boolean"))
+    require(n < 10000000000L,
+      s"sigmaOutliers: n=$n rows breaks the n < 10^10 magnitude contract")
+    require(!row.isNullAt(1),
+      s"sigmaOutliers: |$valueCol| exceeds DECIMAL(38) entirely")
+    val maxAbs = BigInt(row.getDecimal(1).toBigInteger)
+    require(maxAbs < BigInt(10).pow(15),
+      s"sigmaOutliers: max|$valueCol|=$maxAbs breaks the |x| < 10^15 " +
+        "magnitude contract")
+    if (row.isNullAt(2) || row.isNullAt(3))
+      throw new IllegalStateException(
+        s"sigmaOutliers: stats over '$valueCol' overflowed DECIMAL(38) — " +
+          "|x|^2*n must stay below 10^38 (e.g. any |x| <= 10^14 at n <= 10^10)")
+    val s = BigInt(row.getDecimal(2).toBigInteger)
+    val q = BigInt(row.getDecimal(3).toBigInteger)
+    val rhs = BigInt(k) * k * (BigInt(n) * q - s * s)
+    val thr = rhs.bigInteger.sqrt() // floor square root, exact
+    df.withColumn("is_outlier",
+      abs(x * lit(java.math.BigDecimal.valueOf(n)) -
+        lit(new java.math.BigDecimal(s.bigInteger))) >
+        lit(new java.math.BigDecimal(thr)))
   }
 
   /** Collapse event bursts: group each key's events into bursts —

@@ -130,12 +130,22 @@ object IncrementalStream {
     * sinks), so the applied batch id rides IN the state table as a
     * constant `__batch_id` column — it commits atomically with the
     * data, and a batch at or below the recorded id is skipped. */
+  /** Highest applied batch id recorded in a rollup state table, None
+    * when the table exists but holds zero rows (an empty first
+    * micro-batch writes an empty rollup — `max` over it is NULL, and
+    * treating that as "no batch applied" keeps the sink alive instead
+    * of NPE-wedging every later batch). */
+  private def maxBatchId(state: DataFrame): Option[Long] = {
+    val row = state.select(max(col("__batch_id"))).first()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
   def applyRollupBatch(batch: DataFrame, batchId: Long, statePath: String,
                        keys: Seq[String],
                        aggs: Seq[(String, org.apache.spark.sql.Column,
                          org.apache.spark.sql.Column)]): Unit = {
     val prior = AtomicTableWriter.read(batch.sparkSession, statePath)
-    val applied = prior.map(_.select(max(col("__batch_id"))).first().getLong(0))
+    val applied = prior.flatMap(maxBatchId)
     if (applied.exists(_ >= batchId)) return // replay: already folded in
     val next = prior match {
       case Some(st) => graft.operators.MaterializedAgg.maintain(
@@ -162,7 +172,7 @@ object IncrementalStream {
                                 keepVersions: Int = 3): Unit = {
     import graft.sources.VersionedTable
     val prior = VersionedTable.read(batch.sparkSession, tablePath)
-    val applied = prior.map(_.select(max(col("__batch_id"))).first().getLong(0))
+    val applied = prior.flatMap(maxBatchId)
     if (applied.exists(_ >= batchId)) return // replay: already folded in
     val next = prior match {
       case Some(st) => graft.operators.MaterializedAgg.maintain(

@@ -63,6 +63,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](0).toSet == Set("abc", "bc", "ac", "ab"))
     assert(r.getSeq[String](1).toSet ==
       Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    // a non-literal radius is rejected with the same clear message as
+    // every other literal-argument function, not an unbound-attribute
+    // crash at eval time
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_deletion_neighborhood('abc', cast(rand()*2 AS INT))").head()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
   }
 
   test("SQL minhash-ish pipeline runs end-to-end through the registry") {

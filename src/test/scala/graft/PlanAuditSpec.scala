@@ -253,14 +253,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"fell back to Window:\n$p")
   }
 
-  test("q103: one aggregate shuffle; the 1-row stats frame broadcasts back") {
+  test("q103: the k-sigma flag is a literal projection — no join at all") {
+    // the stats fold is a control-plane collect at construction; the
+    // RETURNED plan must be the daily aggregate plus a projection
+    // against literal thresholds — zero joins of any kind
     val p = finalPlan("q103_anomaly").split("== Initial Plan ==").head
-    // the cross join against the single stats row must be the broadcast
-    // nested-loop form (1 row x N), never a shuffled join
-    assert(p.contains("BroadcastNestedLoopJoin"), s"stats not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"stats became a runtime join:\n$p")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges <= 2, s"$exchanges hash Exchanges (daily agg + stats agg):\n$p")
+    assert(exchanges <= 1, s"$exchanges hash Exchanges (daily agg only):\n$p")
   }
 
   test("q100: the ring successor is bucket-sharded; the fallback broadcasts") {

@@ -69,6 +69,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("NearestCentroids: structurally identical expressions are semantically equal") {
+    // the Array[Array[Double]] field would compare by reference under
+    // the synthesized case-class equals, defeating Catalyst
+    // canonicalization and subexpression elimination — content equality
+    // is overridden, and must survive independently-built copies
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.graft.NearestCentroids
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def build() = new NearestCentroids(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)), 1)
+    val (a, b) = (build(), build())
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b), "canonicalized forms diverged")
+    val c = new NearestCentroids(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      Array(Array(1.0, 2.0), Array(3.0, 9.0)), 1)
+    assert(a != c, "different centroids must not compare equal")
+  }
+
   test("buildIvfIndex + ivfProbe: prunes partitions, matches ivfTopK") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
     val queries = vecs.filter($"id" < 10)

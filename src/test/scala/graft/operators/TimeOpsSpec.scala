@@ -83,6 +83,34 @@ class TimeOpsSpec extends SparkSpec {
     assert(TimeOps.sigmaOutliers(df, "v", 3).filter($"is_outlier").count() == 0)
   }
 
+  test("sigmaOutliers: a value past the 10^15 magnitude contract fails loudly") {
+    // pre-fix (with ANSI off) this value silently overflowed the
+    // decimal(15,0) cast to NULL, dropped out of S and Q, and skewed
+    // every flag. Loud failure now comes from one of two places: the
+    // ANSI cast itself (default sessions), or the explicit range check
+    // on the 38-digit cast (ANSI-off sessions)
+    val df = Seq((1L, 5L), (2L, 1000000000000000L)).toDF("id", "v")
+    val e = intercept[Exception] { TimeOps.sigmaOutliers(df, "v", 3) }
+    assert(e.getMessage.contains("10^15") ||
+      e.getClass.getSimpleName.contains("Arithmetic"), e.getMessage)
+    // ANSI off: the range check is what fires
+    val prior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        TimeOps.sigmaOutliers(df, "v", 3)
+      }
+      assert(e2.getMessage.contains("10^15"), e2.getMessage)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prior)
+  }
+
+  test("sigmaOutliers: literal-threshold plan — no join, no stats shuffle") {
+    val df = (1 to 8).map(i => (i.toLong, i.toLong * 3)).toDF("id", "v")
+    val plan = TimeOps.sigmaOutliers(df, "v", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"stats joined at runtime:\n$plan")
+  }
+
   test("collapseBursts ties at equal ts resolve by the tie-break column") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), 9L),

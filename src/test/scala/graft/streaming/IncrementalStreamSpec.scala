@@ -270,6 +270,30 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(read() == Set(("d1", 15L, 2L), ("d2", 5L, 2L), ("d3", 7L, 1L)))
   }
 
+  test("maintained rollup survives an empty first micro-batch") {
+    val root = Files.createTempDirectory("graft-mv0").toString
+    val state = s"$root/rollup"
+    val aggs = Seq(
+      ("total", sum($"v"), sum($"total")),
+      ("n", count(lit(1)), sum($"n")))
+    // batch 0 is empty: writes a zero-row state table whose
+    // max(__batch_id) is NULL — the sink must treat that as "nothing
+    // applied yet", not NPE-wedge on the guard read
+    IncrementalStream.applyRollupBatch(
+      Seq.empty[(String, Long)].toDF("day", "v"), 0, state, Seq("day"), aggs)
+    IncrementalStream.applyRollupBatch(
+      Seq(("d1", 4L)).toDF("day", "v"), 1, state, Seq("day"), aggs)
+    val out = spark.read.parquet(state)
+      .select("day", "total", "n").as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("d1", 4L, 1L)))
+    // replay of batch 1 still skips
+    IncrementalStream.applyRollupBatch(
+      Seq(("d1", 4L)).toDF("day", "v"), 1, state, Seq("day"), aggs)
+    val out2 = spark.read.parquet(state)
+      .select("day", "total", "n").as[(String, Long, Long)].collect().toSet
+    assert(out2 == Set(("d1", 4L, 1L)))
+  }
+
   test("maintained rollup end-to-end through the streaming sink") {
     val root = Files.createTempDirectory("graft-mv2").toString
     val rows = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[

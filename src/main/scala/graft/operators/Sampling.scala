@@ -38,29 +38,56 @@ object Sampling {
     df.filter(decision(col(idCol), seed) < fraction)
   }
 
-  /** Assign every row a split label by carving [0,1) into cumulative
-    * weight ranges — the reproducible train/val/test split. Weights
-    * need not sum to 1; they are normalized. NULL ids get a NULL label
-    * (not a silent assignment to the last split — polluting the
-    * holdout set with every unkeyed row would be invisible).
+  /** EXACT 2³²-scaled cumulative cut points for [[assignSplit]]:
+    * `thr_i = ⌊2³² · (w₁+…+wᵢ) / (w₁+…+w_n)⌋`, folded in BigDecimal
+    * over the weights' exact binary values — no intermediate float
+    * rounding, so ANY weight vector (1/3,1/3,1/3 included) yields one
+    * well-defined integer threshold per split, the same on every
+    * engine. The last threshold is 2³² by construction, so every hash
+    * value lands in exactly one range. Public because external
+    * replicas (the DuckDB oracles) must be generated from these exact
+    * integers rather than re-deriving float cuts that can sit one ulp
+    * away. */
+  def assignSplitThresholds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "need positive split weights")
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val exact = splits.map { case (n, w) => (n, new JBD(w)) } // exact binary value
+    val total = exact.map(_._2).reduce(_.add(_))
+    var acc = JBD.ZERO
+    exact.map { case (name, w) =>
+      acc = acc.add(w) // BigDecimal add is exact — no float fold
+      name -> acc.multiply(new JBD(Bound))
+        .divide(total, 0, RoundingMode.FLOOR).longValueExact()
+    }
+  }
+
+  /** The [[assignSplitThresholds]] decision as a SQL CASE over a hash
+    * expression — how oracle SQL embeds the SAME integer thresholds as
+    * the Spark plan (generated, so the two can never drift). */
+  def assignSplitCaseSql(hashSql: String, splits: Seq[(String, Double)]): String = {
+    val th = assignSplitThresholds(splits)
+    th.init.map { case (n, t) => s"WHEN $hashSql < $t THEN '$n'" }
+      .mkString("CASE ", " ", s" ELSE '${th.last._1}' END")
+  }
+
+  /** Assign every row a split label by carving the hash range [0, 2³²)
+    * into cumulative weight ranges — the reproducible train/val/test
+    * split. Weights need not sum to 1; they are normalized. NULL ids
+    * get a NULL label (not a silent assignment to the last split —
+    * polluting the holdout set with every unkeyed row would be
+    * invisible).
     *
-    * Cross-engine caveat: the cut points are the IEEE-double cumulative
-    * sum `acc + w/total` in declaration order. An external replica
-    * (e.g. a hand-written SQL oracle) must derive its thresholds with
-    * the SAME float fold, not algebraically equivalent decimals —
-    * arbitrary weights can put a cut one ulp away from the "exact"
-    * value, and a row whose decision value lands in that ulp would be
-    * labeled differently. (Round decimal weights like 0.8/0.1/0.1
-    * reproduce exactly; q51's oracle relies on that.) */
+    * Cut points are the exact integers of [[assignSplitThresholds]]
+    * and the decision is `h32(seed:id) < thr` — pure integer compares,
+    * so the label set is bit-identical across engines, partitionings
+    * and reruns for ANY weights, adversarial thirds included (the old
+    * float-fold cuts were only portable for short decimal weights). */
   def assignSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
                   seed: Int = 0): DataFrame = {
-    require(splits.nonEmpty && splits.forall(_._2 > 0), "need positive split weights")
-    val total = splits.map(_._2).sum
-    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
-    val d = decision(col(idCol), seed)
-    val label = splits.zip(cuts.sliding(2).toSeq).foldLeft(lit(splits.last._1)) {
-      case (acc, ((name, _), Seq(lo, hi))) =>
-        when(d >= lo && d < hi, lit(name)).otherwise(acc)
+    val thresholds = assignSplitThresholds(splits)
+    val h = portableHash(col(idCol).cast("string"), seed)
+    val label = thresholds.init.foldRight(lit(thresholds.last._1): Column) {
+      case ((name, thr), rest) => when(h < thr, lit(name)).otherwise(rest)
     }
     df.withColumn("split",
       when(col(idCol).isNull, lit(null).cast("string")).otherwise(label))
@@ -131,12 +158,17 @@ object Sampling {
     * Scale shape: stratum sizes are one aggregate (rows = #strata —
     * control-plane sized, collected to the driver to compute exact
     * BigInt thresholds); the corpus-side decision is a pure projection
-    * (when-chain threshold + hash compare), no join, no shuffle. Rows
-    * with a NULL stratum or NULL id are dropped.
+    * (when-chain threshold + hash compare), no join, no shuffle — up
+    * to `joinCutoff` strata. Past the cutoff the when-chain's
+    * O(#strata) comparisons per row stop being free (a 10⁵-stratum
+    * domain mix would evaluate 10⁵ string equalities per row), so the
+    * thresholds ship as a BROADCAST-JOINED literal table instead: one
+    * hash probe per row, still no corpus shuffle, identical kept set.
+    * Rows with a NULL stratum or NULL id are dropped either way.
     */
   def temperatureResample(df: DataFrame, idCol: String, stratumCol: String,
                           budgetNum: Long = 1, budgetDen: Long = 2,
-                          seed: Int = 0): DataFrame = {
+                          seed: Int = 0, joinCutoff: Int = 256): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
     val TwoPow32 = BigInt(1) << 32
     val stats = df
@@ -152,12 +184,20 @@ object Sampling {
       val quota = budget * isqrt(sz) / totalWeight
       s -> (TwoPow32 min (quota * TwoPow32 / sz)).toLong
     }
-    val thrCol = thresholds.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (s, thr)) =>
-        when(col(stratumCol).cast("string") === s, lit(thr)).otherwise(acc)
+    val h = portableHash(col(idCol).cast("string"), seed)
+    if (thresholds.length <= joinCutoff) {
+      val thrCol = thresholds.sortBy(_._1).foldLeft(lit(0L)) {
+        case (acc, (s, thr)) =>
+          when(col(stratumCol).cast("string") === s, lit(thr)).otherwise(acc)
+      }
+      df.filter(col(idCol).isNotNull && h < thrCol)
+    } else {
+      import df.sparkSession.implicits._
+      val thrDf = broadcast(thresholds.toSeq.toDF("__s", "__thr"))
+      df.join(thrDf, df(stratumCol).cast("string") === thrDf("__s"))
+        .filter(col(idCol).isNotNull && h < col("__thr"))
+        .drop("__s", "__thr")
     }
-    df.filter(col(idCol).isNotNull &&
-      portableHash(col(idCol).cast("string"), seed) < thrCol)
   }
 
   /** EXACTLY `k` rows per stratum (fewer if the stratum is smaller),

@@ -256,8 +256,9 @@ object HygieneQueries {
          |gated AS (SELECT * FROM ded WHERE n_kept >= 2)
          |SELECT doc_id, CAST(n_paras AS BIGINT) AS n_paras,
          |  CAST(n_kept AS BIGINT) AS n_kept,
-         |  CASE WHEN CAST(${TextQueries.hx("'4:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < 0.9
-         |    THEN 'train' ELSE 'holdout' END AS split,
+         |  ${graft.operators.Sampling.assignSplitCaseSql(
+              TextQueries.hx("'4:' || CAST(doc_id AS VARCHAR)"),
+              Seq("train" -> 0.9, "holdout" -> 0.1))} AS split,
          |  md5(rebuilt) AS clean_md5
          |FROM gated ORDER BY doc_id""".stripMargin
     },

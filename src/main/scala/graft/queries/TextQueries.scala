@@ -701,8 +701,9 @@ object TextQueries {
          |  (CASE WHEN CAST(len(list_filter(ts, x -> x IN ($stopwordsSql))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) > 0.01 THEN 1 ELSE 0 END) +
          |  (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.3 THEN 1 ELSE 0 END) >= 2)
          |SELECT doc_id,
-         |  CASE WHEN CAST(${hx("'11:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < 0.9
-         |       THEN 'train' ELSE 'val' END AS split
+         |  ${graft.operators.Sampling.assignSplitCaseSql(
+              hx("'11:' || CAST(doc_id AS VARCHAR)"),
+              Seq("train" -> 0.9, "val" -> 0.1))} AS split
          |FROM gated ORDER BY doc_id""".stripMargin,
     // per-shard running offsets cut into 512-token packs; straddling
     // chunks emit one span per touched pack. The trim(text)<>'' guard
@@ -731,15 +732,19 @@ object TextQueries {
          |  CAST(greatest(start, pack * 512) - start AS BIGINT) AS span_start,
          |  CAST(least(fin, (pack + 1) * 512) - greatest(start, pack * 512) AS BIGINT) AS span_tokens
          |FROM spans ORDER BY doc_id, chunk_idx, span_start""".stripMargin,
-    // membership decisions: h32(seed:id)/2^32 — division by 2^32 is
-    // exact, literals parse to identical doubles, so compares agree
+    // sample membership: h32(seed:id)/2^32 — division by 2^32 is
+    // exact, literals parse to identical doubles, so compares agree.
+    // Split labels: the CASE is GENERATED from the same exact integer
+    // thresholds the Spark plan compares against (assignSplitCaseSql),
+    // so the two sides cannot drift for any weight vector
     "q51_splits" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |  CAST(${hx("'1:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 AS pick,
-         |  CAST(${hx("'7:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 AS sp
+         |  ${hx("'7:' || CAST(doc_id AS VARCHAR)")} AS sp
          |  FROM documents)
          |SELECT doc_id, lang,
-         |  CASE WHEN sp < 0.8 THEN 'train' WHEN sp < 0.9 THEN 'val' ELSE 'test' END AS split
+         |  ${graft.operators.Sampling.assignSplitCaseSql("sp",
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
          |FROM d WHERE pick < 0.3 ORDER BY doc_id""".stripMargin,
     // chunk starts at stride 48 while start <= max(len-16, 1); DuckDB
     // range() is end-exclusive where Spark sequence() is inclusive

@@ -44,6 +44,38 @@ class SamplingSpec extends SparkSpec {
     split.unpersist()
   }
 
+  test("assignSplit: adversarial weights (exact thirds) — rational cuts, driver replay") {
+    // 1/3,1/3,1/3 has no finite decimal cut points: the old float-fold
+    // cuts were engine-dependent here. The exact thresholds must (a)
+    // partition [0, 2^32) with no gap or overlap, (b) replay row-for-row
+    // from the published integers, (c) be independent of partitioning
+    val thirds = Seq("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3))
+    val th = Sampling.assignSplitThresholds(thirds)
+    assert(th.map(_._1) == Seq("a", "b", "c"))
+    assert(th.last._2 == 4294967296L, s"last cut must be 2^32: $th")
+    assert(th.map(_._2) == th.map(_._2).sorted, s"cuts must ascend: $th")
+    // each third is within one unit of 2^32/3 of its neighbor
+    val widths = (0L +: th.map(_._2)).sliding(2).map(w => w(1) - w(0)).toSeq
+    assert(widths.forall(w => math.abs(w - 4294967296.0 / 3) <= 1.0), s"$widths")
+    val labeled = Sampling.assignSplit(ids, "id", thirds, seed = 3)
+    val hashes = ids.select($"id",
+      graft.functions.TextFunctions.portableHash($"id".cast("string"), 3).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val got = labeled.select("id", "split").as[(Long, String)].collect()
+    got.foreach { case (id, label) =>
+      val h = hashes(id)
+      val expect = th.collectFirst { case (n, t) if h < t => n }.get
+      assert(label == expect, s"id=$id h=$h")
+    }
+    // proportions near thirds
+    val counts = labeled.groupBy("split").count().as[(String, Long)].collect().toMap
+    counts.values.foreach(c => assert(math.abs(c / 2000.0 - 1.0 / 3) < 0.05, counts))
+    // layout-independent
+    val again = Sampling.assignSplit(ids.repartition(13), "id", thirds, seed = 3)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(again == got.toSet)
+  }
+
   test("null ids: dropped by sample, null-labeled by split") {
     val withNull = Seq(Some(1L), Some(2L), None).toDF("id")
     assert(Sampling.deterministicSample(withNull, "id", 1.0).count() == 2)
@@ -140,6 +172,45 @@ class SamplingSpec extends SparkSpec {
       case (id, h, "b") if h < thrB => id
     }.toSet
     assert(kept == expect)
+  }
+
+  test("temperatureResample at 5000 strata: broadcast-join path, identical kept set") {
+    // past joinCutoff the when-chain would do 5000 string compares per
+    // row; the threshold table must broadcast-join instead — and keep
+    // EXACTLY the same rows as the when-chain semantics
+    val df = (1 to 20000).map(i => (i.toLong, s"s${i % 5000}")).toDF("id", "lang")
+    val joined = Sampling.temperatureResample(df, "id", "lang", 1, 2, seed = 9)
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold table not broadcast-joined:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CaseWhen"), plan)
+    // driver replay of the documented integer math over all 5000
+    // strata (the when-chain can't even BUILD at this width — a
+    // 5000-deep nested CASE overflows the converter stack, which is
+    // the scale wall the join path exists to remove)
+    val sizes = df.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totalRows = sizes.values.sum
+    val totalW = sizes.values.map(sz => BigInt(math.sqrt(sz.toDouble).toLong)).sum
+    val budget = BigInt(totalRows) / 2
+    val thr = sizes.map { case (s, sz) =>
+      val quota = budget * BigInt(math.sqrt(sz.toDouble).toLong) / totalW
+      s -> ((BigInt(1) << 32) min (quota * (BigInt(1) << 32) / sz))
+    }
+    val hashed = df.select($"id", $"lang",
+      graft.functions.TextFunctions.portableHash($"id".cast("string"), 9).as("h"))
+      .as[(Long, String, Long)].collect()
+    val expect = hashed.collect { case (id, s, h) if BigInt(h) < thr(s) => id }.toSet
+    assert(joined.select("id").as[Long].collect().toSet == expect)
+    // schema is unchanged by the join path (helper columns dropped)
+    assert(joined.columns.toSeq == df.columns.toSeq)
+    // and at a width the chain CAN build, both paths keep identical rows
+    val small = (1 to 2000).map(i => (i.toLong, s"s${i % 100}")).toDF("id", "lang")
+    val viaChain = Sampling.temperatureResample(small, "id", "lang", 1, 2, seed = 9)
+      .select("id").as[Long].collect().toSet
+    val viaJoin = Sampling.temperatureResample(small, "id", "lang", 1, 2,
+      seed = 9, joinCutoff = 10).select("id").as[Long].collect().toSet
+    assert(viaChain == viaJoin)
   }
 
   test("exactStratifiedSample: exactly k per stratum, hash-priority rows") {

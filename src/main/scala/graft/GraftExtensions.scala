@@ -89,7 +89,18 @@ object GraftExtensions {
       "edit-distance blocking keys: identity + delete-k variants, " +
         "graft_deletion_neighborhood(s[, radius 1|2])",
       (e: Seq[Expression]) => new org.apache.spark.sql.graft.DeletionNeighborhood(
-        e(0), if (e.size > 1) B.litInt(e(1), "radius") else 1)))
+        e(0), if (e.size > 1) B.litInt(e(1), "radius") else 1)),
+    ("graft_bpe_encode",
+      "BPE subword tokens with a literal merge table: " +
+        "graft_bpe_encode(text, array('t h', 'th e', ...)) — each entry " +
+        "'left right' (symbols never contain whitespace)",
+      (e: Seq[Expression]) => new org.apache.spark.sql.graft.BpeEncode(
+        e(0), B.litStringSeq(e(1), "merges").map { m =>
+          val i = m.indexOf(' ')
+          require(i > 0 && m.indexOf(' ', i + 1) < 0,
+            s"merge '$m' must be 'left right' with exactly one space")
+          (m.substring(0, i), m.substring(i + 1))
+        })))
 
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -190,6 +190,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The q104 merge table: a FIXED literal (rank-ordered, with
+    * multi-level chains like t+h → th+e so rank precedence is
+    * exercised), identical on both sides — the Spark plan carries it
+    * as an expression constant, the oracle SQL embeds it as a list
+    * literal and replays the encoder with a recursive CTE. Training
+    * itself is pinned by BpeSpec's hand-replayed reference example. */
+  private[queries] val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "n"),
+    ("a", "t"), ("e", "s"), ("es", "t"), ("i", "t"), ("i", "s"),
+    ("o", "u"), ("a", "r"), ("t", "e"), ("a", "l"), ("s", "t"),
+    ("l", "e"), ("c", "h"), ("r", "o"), ("l", "o"), ("lo", "w"))
+
+  /** BPE subword statistics over the corpus with the fixed merge
+    * table: whitespace words vs learned-subword counts per doc — the
+    * "how many tokens is this corpus" question every training-data
+    * budget starts from, with REAL merge semantics instead of the
+    * whitespace proxy. The encode is a compiled shuffle-free
+    * projection ([[graft.operators.Bpe]]); the oracle independently
+    * re-implements the encoder in recursive SQL over the distinct
+    * vocabulary, so the expression's merge loop is verified against a
+    * foreign implementation, not replayed from shared code. */
+  val q104BpeEncode: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_words"),
+      size(graft.operators.Bpe.encode(col("text"), bpeMerges))
+        .cast("long").as("n_subwords"))
+      .orderBy("doc_id")
+
   /** Chunk → pack pipeline: q50's chunks laid into 512-token packs via
     * per-shard concat-and-split (4 shards by doc_id; each shard packs
     * independently in parallel — no global ordering bottleneck).
@@ -402,6 +431,7 @@ object TextQueries {
     "q42_canonicalize" -> q42Canonicalize,
     "q43_heavy_hitters" -> q43HeavyHitters,
     "q97_minhash_clusters" -> q97MinhashClusters,
+    "q104_bpe_encode" -> q104BpeEncode,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -605,6 +635,43 @@ object TextQueries {
          |  md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
          |    '$phone', '<PHONE>', 'g')) AS scrubbed_md5
          |FROM planted ORDER BY doc_id""".stripMargin
+    },
+    // the oracle re-implements BPE inference from scratch in SQL: a
+    // recursive CTE merges the FIRST occurrence of the lowest-rank
+    // adjacent pair per step over the DISTINCT vocabulary (rank = the
+    // merge's 1-based position in the literal list; list_position
+    // returns 0 for absent, nullif-ed to "no merge"), then word
+    // instances join back for per-doc sums. A foreign replay of the
+    // compiled expression's loop — not generated from shared code.
+    "q104_bpe_encode" -> {
+      val mergesList = bpeMerges
+        .map { case (l, r) => s"'$l|$r'" }.mkString("[", ", ", "]")
+      def rks(syms: String) =
+        s"[coalesce(nullif(list_position($mergesList, $syms[i] || '|' || " +
+          s"$syms[i+1]), 0), 2147483647) for i in range(1, len($syms))]"
+      s"""WITH RECURSIVE
+         |words AS (SELECT doc_id, unnest($tok) AS w FROM documents),
+         |vocab AS (SELECT DISTINCT w FROM words WHERE w <> ''),
+         |steps AS (
+         |  SELECT w, [w[i] for i in range(1, len(w)+1)] AS syms FROM vocab
+         |  UNION ALL
+         |  SELECT w, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:] AS syms
+         |  FROM (
+         |    SELECT w, syms, list_min(rks) AS best,
+         |           list_position(rks, list_min(rks)) AS p
+         |    FROM (SELECT w, syms, ${rks("syms")} AS rks FROM steps))
+         |  WHERE best IS NOT NULL AND best < 2147483647),
+         |fin AS (
+         |  SELECT w, len(syms) AS n_sub
+         |  FROM (SELECT w, syms, ${rks("syms")} AS rks FROM steps)
+         |  WHERE len(rks) = 0 OR list_min(rks) = 2147483647),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_subwords
+         |  FROM words JOIN fin USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len($tok) AS BIGINT) AS n_words,
+         |       COALESCE(a.n_subwords, 0) AS n_subwords
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
     "q19_doc_stats" ->
       s"""WITH tok AS (SELECT doc_id, lang, text, $tok AS ts FROM documents)

@@ -14,9 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * symbols, then repeatedly merge the adjacent pair with the best
   * (lowest) merge rank until no learned pair remains — classic BPE
   * inference with the FITTED merge table riding along as an expression
-  * constant ([[graft.operators.Bpe.train]] produces it from a seeded
-  * driver-side sample; the encode pass is what runs over the corpus,
-  * shuffle-free).
+  * constant ([[graft.operators.Bpe.train]] produces it from the
+  * corpus's distributed word-frequency table; the encode pass is what
+  * runs over the corpus, shuffle-free).
   *
   * Returns the array of subword tokens for the whole text (word
   * boundaries are hard — merges never cross whitespace). Concatenating

@@ -37,6 +37,21 @@ object GraftFunctionBridge {
     }
   }
 
+  /** Extract a foldable array-of-strings argument (e.g. the merge
+    * table in `graft_bpe_encode(text, array('t h', 'th e'))`). */
+  def litStringSeq(e: Expression, what: String): Seq[String] = {
+    require(e.foldable, s"$what must be a literal array of strings")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          require(!a.isNullAt(i), s"$what must not contain nulls")
+          a.getUTF8String(i).toString
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal array of strings, got $other")
+    }
+  }
+
   def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 

@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   * a uniform luminance shift `+b` adds `b·n₁·n₂` to BOTH sides and
   * every bit is EXACTLY invariant, for any image size (the q102 oracle
   * replays the planted images' block sums in closed-form SQL and must
-  * reproduce the hash bit-for-bit). Near-miss variants (crops, gamma)
-  * need hamming-distance blocking — the SimHash pigeonhole machinery
-  * (Dedup.simhashDuplicates) applies to these 64-bit hashes unchanged.
+  * reproduce the hash bit-for-bit). Near-miss variants (crops, gamma,
+  * overlays) flip a few bits instead — [[nearDuplicatePairs]] catches
+  * those with byte-pigeonhole hamming blocking over the same hashes.
   *
   * Scale shape: hashing is mapPartitions over the (fanned-out) media
   * rows — CPU-bound per row, no shuffle; clustering is one groupBy on
@@ -95,6 +95,59 @@ object ImageDedup {
         (id, lo, hi)
       })
       .toDF(idCol, "phash_lo", "phash_hi")
+  }
+
+  /** NEAR-MISS image pairs: all (id_a < id_b) whose 64-bit dHashes sit
+    * within `maxHamming` bits — catches crops, gamma curves, small
+    * overlays and re-renders that shift a few blocks, where
+    * [[clusters]]' exact grouping only catches bit-identical hashes.
+    *
+    * Pigeonhole blocking, the same argument as the text SimHash path
+    * (Dedup.simhashDuplicates): the 64-bit hash splits into 8 byte
+    * blocks; any pair within maxHamming ≤ 7 differing bits must agree
+    * on at least one whole byte, so each (block index, byte value) is
+    * an equi-join key and candidate generation is a hash join — never
+    * an all-pairs scan. Candidates verify with the exact popcount
+    * distance BEFORE the pair dedup, so false candidates (same byte,
+    * far hashes) die in a codegen'd filter instead of shuffling.
+    *
+    * Scale shape: decode+hash once per image (mapPartitions, fanned
+    * out); 8 candidate rows per image into one equi-join; one narrow
+    * (id_a, id_b, hamming) dedup shuffle. The q105 oracle is the
+    * brute-force popcount cross join, so a hash match proves the
+    * blocked join finds EVERY pair (completeness), not just no false
+    * ones.
+    *
+    * EAGER: runs the decode/hash job at call time (the hash frame
+    * checkpoints once and feeds both join sides).
+    */
+  def nearDuplicatePairs(media: DataFrame, idCol: String, contentCol: String,
+                         maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 7,
+      "byte pigeonhole over 64 bits supports maxHamming in [1, 7]")
+    val hashes = Materialize.once(perceptualHashes(media, idCol, contentCol))
+    // hash halves hold bits 0-31 each (always < 2^32, nonnegative), so
+    // byte b of the 64-bit hash is a plain shift off its half
+    val blocks = (0 until 8).map { b =>
+      val half = if (b < 4) col("phash_lo") else col("phash_hi")
+      struct(lit(b).as("blk"),
+        shiftright(half, 8 * (b % 4)).bitwiseAND(lit(255L)).as("key"))
+    }
+    val blocked = hashes.select(col(idCol).as("id"),
+      col("phash_lo"), col("phash_hi"),
+      explode(array(blocks: _*)).as("bk"))
+      .select(col("id"), col("phash_lo"), col("phash_hi"),
+        col("bk.blk"), col("bk.key"))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (bit_count(col("a.phash_lo").bitwiseXOR(col("b.phash_lo"))) +
+          bit_count(col("a.phash_hi").bitwiseXOR(col("b.phash_hi"))))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Cluster assignment by exact perceptual hash: every image joins

@@ -291,8 +291,53 @@ object VectorQueries {
       .orderBy("doc_id")
   }
 
+  /** Near-miss image dedup: the q102 texture family, but variants
+    * 1..9 of each base picture get a +50 luminance bump over ONE 8×8
+    * block (block (j−1)%8 on the diagonal) instead of a uniform shift
+    * — a localized edit (logo overlay, scratch, re-render artifact)
+    * that flips at most the two dHash bits comparing the bumped block
+    * to its horizontal neighbors. Exact grouping (q102) would scatter
+    * these into singletons; the byte-pigeonhole hamming join must pair
+    * them. The oracle replays the bumped block sums in closed form and
+    * then does the BRUTE-FORCE popcount cross join — a hash match
+    * proves the blocked join found every pair. */
+  val q105ImageNearDup: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 10
+          val j = (id % 10).toInt
+          val (bx, by) = (((j - 1) % 8), ((j - 1) % 8))
+          val img = new java.awt.image.BufferedImage(72, 64,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 72) {
+              val bump =
+                if (j > 0 && x / 8 == bx && y / 8 == by) 50 else 0
+              val v = (60L + (g * 31 + x * 7 + y * 13) % 120 + bump).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }.toDF("doc_id", "content")
+    graft.operators.ImageDedup.nearDuplicatePairs(media, "doc_id", "content",
+      maxHamming = 4)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q102_image_phash" -> q102ImagePhash,
+    "q105_image_near_dup" -> q105ImageNearDup,
     "q58_image_decode" -> q58ImageDecode,
     "q48_embedding_lsh" -> q48EmbeddingLsh,
     "q28_knn_brute" -> q28KnnBrute,
@@ -388,6 +433,38 @@ object VectorQueries {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    // closed-form dHash replay WITH the per-variant block bump, then
+    // the BRUTE-FORCE popcount cross join — proving the pigeonhole
+    // join's completeness (every pair), not just its soundness
+    "q105_image_near_dup" ->
+      """WITH docs AS (SELECT doc_id, doc_id // 10 AS grp, doc_id % 10 AS j
+        |              FROM documents),
+        |px AS (SELECT doc_id, x, y,
+        |         60 + (grp * 31 + x * 7 + y * 13) % 120
+        |         + CASE WHEN j > 0 AND x // 8 = (j - 1) % 8
+        |                     AND y // 8 = (j - 1) % 8 THEN 50 ELSE 0 END AS v
+        |       FROM docs, generate_series(0, 71) AS gx(x),
+        |                  generate_series(0, 63) AS gy(y)),
+        |blocks AS (SELECT doc_id, x // 8 AS bx, y // 8 AS by, sum(v) AS s
+        |           FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.doc_id, a.by * 8 + a.bx AS k,
+        |           CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        |         FROM blocks a JOIN blocks b
+        |           ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
+        |         WHERE a.bx < 8),
+        |hashes AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN k < 32 AND bit = 1
+        |      THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS phash_lo,
+        |    CAST(sum(CASE WHEN k >= 32 AND bit = 1
+        |      THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS phash_hi
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash_lo, b.phash_lo))
+        |     + bit_count(xor(a.phash_hi, b.phash_hi)) AS BIGINT) AS hamming
+        |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash_lo, b.phash_lo))
+        |    + bit_count(xor(a.phash_hi, b.phash_hi)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
     // closed-form dHash replay: block sums of the planted texture
     // (brightness shifts PROVABLY cancel — the oracle never models
     // them), then the same adjacent-block bits and cluster assembly

@@ -57,6 +57,40 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDuplicatePairs: complete vs brute-force popcount, sound at the cutoff") {
+    // 12 images: 4 base textures x (base, one-block bump, two-block
+    // bump) — localized edits that flip a few dHash bits each
+    val media = (0L until 12L).map { id =>
+      val g = id / 3
+      val variant = (id % 3).toInt
+      (id, png(72, 64) { (x, y) =>
+        val bumped = (variant >= 1 && x / 8 == 2 && y / 8 == 3) ||
+          (variant == 2 && x / 8 == 5 && y / 8 == 1)
+        (60 + (g * 37 + x * 7 + y * 13) % 120 + (if (bumped) 50 else 0)).toInt
+      })
+    }.toDF("doc_id", "content")
+    val maxH = 4
+    val got = ImageDedup.nearDuplicatePairs(media, "doc_id", "content", maxH)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // brute force over the same hashes
+    val hs = ImageDedup.perceptualHashes(media, "doc_id", "content")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val expect = (for {
+      (ia, la, ha) <- hs; (ib, lb, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if d <= maxH
+    } yield (ia, ib, d)).toSet
+    assert(got == expect, s"got=${got.size} expect=${expect.size}")
+    // the fixture actually exercises the near-miss band: some planted
+    // pair is within (0, maxH] — not everything collapsed to exact
+    assert(expect.exists { case (_, _, d) => d > 0 },
+      "fixture degenerated to exact duplicates only")
+    // a radius beyond the pigeonhole guarantee is rejected loudly
+    intercept[IllegalArgumentException] {
+      ImageDedup.nearDuplicatePairs(media, "doc_id", "content", maxHamming = 8)
+    }
+  }
+
   test("hashing is invariant to input partitioning") {
     val media = (0L until 20L).map { id =>
       (id, png(45, 33)((x, y) => (50 + (id / 5 * 17 + x * 3 + y * 5) % 150).toInt))

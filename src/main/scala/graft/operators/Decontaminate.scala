@@ -74,7 +74,11 @@ object Decontaminate {
     * side's bands and shingle sets are broadcast, so the train corpus
     * is never shuffled — candidates and their verify rows are the only
     * moving data. `broadcastTest = false` degrades to shuffle joins for
-    * a holdout corpus too large to broadcast. */
+    * a holdout corpus too large to broadcast.
+    *
+    * EAGER: checkpointing each corpus's shingle sets runs Spark jobs
+    * at call time in the default [[Materialize]] mode;
+    * `spark.graft.localCheckpoint=false` defers to lazy persist. */
   def nearDuplicateReport(train: DataFrame, test: DataFrame, idCol: String,
                           textCol: String, threshold: Double,
                           shingleSize: Int = 3, bands: Int = 8,

@@ -118,7 +118,11 @@ object Dedup {
     * The verify join touches only candidate ids — the full corpus is
     * never self-joined, and the corpus is shingled exactly ONCE (the
     * checkpointed shingle sets feed both the signature pass and the
-    * verify joins). */
+    * verify joins).
+    *
+    * EAGER: checkpointing the shingle sets runs a Spark job at
+    * DataFrame-construction time in the default [[Materialize]] mode;
+    * `spark.graft.localCheckpoint=false` defers to lazy persist. */
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleSize: Int = 3,
                         bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {

@@ -153,7 +153,10 @@ object ImageDedup {
   /** Cluster assignment by exact perceptual hash: every image joins
     * the cluster of the minimum id sharing its hash, with size and
     * the keep/drop verdict — same decision-table shape as
-    * q97's text clusters. */
+    * q97's text clusters.
+    *
+    * EAGER: runs the decode/hash job at call time (the hash frame
+    * checkpoints once and feeds the group-by and the join). */
   def clusters(media: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val hashes = Materialize.once(perceptualHashes(media, idCol, contentCol))
     val groups = hashes.groupBy("phash_lo", "phash_hi")

@@ -66,7 +66,10 @@ object IncrementalDedup {
   /** Dedup `batch` against `index` (a [[buildIndex]] frame, typically
     * read back from parquet). Returns one row per batch doc:
     * (id, verdict, dup_of, sig_match) — see the object doc for the
-    * verdict rules. `numHashes = bands · rowsPerBand`. */
+    * verdict rules. `numHashes = bands · rowsPerBand`.
+    *
+    * EAGER: checkpointing the batch index runs a Spark job at call
+    * time in the default [[Materialize]] mode. */
   def dedupAgainst(batch: DataFrame, index: DataFrame, idCol: String,
                    textCol: String, shingleSize: Int = 3, bands: Int = 8,
                    rowsPerBand: Int = 2, minMatches: Int = 8): DataFrame = {

@@ -60,7 +60,10 @@ object Profile {
   /** Full profile: (column, n_rows, n_nulls, exact_distinct,
     * distinct_est) per profiled column, one table scan (plus the
     * exact-distinct expansion). `cols` maps output names to value
-    * expressions — usually just `col(name)`. */
+    * expressions — usually just `col(name)`.
+    *
+    * EAGER: checkpointing the stacked frame runs a Spark job at call
+    * time in the default [[Materialize]] mode. */
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     val st = Materialize.once(stacked(df, cols))
     profileApprox(st).join(

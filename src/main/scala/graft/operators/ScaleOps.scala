@@ -71,7 +71,10 @@ object ScaleOps {
     * what dominates this operator. `maxIterations` bounds pathological
     * graphs; on hitting it a warning is emitted and partially-converged
     * labels are returned (members may then map to more than one
-    * "canonical" id). */
+    * "canonical" id).
+    *
+    * EAGER: runs Spark jobs at call time (edge/label checkpoints plus
+    * one convergence count per `checkEvery` rounds). */
   def canonicalize(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     // undirected edge list, both directions, in ONE pass over `pairs`
     // (a union of two selects would compute the upstream pair-finding

@@ -130,7 +130,10 @@ object Similarity {
     * partitioned by cell (`data/cell=N/...`) plus the centroids
     * (`centroids/`). A probe then reads ONLY the probed cells'
     * partitions — at 100 TB with nCells=4096, nProbe=8, a query touches
-    * ~0.2% of the bytes. Returns the centroids for immediate reuse. */
+    * ~0.2% of the bytes. Returns the centroids for immediate reuse.
+    *
+    * EAGER: runs Spark jobs at call time (the k-means training sample,
+    * then the partitioned write — index construction IS the work). */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, nCells: Int = 16, seed: Long = 42L,
                     maxTrainRows: Long = 100000L): Array[Array[Double]] = {
@@ -251,7 +254,10 @@ object Similarity {
     * training pass, `tables`× storage, and `tables × 2^planes`
     * partitions (pick `planes` so partitions stay file-sized at the
     * corpus scale). A probe reads only the probed (t, bucket)
-    * directories — `tables`/`2^planes` of the bytes per query. */
+    * directories — `tables`/`2^planes` of the bytes per query.
+    *
+    * EAGER: runs the partitioned index write (a Spark job) at call
+    * time. */
   def buildSrpIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, planes: Int = 8, tables: Int = 4,
                     dims: Int = 64): Unit = {

@@ -23,7 +23,10 @@ import graft.functions.TextFunctions
   */
 object TfIdf {
 
-  /** Per-(doc, term) tf-idf weights, with per-doc rank. */
+  /** Per-(doc, term) tf-idf weights, with per-doc rank.
+    *
+    * EAGER: runs Spark jobs at call time (the tf checkpoint and the
+    * doc-count scalar) in the default [[Materialize]] mode. */
   def termWeights(df: DataFrame, idCol: String, textCol: String,
                   topK: Int = 0): DataFrame = {
     val toks = df.select(col(idCol).as("id"),

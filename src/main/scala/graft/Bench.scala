@@ -24,13 +24,6 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // benchmark hygiene: run Materialize.once in persist() mode so
-      // every re-read intermediate registers in the SQL cache and the
-      // per-query clearCache() below actually frees it. The default
-      // localCheckpoint mode frees blocks only when the plan is GC'd,
-      // so blocks accumulated across runs×queries and skewed the
-      // timings of late-alphabet queries (q9 measurably so).
-      .config("spark.graft.localCheckpoint", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -49,9 +42,16 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        // operators may leave block-manager state; clear SQL cache so
-        // queries are measured independently and memory doesn't accumulate
+        // measurement hygiene: queries must not be timed against earlier
+        // queries' lingering block-manager memory. clearCache() drops
+        // SQL-cache entries (persist mode); localCheckpoint blocks
+        // (Materialize.once's default) are registered RDDs but NOT in
+        // the SQL cache — they normally free when the plan is GC'd,
+        // which visibly skewed late-alphabet queries. The finished
+        // query's plan is dead here, so unpersist them explicitly.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         // a crashing query must NOT read as a fast one: poison its median
         samples(name) = samples(name) :+ (if (ok) dt else -1.0)
       }

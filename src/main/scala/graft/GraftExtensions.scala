@@ -95,12 +95,22 @@ object GraftExtensions {
         "graft_bpe_encode(text, array('t h', 'th e', ...)) — each entry " +
         "'left right' (symbols never contain whitespace)",
       (e: Seq[Expression]) => new org.apache.spark.sql.graft.BpeEncode(
-        e(0), B.litStringSeq(e(1), "merges").map { m =>
-          val i = m.indexOf(' ')
-          require(i > 0 && m.indexOf(' ', i + 1) < 0,
-            s"merge '$m' must be 'left right' with exactly one space")
-          (m.substring(0, i), m.substring(i + 1))
-        })))
+        e(0), parseMerges(B.litStringSeq(e(1), "merges")))),
+    ("graft_bpe_encode_ids",
+      "BPE token ids: graft_bpe_encode_ids(text, merges, vocab[, unk_id]) " +
+        "— literal merge table + literal vocabulary, OOV → unk_id (default -1)",
+      (e: Seq[Expression]) => new org.apache.spark.sql.graft.BpeEncodeIds(
+        e(0), parseMerges(B.litStringSeq(e(1), "merges")),
+        B.litStringSeq(e(2), "vocab"),
+        if (e.size > 3) B.litInt(e(3), "unk_id") else -1)))
+
+  private def parseMerges(entries: Seq[String]): Seq[(String, String)] =
+    entries.map { m =>
+      val i = m.indexOf(' ')
+      require(i > 0 && m.indexOf(' ', i + 1) < 0,
+        s"merge '$m' must be 'left right' with exactly one space")
+      (m.substring(0, i), m.substring(i + 1))
+    }
 
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -53,15 +53,23 @@ object Bpe {
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
             maxVocab: Int = 10000): Seq[(String, String)] = {
-    require(numMerges >= 1 && maxVocab >= 1, "need numMerges and maxVocab >= 1")
-    val counts = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    require(numMerges >= 1, "need numMerges >= 1")
+    trainFromCounts(wordCounts(df, textCol, maxVocab), numMerges)
+  }
+
+  /** The bounded word-frequency table both [[train]] and
+    * [[vocabularyFromCorpus]] reduce the corpus to: top `maxVocab`
+    * words by (count desc, word asc). One distributed aggregation;
+    * collected because the result is control-plane sized. */
+  private def wordCounts(df: DataFrame, textCol: String,
+                         maxVocab: Int): Seq[(String, Long)] = {
+    require(maxVocab >= 1, "need maxVocab >= 1")
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w").asc)
       .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainFromCounts(counts, numMerges)
   }
 
   /** The sequential learner over a word-frequency table — public so
@@ -153,4 +161,42 @@ object Bpe {
     * compiled shuffle-free projection. */
   def encode(text: Column, merges: Seq[(String, String)]): Column =
     org.apache.spark.sql.graft.BpeEncode(text, merges)
+
+  /** Deterministic subword → id vocabulary: base symbols sorted
+    * ascending take ids 0..B−1, then each merge's product in learned
+    * rank order (first occurrence wins when a product collides with an
+    * existing entry). Same (baseSymbols, merges) → same ids anywhere. */
+  def vocabulary(merges: Seq[(String, String)],
+                 baseSymbols: Seq[String]): Seq[String] =
+    (baseSymbols.distinct.sorted ++ merges.map { case (l, r) => l + r }).distinct
+
+  /** [[vocabulary]] with base symbols drawn from the corpus: the
+    * distinct code points of the `maxVocab` most frequent words — the
+    * same bounded frequency table [[train]] learns from, so train +
+    * vocabulary stay consistent by construction. Code points absent
+    * from it encode as the UNK id downstream (no byte fallback — the
+    * honest simple contract).
+    *
+    * EAGER: runs the word-count aggregation at call time. */
+  def vocabularyFromCorpus(df: DataFrame, textCol: String,
+                           merges: Seq[(String, String)],
+                           maxVocab: Int = 10000): Seq[String] =
+    vocabulary(merges,
+      wordCounts(df, textCol, maxVocab).flatMap(w => splitCodePoints(w._1)))
+
+  /** Token IDS in one compiled shuffle-free projection: encode, then
+    * map each subword through the fixed vocabulary (OOV → `unkId`)
+    * inside the expression — no explode, no join, no O(|V|) literal
+    * scan per token. */
+  def encodeIds(text: Column, merges: Seq[(String, String)],
+                vocab: Seq[String], unkId: Int = -1): Column =
+    org.apache.spark.sql.graft.BpeEncodeIds(text, merges, vocab, unkId)
+
+  /** Pure driver-side replica of [[encodeIds]]'s per-word mapping for
+    * specs and oracle generation. */
+  def encodeWordIds(word: String, merges: Seq[(String, String)],
+                    vocab: Seq[String], unkId: Int = -1): Vector[Int] = {
+    val ids = vocab.zipWithIndex.groupBy(_._1).map { case (s, xs) => s -> xs.head._2 }
+    encodeWord(word, merges).map(s => ids.getOrElse(s, unkId))
+  }
 }

@@ -203,6 +203,13 @@ object TextQueries {
     ("o", "u"), ("a", "r"), ("t", "e"), ("a", "l"), ("s", "t"),
     ("l", "e"), ("c", "h"), ("r", "o"), ("l", "o"), ("lo", "w"))
 
+  /** The q106 vocabulary: lowercase letters + digits as base symbols
+    * (ids 0..35 sorted), then the merge products in rank order —
+    * capitals and punctuation land on the UNK id, exercising the OOV
+    * path on real corpus text. */
+  private[queries] val bpeVocab: Seq[String] = graft.operators.Bpe.vocabulary(
+    bpeMerges, (('a' to 'z') ++ ('0' to '9')).map(_.toString))
+
   /** BPE subword statistics over the corpus with the fixed merge
     * table: whitespace words vs learned-subword counts per doc — the
     * "how many tokens is this corpus" question every training-data
@@ -218,6 +225,21 @@ object TextQueries {
       size(graft.operators.Bpe.encode(col("text"), bpeMerges))
         .cast("long").as("n_subwords"))
       .orderBy("doc_id")
+
+  /** Token IDS per doc — the artifact a training pipeline actually
+    * ships: encode + fixed-vocabulary lookup (OOV → −1) in ONE
+    * compiled projection, zero shuffle, no explode/join. Emitted as
+    * checkable aggregates (count, unk count, id checksum); the oracle
+    * replays encoding with the foreign recursive-CTE encoder and maps
+    * ids through the same literal vocabulary. */
+  val q106BpeIds: Q = (s, d) => {
+    val ids = graft.operators.Bpe.encodeIds(col("text"), bpeMerges, bpeVocab)
+    docs(s, d).select(col("doc_id"),
+      size(ids).cast("long").as("n_ids"),
+      size(filter(ids, _ === lit(-1))).cast("long").as("n_unk"),
+      aggregate(ids, lit(0L), (acc, x) => acc + x).as("id_sum"))
+      .orderBy("doc_id")
+  }
 
   /** Chunk → pack pipeline: q50's chunks laid into 512-token packs via
     * per-shard concat-and-split (4 shards by doc_id; each shard packs
@@ -432,9 +454,38 @@ object TextQueries {
     "q43_heavy_hitters" -> q43HeavyHitters,
     "q97_minhash_clusters" -> q97MinhashClusters,
     "q104_bpe_encode" -> q104BpeEncode,
+    "q106_bpe_ids" -> q106BpeIds,
   )
 
   // shared SQL fragments -------------------------------------------------
+
+  /** The foreign BPE encoder as CTE text (words → distinct vocabulary
+    * → recursive lowest-rank-first merge steps → `fin(w, syms)`):
+    * shared by the q104/q106 oracles. Must follow a `WITH RECURSIVE`
+    * header. */
+  private def bpeEncodeCtes: String = {
+    val mergesList = bpeMerges
+      .map { case (l, r) => s"'$l|$r'" }.mkString("[", ", ", "]")
+    def rks(syms: String) =
+      s"[coalesce(nullif(list_position($mergesList, $syms[i] || '|' || " +
+        s"$syms[i+1]), 0), 2147483647) for i in range(1, len($syms))]"
+    s"""words AS (SELECT doc_id, unnest($tok) AS w FROM documents),
+       |wvocab AS (SELECT DISTINCT w FROM words WHERE w <> ''),
+       |steps AS (
+       |  SELECT w, [w[i] for i in range(1, len(w)+1)] AS syms FROM wvocab
+       |  UNION ALL
+       |  SELECT w, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:] AS syms
+       |  FROM (
+       |    SELECT w, syms, list_min(rks) AS best,
+       |           list_position(rks, list_min(rks)) AS p
+       |    FROM (SELECT w, syms, ${rks("syms")} AS rks FROM steps))
+       |  WHERE best IS NOT NULL AND best < 2147483647),
+       |fin AS (
+       |  SELECT w, syms
+       |  FROM (SELECT w, syms, ${rks("syms")} AS rks FROM steps)
+       |  WHERE len(rks) = 0 OR list_min(rks) = 2147483647)""".stripMargin
+  }
+
   /** Portable hash: first 8 md5 hex chars as BIGINT. */
   private[queries] def hx(e: String) =
     s"CAST(CAST(('0x' || substr(md5($e), 1, 8)) AS UBIGINT) AS BIGINT)"
@@ -643,33 +694,39 @@ object TextQueries {
     // returns 0 for absent, nullif-ed to "no merge"), then word
     // instances join back for per-doc sums. A foreign replay of the
     // compiled expression's loop — not generated from shared code.
-    "q104_bpe_encode" -> {
-      val mergesList = bpeMerges
-        .map { case (l, r) => s"'$l|$r'" }.mkString("[", ", ", "]")
-      def rks(syms: String) =
-        s"[coalesce(nullif(list_position($mergesList, $syms[i] || '|' || " +
-          s"$syms[i+1]), 0), 2147483647) for i in range(1, len($syms))]"
+    "q104_bpe_encode" ->
       s"""WITH RECURSIVE
-         |words AS (SELECT doc_id, unnest($tok) AS w FROM documents),
-         |vocab AS (SELECT DISTINCT w FROM words WHERE w <> ''),
-         |steps AS (
-         |  SELECT w, [w[i] for i in range(1, len(w)+1)] AS syms FROM vocab
-         |  UNION ALL
-         |  SELECT w, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:] AS syms
-         |  FROM (
-         |    SELECT w, syms, list_min(rks) AS best,
-         |           list_position(rks, list_min(rks)) AS p
-         |    FROM (SELECT w, syms, ${rks("syms")} AS rks FROM steps))
-         |  WHERE best IS NOT NULL AND best < 2147483647),
-         |fin AS (
-         |  SELECT w, len(syms) AS n_sub
-         |  FROM (SELECT w, syms, ${rks("syms")} AS rks FROM steps)
-         |  WHERE len(rks) = 0 OR list_min(rks) = 2147483647),
+         |$bpeEncodeCtes,
+         |perword AS (SELECT w, len(syms) AS n_sub FROM fin),
          |agg AS (
          |  SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_subwords
-         |  FROM words JOIN fin USING (w) GROUP BY doc_id)
+         |  FROM words JOIN perword USING (w) GROUP BY doc_id)
          |SELECT d.doc_id, CAST(len($tok) AS BIGINT) AS n_words,
          |       COALESCE(a.n_subwords, 0) AS n_subwords
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // same foreign encoder, then ids through the literal vocabulary
+    // (1-based list_position − 1; absent → −1, the UNK id)
+    "q106_bpe_ids" -> {
+      val vocabList = bpeVocab.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+         |$bpeEncodeCtes,
+         |sub AS (SELECT w, unnest(syms) AS sym FROM fin),
+         |wid AS (SELECT w,
+         |    CASE WHEN list_position($vocabList, sym) > 0
+         |         THEN list_position($vocabList, sym) - 1 ELSE -1 END AS id
+         |  FROM sub),
+         |pw AS (SELECT w, count(*) AS n,
+         |         sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS nu,
+         |         sum(id) AS ss
+         |       FROM wid GROUP BY w),
+         |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_ids,
+         |          CAST(sum(nu) AS BIGINT) AS n_unk,
+         |          CAST(sum(ss) AS BIGINT) AS id_sum
+         |        FROM words JOIN pw USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(a.n_ids, 0) AS n_ids,
+         |       COALESCE(a.n_unk, 0) AS n_unk,
+         |       COALESCE(a.id_sum, 0) AS id_sum
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },

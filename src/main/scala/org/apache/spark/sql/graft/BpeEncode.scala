@@ -30,16 +30,111 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode"
 
-  @transient private lazy val rank: java.util.HashMap[(String, String), Int] = {
-    val m = new java.util.HashMap[(String, String), Int]()
+  @transient private lazy val rank = BpeEncode.rankTable(merges)
+
+  def compute(s: UTF8String): ArrayData = {
+    val subwords = BpeEncode.encodeText(s, rank)
+    val out = new Array[AnyRef](subwords.size)
+    var i = 0
+    while (i < subwords.size) {
+      out(i) = UTF8String.fromString(subwords.get(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+/** The id-emitting variant: same whitespace-word BPE merge loop, but
+  * each subword maps through a FIXED vocabulary to its integer id
+  * (`unkId` for out-of-vocabulary subwords) inside the same compiled
+  * projection — token ids with zero shuffle and no per-row join. The
+  * vocabulary is a plain Seq (structural equality, so Catalyst
+  * canonicalization works unaided). */
+case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
+                        vocab: Seq[String], unkId: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  @transient private lazy val rank = BpeEncode.rankTable(merges)
+  @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    vocab.zipWithIndex.foreach { case (s, i) =>
+      if (!m.containsKey(s)) m.put(s, i)
+    }
+    m
+  }
+
+  def compute(s: UTF8String): ArrayData = {
+    val subwords = BpeEncode.encodeText(s, rank)
+    val out = new Array[Int](subwords.size)
+    var i = 0
+    while (i < subwords.size) {
+      val id = ids.get(subwords.get(i))
+      out(i) = if (id == null) unkId else id.intValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncodeIds", this, classOf[BpeEncodeIds].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+}
+
+object BpeEncode {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(
+      new BpeEncode(ExpressionUtils.expression(text), merges))
+
+  private[graft] def rankTable(
+      merges: Seq[(String, String)]): java.util.HashMap[(String, String), Integer] = {
+    val m = new java.util.HashMap[(String, String), Integer]()
     merges.zipWithIndex.foreach { case (p, i) =>
       if (!m.containsKey(p)) m.put(p, i)
     }
     m
   }
 
-  private def encodeWord(word: String, out: java.util.ArrayList[UTF8String]): Unit = {
-    var symbols = new java.util.ArrayList[String](word.length)
+  /** Whitespace words of `s`, each run through the lowest-rank-first
+    * merge loop; subwords concatenated in word order. Shared by the
+    * string- and id-emitting expressions so the two can never apply
+    * different merge semantics. */
+  private[graft] def encodeText(
+      s: UTF8String,
+      rank: java.util.HashMap[(String, String), Integer]): java.util.ArrayList[String] = {
+    val words = TextCodec.tokenize(s)
+    val out = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) encodeWord(words(i), rank, out)
+      i += 1
+    }
+    out
+  }
+
+  private def encodeWord(word: String,
+                         rank: java.util.HashMap[(String, String), Integer],
+                         out: java.util.ArrayList[String]): Unit = {
+    val symbols = new java.util.ArrayList[String](word.length)
     var i = 0
     while (i < word.length) {
       // keep surrogate pairs whole — a symbol is a code point
@@ -54,8 +149,8 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
       var bestAt = -1
       var j = 0
       while (j < symbols.size - 1) {
-        val r = rank.getOrDefault((symbols.get(j), symbols.get(j + 1)), Int.MaxValue)
-        if (r < best) { best = r; bestAt = j }
+        val r = rank.get((symbols.get(j), symbols.get(j + 1)))
+        if (r != null && r.intValue() < best) { best = r.intValue(); bestAt = j }
         j += 1
       }
       if (bestAt < 0) done = true
@@ -67,35 +162,15 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     }
     var k = 0
     while (k < symbols.size) {
-      out.add(UTF8String.fromString(symbols.get(k)))
+      out.add(symbols.get(k))
       k += 1
     }
   }
-
-  def compute(s: UTF8String): ArrayData = {
-    val words = TextCodec.tokenize(s)
-    val out = new java.util.ArrayList[UTF8String]()
-    var i = 0
-    while (i < words.length) {
-      if (words(i).nonEmpty) encodeWord(words(i), out)
-      i += 1
-    }
-    new GenericArrayData(out.toArray)
-  }
-
-  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
-    copy(child = newChild)
 }
 
-object BpeEncode {
-  def apply(text: Column, merges: Seq[(String, String)]): Column =
+object BpeEncodeIds {
+  def apply(text: Column, merges: Seq[(String, String)], vocab: Seq[String],
+            unkId: Int = -1): Column =
     ExpressionUtils.column(
-      new BpeEncode(ExpressionUtils.expression(text), merges))
+      new BpeEncodeIds(ExpressionUtils.expression(text), merges, vocab, unkId))
 }

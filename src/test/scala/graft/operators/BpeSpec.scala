@@ -78,6 +78,38 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("encodeIds: compiled ids match the pure replica; OOV maps to unk") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val vocab = Bpe.vocabulary(merges, Seq("a", "b", "c", "z"))
+    // base sorted first (a=0 b=1 c=2 z=3), merge products in rank
+    // order (ab=4 abc=5)
+    assert(vocab == Seq("a", "b", "c", "z", "ab", "abc"))
+    val df = Seq((1L, "abc zab QQ"), (2L, ""), (3L, "cab")).toDF("id", "text")
+    val got = df.select($"id", Bpe.encodeIds($"text", merges, vocab).as("ids"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // abc -> [abc]=5; zab -> z,ab = [3,4]; QQ -> Q,Q OOV = [-1,-1]
+    assert(got(1L) == Seq(5, 3, 4, -1, -1))
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq(2, 4)) // c, ab
+    // differential vs the pure replica on arbitrary words
+    for (w <- Seq("ababc", "zzz", "abcabc", "q")) {
+      val viaDf = Seq((0L, w)).toDF("id", "text")
+        .select(Bpe.encodeIds($"text", merges, vocab))
+        .as[Seq[Int]].head()
+      assert(viaDf == Bpe.encodeWordIds(w, merges, vocab), s"word $w")
+    }
+  }
+
+  test("vocabulary: deterministic ids, duplicate products keep first id") {
+    // merge product 'ab' collides with a base symbol -> base id wins
+    val v = Bpe.vocabulary(Seq(("a", "b")), Seq("ab", "a", "b"))
+    assert(v == Seq("a", "ab", "b"))
+    // vocabularyFromCorpus draws base symbols from the corpus words
+    val corpus = Seq((1L, "dcba abcd")).toDF("id", "text")
+    val fromCorpus = Bpe.vocabularyFromCorpus(corpus, "text", Seq(("a", "b")))
+    assert(fromCorpus == Seq("a", "b", "c", "d", "ab"))
+  }
+
   test("graft_bpe_encode works from SQL with a literal merge table") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
@@ -96,5 +128,12 @@ class BpeSpec extends SparkSpec {
       spark.sql("SELECT graft_bpe_encode('x', array('nospace'))").head()
     }
     assert(e2.getMessage.contains("left right"), e2.getMessage)
+    // the id variant, with and without the unk override
+    val ids = spark.sql(
+      "SELECT graft_bpe_encode_ids('ab Q', array('a b'), array('a','b','ab')) AS x, " +
+        "graft_bpe_encode_ids('ab Q', array('a b'), array('a','b','ab'), 99) AS y")
+      .head()
+    assert(ids.getSeq[Int](0) == Seq(2, -1))
+    assert(ids.getSeq[Int](1) == Seq(2, 99))
   }
 }

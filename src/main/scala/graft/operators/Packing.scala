@@ -59,4 +59,37 @@ object Packing {
       .drop("__shard", "__end", "__start", "__pack", "__pack_lo",
         "__span_from", "__span_to")
   }
+
+  /** MATERIALIZE the packed training sequences: documents carrying a
+    * token-id array become `(pack_id, n_tokens, ids)` rows where every
+    * pack holds exactly `budget` ids (each shard's last pack may be
+    * shorter) — the "corpus → fixed-context training batches" step,
+    * with real ids, not just span bookkeeping.
+    *
+    * Built on [[packChunks]]'s span math: per-document pack spans from
+    * the running offsets, the id slice for each span cut with
+    * `slice()` (a codegen array op), then ONE shuffle on `pack_id` to
+    * assemble — and assembly is order-deterministic because the pieces
+    * sort by `pack_offset` inside the aggregate (`array_sort` over
+    * structs), never by arrival order. Per-pack state is bounded by
+    * `budget` ids, so the assembly aggregate cannot blow up on skew;
+    * total moved data is exactly the corpus's ids, once.
+    */
+  def packIdSequences(docs: DataFrame, idCol: String, idsCol: String,
+                      shardCol: Column, budget: Int): DataFrame = {
+    val spans = packChunks(
+      docs.select(col(idCol), col(idsCol))
+        .withColumn("__n", size(col(idsCol)).cast("long")),
+      "__n", Seq(idCol), shardCol, budget)
+    spans
+      .select(col("pack_id"),
+        struct(col("pack_offset").as("o"),
+          slice(col(idsCol), (col("span_start") + 1).cast("int"),
+            col("span_tokens").cast("int")).as("p")).as("__piece"))
+      .groupBy("pack_id")
+      .agg(flatten(transform(array_sort(collect_list(col("__piece"))),
+        x => x.getField("p"))).as("ids"))
+      .select(col("pack_id"), size(col("ids")).cast("long").as("n_tokens"),
+        col("ids"))
+  }
 }

@@ -241,6 +241,23 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The end of the tokenizer pipeline: MATERIALIZED fixed-context
+    * training sequences. Each doc's BPE token ids (q106's compiled
+    * projection) are laid into 512-id packs per shard — real id
+    * arrays out, every pack exactly full except each shard's last.
+    * One shuffle (pack assembly); order inside a pack is deterministic
+    * by offset, never arrival. The oracle rebuilds the id streams
+    * foreign-encoder-first and re-derives every pack. */
+  val q107PackIds: Q = (s, d) => {
+    val withIds = docs(s, d).select(col("doc_id"),
+      graft.operators.Bpe.encodeIds(col("text"), bpeMerges, bpeVocab).as("ids"))
+    graft.operators.Packing.packIdSequences(withIds, "doc_id", "ids",
+      pmod(col("doc_id"), lit(4)), budget = 512)
+      .select(col("pack_id"), col("n_tokens"),
+        col("ids").cast("array<long>").as("ids"))
+      .orderBy("pack_id")
+  }
+
   /** Chunk → pack pipeline: q50's chunks laid into 512-token packs via
     * per-shard concat-and-split (4 shards by doc_id; each shard packs
     * independently in parallel — no global ordering bottleneck).
@@ -455,6 +472,7 @@ object TextQueries {
     "q97_minhash_clusters" -> q97MinhashClusters,
     "q104_bpe_encode" -> q104BpeEncode,
     "q106_bpe_ids" -> q106BpeIds,
+    "q107_pack_ids" -> q107PackIds,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -705,6 +723,45 @@ object TextQueries {
          |       COALESCE(a.n_subwords, 0) AS n_subwords
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // foreign encoder → per-doc ordered id stream (word order via the
+    // indexed-struct unnest, subword order inside fin.syms) → the q52
+    // span math over shard-running offsets → packs reassembled with
+    // ORDER BY offset. Every id in every pack is re-derived end-to-end.
+    "q107_pack_ids" -> {
+      val vocabList = bpeVocab.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+         |$bpeEncodeCtes,
+         |wids AS (SELECT w,
+         |    [CASE WHEN list_position($vocabList, x) > 0
+         |          THEN list_position($vocabList, x) - 1 ELSE -1 END
+         |     for x in syms] AS wid
+         |  FROM fin),
+         |dw AS (SELECT doc_id, unnest(
+         |    [struct_pack(wi := i, w := ts[i]) for i in range(1, len(ts) + 1)],
+         |    recursive := true)
+         |  FROM (SELECT doc_id, $tok AS ts FROM documents)),
+         |docids AS (SELECT dw.doc_id, flatten(list(wids.wid ORDER BY dw.wi)) AS ids
+         |           FROM dw JOIN wids ON wids.w = dw.w GROUP BY dw.doc_id),
+         |sp AS (SELECT doc_id, ids, len(ids) AS n, doc_id % 4 AS shard,
+         |         CAST(sum(len(ids)) OVER (PARTITION BY doc_id % 4
+         |           ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fin
+         |       FROM docids WHERE len(ids) > 0),
+         |spans AS (SELECT doc_id, ids, shard, fin, fin - n AS strt,
+         |            unnest(range((fin - n) // 512, (fin - 1) // 512 + 1)) AS pack
+         |          FROM sp),
+         |pieces AS (SELECT shard, pack,
+         |             greatest(strt, pack * 512) - pack * 512 AS pack_offset,
+         |             ids[greatest(strt, pack * 512) - strt + 1
+         |                 : least(fin, (pack + 1) * 512) - strt] AS piece
+         |           FROM spans),
+         |packs AS (SELECT CAST(shard AS VARCHAR) || '-' || CAST(pack AS VARCHAR)
+         |            AS pack_id,
+         |          flatten(list(piece ORDER BY pack_offset)) AS ids
+         |          FROM pieces GROUP BY shard, pack)
+         |SELECT pack_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+         |       list_transform(ids, x -> CAST(x AS BIGINT)) AS ids
+         |FROM packs ORDER BY pack_id""".stripMargin
+    },
     // same foreign encoder, then ids through the literal vocabulary
     // (1-based list_position − 1; absent → −1, the UNK id)
     "q106_bpe_ids" -> {

@@ -62,4 +62,41 @@ class PackingSpec extends SparkSpec {
       Seq("doc_id", "chunk_idx"), pmod(col("doc_id"), lit(2)), budget = 256)
     assert(z.filter($"doc_id" === 9L).count() == 0)
   }
+
+  test("packIdSequences: shard streams reconstruct exactly; packs are full") {
+    // id arrays with distinct values so reconstruction is checkable
+    val docs = (1L to 9L).map { d =>
+      (d, (0 until (d * 7 % 23 + 3).toInt).map(i => (d * 100 + i).toInt))
+    }.toDF("doc_id", "ids")
+    val budget = 16
+    val packs = Packing.packIdSequences(docs, "doc_id", "ids",
+      pmod(col("doc_id"), lit(2)), budget)
+      .as[(String, Long, Seq[Int])].collect()
+    // n_tokens is the array size; every non-final pack per shard full
+    packs.foreach { case (_, n, ids) => assert(n == ids.size && n <= budget) }
+    val byShard = packs.groupBy(_._1.split("-")(0))
+    val input = docs.as[(Long, Seq[Int])].collect().sortBy(_._1)
+    for ((shard, ps) <- byShard) {
+      val ordered = ps.sortBy(_._1.split("-")(1).toInt)
+      ordered.init.foreach { case (id, n, _) =>
+        assert(n == budget, s"pack $id not full: $n")
+      }
+      // concatenated packs == concatenated per-doc id arrays in order
+      val stream = ordered.flatMap(_._3).toSeq
+      val expect = input.filter(_._1 % 2 == shard.toInt).flatMap(_._2).toSeq
+      assert(stream == expect, s"shard $shard stream mismatch")
+    }
+    // layout independence: same packs on any partitioning
+    val again = Packing.packIdSequences(docs.repartition(5), "doc_id", "ids",
+      pmod(col("doc_id"), lit(2)), budget)
+      .as[(String, Long, Seq[Int])].collect().toSet
+    assert(again == packs.toSet)
+    // empty id arrays contribute nothing (and crash nothing)
+    val withEmpty = docs.unionByName(
+      Seq((99L, Seq.empty[Int])).toDF("doc_id", "ids"))
+    val pe = Packing.packIdSequences(withEmpty, "doc_id", "ids",
+      pmod(col("doc_id"), lit(2)), budget)
+      .as[(String, Long, Seq[Int])].collect()
+    assert(pe.flatMap(_._3).toSet == packs.flatMap(_._3).toSet)
+  }
 }

@@ -38,6 +38,14 @@ object TextQueries {
 
   private val stopwordsSql = defaultStopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The 3-criteria quality vote over (text, ts) columns — the SQL
+    * replica of `qualityScore > 0.5` ⟺ vote ≥ 2, shared by the q53 and
+    * q108 oracles. */
+  private val qualityVoteSql =
+    s"(CASE WHEN len(ts) BETWEEN 5 AND 100000 THEN 1 ELSE 0 END) + " +
+      s"(CASE WHEN CAST(len(list_filter(ts, x -> x IN ($stopwordsSql))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) > 0.01 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.3 THEN 1 ELSE 0 END)"
+
   // ---------------------------------------------------------------- stats
   val q19DocStats: Q = (s, d) =>
     docs(s, d).select(
@@ -258,6 +266,28 @@ object TextQueries {
       .orderBy("pack_id")
   }
 
+  /** Dataset manifest — the "dataset card" table every training run
+    * starts from: per (language, split), document counts, whitespace
+    * token totals, and how many docs clear the cheap quality gate.
+    * Pure composition of the deterministic primitives (exact-threshold
+    * splits, codegen token counts, the 3-vote quality heuristic), so
+    * the whole card is bit-reproducible and oracle-checkable. One
+    * aggregation shuffle over ~|langs|·|splits| groups. */
+  val q108Manifest: Q = (s, d) => {
+    val labeled = graft.operators.Sampling.assignSplit(
+      docs(s, d).select(col("doc_id"), col("lang"), col("text")),
+      "doc_id", manifestSplits, seed = 21)
+    labeled.groupBy("lang", "split").agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+      sum(when(qualityScore(col("text")) > 0.5, 1L).otherwise(0L))
+        .as("n_quality"))
+      .orderBy("lang", "split")
+  }
+
+  private val manifestSplits =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
   /** Chunk → pack pipeline: q50's chunks laid into 512-token packs via
     * per-shard concat-and-split (4 shards by doc_id; each shard packs
     * independently in parallel — no global ordering bottleneck).
@@ -473,6 +503,7 @@ object TextQueries {
     "q104_bpe_encode" -> q104BpeEncode,
     "q106_bpe_ids" -> q106BpeIds,
     "q107_pack_ids" -> q107PackIds,
+    "q108_manifest" -> q108Manifest,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -870,6 +901,16 @@ object TextQueries {
          |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
     // quality > 0.5 over three 0/1 criteria ⇔ at least 2 hold (integer
     // logic, no double compare); split = h32(11:id)/2^32 < 0.9
+    "q108_manifest" ->
+      s"""WITH feat AS (SELECT doc_id, lang, text, $tok AS ts FROM documents)
+         |SELECT lang,
+         |  ${graft.operators.Sampling.assignSplitCaseSql(
+              hx("'21:' || CAST(doc_id AS VARCHAR)"), manifestSplits)} AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(ts)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN $qualityVoteSql >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality
+         |FROM feat GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q53_curation" ->
       s"""WITH corpus AS ($corpusExactSql),
          |dedup AS (SELECT doc_id, text FROM (
@@ -877,10 +918,7 @@ object TextQueries {
          |    row_number() OVER (PARTITION BY md5(trim(text)) ORDER BY doc_id) AS rn
          |  FROM corpus) WHERE rn = 1),
          |feat AS (SELECT doc_id, text, $tok AS ts FROM dedup),
-         |gated AS (SELECT doc_id FROM feat WHERE
-         |  (CASE WHEN len(ts) BETWEEN 5 AND 100000 THEN 1 ELSE 0 END) +
-         |  (CASE WHEN CAST(len(list_filter(ts, x -> x IN ($stopwordsSql))) AS DOUBLE) / CAST(len(ts) AS DOUBLE) > 0.01 THEN 1 ELSE 0 END) +
-         |  (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.3 THEN 1 ELSE 0 END) >= 2)
+         |gated AS (SELECT doc_id FROM feat WHERE $qualityVoteSql >= 2)
          |SELECT doc_id,
          |  ${graft.operators.Sampling.assignSplitCaseSql(
               hx("'11:' || CAST(doc_id AS VARCHAR)"),

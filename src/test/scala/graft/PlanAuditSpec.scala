@@ -264,6 +264,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"$exchanges hash Exchanges (daily agg only):\n$p")
   }
 
+  test("q106: token ids are one compiled projection — zero shuffle before the sort") {
+    val p = finalPlan("q106_bpe_ids").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"id lookup became a join:\n$p")
+    assert(!p.contains("Generate"), s"id stats exploded the array:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"encode/stats required a key shuffle:\n$p")
+  }
+
+  test("q107: pack assembly is exactly ONE key shuffle, no join") {
+    val p = finalPlan("q107_pack_ids").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"assembly joined:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, // pack groupBy (+ its partial-agg split under AQE)
+      s"$exchanges hash Exchanges for one assembly:\n$p")
+    assert(p.contains("Window"), s"running offsets lost the window:\n$p")
+  }
+
   test("q100: the ring successor is bucket-sharded; the fallback broadcasts") {
     val p = finalPlan("q100_neg_sampling").split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct") &&

@@ -294,6 +294,38 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out2 == Set(("d1", 4L, 1L)))
   }
 
+  test("streaming dataset manifest: per-(lang,split) card stays fresh per batch") {
+    // the q108 manifest as a maintained rollup: docs arrive in
+    // micro-batches, the per-(lang, split) card folds incrementally —
+    // counts/token sums move O(state + batch) per trigger, and the
+    // final card equals the batch manifest over everything seen
+    import graft.operators.Sampling
+    import graft.functions.TextFunctions.tokenCount
+    val root = Files.createTempDirectory("graft-manifest").toString
+    val aggs = Seq(
+      ("n_docs", count(lit(1)), sum($"n_docs")),
+      ("n_tokens", sum(tokenCount($"text").cast("long")), sum($"n_tokens")))
+    val splits = Seq("train" -> 0.9, "holdout" -> 0.1)
+    def label(df: org.apache.spark.sql.DataFrame) =
+      Sampling.assignSplit(df, "doc_id", splits, seed = 5)
+    val day1 = Seq((1L, "en", "alpha beta gamma"), (2L, "de", "eins zwei"),
+      (3L, "en", "one two three four")).toDF("doc_id", "lang", "text")
+    val day2 = Seq((4L, "en", "five six"), (5L, "de", "drei")).toDF("doc_id", "lang", "text")
+    IncrementalStream.applyRollupBatch(label(day1), 0, s"$root/card",
+      Seq("lang", "split"), aggs)
+    IncrementalStream.applyRollupBatch(label(day2), 1, s"$root/card",
+      Seq("lang", "split"), aggs)
+    val card = spark.read.parquet(s"$root/card")
+      .select("lang", "split", "n_docs", "n_tokens")
+      .as[(String, String, Long, Long)].collect().toSet
+    val full = label(day1.unionByName(day2))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount($"text").cast("long")).as("n_tokens"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(card == full, s"card=$card full=$full")
+  }
+
   test("maintained rollup end-to-end through the streaming sink") {
     val root = Files.createTempDirectory("graft-mv2").toString
     val rows = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[

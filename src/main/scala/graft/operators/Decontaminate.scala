@@ -59,6 +59,69 @@ object Decontaminate {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** SPAN-REMOVAL decontamination — instead of dropping a whole
+    * document that shares n-grams with the eval corpus ([[decontaminate]]'s
+    * conservative policy), cut out just the contaminated WINDOWS and
+    * keep the rest: each matched n-gram position expands `window`
+    * tokens on both sides, overlapping/adjacent windows merge into
+    * maximal spans, and the document's surviving tokens are rejoined —
+    * the practical middle ground when eval snippets are quoted inside
+    * otherwise-good documents (the policy popularized by GPT-3's
+    * 13-gram window scrub; public technique).
+    *
+    * Returns one row per train doc: (idCol, n_tokens, n_spans,
+    * n_removed, clean_text) — untouched docs keep their full token
+    * stream with n_spans = 0. `clean_text` is the kept tokens joined
+    * with single spaces (tokenization normalizes whitespace; span
+    * surgery on raw character offsets would be a different,
+    * format-preserving operator).
+    *
+    * Scale shape: the broadcast gram probe runs on the exploded
+    * positions FIRST, so only MATCHED (doc, position) rows — sparse by
+    * contract — reach the span-merge window (one tiny key shuffle);
+    * span lists ride back to the corpus on one doc-key join, and the
+    * token filter is a per-row HOF over (token, index) with
+    * O(#spans) work per token. The corpus itself is never shuffled.
+    */
+  def scrubSpans(train: DataFrame, test: DataFrame, idCol: String,
+                 textCol: String, n: Int = 13, window: Int = 20,
+                 broadcastTest: Boolean = true): DataFrame = {
+    require(n >= 1 && window >= 0, "need n >= 1 and window >= 0")
+    import org.apache.spark.sql.expressions.Window.partitionBy
+    val matches = fanOut(train)
+      .select(col(idCol),
+        posexplode(wordShingles(col(textCol), n)).as(Seq("__p", "gram")))
+      .join(testGrams(test, textCol, n, broadcastTest), Seq("gram"))
+      .select(col(idCol), col("__p"))
+    // merge-by-gap on sorted positions (the burst-collapse rule):
+    // expanded windows [p−w, p+n+w) overlap iff p' − p ≤ n + 2w
+    val byDoc = partitionBy(col(idCol)).orderBy(col("__p"))
+    val prev = lag(col("__p"), 1).over(byDoc)
+    val spans = matches
+      .withColumn("__new",
+        when(prev.isNull || col("__p") - prev > n + 2 * window, 1L).otherwise(0L))
+      .withColumn("__g", sum(col("__new")).over(byDoc))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("__p")).as("__mn"), max(col("__p")).as("__mx"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(
+          greatest(col("__mn") - window, lit(0)).as("lo"),
+          (col("__mx") + n + window).as("hi"))).as("__spans"),
+        count(lit(1)).as("n_spans"))
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    train.join(spans, Seq(idCol), "left")
+      .withColumn("__toks", toks)
+      .withColumn("__kept", when(col("__spans").isNull, col("__toks"))
+        .otherwise(filter(col("__toks"), (_, i) =>
+          !exists(col("__spans"),
+            s => i >= s.getField("lo") && i < s.getField("hi")))))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
   /** FUZZY contamination — near-duplicate pairs BETWEEN corpora
     * (train × test), the MinHash-LSH sibling of the exact n-gram probe:
     * catches test documents that were lightly edited before landing in

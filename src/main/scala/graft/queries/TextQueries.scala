@@ -288,6 +288,23 @@ object TextQueries {
   private val manifestSplits =
     Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
+  /** Span-removal decontamination (the GPT-3-style window scrub): test
+    * corpus = every 13th doc; every 3-gram a train doc shares with it
+    * expands ±2 tokens, windows merge, the spans are cut out and the
+    * survivors rejoined. The oracle replays match positions, the
+    * gap-merge, the span cut and the md5 of the rebuilt text —
+    * token-for-token. */
+  val q109ScrubSpans: Q = (s, d) => {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val test = base.filter(col("doc_id") % 13 === 0)
+    val train = base.filter(col("doc_id") % 13 =!= 0)
+    graft.operators.Decontaminate.scrubSpans(train, test, "doc_id", "text",
+      n = 3, window = 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk → pack pipeline: q50's chunks laid into 512-token packs via
     * per-shard concat-and-split (4 shards by doc_id; each shard packs
     * independently in parallel — no global ordering bottleneck).
@@ -504,6 +521,7 @@ object TextQueries {
     "q106_bpe_ids" -> q106BpeIds,
     "q107_pack_ids" -> q107PackIds,
     "q108_manifest" -> q108Manifest,
+    "q109_scrub_spans" -> q109ScrubSpans,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -901,6 +919,47 @@ object TextQueries {
          |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
     // quality > 0.5 over three 0/1 criteria ⇔ at least 2 hold (integer
     // logic, no double compare); split = h32(11:id)/2^32 < 0.9
+    // full replay of the window scrub: match positions, the gap-merge
+    // rule (> n + 2w), span expansion with the 0-clamp, the indexed
+    // token cut, and the md5 of the rebuilt text
+    "q109_scrub_spans" ->
+      s"""WITH t AS (SELECT doc_id, $tok AS ts FROM documents),
+         |tg AS (SELECT DISTINCT unnest(
+         |    [array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]) AS gram
+         |  FROM t WHERE doc_id % 13 = 0),
+         |tr AS (SELECT doc_id, ts FROM t WHERE doc_id % 13 <> 0),
+         |sh AS (SELECT doc_id, unnest(
+         |    [struct_pack(p := i - 1, g := array_to_string(ts[i:i+2], ' '))
+         |     for i in range(1, len(ts) - 1)], recursive := true) FROM tr),
+         |m AS (SELECT doc_id, p FROM sh WHERE g IN (SELECT gram FROM tg)),
+         |lagged AS (SELECT doc_id, p,
+         |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM m),
+         |grp AS (SELECT doc_id, p,
+         |    sum(CASE WHEN pp IS NULL OR p - pp > 7 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM lagged),
+         |sp AS (SELECT doc_id, greatest(min(p) - 2, 0) AS lo, max(p) + 5 AS hi
+         |       FROM grp GROUP BY doc_id, g),
+         |sps AS (SELECT doc_id, list(struct_pack(lo := lo, hi := hi)) AS sps,
+         |          count(*) AS n_spans
+         |        FROM sp GROUP BY doc_id),
+         |outt AS (SELECT tr.doc_id, tr.ts, sps.sps,
+         |           coalesce(sps.n_spans, 0) AS n_spans
+         |         FROM tr LEFT JOIN sps USING (doc_id)),
+         |cut AS (SELECT doc_id, len(ts) AS n_tokens, n_spans,
+         |    CASE WHEN sps IS NULL THEN ts
+         |         ELSE [ts[i] for i in range(1, len(ts) + 1)
+         |               if len(list_filter(sps,
+         |                    s -> (i - 1) >= s.lo AND (i - 1) < s.hi)) = 0]
+         |    END AS kept
+         |  FROM outt)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(n_spans AS BIGINT) AS n_spans,
+         |       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+         |       -- array_to_string of an EMPTY list is NULL in DuckDB,
+         |       -- where Spark's array_join gives '' — coalesce to match
+         |       md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+         |FROM cut ORDER BY doc_id""".stripMargin,
     "q108_manifest" ->
       s"""WITH feat AS (SELECT doc_id, lang, text, $tok AS ts FROM documents)
          |SELECT lang,

@@ -38,6 +38,44 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("scrubSpans: windows expand, merge by gap, and cut exactly") {
+    val doc = "w0 w1 SECRET A B w5 w6 w7 w8 w9 SECRET A B w13"
+    val tr = Seq((1L, doc), (2L, "nothing shared here at all")).toDF("doc_id", "text")
+    val te = Seq((9L, "x SECRET A B y")).toDF("doc_id", "text")
+    val out = Decontaminate.scrubSpans(tr, te, "doc_id", "text",
+      n = 3, window = 1)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // matches at positions 2 and 10; gap 8 > n+2w=5 -> TWO spans
+    // [1,6) and [9,14): kept indices 0,6,7,8
+    assert(out(1L) == ((1L, 14L, 2L, 10L, "w0 w6 w7 w8")))
+    // untouched doc: zero spans, full text preserved (token-joined)
+    assert(out(2L) == ((2L, 5L, 0L, 0L, "nothing shared here at all")))
+
+    // closer repeats MERGE into one span: matches at 2 and 6, gap 4 <= 5
+    val doc2 = "w0 w1 SECRET A B w5 SECRET A B w9 w10"
+    val out2 = Decontaminate.scrubSpans(
+      Seq((1L, doc2)).toDF("doc_id", "text"), te, "doc_id", "text",
+      n = 3, window = 1)
+      .as[(Long, Long, Long, Long, String)].head()
+    // one span [1, 10): kept 0, 10
+    assert(out2 == ((1L, 11L, 1L, 9L, "w0 w10")))
+
+    // window 0: only the exact n-gram token ranges go
+    val out0 = Decontaminate.scrubSpans(
+      Seq((1L, doc2)).toDF("doc_id", "text"), te, "doc_id", "text",
+      n = 3, window = 0)
+      .as[(Long, Long, Long, Long, String)].head()
+    // spans [2,5) and [6,9): kept 0,1,5,9,10
+    assert(out0 == ((1L, 11L, 2L, 6L, "w0 w1 w5 w9 w10")))
+
+    // layout-independent
+    val again = Decontaminate.scrubSpans(tr.repartition(7), te, "doc_id",
+      "text", n = 3, window = 1)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(again == out.values.toSet)
+  }
+
   // ---------------------------------------------- fuzzy (MinHash) probe
 
   private lazy val fuzzyTrain = Seq(

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Okapi BM25 retrieval over a document corpus — the standard
+  * relevance ranking for sparse (lexical) search, the retrieval half
+  * of a RAG / hard-negative-mining pipeline (the dense half is
+  * [[Similarity]]).
+  *
+  * Score of document D for query Q:
+  * {{{
+  *   sum over q in Q of  idf(q) * tf(q,D)*(k1+1) / (tf(q,D) + k1*(1 - b + b*|D|/avgdl))
+  *   idf(q) = ln(1 + (N - df(q) + 0.5) / (df(q) + 0.5))        (Lucene form, always > 0)
+  * }}}
+  *
+  * 100 TB shape: the query set is tiny and BROADCAST — the corpus
+  * token stream is semi-joined down to query terms BEFORE any
+  * aggregation, so the per-(doc,term) shuffle carries only matching
+  * postings (|docs with a hit| × |query terms|, not the corpus
+  * vocabulary). Corpus stats (N, Σdl) are a one-row aggregate
+  * broadcast-crossed into the plan; df is computed over the filtered
+  * postings only (exactly the df of each query term). No global sort:
+  * top-k per query is a per-query window over candidates.
+  *
+  * Determinism contract (cross-engine oracle): each per-term
+  * contribution is quantized to `floor(x·10⁶)` as a LONG and the
+  * per-doc score is the exact integer sum of contributions — so the
+  * ranking never depends on float summation order. Both engines
+  * evaluate the same literal constants: callers of the SQL twin must
+  * interpolate `Double.toString(k1+1)` etc. so the parsed doubles are
+  * bit-identical (see TextQueries.bm25 oracle).
+  */
+object Bm25 {
+
+  /** Top-k docs per query by quantized BM25 score.
+    *
+    * @param queries (qid, query text) pairs; terms tokenized with the
+    *                corpus tokenizer, duplicates within a query ignored
+    * @return (qid, rank, doc_id, score_q) — rank 1..k by
+    *         (score_q desc, doc_id asc)
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: Seq[(Int, String)], k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+
+    val qTerms = queries.toDF("qid", "qtext")
+      .select(col("qid"),
+        explode(array_distinct(TextFunctions.tokens(col("qtext")))).as("term"))
+
+    // one-row corpus stats (N docs, total token count) — broadcast-crossed
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("sumdl"))
+
+    // corpus postings, cut to query terms BEFORE the (doc, term) shuffle
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+
+    val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val contrib = tf
+      .join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sumdl").cast("double") / col("n").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        floor(col("idf") * (col("tf") * lit(k1p1)) /
+          (col("tf") + lit(k1) * (lit(oneMinusB) + (lit(b) * col("dl")) / col("avgdl"))) *
+          lit(1e6)).cast("long"))
+
+    val total = contrib.join(broadcast(qTerms), Seq("term"))
+      .groupBy("qid", "doc_id").agg(sum("contrib").as("score_q"))
+
+    total
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score_q").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score_q"))
+  }
+}

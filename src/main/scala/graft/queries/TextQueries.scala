@@ -164,6 +164,22 @@ object TextQueries {
         floor(col("tf_idf") * 1e6).cast("long").as("tfidf_q"), col("rank"))
       .orderBy("id", "rank")
 
+  /** The fixed retrieval query set for q110 — literal on both engines. */
+  private[queries] val bm25Queries = Seq(
+    1 -> "spark hash join",
+    2 -> "window sort order",
+    3 -> "fast vector scan",
+    4 -> "customer merge query")
+
+  /** Okapi BM25 top-10 per query over the corpus. Per-term
+    * contributions are quantized to floor(x·10⁶) LONGs before the
+    * per-doc sum, so scores are exact integers and the ranking can
+    * never depend on float summation order (see Bm25 scaladoc). */
+  val q110Bm25: Q = (s, d) =>
+    graft.operators.Bm25.topK(docs(s, d), "doc_id", "text",
+      bm25Queries, k = 10)
+      .orderBy("qid", "rank")
+
   /** Shared chunk derivation for q50/q52: one row per 64-token window
     * (16-token overlap) with its ordinal and token count. */
   private def chunked(s: SparkSession, d: String): DataFrame =
@@ -522,6 +538,7 @@ object TextQueries {
     "q107_pack_ids" -> q107PackIds,
     "q108_manifest" -> q108Manifest,
     "q109_scrub_spans" -> q109ScrubSpans,
+    "q110_bm25" -> q110Bm25,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -608,6 +625,36 @@ object TextQueries {
         |  || '/d/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical_url,
         |  CAST(2 AS BIGINT) AS n_variants
         |FROM documents ORDER BY canonical_url""".stripMargin,
+    // Okapi BM25: per-term contributions floor-quantized to 1e-6
+    // BEFORE the per-doc integer sum; constants interpolated via
+    // Double.toString so both engines parse bit-identical doubles
+    "q110_bm25" -> {
+      val k1 = 1.2; val b = 0.75
+      val k1s = java.lang.Double.toString(k1)
+      val k1p1 = java.lang.Double.toString(k1 + 1.0)
+      val omb = java.lang.Double.toString(1.0 - b)
+      val bs = java.lang.Double.toString(b)
+      val qVals = bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH q(qid, qtext) AS (VALUES $qVals),
+         |qt AS (SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS term FROM q),
+         |dtok AS (SELECT doc_id, $tok AS ts FROM documents),
+         |stats AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS BIGINT) AS sumdl FROM dtok),
+         |tok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS term FROM dtok),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |contrib AS (SELECT doc_id, tf.term,
+         |  CAST(floor(
+         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * $k1p1) /
+         |      (tf + $k1s * ($omb + ($bs * dl) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+         |    * 1000000.0) AS BIGINT) AS contrib
+         |  FROM tf JOIN df ON tf.term = df.term, stats),
+         |total AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score_q
+         |  FROM contrib JOIN qt ON contrib.term = qt.term GROUP BY qid, doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, doc_id) AS rank FROM total)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score_q
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    },
     // add-one-smoothed ln((bc+1)/(uc+V)) per bigram, floor-quantized
     // to 1e-6 BEFORE the per-doc integer sum (order-independence)
     "q81_bigram_lm" ->

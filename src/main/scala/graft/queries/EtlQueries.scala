@@ -505,6 +505,17 @@ object EtlQueries {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** Exact grouped percentiles by integer rank selection (type-1
+    * quantile, rank = max(1, ceil(n·p/100)) computed in integer
+    * arithmetic) — the emitted value is selected, never computed, so
+    * it ports bit-exactly for doubles. Contrast q45's interpolating
+    * builtin `median`. */
+  val q111Percentiles: Q = (s, d) =>
+    graft.operators.Quantiles.exactPercentiles(
+      t(s, d, "orders"), Seq("o_orderpriority"), "o_totalprice",
+      Seq(25, 50, 75, 95, 99))
+      .orderBy("o_orderpriority", "pct")
+
   /** As-of join: for each 'view' event, the user's latest 'click' value
     * at-or-before it (point-in-time lookup; ns timestamps make ties
     * impossible). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -585,6 +596,7 @@ object EtlQueries {
     "q41_rollup" -> q41Rollup,
     "q44_running_total" -> q44RunningTotal,
     "q45_median" -> q45Median,
+    "q111_percentiles" -> q111Percentiles,
     "q72_moving_window" -> q72MovingWindow,
     "q73_cube" -> q73Cube,
     "q35_left_join_histogram" -> q35LeftJoinHistogram,
@@ -671,6 +683,16 @@ object EtlQueries {
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
     "q45_median" ->
       """SELECT o_orderstatus, CAST(median(o_totalprice) AS DOUBLE) AS median_price, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // type-1 quantile via integer rank math ((n*p+99)//100); the value
+    // is SELECTED, not computed, so doubles port bit-exactly
+    "q111_percentiles" ->
+      """WITH ranked AS (SELECT o_orderpriority, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders),
+        |p(pct) AS (VALUES (25), (50), (75), (95), (99))
+        |SELECT o_orderpriority, pct, o_totalprice AS pct_value, n
+        |FROM ranked, p WHERE rn = greatest(1, (n * pct + 99) // 100)
+        |ORDER BY o_orderpriority, pct""".stripMargin,
     // single-phase exact sum — the salted two-phase plan must equal it
     "q49_salted_sum" ->
       """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS count FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

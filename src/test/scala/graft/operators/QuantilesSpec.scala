@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactPercentiles: type-1 quantile at max(1, ceil(n*p/100))") {
+    // group a: 1..10 → p25→rank3, p50→rank5, p75→rank8, p99→rank10
+    // group b: single row → every pct picks it
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) :+ ("b", 42.0))
+      .toDF("k", "v")
+    val out = Quantiles.exactPercentiles(df, Seq("k"), "v", Seq(25, 50, 75, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", 25)) == 3.0)
+    assert(out(("a", 50)) == 5.0)
+    assert(out(("a", 75)) == 8.0)
+    assert(out(("a", 99)) == 10.0)
+    assert(Seq(25, 50, 75, 99).forall(p => out(("b", p)) == 42.0))
+  }
+
+  test("exactPercentiles: integer rank math avoids double-ceil drift") {
+    // n=20, p=95: mathematical ceil(19.0)=19; double 0.95*20=19.000000000000004
+    // would ceil to 20 — integer (20*95+99) div 100 = 19 is exact
+    val df = (1 to 20).map(i => ("g", i)).toDF("k", "v")
+    val out = Quantiles.exactPercentiles(df, Seq("k"), "v", Seq(95))
+      .collect()
+    assert(out.length == 1 && out.head.getInt(2) == 19)
+  }
+
+  test("exactPercentiles: p100 is the max; duplicate values untouched") {
+    val df = Seq(("g", 5), ("g", 5), ("g", 1)).toDF("k", "v")
+    val out = Quantiles.exactPercentiles(df, Seq("k"), "v", Seq(50, 100))
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(out(50) == 5 && out(100) == 5)
+  }
+
+  test("exactPercentiles: n column reports group size") {
+    val df = (1 to 7).map(i => ("g", i)).toDF("k", "v")
+    val out = Quantiles.exactPercentiles(df, Seq("k"), "v", Seq(50)).collect()
+    assert(out.head.getLong(3) == 7L)
+  }
+}

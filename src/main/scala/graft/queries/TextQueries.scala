@@ -180,6 +180,15 @@ object TextQueries {
       bm25Queries, k = 10)
       .orderBy("qid", "rank")
 
+  /** DSIR importance weights: hashed-unigram log-likelihood ratio of
+    * every doc against the English subset as the target distribution.
+    * Per-token contributions are floor(x·10⁶)-quantized before the
+    * per-doc integer sum (order-independent, engine-portable). */
+  val q112Dsir: Q = (s, d) =>
+    graft.operators.Dsir.importanceWeights(docs(s, d), "doc_id", "text",
+      col("lang") === "en", carryCols = Seq("lang"), buckets = 1024)
+      .orderBy("doc_id")
+
   /** Shared chunk derivation for q50/q52: one row per 64-token window
     * (16-token overlap) with its ordinal and token count. */
   private def chunked(s: SparkSession, d: String): DataFrame =
@@ -539,6 +548,7 @@ object TextQueries {
     "q108_manifest" -> q108Manifest,
     "q109_scrub_spans" -> q109ScrubSpans,
     "q110_bm25" -> q110Bm25,
+    "q112_dsir" -> q112Dsir,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -655,6 +665,20 @@ object TextQueries {
          |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score_q
          |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
     },
+    // DSIR: per-token ln-ratio contributions quantized to 1e-6 LONGs
+    // before the per-doc sum; subtraction form (no count products)
+    "q112_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, lang, lang = 'en' AS is_t, unnest($tok) AS term FROM documents),
+         |h AS (SELECT doc_id, lang, is_t, ${hx("term")} % 1024 AS f FROM tok),
+         |cnt AS (SELECT f, count(*) AS cr,
+         |  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM h GROUP BY f),
+         |stats AS (SELECT CAST(sum(cr) AS BIGINT) AS r, CAST(sum(ct) AS BIGINT) AS t FROM cnt),
+         |c AS (SELECT doc_id, lang,
+         |  CAST(floor((ln(ct + 1.0) - ln(cr + 1.0) + ln(r + 1024.0) - ln(t + 1024.0)) * 1000000.0) AS BIGINT) AS cq
+         |  FROM h JOIN cnt USING (f), stats)
+         |SELECT doc_id, lang, CAST(sum(cq) AS BIGINT) AS logw_q, count(*) AS n_toks,
+         |  CAST(sum(cq) AS BIGINT) > 0 AS target_like
+         |FROM c GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     // add-one-smoothed ln((bc+1)/(uc+V)) per bigram, floor-quantized
     // to 1e-6 BEFORE the per-doc integer sum (order-independence)
     "q81_bigram_lm" ->

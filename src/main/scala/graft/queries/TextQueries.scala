@@ -189,6 +189,12 @@ object TextQueries {
       col("lang") === "en", carryCols = Seq("lang"), buckets = 1024)
       .orderBy("doc_id")
 
+  /** Skip-gram co-occurrence: top-50 ordered window-2 pairs with
+    * marginals and floor(10⁶·pmi) — integer counts rank, so the order
+    * is engine-exact. */
+  val q113Cooccur: Q = (s, d) =>
+    graft.operators.Cooccur.pmiPairs(docs(s, d), "text", window = 2, topK = 50)
+
   /** Shared chunk derivation for q50/q52: one row per 64-token window
     * (16-token overlap) with its ordinal and token count. */
   private def chunked(s: SparkSession, d: String): DataFrame =
@@ -549,6 +555,7 @@ object TextQueries {
     "q109_scrub_spans" -> q109ScrubSpans,
     "q110_bm25" -> q110Bm25,
     "q112_dsir" -> q112Dsir,
+    "q113_cooccur_pmi" -> q113Cooccur,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -665,6 +672,23 @@ object TextQueries {
          |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score_q
          |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
     },
+    // ordered window-2 skip-gram pairs; pmi in subtraction form,
+    // quantized; rank on integer counts with (w1,w2) tie-break
+    "q113_cooccur_pmi" ->
+      s"""WITH tok AS (SELECT $tok AS ts FROM documents),
+         |pairs AS (SELECT ts[i.i] AS w1, ts[i.i + d.d] AS w2
+         |  FROM tok,
+         |  LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) i,
+         |  LATERAL (SELECT unnest([1, 2]) AS d) d
+         |  WHERE i.i + d.d <= len(ts)),
+         |cab AS (SELECT w1, w2, count(*) AS cab FROM pairs GROUP BY w1, w2),
+         |ca AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY w1),
+         |cb AS (SELECT w2, CAST(sum(cab) AS BIGINT) AS cb FROM cab GROUP BY w2),
+         |n AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM cab)
+         |SELECT cab.w1, cab.w2, cab, ca, cb,
+         |  CAST(floor((ln(CAST(cab AS DOUBLE)) - ln(CAST(ca AS DOUBLE)) - ln(CAST(cb AS DOUBLE)) + ln(CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT) AS pmi_q
+         |FROM cab JOIN ca USING (w1) JOIN cb USING (w2), n
+         |ORDER BY cab DESC, w1, w2 LIMIT 50""".stripMargin,
     // DSIR: per-token ln-ratio contributions quantized to 1e-6 LONGs
     // before the per-doc sum; subtraction form (no count products)
     "q112_dsir" ->

@@ -195,6 +195,13 @@ object TextQueries {
   val q113Cooccur: Q = (s, d) =>
     graft.operators.Cooccur.pmiPairs(docs(s, d), "text", window = 2, topK = 50)
 
+  /** Cross-source contamination matrix: pairwise distinct-3-shingle
+    * overlap between the 20 corpus sources (fingerprints only — text
+    * never reaches the pair join). */
+  val q114SourceOverlap: Q = (s, d) =>
+    graft.operators.SourceOverlap.shingleOverlap(docs(s, d), "source", "text")
+      .orderBy("src_a", "src_b")
+
   /** Shared chunk derivation for q50/q52: one row per 64-token window
     * (16-token overlap) with its ordinal and token count. */
   private def chunked(s: SparkSession, d: String): DataFrame =
@@ -556,6 +563,7 @@ object TextQueries {
     "q110_bm25" -> q110Bm25,
     "q112_dsir" -> q112Dsir,
     "q113_cooccur_pmi" -> q113Cooccur,
+    "q114_source_overlap" -> q114SourceOverlap,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -672,6 +680,22 @@ object TextQueries {
          |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score_q
          |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
     },
+    // pairwise distinct-shingle-fingerprint overlap between sources;
+    // one double division for jaccard_q (exact integer operands)
+    "q114_source_overlap" ->
+      s"""WITH tok AS (SELECT source, $tok AS ts FROM documents),
+         |shr AS (SELECT source, $shingles3 AS shr FROM tok),
+         |fp AS (SELECT DISTINCT source AS src, ${hx("sv.s")} AS fp
+         |  FROM shr, LATERAL (SELECT unnest(shr) AS s) sv),
+         |tot AS (SELECT src, count(*) AS t FROM fp GROUP BY src),
+         |pairs AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
+         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.src < b.src
+         |  GROUP BY a.src, b.src)
+         |SELECT src_a, src_b, shared, ta.t AS a_sh, tb.t AS b_sh,
+         |  CAST(floor(CAST(shared AS DOUBLE) / CAST(ta.t + tb.t - shared AS DOUBLE) * 1000000.0) AS BIGINT) AS jaccard_q
+         |FROM pairs JOIN tot ta ON pairs.src_a = ta.src
+         |JOIN tot tb ON pairs.src_b = tb.src
+         |ORDER BY src_a, src_b""".stripMargin,
     // ordered window-2 skip-gram pairs; pmi in subtraction form,
     // quantized; rank on integer counts with (w1,w2) tie-break
     "q113_cooccur_pmi" ->

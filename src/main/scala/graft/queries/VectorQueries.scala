@@ -335,6 +335,16 @@ object VectorQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deterministic integer k-means: 3 Lloyd rounds, k=8, seeds = the
+    * 8 smallest vec_ids, every distance/update in exact integer math —
+    * the oracle replays all three rounds as an unrolled CTE chain
+    * (the q93 PageRank pattern). */
+  val q115Kmeans: Q = (s, d) =>
+    graft.operators.KMeansInt.lloyd(emb(s, d), "vec_id", "embedding",
+      k = 8, iters = 3, dim = 64, scale = 1000.0, offset = 10000L,
+      carryCols = Seq("label"))
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
     "q102_image_phash" -> q102ImagePhash,
     "q105_image_near_dup" -> q105ImageNearDup,
@@ -347,7 +357,44 @@ object VectorQueries {
     "q32_ann_srp" -> q32AnnSrp,
     "q33_multimodal" -> q33Multimodal,
     "q86_semdedup" -> q86SemDedup,
+    "q115_kmeans" -> q115Kmeans,
   )
+
+  /** The q115 oracle: quantize → seed from the k smallest ids →
+    * (assign, update)×(iters−1) → final assign, fully unrolled.
+    * Assignment ties break to the lower cell (the NearestCentroids
+    * contract); an emptied cluster carries its centroid via the LEFT
+    * JOIN + CASE; means are positive-integer floor divisions. */
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
+    val qvq = "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(floor(x * 1000.0) AS BIGINT) + 10000)"
+    def round(t: Int): String = {
+      val assign =
+        s"""d$t AS (SELECT q.vec_id, c.cell,
+           |  sum((q.qv[c.dim] - c.val) * (q.qv[c.dim] - c.val)) AS d2
+           |  FROM e0 q, c${t - 1}d c GROUP BY q.vec_id, c.cell),
+           |a$t AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           |  FROM d$t) WHERE rn = 1)""".stripMargin
+      val update = if (t == iters) "" else
+        s""",
+           |s$t AS (SELECT a.cell, d.dim, CAST(sum(q.qv[d.dim]) AS BIGINT) AS sm, count(*) AS n
+           |  FROM a$t a JOIN e0 q USING (vec_id), dims d GROUP BY a.cell, d.dim),
+           |c${t}d AS (SELECT p.cell, p.dim,
+           |  CASE WHEN s.sm IS NULL THEN p.val ELSE s.sm // s.n END AS val
+           |  FROM c${t - 1}d p LEFT JOIN s$t s ON p.cell = s.cell AND p.dim = s.dim)""".stripMargin
+      assign + update
+    }
+    s"""WITH e0 AS (SELECT vec_id, $qvq AS qv FROM embeddings),
+       |dims AS (SELECT unnest(range(1, ${dim + 1})) AS dim),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv
+       |  FROM (SELECT vec_id, qv FROM e0 ORDER BY vec_id LIMIT $k) s),
+       |c0d AS (SELECT cell, d.dim, qv[d.dim] AS val FROM c0, dims d),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT e.vec_id, e.label, CAST(a.cell AS INTEGER) AS cell
+       |FROM a$iters a JOIN embeddings e ON a.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
 
   private val qv =
     """list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000.0) AS BIGINT))"""
@@ -433,6 +480,7 @@ object VectorQueries {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    "q115_kmeans" -> kmeansOracleSql(k = 8, iters = 3, dim = 64),
     // closed-form dHash replay WITH the per-variant block bump, then
     // the BRUTE-FORCE popcount cross join — proving the pigeonhole
     // join's completeness (every pair), not just its soundness

@@ -49,6 +49,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors with a DIFFERENT label
+    * — near misses, the negatives that actually teach a bi-encoder
+    * (random negatives are trivially separable). Runs on quantized
+    * integer vectors so the scores — and therefore the mined set —
+    * are engine-exact (the q116 oracle replays it).
+    *
+    * 100 TB shape: identical to [[bruteForceTopK]] — query set
+    * broadcast, corpus never shuffled, label filter applied before
+    * ranking so positives don't occupy candidate slots. For corpus-
+    * scale query sets, swap the candidate generator for the IVF/SRP
+    * paths and keep the same label-filter + window tail. */
+  def hardNegativesQuantized(emb: DataFrame, idCol: String, vecCol: String,
+                             labelCol: String,
+                             queryPred: org.apache.spark.sql.Column,
+                             k: Int): DataFrame = {
+    val base = emb.select(col(idCol), col(labelCol), col(vecCol))
+    val q = base.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
+        quantize(col(vecCol)).as("qq"))
+    val c = fanOut(base)
+      .select(col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
+        quantize(col(vecCol)).as("qv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neg_id") =!= col("query_id") &&
+        col("neg_label") =!= col("q_label"))
+      .withColumn("cosine", quantizedCosine(col("qq"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neg_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neg_id"),
+        col("neg_label"), col("cosine"))
+  }
+
   /** Exact all-pairs above a cosine threshold (small corpora / testing). */
   def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double): DataFrame = {

@@ -345,6 +345,14 @@ object VectorQueries {
       carryCols = Seq("label"))
       .orderBy("vec_id")
 
+  /** Hard negatives: top-5 nearest different-label vectors for each
+    * query (vec_id < 10) — exact quantized-cosine ranking. */
+  val q116HardNegatives: Q = (s, d) =>
+    Similarity.hardNegativesQuantized(
+      emb(s, d).repartition(s.sparkContext.defaultParallelism),
+      "vec_id", "embedding", "label", col("vec_id") < 10, k = 5)
+      .orderBy("query_id", "rank")
+
   val queries: Map[String, Q] = Map(
     "q102_image_phash" -> q102ImagePhash,
     "q105_image_near_dup" -> q105ImageNearDup,
@@ -358,6 +366,7 @@ object VectorQueries {
     "q33_multimodal" -> q33Multimodal,
     "q86_semdedup" -> q86SemDedup,
     "q115_kmeans" -> q115Kmeans,
+    "q116_hard_negatives" -> q116HardNegatives,
   )
 
   /** The q115 oracle: quantize → seed from the k smallest ids →
@@ -552,6 +561,18 @@ object VectorQueries {
         |  CAST(299 * ((doc_id * 7) % 256) + 587 * ((doc_id * 13) % 256)
         |    + 114 * ((doc_id * 29) % 256) AS BIGINT) AS lum_x1000
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same integer-dot cosine as q28 with the label filter applied
+    // before ranking (positives must not occupy candidate slots)
+    "q116_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, $qv AS qv FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS q_label, qv AS qq FROM e WHERE vec_id < 10),
+         |scored AS (SELECT q.query_id, e.vec_id AS neg_id, e.label AS neg_label,
+         |  CAST(${dot("q.qq", "e.qv")} AS DOUBLE) /
+         |  (sqrt(CAST(${dot("q.qq", "q.qq")} AS DOUBLE)) * sqrt(CAST(${dot("e.qv", "e.qv")} AS DOUBLE))) AS cosine
+         |  FROM q, e WHERE q.query_id <> e.vec_id AND e.label <> q.q_label),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neg_id) AS rank FROM scored)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neg_id, neg_label, cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q28_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, $qv AS qv FROM embeddings),
          |q AS (SELECT vec_id AS query_id, qv AS qq FROM e WHERE vec_id < 10),

@@ -177,6 +177,25 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hardNegativesQuantized: same-label and self excluded, ranked desc") {
+    import org.apache.spark.sql.functions.col
+    // labels: two interleaved groups; nearest same-label twin must be skipped
+    val labeled = Seq(
+      (0L, 0, Seq(1.0f, 0.0f)),
+      (1L, 0, Seq(0.99f, 0.01f)),   // near-twin of 0, SAME label → excluded
+      (2L, 1, Seq(0.9f, 0.1f)),     // nearest different-label
+      (3L, 1, Seq(0.0f, 1.0f)),     // far different-label
+      (4L, 0, Seq(-1.0f, 0.0f)))
+      .toDF("id", "label", "vec")
+    val out = Similarity.hardNegativesQuantized(labeled, "id", "vec", "label",
+      col("id") === 0, k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 3L),
+      "negatives must be different-label, nearest first")
+    assert(out.map(_.getInt(3)).forall(_ == 1))
+    assert(out(0).getDouble(4) > out(1).getDouble(4))
+  }
+
   test("srpTopK: candidates only, correct shape") {
     val queries = vecs.filter($"id" < 5)
     val out = Similarity.srpTopK(queries, vecs, "id", "vec", k = 5,

@@ -202,6 +202,26 @@ object TextQueries {
     graft.operators.SourceOverlap.shingleOverlap(docs(s, d), "source", "text")
       .orderBy("src_a", "src_b")
 
+  /** Tokenizer evaluation: per-language corpus compression under the
+    * trained BPE merges — chars / words / subwords totals and the
+    * quantized chars-per-subword ratio (the fertility/compression
+    * metric a tokenizer is judged by). Reuses the q104 compiled
+    * encoder; the oracle replays it through the recursive-CTE foreign
+    * encoder and aggregates per language. */
+  val q117TokenizerStats: Q = (s, d) =>
+    docs(s, d).select(col("lang"),
+      length(col("text")).cast("long").as("nc"),
+      tokenCount(col("text")).cast("long").as("nw"),
+      size(graft.operators.Bpe.encode(col("text"), bpeMerges))
+        .cast("long").as("ns"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+        sum("nw").as("n_words"), sum("ns").as("n_subwords"))
+      .withColumn("chars_per_subword_q",
+        floor(col("n_chars").cast("double") / col("n_subwords").cast("double")
+          * lit(1e6)).cast("long"))
+      .orderBy("lang")
+
   /** Shared chunk derivation for q50/q52: one row per 64-token window
     * (16-token overlap) with its ordinal and token count. */
   private def chunked(s: SparkSession, d: String): DataFrame =
@@ -564,6 +584,7 @@ object TextQueries {
     "q112_dsir" -> q112Dsir,
     "q113_cooccur_pmi" -> q113Cooccur,
     "q114_source_overlap" -> q114SourceOverlap,
+    "q117_tokenizer_stats" -> q117TokenizerStats,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -891,6 +912,21 @@ object TextQueries {
          |       COALESCE(a.n_subwords, 0) AS n_subwords
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // per-language totals through the same foreign BPE replay; one
+    // double division for the ratio, floor-quantized
+    "q117_tokenizer_stats" ->
+      s"""WITH RECURSIVE
+         |$bpeEncodeCtes,
+         |perword AS (SELECT w, len(syms) AS n_sub FROM fin),
+         |perdoc AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS ns
+         |  FROM words JOIN perword USING (w) GROUP BY doc_id),
+         |base AS (SELECT d.lang, length(d.text) AS nc,
+         |  CAST(len($tok) AS BIGINT) AS nw, COALESCE(p.ns, 0) AS ns
+         |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
+         |SELECT lang, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(nw) AS BIGINT) AS n_words, CAST(sum(ns) AS BIGINT) AS n_subwords,
+         |  CAST(floor(CAST(CAST(sum(nc) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(ns) AS BIGINT) AS DOUBLE) * 1000000.0) AS BIGINT) AS chars_per_subword_q
+         |FROM base GROUP BY lang ORDER BY lang""".stripMargin,
     // foreign encoder → per-doc ordered id stream (word order via the
     // indexed-struct unnest, subword order inside fin.syms) → the q52
     // span math over shard-running offsets → packs reassembled with

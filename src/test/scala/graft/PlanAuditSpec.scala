@@ -291,4 +291,42 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"$exchanges key shuffles (want 1):\n$p")
   }
+
+  test("q110: BM25 postings cut by a broadcast semi join; stats/df/query joins all broadcast") {
+    val p = finalPlan("q110_bm25")
+    // the corpus token stream must be filtered by BroadcastHashJoin
+    // (LeftSemi) BEFORE the tf shuffle, and every small side (df,
+    // stats, query terms) must broadcast — an SMJ anywhere means a
+    // corpus-sized shuffle snuck in
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"query-term semi join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"BM25 degraded to SMJ:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row stats not broadcast:\n$p")
+  }
+
+  test("q115: k-means assignment is a shuffle-free compiled projection") {
+    val p = finalPlan("q115_kmeans")
+    // centroids ride as a NearestCentroids literal — no join anywhere;
+    // the only exchanges are the final orderBy's range partitioning
+    // and AQE echoes of it
+    assert(p.contains("nearest_centroids"), s"compiled assignment missing:\n$p")
+    assert(!p.contains("Join"), s"k-means must not join:\n$p")
+  }
+
+  test("q116: hard negatives broadcast the query set, never a cartesian") {
+    val p = plan("q116_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q111: percentile selection is ONE key shuffle plus the window sort") {
+    val p = finalPlan("q111_percentiles")
+    // rank selection needs exactly one hashpartitioning Exchange (the
+    // group key); the pct explode must not add joins or shuffles
+    val plan = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges key shuffles (want 1):\n$p")
+    assert(!plan.contains("Join"), s"pct literals must not join:\n$p")
+  }
 }

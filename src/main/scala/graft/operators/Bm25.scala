@@ -45,14 +45,7 @@ object Bm25 {
   def topK(docs: DataFrame, idCol: String, textCol: String,
            queries: Seq[(Int, String)], k: Int = 10,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val k1p1 = k1 + 1.0
-    val oneMinusB = 1.0 - b
-
-    val qTerms = queries.toDF("qid", "qtext")
-      .select(col("qid"),
-        explode(array_distinct(TextFunctions.tokens(col("qtext")))).as("term"))
+    val qTerms = queryTerms(docs.sparkSession, queries)
 
     // one-row corpus stats (N docs, total token count) — broadcast-crossed
     val stats = docs.agg(
@@ -67,6 +60,29 @@ object Bm25 {
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
 
     val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    scoreAndRank(tf, qTerms, stats, k, k1, b)
+  }
+
+  /** The query set as (qid, term) rows — tokenized with the corpus
+    * tokenizer, per-query duplicates dropped. */
+  private[operators] def queryTerms(spark: org.apache.spark.sql.SparkSession,
+                                    queries: Seq[(Int, String)]): DataFrame = {
+    import spark.implicits._
+    queries.toDF("qid", "qtext")
+      .select(col("qid"),
+        explode(array_distinct(TextFunctions.tokens(col("qtext")))).as("term"))
+  }
+
+  /** The shared scoring tail: df from the (already query-filtered)
+    * postings, quantized per-term contributions, exact integer per-doc
+    * sums, per-query top-k. `tf` = (doc_id, dl, term, tf); `stats` =
+    * one row (n, sumdl). Used by both the scan path ([[topK]]) and the
+    * persistent-index path ([[Bm25Index.search]]). */
+  private[operators] def scoreAndRank(tf: DataFrame, qTerms: DataFrame,
+                                      stats: DataFrame, k: Int,
+                                      k1: Double, b: Double): DataFrame = {
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
     val contrib = tf

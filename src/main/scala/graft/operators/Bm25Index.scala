@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Persistent BM25 inverted index — the lexical twin of the IVF
+  * vector index ([[Similarity.buildIvfIndex]]): build once, then serve
+  * query batches reading only the term buckets they touch.
+  *
+  * Layout at `path`:
+  *  - `postings/bucket=N/` — (term, doc_id, dl, tf) rows, partitioned
+  *    by `bucket = portable_hash(term) % nBuckets`
+  *  - `stats/` — one row (n, sumdl), the corpus-level constants
+  *
+  * A search resolves its terms' buckets ON THE DRIVER (same md5
+  * derivation as the column hash) and pushes them as a partition
+  * filter — the scan prunes to the touched `bucket=` directories, so
+  * probe cost scales with the query's vocabulary, not the corpus. df
+  * is recomputed from the pruned postings (exactly the probed terms'
+  * df — identical numbers to the full-scan path), and the scoring
+  * tail is byte-for-byte [[Bm25.scoreAndRank]]: an indexed search
+  * returns EXACTLY what [[Bm25.topK]] returns.
+  *
+  * 100 TB shape: the build is the one (doc, term) shuffle the scan
+  * path pays per query batch, amortized across every future search;
+  * within a bucket, postings for one term cluster into few row groups.
+  * Incremental refresh = rebuild touched buckets from changed docs
+  * (the same delta pattern as IncrementalDedup's corpus index).
+  */
+object Bm25Index {
+
+  /** Driver-side twin of TextFunctions.portableHash (first 8 md5 hex
+    * chars as a long) — must stay in lockstep with the column version
+    * or probes prune to the wrong buckets. */
+  private[operators] def portableHashJvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Build (overwrite) the index. EAGER: runs the build jobs now. */
+  def build(docs: DataFrame, idCol: String, textCol: String, path: String,
+            nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1)
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", TextFunctions.portableHash(col("term")) % nBuckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    docs.agg(
+      count(lit(1)).as("n"),
+      sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("sumdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Search the index; same contract and numbers as [[Bm25.topK]]. */
+  def search(spark: SparkSession, indexPath: String,
+             queries: Seq[(Int, String)], k: Int = 10, nBuckets: Int = 64,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = Bm25.queryTerms(spark, queries)
+    // control-plane: the query set is small by contract — its terms'
+    // buckets resolve on the driver and prune the postings scan
+    val terms = queries.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty).distinct
+    val buckets = terms.map(t => portableHashJvm(t) % nBuckets).distinct
+    val tf = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select("doc_id", "dl", "term", "tf")
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    Bm25.scoreAndRank(tf, qTerms, stats, k, k1, b)
+  }
+}

@@ -180,6 +180,43 @@ object TextQueries {
       bm25Queries, k = 10)
       .orderBy("qid", "rank")
 
+  /** A second query set for the indexed path — proves the index
+    * serves arbitrary queries, not the build-time set. */
+  private[queries] val bm25IndexQueries = Seq(
+    1 -> "stream batch data",
+    2 -> "column filter group",
+    3 -> "slow query small table",
+    4 -> "the big row value")
+
+  /** Build-once persistent inverted index per sf dir (the q31 IVF
+    * pattern): postings partitioned by term-hash bucket + stats
+    * sidecar, under the JVM temp dir unless -Dgraft.bm25.dir says
+    * otherwise. */
+  private[queries] object Bm25IndexCache {
+    val NBuckets = 64
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def getOrBuild(s: SparkSession, sfDir: String): String =
+      cache.computeIfAbsent(sfDir, { _ =>
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val base = sys.props.getOrElse("graft.bm25.dir",
+          s"${sys.props("java.io.tmpdir")}/graft-bm25")
+        val path = s"$base/$tag"
+        graft.operators.Bm25Index.build(docs(s, sfDir), "doc_id", "text",
+          path, nBuckets = NBuckets)
+        path
+      })
+  }
+
+  /** BM25 through the persistent inverted index: the probe prunes to
+    * the query terms' bucket= partitions and must return EXACTLY what
+    * the full-scan path returns — the oracle is the same replay as
+    * q110, over a different query set. */
+  val q118Bm25Index: Q = (s, d) =>
+    graft.operators.Bm25Index.search(s, Bm25IndexCache.getOrBuild(s, d),
+      bm25IndexQueries, k = 10, nBuckets = Bm25IndexCache.NBuckets)
+      .orderBy("qid", "rank")
+
   /** DSIR importance weights: hashed-unigram log-likelihood ratio of
     * every doc against the English subset as the target distribution.
     * Per-token contributions are floor(x·10⁶)-quantized before the
@@ -585,6 +622,7 @@ object TextQueries {
     "q113_cooccur_pmi" -> q113Cooccur,
     "q114_source_overlap" -> q114SourceOverlap,
     "q117_tokenizer_stats" -> q117TokenizerStats,
+    "q118_bm25_index" -> q118Bm25Index,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -614,6 +652,37 @@ object TextQueries {
        |  SELECT w, syms
        |  FROM (SELECT w, syms, ${rks("syms")} AS rks FROM steps)
        |  WHERE len(rks) = 0 OR list_min(rks) = 2147483647)""".stripMargin
+  }
+
+  /** Okapi BM25 replay for a given query set (shared by q110 / q118):
+    * constants interpolated via Double.toString so both engines parse
+    * bit-identical doubles; contributions quantized before the sum. */
+  private def bm25OracleSql(qs: Seq[(Int, String)]): String = {
+    val k1 = 1.2; val b = 0.75
+    val k1s = java.lang.Double.toString(k1)
+    val k1p1 = java.lang.Double.toString(k1 + 1.0)
+    val omb = java.lang.Double.toString(1.0 - b)
+    val bs = java.lang.Double.toString(b)
+    val qVals = qs.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""WITH q(qid, qtext) AS (VALUES $qVals),
+       |qt AS (SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS term FROM q),
+       |dtok AS (SELECT doc_id, $tok AS ts FROM documents),
+       |stats AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS BIGINT) AS sumdl FROM dtok),
+       |tok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS term FROM dtok),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |contrib AS (SELECT doc_id, tf.term,
+       |  CAST(floor(
+       |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * $k1p1) /
+       |      (tf + $k1s * ($omb + ($bs * dl) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+       |    * 1000000.0) AS BIGINT) AS contrib
+       |  FROM tf JOIN df ON tf.term = df.term, stats),
+       |total AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score_q
+       |  FROM contrib JOIN qt ON contrib.term = qt.term GROUP BY qid, doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, doc_id) AS rank FROM total)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score_q
+       |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
   /** Portable hash: first 8 md5 hex chars as BIGINT. */
@@ -674,33 +743,10 @@ object TextQueries {
     // Okapi BM25: per-term contributions floor-quantized to 1e-6
     // BEFORE the per-doc integer sum; constants interpolated via
     // Double.toString so both engines parse bit-identical doubles
-    "q110_bm25" -> {
-      val k1 = 1.2; val b = 0.75
-      val k1s = java.lang.Double.toString(k1)
-      val k1p1 = java.lang.Double.toString(k1 + 1.0)
-      val omb = java.lang.Double.toString(1.0 - b)
-      val bs = java.lang.Double.toString(b)
-      val qVals = bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
-      s"""WITH q(qid, qtext) AS (VALUES $qVals),
-         |qt AS (SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS term FROM q),
-         |dtok AS (SELECT doc_id, $tok AS ts FROM documents),
-         |stats AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS BIGINT) AS sumdl FROM dtok),
-         |tok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS term FROM dtok),
-         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
-         |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, dl, term),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |contrib AS (SELECT doc_id, tf.term,
-         |  CAST(floor(
-         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * $k1p1) /
-         |      (tf + $k1s * ($omb + ($bs * dl) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
-         |    * 1000000.0) AS BIGINT) AS contrib
-         |  FROM tf JOIN df ON tf.term = df.term, stats),
-         |total AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score_q
-         |  FROM contrib JOIN qt ON contrib.term = qt.term GROUP BY qid, doc_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, doc_id) AS rank FROM total)
-         |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score_q
-         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
-    },
+    "q110_bm25" -> bm25OracleSql(bm25Queries),
+    // the indexed path must produce the identical ranking — same
+    // replay, the q118 query set
+    "q118_bm25_index" -> bm25OracleSql(bm25IndexQueries),
     // pairwise distinct-shingle-fingerprint overlap between sources;
     // one double division for jaccard_q (exact integer operands)
     "q114_source_overlap" ->

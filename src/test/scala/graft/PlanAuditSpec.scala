@@ -320,6 +320,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q118: indexed BM25 probe prunes to the query terms' buckets") {
+    val p = plan("q118_bm25_index")
+    assert(p.matches("(?s).*PartitionFilters: \\[.*bucket.*"),
+      s"no bucket pruning:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"indexed BM25 degraded to SMJ:\n$p")
+  }
+
   test("q111: percentile selection is ONE key shuffle plus the window sort") {
     val p = finalPlan("q111_percentiles")
     // rank selection needs exactly one hashpartitioning Exchange (the

@@ -63,6 +63,28 @@ class Bm25Spec extends SparkSpec {
     assert(out.map(_.getLong(3)).distinct.length == 1)
   }
 
+  test("Bm25Index: search returns exactly what the scan path returns") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Bm25Index.build(docs, "id", "text", dir, nBuckets = 8)
+    val qs = Seq(1 -> "hash join", 2 -> "table spark", 3 -> "zzz-missing")
+    val scan = Bm25.topK(docs, "id", "text", qs, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val idx = Bm25Index.search(spark, dir, qs, k = 3, nBuckets = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(idx == scan, s"index path diverged:\nscan=$scan\nidx=$idx")
+  }
+
+  test("Bm25Index: probe prunes to the query terms' bucket partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx2").toString
+    Bm25Index.build(docs, "id", "text", dir, nBuckets = 8)
+    val out = Bm25Index.search(spark, dir, Seq(1 -> "hash"), k = 3, nBuckets = 8)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[.*bucket.*"),
+      s"no bucket pruning:\n$p")
+    // driver-side hash must agree with the column hash: results nonempty
+    assert(out.count() > 0, "bucket mismatch pruned away real postings")
+  }
+
   test("topK: query with no matching terms returns no rows for that qid") {
     val out = Bm25.topK(docs, "id", "text",
       Seq(1 -> "spark", 2 -> "nope"), k = 5).collect()

@@ -654,17 +654,19 @@ object TextQueries {
        |  WHERE len(rks) = 0 OR list_min(rks) = 2147483647)""".stripMargin
   }
 
-  /** Okapi BM25 replay for a given query set (shared by q110 / q118):
-    * constants interpolated via Double.toString so both engines parse
-    * bit-identical doubles; contributions quantized before the sum. */
-  private def bm25OracleSql(qs: Seq[(Int, String)]): String = {
+  /** Okapi BM25 replay as a CTE chain ending in `r(qid, doc_id,
+    * score_q, rank)` — shared by the q110/q118 oracles and the q119
+    * hybrid-fusion oracle. Constants interpolated via Double.toString
+    * so both engines parse bit-identical doubles; contributions
+    * quantized before the sum. Must follow a `WITH` header. */
+  private[queries] def bm25OracleCtes(qs: Seq[(Int, String)]): String = {
     val k1 = 1.2; val b = 0.75
     val k1s = java.lang.Double.toString(k1)
     val k1p1 = java.lang.Double.toString(k1 + 1.0)
     val omb = java.lang.Double.toString(1.0 - b)
     val bs = java.lang.Double.toString(b)
     val qVals = qs.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
-    s"""WITH q(qid, qtext) AS (VALUES $qVals),
+    s"""q(qid, qtext) AS (VALUES $qVals),
        |qt AS (SELECT DISTINCT qid, unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS term FROM q),
        |dtok AS (SELECT doc_id, $tok AS ts FROM documents),
        |stats AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS BIGINT) AS sumdl FROM dtok),
@@ -680,10 +682,13 @@ object TextQueries {
        |  FROM tf JOIN df ON tf.term = df.term, stats),
        |total AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score_q
        |  FROM contrib JOIN qt ON contrib.term = qt.term GROUP BY qid, doc_id),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, doc_id) AS rank FROM total)
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, doc_id) AS rank FROM total)""".stripMargin
+  }
+
+  private def bm25OracleSql(qs: Seq[(Int, String)]): String =
+    s"""WITH ${bm25OracleCtes(qs)}
        |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score_q
        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
-  }
 
   /** Portable hash: first 8 md5 hex chars as BIGINT. */
   private[queries] def hx(e: String) =

@@ -353,6 +353,34 @@ object VectorQueries {
       "vec_id", "embedding", "label", col("vec_id") < 10, k = 5)
       .orderBy("query_id", "rank")
 
+  /** Hybrid retrieval: BM25 lexical ranking fused with a
+    * pseudo-relevance-feedback dense ranking (the query vector is the
+    * embedding of BM25's top-1 doc — classic PRF), merged by integer
+    * reciprocal-rank fusion. Every stage is engine-exact: integer BM25
+    * scores, quantized-cosine dense ranking, integer RRF sums. */
+  val q119HybridRrf: Q = (s, d) => {
+    val lexical = graft.operators.Bm25.topK(
+      Tables(s, d, "documents"), "doc_id", "text", TextQueries.bm25Queries, k = 10)
+      .transform(graft.operators.Materialize.once) // feeds ranking a AND the PRF top-1
+    val e = emb(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val qvecs = lexical.filter(col("rank") === 1)
+      .select(col("qid"), col("doc_id"))
+      .join(e, col("vec_id") === col("doc_id"))
+      .select(col("qid"), col("qv").as("qq"))
+    val dense = e.crossJoin(broadcast(qvecs))
+      .withColumn("cosine", quantizedCosine(col("qq"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    graft.operators.RankFusion.rrf2(
+      lexical.select(col("qid"), col("doc_id"), col("rank")), dense,
+      Seq("qid"), "doc_id", c = 60, topK = 10)
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q102_image_phash" -> q102ImagePhash,
     "q105_image_near_dup" -> q105ImageNearDup,
@@ -367,6 +395,7 @@ object VectorQueries {
     "q86_semdedup" -> q86SemDedup,
     "q115_kmeans" -> q115Kmeans,
     "q116_hard_negatives" -> q116HardNegatives,
+    "q119_hybrid_rrf" -> q119HybridRrf,
   )
 
   /** The q115 oracle: quantize → seed from the k smallest ids →
@@ -490,6 +519,29 @@ object VectorQueries {
 
   private val staticOracles: Map[String, String] = Map(
     "q115_kmeans" -> kmeansOracleSql(k = 8, iters = 3, dim = 64),
+    // BM25 replay (shared CTEs) → PRF query vectors from its top-1 →
+    // quantized-cosine dense ranking → integer RRF fusion
+    "q119_hybrid_rrf" ->
+      s"""WITH ${TextQueries.bm25OracleCtes(TextQueries.bm25Queries)},
+         |a AS (SELECT qid, doc_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10),
+         |top1 AS (SELECT qid, doc_id FROM r WHERE rank = 1),
+         |e AS (SELECT vec_id, $qv AS qv FROM embeddings),
+         |qv2 AS (SELECT t.qid, e.qv AS qq FROM top1 t JOIN e ON e.vec_id = t.doc_id),
+         |ds AS (SELECT q.qid, e.vec_id AS doc_id,
+         |  CAST(${dot("q.qq", "e.qv")} AS DOUBLE) /
+         |  (sqrt(CAST(${dot("q.qq", "q.qq")} AS DOUBLE)) * sqrt(CAST(${dot("e.qv", "e.qv")} AS DOUBLE))) AS cosine
+         |  FROM qv2 q, e),
+         |b AS (SELECT qid, doc_id, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rank FROM ds)
+         |  WHERE rank <= 10),
+         |f AS (SELECT coalesce(a.qid, b.qid) AS qid, coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  CAST(coalesce(1000000000 // (60 + a.rank), 0) + coalesce(1000000000 // (60 + b.rank), 0) AS BIGINT) AS rrf_q,
+         |  a.rank AS rank_a, b.rank AS rank_b
+         |  FROM a FULL OUTER JOIN b ON a.qid = b.qid AND a.doc_id = b.doc_id),
+         |fr AS (SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_q DESC, doc_id) AS INTEGER) AS rank,
+         |  doc_id, rrf_q, rank_a, rank_b FROM f)
+         |SELECT qid, rank, doc_id, rrf_q, rank_a, rank_b
+         |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // closed-form dHash replay WITH the per-variant block bump, then
     // the BRUTE-FORCE popcount cross join — proving the pigeonhole
     // join's completeness (every pair), not just its soundness

@@ -241,6 +241,46 @@ object Dedup {
     }
   }
 
+  /** ASYMMETRIC containment pairs: C(A→B) = |A∩B| / |A| over distinct
+    * word-shingle sets — the quotation/partial-copy detector Jaccard
+    * misses (a 50-token doc pasted inside a 5000-token doc has
+    * containment 1.0 but Jaccard ≈ 0.01, invisible to
+    * [[ngramJaccardDuplicates]] at any usable threshold).
+    *
+    * Same inverted-index count join as the Jaccard path, but WITHOUT
+    * the symmetric length pre-filter — wildly different sizes are
+    * exactly the target. All arithmetic is integer: containments are
+    * emitted in ppm via `(shared·10⁶) div len` and the threshold is a
+    * ppm long, so results are engine-exact with no float boundary.
+    * One shuffle on the shingle key, one on the pair key; work scales
+    * with true shingle overlap, never corpus². Hot-shingle corpora:
+    * pre-cap postings like the Jaccard path's `maxDocFrequency` before
+    * calling (candidates here are exact, not verified-after).
+    *
+    * @return (id_a, id_b, shared, a_sh, b_sh, cont_a_q, cont_b_q) with
+    *         id_a < id_b, kept when either direction ≥ thresholdPpm
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       thresholdPpm: Long = 800000L,
+                       shingleSize: Int = 3): DataFrame = {
+    val docs = fanOut(df).select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val postings = docs.select(col("id"), size(col("sh")).cast("long").as("len"),
+      explode(col("sh")).as("s"))
+      .transform(Materialize.once) // both join sides read the shingling pass
+    postings.as("a")
+      .join(postings.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.len").as("a_sh"), col("b.len").as("b_sh"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("cont_a_q", expr("(shared * 1000000) div a_sh"))
+      .withColumn("cont_b_q", expr("(shared * 1000000) div b_sh"))
+      .filter(greatest(col("cont_a_q"), col("cont_b_q")) >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("shared"), col("a_sh"),
+        col("b_sh"), col("cont_a_q"), col("cont_b_q"))
+  }
+
   /** [[embeddingDuplicates]] over integer-quantized vectors: buckets
     * are signs of exact integer projections and the verify cosine is
     * exact integer arithmetic, so the whole blocking+verify pipeline is

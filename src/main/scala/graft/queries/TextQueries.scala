@@ -259,6 +259,26 @@ object TextQueries {
           * lit(1e6)).cast("long"))
       .orderBy("lang")
 
+  /** documents ∪ planted containers: every 10th doc concatenated with
+    * its successor under id + 2,000,000 — each original is 100%
+    * contained in its container, so asymmetric dedup has true
+    * positives by construction (both engines build the same corpus). */
+  private def corpusContain(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val synth = base.filter(col("doc_id") % 10 === 0).as("a")
+      .join(base.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select((col("a.doc_id") + 2000000).as("doc_id"),
+        concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+    base.unionByName(synth)
+  }
+
+  /** Asymmetric containment dedup at 80%: catches the planted
+    * partial-copy containers that symmetric Jaccard misses. */
+  val q120Containment: Q = (s, d) =>
+    Dedup.containmentPairs(corpusContain(s, d), "doc_id", "text",
+      thresholdPpm = 800000L)
+      .orderBy("id_a", "id_b")
+
   /** Shared chunk derivation for q50/q52: one row per 64-token window
     * (16-token overlap) with its ordinal and token count. */
   private def chunked(s: SparkSession, d: String): DataFrame =
@@ -623,6 +643,7 @@ object TextQueries {
     "q114_source_overlap" -> q114SourceOverlap,
     "q117_tokenizer_stats" -> q117TokenizerStats,
     "q118_bm25_index" -> q118Bm25Index,
+    "q120_containment" -> q120Containment,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -752,6 +773,27 @@ object TextQueries {
     // the indexed path must produce the identical ranking — same
     // replay, the q118 query set
     "q118_bm25_index" -> bm25OracleSql(bm25IndexQueries),
+    // asymmetric containment over distinct shingle sets — all-integer
+    // (ppm containments via //), planted containers by construction
+    "q120_containment" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
+         |  SELECT a.doc_id + 2000000, a.text || ' ' || b.text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 10 = 0),
+         |tok AS (SELECT doc_id AS id, $tok AS ts FROM corpus),
+         |shr AS (SELECT id, $shingles3 AS shr FROM tok),
+         |sh AS (SELECT id, list_distinct(shr) AS sh FROM shr WHERE len(shr) > 0),
+         |p AS (SELECT id, CAST(len(sh) AS BIGINT) AS len, unnest(sh) AS s FROM sh),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.len AS a_sh, b.len AS b_sh,
+         |  count(*) AS shared
+         |  FROM p a JOIN p b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY a.id, b.id, a.len, b.len)
+         |SELECT id_a, id_b, shared, a_sh, b_sh,
+         |  (shared * 1000000) // a_sh AS cont_a_q,
+         |  (shared * 1000000) // b_sh AS cont_b_q
+         |FROM pairs
+         |WHERE greatest((shared * 1000000) // a_sh, (shared * 1000000) // b_sh) >= 800000
+         |ORDER BY id_a, id_b""".stripMargin,
     // pairwise distinct-shingle-fingerprint overlap between sources;
     // one double division for jaccard_q (exact integer operands)
     "q114_source_overlap" ->

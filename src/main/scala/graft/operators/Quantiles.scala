@@ -51,4 +51,82 @@ object Quantiles {
       .select(keys ++ Seq(col("pct"), col(valCol).as("pct_value"),
         col("__n").as("n")): _*)
   }
+
+  /** Exact GLOBAL percentiles of one colossal value set by iterative
+    * histogram refinement — the selection algorithm for the case
+    * [[exactPercentiles]]'s per-group sort can't shard: no global
+    * sort, no single-partition window. Each round is one scan that
+    * bucket-counts the surviving range (map-side combined to ≤
+    * `buckets` rows), the driver walks the cumulative histogram to
+    * the target bucket, and the filter narrows — candidates shrink
+    * ~buckets× per round, so a 10¹²-row column needs ~4 scans before
+    * the [[directThreshold]]-sized remainder is picked exactly by a
+    * bounded TakeOrdered. Returns the value AT the rank (type-1, rank
+    * = max(1, ceil(n·p/100)) in integer math), identical to the
+    * sort-based answer: bucket boundaries only steer the search, they
+    * never touch the rank arithmetic, and membership filters reuse
+    * the exact bucket expression, so double rounding at a boundary
+    * cannot lose or double-count a row.
+    *
+    * EAGER: runs its scans at call time; the result is a small local
+    * DataFrame of (pct, pct_value, n).
+    */
+  def exactGlobalPercentiles(df: DataFrame, valCol: String, pcts: Seq[Int],
+                             buckets: Int = 1024,
+                             directThreshold: Long = 1000000L): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100))
+    require(buckets >= 2 && directThreshold >= 1)
+    val spark = df.sparkSession
+    val vals = df.select(col(valCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .transform(Materialize.once) // every refinement round re-reads it
+    val n = vals.count()
+    require(n > 0, "no non-null values")
+
+    def valueAtRank(target: Long): Double = {
+      var cur = vals
+      var remaining = n
+      var offset = 0L // rows ranked strictly below the surviving range
+      var done = false
+      var result = 0.0
+      while (!done) {
+        if (remaining <= directThreshold) {
+          // bounded remainder: k-th smallest via TakeOrdered + max
+          val k = (target - offset).toInt
+          result = cur.orderBy(col("v")).limit(k)
+            .agg(max(col("v"))).head().getDouble(0)
+          done = true
+        } else {
+          val Array(lo, hi) = cur.agg(min(col("v")), max(col("v")))
+            .head().toSeq.map(_.asInstanceOf[Double]).toArray
+          if (lo == hi) { result = lo; done = true }
+          else {
+            // the EXACT expression reused for counting and filtering —
+            // a boundary value lands in one bucket, consistently
+            val bucketExpr = least(lit(buckets - 1),
+              floor((col("v") - lit(lo)) / lit((hi - lo) / buckets)).cast("int"))
+            val hist = cur.groupBy(bucketExpr.as("b"))
+              .agg(count(lit(1)).as("c"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            var cum = offset
+            var b = 0
+            while (b < buckets && cum + hist.getOrElse(b, 0L) < target) {
+              cum += hist.getOrElse(b, 0L); b += 1
+            }
+            cur = cur.filter(bucketExpr === b).transform(Materialize.once)
+            offset = cum
+            remaining = hist.getOrElse(b, 0L)
+          }
+        }
+      }
+      result
+    }
+
+    val rows = pcts.map { p =>
+      val target = math.max(1L, (n * p + 99) / 100)
+      (p, valueAtRank(target), n)
+    }
+    import spark.implicits._
+    rows.toDF("pct", "pct_value", "n")
+  }
 }

@@ -516,6 +516,17 @@ object EtlQueries {
       Seq(25, 50, 75, 95, 99))
       .orderBy("o_orderpriority", "pct")
 
+  /** Exact GLOBAL percentiles over all of lineitem by iterative
+    * histogram refinement — no global sort, no single-partition
+    * window; buckets/threshold sized so sf0.01 already exercises ≥2
+    * refinement rounds. The oracle answers by global rank (algorithm-
+    * independent semantics: the value AT rank ceil(n·p/100)). */
+  val q121GlobalPercentiles: Q = (s, d) =>
+    graft.operators.Quantiles.exactGlobalPercentiles(
+      t(s, d, "lineitem"), "l_extendedprice", Seq(25, 50, 75, 95, 99),
+      buckets = 64, directThreshold = 5000L)
+      .orderBy("pct")
+
   /** As-of join: for each 'view' event, the user's latest 'click' value
     * at-or-before it (point-in-time lookup; ns timestamps make ties
     * impossible). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -597,6 +608,7 @@ object EtlQueries {
     "q44_running_total" -> q44RunningTotal,
     "q45_median" -> q45Median,
     "q111_percentiles" -> q111Percentiles,
+    "q121_global_percentiles" -> q121GlobalPercentiles,
     "q72_moving_window" -> q72MovingWindow,
     "q73_cube" -> q73Cube,
     "q35_left_join_histogram" -> q35LeftJoinHistogram,
@@ -683,6 +695,16 @@ object EtlQueries {
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
     "q45_median" ->
       """SELECT o_orderstatus, CAST(median(o_totalprice) AS DOUBLE) AS median_price, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // global rank selection — the oracle states the SEMANTICS (value
+    // at rank), not the histogram-refinement algorithm
+    "q121_global_percentiles" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |p(pct) AS (VALUES (25), (50), (75), (95), (99))
+        |SELECT pct, v AS pct_value, n FROM r, p, n
+        |WHERE rn = greatest(1, (n * pct + 99) // 100)
+        |ORDER BY pct""".stripMargin,
     // type-1 quantile via integer rank math ((n*p+99)//100); the value
     // is SELECTED, not computed, so doubles port bit-exactly
     "q111_percentiles" ->

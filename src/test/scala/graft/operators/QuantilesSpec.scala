@@ -40,4 +40,34 @@ class QuantilesSpec extends SparkSpec {
     val out = Quantiles.exactPercentiles(df, Seq("k"), "v", Seq(50)).collect()
     assert(out.head.getLong(3) == 7L)
   }
+
+  test("exactGlobalPercentiles: histogram refinement equals the sorted answer") {
+    val rnd = new scala.util.Random(7)
+    val values = Array.fill(5000)(rnd.nextGaussian() * 100.0)
+    val df = values.toSeq.toDF("v")
+    // directThreshold=50 forces several refinement rounds on 5000 rows
+    val out = Quantiles.exactGlobalPercentiles(df, "v", Seq(25, 50, 75, 95, 99),
+      buckets = 16, directThreshold = 50L)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val sorted = values.sorted
+    Seq(25, 50, 75, 95, 99).foreach { p =>
+      val rank = math.max(1L, (values.length.toLong * p + 99) / 100).toInt
+      assert(out(p) == sorted(rank - 1),
+        s"p$p: got ${out(p)}, want ${sorted(rank - 1)}")
+    }
+  }
+
+  test("exactGlobalPercentiles: constant column and heavy duplicates") {
+    val df = (Seq.fill(200)(5.0) ++ Seq.fill(100)(1.0) ++ Seq.fill(100)(9.0))
+      .toDF("v")
+    val out = Quantiles.exactGlobalPercentiles(df, "v", Seq(50, 99),
+      buckets = 4, directThreshold = 10L)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // sorted: 100×1.0, 200×5.0, 100×9.0 → rank200=5.0, rank396=9.0
+    assert(out(50) == 5.0 && out(99) == 9.0)
+    val const = Seq.fill(300)(3.25).toDF("v")
+    val c = Quantiles.exactGlobalPercentiles(const, "v", Seq(50),
+      buckets = 4, directThreshold = 10L).collect()
+    assert(c.head.getDouble(1) == 3.25)
+  }
 }

@@ -70,7 +70,9 @@ object Bm25Index {
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
       .select("doc_id", "dl", "term", "tf")
-    val stats = spark.read.parquet(s"$indexPath/stats")
+    // select the two stat columns: the streaming-maintained index
+    // carries an extra __batch_id guard column here
+    val stats = spark.read.parquet(s"$indexPath/stats").select("n", "sumdl")
     Bm25.scoreAndRank(tf, qTerms, stats, k, k1, b)
   }
 }

@@ -202,6 +202,65 @@ object IncrementalStream {
       }
       .start()
 
+  /** Fold one micro-batch of NEW documents into a persistent BM25
+    * inverted index — the streaming twin of
+    * [[graft.operators.Bm25Index.build]]. Postings land under
+    * `postings/__batch=<id>/bucket=N/` via dynamic partition
+    * overwrite, so a crash-replayed batch REPLACES its own partitions
+    * instead of double-appending; the (n, sumdl) stats sidecar folds
+    * the batch's delta under the same `__batch_id` guard as the
+    * rollup sinks. Write order is postings-then-stats: a crash
+    * between them replays into an identical postings overwrite and a
+    * single stats fold — exactly-once either way.
+    * [[graft.operators.Bm25Index.search]] reads the maintained layout
+    * unchanged (bucket pruning works through the extra __batch partition
+    * level). Contract: doc ids are append-only across batches — an
+    * updated doc needs the batch twin's full rebuild of its buckets. */
+  def applyBm25IndexBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                          idCol: String, textCol: String,
+                          nBuckets: Int): Unit = {
+    import graft.functions.TextFunctions
+    val spark = batch.sparkSession
+    val prior = AtomicTableWriter.read(spark, s"$indexPath/stats")
+    if (prior.flatMap(maxBatchId).exists(_ >= batchId)) return // replay
+    batch.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", TextFunctions.portableHash(col("term")) % nBuckets)
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch", "bucket")
+      .parquet(s"$indexPath/postings")
+    val delta = batch.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast("long")),
+        lit(0L)).as("sumdl"))
+    val next = prior match {
+      case Some(st) => delta.unionByName(st.select("n", "sumdl"))
+        .agg(sum("n").as("n"), sum("sumdl").as("sumdl"))
+      case None => delta
+    }
+    AtomicTableWriter.overwrite(
+      next.withColumn("__batch_id", lit(batchId)), s"$indexPath/stats")
+  }
+
+  /** Streaming BM25 index maintenance: AvailableNow micro-batches of
+    * new documents fold into the persistent inverted index via
+    * [[applyBm25IndexBatch]]. */
+  def bm25IndexSink(docs: DataFrame, idCol: String, textCol: String,
+                    indexPath: String, nBuckets: Int,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBm25IndexBatch(batch, id, indexPath, idCol, textCol, nBuckets)
+      }
+      .start()
+
   /** Streaming SCD2 maintenance: each micro-batch of change events
     * merges into the persisted history via
     * [[graft.operators.Scd2.merge]] — closed versions never rewrite,

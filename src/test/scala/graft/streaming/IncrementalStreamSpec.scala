@@ -394,4 +394,44 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(k1 == Seq(("A", false), ("B", true)))
     assert(hist.filter($"k" === 2).count() == 1)
   }
+
+  test("streaming BM25 index: maintained batches ≡ batch build; replay is a no-op") {
+    import graft.operators.{Bm25, Bm25Index}
+    val root = Files.createTempDirectory("graft-bm25s").toString
+    val idx = s"$root/idx"
+    val b1 = Seq((1L, "spark hash join"), (2L, "table scan spark")).toDF("id", "text")
+    val b2 = Seq((3L, "window sort hash"), (4L, "join join batch")).toDF("id", "text")
+
+    IncrementalStream.applyBm25IndexBatch(b1, 0L, idx, "id", "text", nBuckets = 8)
+    IncrementalStream.applyBm25IndexBatch(b2, 1L, idx, "id", "text", nBuckets = 8)
+
+    val qs = Seq(1 -> "hash join", 2 -> "spark table")
+    val streamed = Bm25Index.search(spark, idx, qs, k = 4, nBuckets = 8)
+      .collect().map(_.toString).sorted.toSeq
+
+    // the batch-built index over the SAME corpus must agree exactly
+    val batchIdx = s"$root/batch"
+    Bm25Index.build(b1.unionByName(b2), "id", "text", batchIdx, nBuckets = 8)
+    val batch = Bm25Index.search(spark, batchIdx, qs, k = 4, nBuckets = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+
+    // crash-replay of batch 1: postings overwrite in place, stats skip
+    IncrementalStream.applyBm25IndexBatch(b2, 1L, idx, "id", "text", nBuckets = 8)
+    val replayed = Bm25Index.search(spark, idx, qs, k = 4, nBuckets = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(replayed == streamed, "replayed batch must not change the index")
+    val stats = spark.read.parquet(s"$idx/stats").collect().head
+    assert(stats.getAs[Long]("n") == 4L)
+
+    // the sink wrapper drains a MemoryStream through the same fold
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String)](spark)
+    docs.addData((10L, "spark hash"), (11L, "sort table"))
+    val idx2 = s"$root/idx2"
+    val q = IncrementalStream.bm25IndexSink(docs.toDF().toDF("id", "text"),
+      "id", "text", idx2, nBuckets = 8, s"$root/cp")
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$idx2/stats").collect().head.getAs[Long]("n") == 2L)
+  }
 }

@@ -279,6 +279,15 @@ object TextQueries {
       thresholdPpm = 800000L)
       .orderBy("id_a", "id_b")
 
+  /** Corpus drift monitoring: per-bucket PSI between the even-id and
+    * odd-id halves of the corpus (two synthetic "snapshots" both
+    * engines construct identically). */
+  val q122DriftPsi: Q = (s, d) =>
+    graft.operators.Drift.psiByBucket(
+      docs(s, d).filter(col("doc_id") % 2 === 0),
+      docs(s, d).filter(col("doc_id") % 2 === 1),
+      "text", buckets = 256)
+
   /** Shared chunk derivation for q50/q52: one row per 64-token window
     * (16-token overlap) with its ordinal and token count. */
   private def chunked(s: SparkSession, d: String): DataFrame =
@@ -644,6 +653,7 @@ object TextQueries {
     "q117_tokenizer_stats" -> q117TokenizerStats,
     "q118_bm25_index" -> q118Bm25Index,
     "q120_containment" -> q120Containment,
+    "q122_drift_psi" -> q122DriftPsi,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -773,6 +783,23 @@ object TextQueries {
     // the indexed path must produce the identical ranking — same
     // replay, the q118 query set
     "q118_bm25_index" -> bm25OracleSql(bm25IndexQueries),
+    // per-bucket PSI with add-one smoothing; contributions quantized
+    // to 1e-9 so the corpus score is an exact integer sum
+    "q122_drift_psi" ->
+      s"""WITH toks AS (
+         |  SELECT 0 AS side, unnest($tok) AS term FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 1 AS side, unnest($tok) AS term FROM documents WHERE doc_id % 2 = 1),
+         |h AS (SELECT side, ${hx("term")} % 256 AS f FROM toks),
+         |cnt AS (SELECT f,
+         |  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_base,
+         |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+         |  FROM h GROUP BY f),
+         |tot AS (SELECT CAST(sum(c_base) AS BIGINT) AS tb, CAST(sum(c_cur) AS BIGINT) AS tc FROM cnt)
+         |SELECT f AS bucket, c_base, c_cur,
+         |  CAST(floor(((c_base + 1.0) / (tb + 256.0) - (c_cur + 1.0) / (tc + 256.0)) *
+         |    ln(((c_base + 1.0) / (tb + 256.0)) / ((c_cur + 1.0) / (tc + 256.0))) * 1000000000.0) AS BIGINT) AS psi_q
+         |FROM cnt, tot ORDER BY bucket""".stripMargin,
     // asymmetric containment over distinct shingle sets — all-integer
     // (ppm containments via //), planted containers by construction
     "q120_containment" ->

@@ -218,6 +218,39 @@ object Sampling {
       Seq(portableHash(col(idCol).cast("string"), seed).asc, col(idCol).asc), k)
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * scheme A-ES): every row gets priority `ln(u)/w` with
+    * `u = (h(seed,id)+1)/2³² ∈ (0,1]` a pure hash — the k LARGEST
+    * priorities are exactly a weight-proportional without-replacement
+    * draw (ln is monotone, so this ranks identically to the paper's
+    * `u^(1/w)` keys without `pow`'s cross-libm drift). No RNG state:
+    * the same rows win on any partitioning, retry, or engine, so the
+    * draw is oracle-checkable.
+    *
+    * 100 TB shape: priority is a per-row projection; global top-k is
+    * `orderBy.limit` → TakeOrderedAndProject (per-partition heaps +
+    * driver merge, never a full sort). The rank window after the limit
+    * touches k rows only.
+    *
+    * @return (rank, idCol, weight, pri_q) — the sample in draw order,
+    *         pri_q = floor(10⁹·priority) for the exactness compare
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Int = 0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val u = (portableHash(col(idCol).cast("string"), seed) + lit(1.0)) /
+      lit(4294967296.0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__pri", log(u) / col(weightCol))
+      .orderBy(col("__pri").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__pri").desc, col(idCol))))
+      .select(col("rank"), col(idCol), col(weightCol).as("weight"),
+        floor(col("__pri") * lit(1e9)).cast("long").as("pri_q"))
+  }
+
   /** Mix corpora with per-source sampling rates, tagging provenance:
     * the reproducible "40% of web, all of books" dataset-mixing step.
     * Columns are unioned by name (sources must share a schema). Each

@@ -288,6 +288,15 @@ object TextQueries {
       docs(s, d).filter(col("doc_id") % 2 === 1),
       "text", buckets = 256)
 
+  /** Length-weighted without-replacement sample: top-100 docs by
+    * Efraimidis–Spirakis priority ln(u)/n_chars — longer docs
+    * proportionally likelier, yet the draw is a pure hash function
+    * (reproducible + oracle-checkable). */
+  val q123WeightedSample: Q = (s, d) =>
+    graft.operators.Sampling.weightedSample(docs(s, d), "doc_id", "n_chars",
+      k = 100, seed = 7)
+      .orderBy("rank")
+
   /** Shared chunk derivation for q50/q52: one row per 64-token window
     * (16-token overlap) with its ordinal and token count. */
   private def chunked(s: SparkSession, d: String): DataFrame =
@@ -654,6 +663,7 @@ object TextQueries {
     "q118_bm25_index" -> q118Bm25Index,
     "q120_containment" -> q120Containment,
     "q122_drift_psi" -> q122DriftPsi,
+    "q123_weighted_sample" -> q123WeightedSample,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -783,6 +793,18 @@ object TextQueries {
     // the indexed path must produce the identical ranking — same
     // replay, the q118 query set
     "q118_bm25_index" -> bm25OracleSql(bm25IndexQueries),
+    // E–S weighted draw: priority ln(u)/w from the (seed, id) hash;
+    // rank on the raw double (distinct by construction), emit 1e-9 floor
+    "q123_weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id, n_chars,
+         |  (${hx("'7:' || CAST(doc_id AS VARCHAR)")} + 1.0) / 4294967296.0 AS u
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |p AS (SELECT doc_id, n_chars, ln(u) / n_chars AS pri FROM w),
+         |r AS (SELECT doc_id, n_chars, pri,
+         |  row_number() OVER (ORDER BY pri DESC, doc_id) AS rank FROM p)
+         |SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_chars AS weight,
+         |  CAST(floor(pri * 1000000000.0) AS BIGINT) AS pri_q
+         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
     // per-bucket PSI with add-one smoothing; contributions quantized
     // to 1e-9 so the corpus score is an exact integer sum
     "q122_drift_psi" ->

@@ -241,4 +241,41 @@ class SamplingSpec extends SparkSpec {
     assert(mixed.columns.contains("source_corpus"))
     mixed.unpersist()
   }
+
+  test("weightedSample: priorities replay exactly; draw is weight-biased") {
+    import spark.implicits._
+    def md5h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString.take(8), 16)
+    }
+    // ids 0..199 light (w=1), 200..219 heavy (w=1000)
+    val df = ((0L until 200L).map((_, 1L)) ++ (200L until 220L).map((_, 1000L)))
+      .toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", "w", k = 20, seed = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    // exact replay of every selected priority
+    out.foreach { case (_, id, priQ) =>
+      val u = (md5h(s"3:$id") + 1.0) / 4294967296.0
+      val w = if (id >= 200) 1000L else 1L
+      assert(priQ == math.floor(math.log(u) / w * 1e9).toLong, s"id=$id")
+    }
+    // heavy rows are 1000× likelier: expect the draw dominated by them
+    val heavy = out.count(_._2 >= 200L)
+    assert(heavy >= 15, s"only $heavy/20 heavy rows drawn — bias broken?")
+    assert(out.map(_._1).toSeq == (1 to 20), "ranks must be 1..k in draw order")
+  }
+
+  test("weightedSample: deterministic across partitionings; zero weights excluded") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, i % 7)).toDF("id", "w")
+    val a = Sampling.weightedSample(df.repartition(1), "id", "w", k = 10, seed = 1)
+      .collect().map(_.toString).toSeq
+    val b = Sampling.weightedSample(df.repartition(13), "id", "w", k = 10, seed = 1)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+    val picked = Sampling.weightedSample(df, "id", "w", k = 100, seed = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(picked.forall(_ % 7 != 0), "w=0 rows must never be drawn")
+  }
 }

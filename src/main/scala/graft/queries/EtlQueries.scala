@@ -527,6 +527,55 @@ object EtlQueries {
       buckets = 64, directThreshold = 5000L)
       .orderBy("pct")
 
+  /** Per-user ordered event sequences — the behavior-sequence
+    * assembly pass for sequential-model training data. `sort_array`
+    * over (ts, event_id, type) structs orders WITHIN the aggregation
+    * (no window sort, one shuffle); the emitted fingerprint pins the
+    * full type sequence while keeping the compared rows small. */
+  val q124UserSequences: Q = (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type")))).as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n_events"),
+        col("seq")(0).getField("event_type").as("first_type"),
+        element_at(col("seq"), -1).getField("event_type").as("last_type"),
+        md5(concat_ws(",", expr("transform(seq, x -> x.event_type)")))
+          .as("seq_fp"))
+      .orderBy("user_id")
+
+  /** Cohort retention matrix: users bucketed by first-seen week
+    * (pure integer week index — epoch_us div one week, no calendar/tz
+    * semantics to diverge on), counted per week offset thereafter. */
+  val q125CohortRetention: Q = (s, d) => {
+    val e = events(s, d)
+      .withColumn("wk", expr("unix_micros(ts) div 604800000000"))
+    val firstWk = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    e.select("user_id", "wk").distinct()
+      .join(firstWk, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  /** Event-type transition matrix with integer-quantized row
+    * probabilities — the Markov-chain summary of user behavior
+    * (lag within (user, time) order, then global pair counts). */
+  val q126EventTransitions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum("n").over(Window.partitionBy(col("prev_type"))))
+      .withColumn("p_q", expr("(n * 1000000) div row_total"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** As-of join: for each 'view' event, the user's latest 'click' value
     * at-or-before it (point-in-time lookup; ns timestamps make ties
     * impossible). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -609,6 +658,9 @@ object EtlQueries {
     "q45_median" -> q45Median,
     "q111_percentiles" -> q111Percentiles,
     "q121_global_percentiles" -> q121GlobalPercentiles,
+    "q124_user_sequences" -> q124UserSequences,
+    "q125_cohort_retention" -> q125CohortRetention,
+    "q126_event_transitions" -> q126EventTransitions,
     "q72_moving_window" -> q72MovingWindow,
     "q73_cube" -> q73Cube,
     "q35_left_join_histogram" -> q35LeftJoinHistogram,
@@ -772,6 +824,37 @@ object EtlQueries {
       """SELECT event_type, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type ORDER BY event_type""",
     "q17_events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q124_user_sequences" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |seq AS (SELECT user_id, list(event_type ORDER BY us, event_id) AS types
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(len(types) AS BIGINT) AS n_events,
+        |  types[1] AS first_type, types[len(types)] AS last_type,
+        |  md5(array_to_string(types, ',')) AS seq_fp
+        |FROM seq ORDER BY user_id""".stripMargin,
+    // integer week index (epoch_us // one week): no calendar/tz drift
+    "q125_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        |  count(DISTINCT a.user_id) AS active_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY cohort_wk, wk - cohort_wk
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
+    "q126_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |lagged AS (SELECT event_type AS next_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM e),
+        |cnt AS (SELECT prev_type, next_type, count(*) AS n
+        |  FROM lagged WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+        |tot AS (SELECT *, CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total FROM cnt)
+        |SELECT prev_type, next_type, n, row_total,
+        |  (n * 1000000) // row_total AS p_q
+        |FROM tot ORDER BY prev_type, next_type""".stripMargin,
     "q18_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events), lagged AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e), flagged AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM lagged), sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM flagged) SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM sess GROUP BY user_id ORDER BY user_id""",
   )

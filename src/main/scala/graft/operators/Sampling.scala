@@ -251,6 +251,29 @@ object Sampling {
         floor(col("__pri") * lit(1e9)).cast("long").as("pri_q"))
   }
 
+  /** Deterministic epoch shuffle: the training-order permutation as a
+    * PURE FUNCTION of (seed, id) — shard = h % nShards, position
+    * within shard by (h, id). The order is uniform-random in
+    * distribution yet reproducible on any cluster/partitioning (no
+    * RNG, no global sort: one key shuffle + shard-local sorts that
+    * parallelize across shards). A new seed is a fresh independent
+    * epoch; writers consume (shard, pos) to lay files out in training
+    * order ([[Export]] handles the bounded-shard write).
+    *
+    * @return input columns ++ (shard, pos) — pos is 1-based within shard
+    */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int,
+                   seed: Int = 0): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    val h = portableHash(col(idCol).cast("string"), seed)
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))))
+      .drop("__h")
+  }
+
   /** Mix corpora with per-source sampling rates, tagging provenance:
     * the reproducible "40% of web, all of books" dataset-mixing step.
     * Columns are unioned by name (sources must share a schema). Each

@@ -297,6 +297,13 @@ object TextQueries {
       k = 100, seed = 7)
       .orderBy("rank")
 
+  /** Epoch-0 training order for the corpus: 8 shards, position by the
+    * (seed, id) hash — the full permutation pinned by the oracle. */
+  val q127EpochShuffle: Q = (s, d) =>
+    graft.operators.Sampling.epochShuffle(
+      docs(s, d).select(col("doc_id")), "doc_id", nShards = 8, seed = 0)
+      .orderBy("shard", "pos")
+
   /** Shared chunk derivation for q50/q52: one row per 64-token window
     * (16-token overlap) with its ordinal and token count. */
   private def chunked(s: SparkSession, d: String): DataFrame =
@@ -664,6 +671,7 @@ object TextQueries {
     "q120_containment" -> q120Containment,
     "q122_drift_psi" -> q122DriftPsi,
     "q123_weighted_sample" -> q123WeightedSample,
+    "q127_epoch_shuffle" -> q127EpochShuffle,
   )
 
   // shared SQL fragments -------------------------------------------------
@@ -793,6 +801,12 @@ object TextQueries {
     // the indexed path must produce the identical ranking — same
     // replay, the q118 query set
     "q118_bm25_index" -> bm25OracleSql(bm25IndexQueries),
+    // full epoch permutation: shard + in-shard position, pure hash
+    "q127_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, ${hx("'0:' || CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+         |SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INTEGER) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin,
     // E–S weighted draw: priority ln(u)/w from the (seed, id) hash;
     // rank on the raw double (distinct by construction), emit 1e-9 floor
     "q123_weighted_sample" ->

@@ -278,4 +278,25 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(picked.forall(_ % 7 != 0), "w=0 rows must never be drawn")
   }
+
+  test("epochShuffle: a permutation, partitioning-invariant, seed-independent epochs") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("id")
+    val a = Sampling.epochShuffle(df.repartition(3), "id", nShards = 4, seed = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // every row exactly once; positions within a shard are 1..size
+    assert(a.map(_._1).sorted.toSeq == (0L until 500L))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    val b = Sampling.epochShuffle(df.repartition(11), "id", nShards = 4, seed = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq, "partitioning must not matter")
+    // a different seed is a different permutation (not the identity diff)
+    val c = Sampling.epochShuffle(df, "id", nShards = 4, seed = 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val aMap = a.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert((0L until 500L).count(i => aMap(i) != c(i)) > 400,
+      "epochs must be independent permutations")
+  }
 }

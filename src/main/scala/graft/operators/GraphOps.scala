@@ -127,4 +127,78 @@ object GraphOps {
        |SELECT node_id, CAST(rank_scaled AS BIGINT) AS rank_scaled
        |FROM r$iterations ORDER BY node_id""".stripMargin
   }
+
+  /** Synchronous label propagation (community detection, Raghavan et
+    * al. 2007) made deterministic: every round each node adopts the
+    * most frequent label among its in-neighbors with the
+    * (count desc, label asc) tie-break — no RNG, no visit order, so
+    * the result is engine-exact and the q128 oracle replays it.
+    * Labels start as the node's own id; a node with no in-edges
+    * keeps its current label.
+    *
+    * Scale shape per round (the pageRank layout): one join of the
+    * node-sized label frame onto edges (labels broadcast below the
+    * same ~1M-node cutoff as [[pageRank]]), one (node, label) count,
+    * one per-node window on re-used partitioning, one node-sized left
+    * join. EAGER like [[pageRank]] (edge materialization + node
+    * count at call time). */
+  def labelPropagation(edges: DataFrame, iterations: Int,
+                       checkpointEvery: Int = 4,
+                       assumeDistinct: Boolean = false): DataFrame = {
+    require(iterations >= 1 && checkpointEvery >= 1)
+    val normalized = edges
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+    val e = Materialize.once(
+      if (assumeDistinct) normalized else normalized.distinct())
+    val nodes = Materialize.once(
+      e.select(col("src").as("node_id"))
+        .union(e.select(col("dst").as("node_id"))).distinct())
+    val nNodes = nodes.count()
+    val labelHint: DataFrame => DataFrame =
+      if (nNodes <= 1000000L) broadcast(_) else identity
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node_id")).orderBy(col("c").desc, col("label"))
+    var labels = nodes.withColumn("label", col("node_id"))
+    for (round <- 1 to iterations) {
+      val winner = e
+        .join(labelHint(labels), e("src") === labels("node_id"))
+        .groupBy(col("dst").as("node_id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node_id"), col("label").as("__new"))
+      val next = labels.join(winner, Seq("node_id"), "left")
+        .select(col("node_id"),
+          coalesce(col("__new"), col("label")).as("label"))
+      labels = if (round % checkpointEvery == 0 && round < iterations)
+        Materialize.once(next)
+      else next
+    }
+    labels.withColumn("community_size",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label"))))
+  }
+
+  /** The q128 oracle for [[labelPropagation]]: unrolled rounds of the
+    * identical frequency/tie-break arithmetic. Lives here so the
+    * semantics and the oracle can never drift apart. */
+  def labelPropagationOracleSql(edgesSql: String, iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""w$i AS (SELECT node_id, label FROM (
+         |  SELECT e.dst AS node_id, l.label,
+         |         row_number() OVER (PARTITION BY e.dst
+         |           ORDER BY count(*) DESC, l.label) AS rn
+         |  FROM edges e JOIN l${i - 1} l ON l.node_id = e.src
+         |  GROUP BY e.dst, l.label) WHERE rn = 1),
+         |l$i AS (SELECT l.node_id, coalesce(w.label, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN w$i w ON l.node_id = w.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |nodes AS (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
+       |l0 AS (SELECT node_id, node_id AS label FROM nodes),
+       |$rounds
+       |SELECT node_id, label,
+       |  count(*) OVER (PARTITION BY label) AS community_size
+       |FROM l$iterations ORDER BY node_id""".stripMargin
+  }
 }

@@ -54,6 +54,22 @@ object WarehouseQueries {
       Seq("event_type"))
       .orderBy("user_id", "version")
 
+  /** Deterministic label-propagation communities on the same
+    * supplier↔part graph as q93 — 3 synchronous rounds, most-frequent
+    * neighbor label with (count desc, label asc) ties, unrolled in
+    * the oracle. */
+  val q128Communities: Q = (s, d) => {
+    val sp = graft.operators.Materialize.once(
+      Tables(s, d, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("s"),
+          concat(lit("p"), col("l_partkey")).as("p"))
+        .distinct())
+    val edges = sp.select(col("s").as("src"), col("p").as("dst"))
+      .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
+    GraphOps.labelPropagation(edges, iterations = 3, assumeDistinct = true)
+      .orderBy("node_id")
+  }
+
   /** Deterministic fixed-point PageRank (3 damped rounds) over the
     * symmetric supplier↔part graph from lineitem. Integer arithmetic
     * end-to-end, so the oracle replays it exactly — see
@@ -186,6 +202,7 @@ object WarehouseQueries {
     "q91_date_spine" -> q91DateSpine,
     "q92_scd2" -> q92Scd2,
     "q93_pagerank" -> q93Pagerank,
+    "q128_communities" -> q128Communities,
     "q94_incremental_agg" -> q94IncrementalAgg,
     "q95_debounce" -> q95Debounce,
     "q96_salted_join" -> q96SaltedJoin,
@@ -242,6 +259,7 @@ object WarehouseQueries {
         |       valid_to IS NULL AS is_current, CAST(version AS INTEGER) AS version
         |FROM versioned ORDER BY user_id, version""".stripMargin,
     "q93_pagerank" -> GraphOps.pageRankOracleSql(pagerankEdgesSql, iterations = 3),
+    "q128_communities" -> GraphOps.labelPropagationOracleSql(pagerankEdgesSql, iterations = 3),
     "q94_incremental_agg" ->
       """SELECT CAST(o_orderdate AS DATE) AS day,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

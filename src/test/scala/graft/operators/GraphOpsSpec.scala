@@ -51,4 +51,32 @@ class GraphOpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(r1 == r2)
   }
+
+  test("labelPropagation: two cliques converge to per-clique communities") {
+    // clique {a,b,c} and clique {x,y,z}, symmetric edges within each
+    def clique(ns: Seq[String]) =
+      for { u <- ns; v <- ns if u != v } yield (u, v)
+    val edges = (clique(Seq("a", "b", "c")) ++ clique(Seq("x", "y", "z")))
+      .toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, iterations = 3)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    // min-label tie-breaks pull each clique to its smallest member
+    assert(Seq("a", "b", "c").map(out(_)._1).distinct.size == 1)
+    assert(Seq("x", "y", "z").map(out(_)._1).distinct.size == 1)
+    assert(out("a")._1 != out("x")._1, "cliques must not merge")
+    assert(out.values.forall(_._2 == 3L), "community_size = clique size")
+  }
+
+  test("labelPropagation: hand-replayed round on a directed path") {
+    // a -> b -> c: round 1: b takes a's label 'a', c takes b's label 'b';
+    // a has no in-edges and keeps 'a'. Round 2: c takes b's CURRENT
+    // label ('a' after round 1)... replay exactly:
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r1 = GraphOps.labelPropagation(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r1 == Map("a" -> "a", "b" -> "a", "c" -> "b"))
+    val r2 = GraphOps.labelPropagation(edges, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r2 == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
 }

@@ -327,6 +327,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"indexed BM25 degraded to SMJ:\n$p")
   }
 
+  test("q112/q122: the bucket-count model table broadcasts back onto the stream") {
+    // DSIR scoring and PSI both build a ≤B-row model — re-attaching it
+    // must be a broadcast, never a corpus-sized shuffle join
+    assert(finalPlan("q112_dsir").contains("BroadcastExchange"))
+    assert(!plan("q112_dsir").contains("SortMergeJoin"))
+    assert(finalPlan("q122_drift_psi").contains("BroadcastExchange"))
+    assert(!plan("q122_drift_psi").contains("SortMergeJoin"))
+  }
+
+  test("q113: co-occurrence marginals broadcast; no positions self-join anywhere") {
+    // the pair explode runs inside the Materialize.once checkpoint job,
+    // so the final plan starts at the checkpoint scan — pin what it CAN
+    // show: every join broadcast (marginals + N), no SMJ, no cartesian
+    val p = finalPlan("q113_cooccur_pmi")
+    assert(p.contains("BroadcastExchange"), s"marginals not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"marginal join degraded to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q128: the node-sized label frame broadcasts against edges each round") {
+    val p = finalPlan("q128_communities")
+    assert(p.contains("BroadcastExchange"), s"labels not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q111: percentile selection is ONE key shuffle plus the window sort") {
     val p = finalPlan("q111_percentiles")
     // rank selection needs exactly one hashpartitioning Exchange (the

@@ -83,50 +83,69 @@ object Quantiles {
     val n = vals.count()
     require(n > 0, "no non-null values")
 
-    def valueAtRank(target: Long): Double = {
-      var cur = vals
-      var remaining = n
-      var offset = 0L // rows ranked strictly below the surviving range
-      var done = false
-      var result = 0.0
-      while (!done) {
-        if (remaining <= directThreshold) {
-          // bounded remainder: k-th smallest via TakeOrdered + max
-          val k = (target - offset).toInt
-          result = cur.orderBy(col("v")).limit(k)
-            .agg(max(col("v"))).head().getDouble(0)
-          done = true
-        } else {
-          val Array(lo, hi) = cur.agg(min(col("v")), max(col("v")))
-            .head().toSeq.map(_.asInstanceOf[Double]).toArray
-          if (lo == hi) { result = lo; done = true }
-          else {
-            // the EXACT expression reused for counting and filtering —
-            // a boundary value lands in one bucket, consistently
-            val bucketExpr = least(lit(buckets - 1),
-              floor((col("v") - lit(lo)) / lit((hi - lo) / buckets)).cast("int"))
-            val hist = cur.groupBy(bucketExpr.as("b"))
-              .agg(count(lit(1)).as("c"))
-              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-            var cum = offset
-            var b = 0
-            while (b < buckets && cum + hist.getOrElse(b, 0L) < target) {
-              cum += hist.getOrElse(b, 0L); b += 1
-            }
-            cur = cur.filter(bucketExpr === b).transform(Materialize.once)
-            offset = cum
-            remaining = hist.getOrElse(b, 0L)
-          }
+    // bounded remainder: (target−offset)-th smallest via TakeOrdered+max
+    def directPick(cur: DataFrame, target: Long, offset: Long): Double =
+      cur.orderBy(col("v")).limit((target - offset).toInt)
+        .agg(max(col("v"))).head().getDouble(0)
+
+    // refinement from a given surviving range; the EXACT bucket
+    // expression is reused for counting and filtering, so boundary
+    // rounding can never lose or double-count a row
+    def refine(cur0: DataFrame, remaining0: Long, offset0: Long,
+               target: Long): Double = {
+      var cur = cur0; var remaining = remaining0; var offset = offset0
+      while (true) {
+        if (remaining <= directThreshold) return directPick(cur, target, offset)
+        val Array(lo, hi) = cur.agg(min(col("v")), max(col("v")))
+          .head().toSeq.map(_.asInstanceOf[Double]).toArray
+        if (lo == hi) return lo
+        val bucketExpr = least(lit(buckets - 1),
+          floor((col("v") - lit(lo)) / lit((hi - lo) / buckets)).cast("int"))
+        val hist = cur.groupBy(bucketExpr.as("b")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        var cum = offset; var b = 0
+        while (b < buckets && cum + hist.getOrElse(b, 0L) < target) {
+          cum += hist.getOrElse(b, 0L); b += 1
         }
+        cur = cur.filter(bucketExpr === b).transform(Materialize.once)
+        offset = cum
+        remaining = hist.getOrElse(b, 0L)
       }
-      result
+      0.0 // unreachable
     }
 
-    val rows = pcts.map { p =>
-      val target = math.max(1L, (n * p + 99) / 100)
-      (p, valueAtRank(target), n)
-    }
+    // the ONLY corpus-sized scans happen once, SHARED by all targets:
+    // one (min, max) pass and one top-level histogram. Each target then
+    // refines inside its own bucket (per-bucket frames memoized so
+    // targets landing in the same bucket reuse one checkpoint).
+    val targets = pcts.map(p => p -> math.max(1L, (n * p + 99) / 100))
+    val values: Map[Long, Double] =
+      if (n <= directThreshold)
+        targets.map(_._2).distinct.map(t => t -> directPick(vals, t, 0L)).toMap
+      else {
+        val Array(lo, hi) = vals.agg(min(col("v")), max(col("v")))
+          .head().toSeq.map(_.asInstanceOf[Double]).toArray
+        if (lo == hi) targets.map(_._2).distinct.map(t => t -> lo).toMap
+        else {
+          val bucketExpr = least(lit(buckets - 1),
+            floor((col("v") - lit(lo)) / lit((hi - lo) / buckets)).cast("int"))
+          val hist = vals.groupBy(bucketExpr.as("b")).agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val cumBefore = (0 until buckets)
+            .scanLeft(0L)((acc, b) => acc + hist.getOrElse(b, 0L))
+          val bucketFrames = scala.collection.mutable.Map.empty[Int, DataFrame]
+          targets.map(_._2).distinct.map { t =>
+            var b = 0
+            while (b < buckets && cumBefore(b + 1) < t) b += 1
+            val frame = bucketFrames.getOrElseUpdate(b,
+              Materialize.once(vals.filter(bucketExpr === b)))
+            t -> refine(frame, hist.getOrElse(b, 0L), cumBefore(b), t)
+          }.toMap
+        }
+      }
+
     import spark.implicits._
-    rows.toDF("pct", "pct_value", "n")
+    targets.map { case (p, t) => (p, values(t), n) }
+      .toDF("pct", "pct_value", "n")
   }
 }

@@ -141,6 +141,60 @@ object TimeOps {
     * ordering — Spark plans one Exchange + one sort, per-row lag
     * state only. No self-join against the burst extent.
     */
+  /** Per-key daily resample with last-observation-carried-forward —
+    * the time-series regularization step (sparse sensor/event readings
+    * → a dense per-key daily series) feeding forecasting or
+    * feature-store pipelines.
+    *
+    * Days are INTEGER epoch-day indexes (`unix_micros div 86400e6`) —
+    * no calendar/timezone semantics to diverge on. The fill is the
+    * union-marker trick (the AsofJoin layout): observations and grid
+    * markers interleave in one per-key window ordered by
+    * (day, marker-last, ts, event-seq), and `last(value, ignoreNulls)`
+    * carries the latest observation into each marker — ONE key
+    * shuffle, no per-day join. A same-day observation lands before its
+    * marker, so day D's row reflects everything through D.
+    *
+    * 100 TB shape: the day spine is a broadcast `spark.range`; the
+    * grid is keys × days (emit only keys that exist). The window sorts
+    * each key's (obs + days) rows once; keys parallelize.
+    *
+    * @return (keyCols…, day, value_ffill, last_obs_day) — one row per
+    *         key per day in [min day, max day] of the input;
+    *         value_ffill null until the key's first observation
+    */
+  def resampleFfill(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    seqCol: String, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val keys = keyCols.map(col)
+    val e = df.select(keys ++ Seq(
+      expr(s"unix_micros($tsCol) div 86400000000").as("day"),
+      unix_micros(col(tsCol)).as("__us"),
+      col(seqCol).cast("long").as("__seq"),
+      col(valCol).as("__v")): _*)
+      .transform(Materialize.once) // bounds + grid keys + obs all read it
+    val Array(loD, hiD) = e.agg(min("day"), max("day"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val spine = spark.range(loD, hiD + 1).toDF("day")
+    val grid = e.select(keys: _*).distinct()
+      .crossJoin(broadcast(spine))
+      .select(keys ++ Seq(col("day"),
+        lit(Long.MaxValue).as("__us"), lit(Long.MaxValue).as("__seq"),
+        lit(null).cast(df.schema(valCol).dataType).as("__v"),
+        lit(1).as("__grid")): _*)
+    val obs = e.withColumn("__grid", lit(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*)
+      .orderBy(col("day"), col("__grid"), col("__us"), col("__seq"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    obs.unionByName(grid)
+      .withColumn("value_ffill", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("last_obs_day",
+        last(when(col("__grid") === 0, col("day")), ignoreNulls = true).over(w))
+      .filter(col("__grid") === 1)
+      .select(keys ++ Seq(col("day"), col("value_ffill"), col("last_obs_day")): _*)
+  }
+
   def collapseBursts(df: DataFrame, keyCols: Seq[String], tsCol: String,
                      tieBreak: String, gapSeconds: Long): DataFrame = {
     require(keyCols.nonEmpty && gapSeconds > 0, "need keys and a positive gap")

@@ -576,6 +576,15 @@ object EtlQueries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Per-user daily forward-fill resample: sparse events → a dense
+    * integer-epoch-day grid with last-observation-carried-forward
+    * (and the observation's day). One key shuffle — see
+    * [[graft.operators.TimeOps.resampleFfill]]. */
+  val q129ResampleFfill: Q = (s, d) =>
+    graft.operators.TimeOps.resampleFfill(
+      events(s, d), Seq("user_id"), "ts", "event_id", "value")
+      .orderBy("user_id", "day")
+
   /** As-of join: for each 'view' event, the user's latest 'click' value
     * at-or-before it (point-in-time lookup; ns timestamps make ties
     * impossible). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -659,6 +668,7 @@ object EtlQueries {
     "q111_percentiles" -> q111Percentiles,
     "q121_global_percentiles" -> q121GlobalPercentiles,
     "q124_user_sequences" -> q124UserSequences,
+    "q129_resample_ffill" -> q129ResampleFfill,
     "q125_cohort_retention" -> q125CohortRetention,
     "q126_event_transitions" -> q126EventTransitions,
     "q72_moving_window" -> q72MovingWindow,
@@ -824,6 +834,25 @@ object EtlQueries {
       """SELECT event_type, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type ORDER BY event_type""",
     "q17_events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // union-marker LOCF replay: same (day, marker-last, ts, seq) order,
+    // last_value IGNORE NULLS carries obs into grid rows
+    "q129_resample_ffill" ->
+      """WITH e AS (SELECT user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id AS seq, value AS v FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |spine AS (SELECT unnest(range((SELECT lo FROM b), (SELECT hi FROM b) + 1)) AS day),
+        |grid AS (SELECT u.user_id, s.day, 9223372036854775807 AS us,
+        |  9223372036854775807 AS seq, CAST(NULL AS DOUBLE) AS v, 1 AS g
+        |  FROM (SELECT DISTINCT user_id FROM e) u, spine s),
+        |obs AS (SELECT user_id, day, us, seq, v, 0 AS g FROM e),
+        |u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+        |f AS (SELECT user_id, day, g,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day, g, us, seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+        |  last_value(CASE WHEN g = 0 THEN day END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day, g, us, seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_obs_day
+        |  FROM u)
+        |SELECT user_id, day, value_ffill, CAST(last_obs_day AS BIGINT) AS last_obs_day
+        |FROM f WHERE g = 1 ORDER BY user_id, day""".stripMargin,
     "q124_user_sequences" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

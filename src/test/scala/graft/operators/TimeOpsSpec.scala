@@ -120,4 +120,28 @@ class TimeOpsSpec extends SparkSpec {
       .select("eid").as[Long].collect()
     assert(head.toSeq == Seq(3L)) // lower eid is the head
   }
+
+  test("resampleFfill: dense daily grid, carry-forward, same-day latest wins") {
+    def ts(day: Long, h: Int) =
+      new java.sql.Timestamp((day * 86400L + h * 3600L) * 1000L)
+    val df = Seq(
+      ("a", ts(2, 1), 1L, 10.0),
+      ("a", ts(4, 1), 2L, 20.0),
+      ("a", ts(4, 9), 3L, 30.0),  // later same-day obs must win
+      ("b", ts(1, 5), 4L, 5.0))
+      .toDF("k", "t", "eid", "v")
+    val out = TimeOps.resampleFfill(df, Seq("k"), "t", "eid", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2))),
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    // global day range 1..4, both keys gridded
+    assert(out.size == 8)
+    assert(out(("a", 1L)) == ((None, None)), "before first obs: nulls")
+    assert(out(("a", 2L)) == ((Some(10.0), Some(2L))))
+    assert(out(("a", 3L)) == ((Some(10.0), Some(2L))), "gap day carries")
+    assert(out(("a", 4L)) == ((Some(30.0), Some(4L))), "same-day latest wins")
+    assert(out(("b", 4L)) == ((Some(5.0), Some(1L))))
+  }
 }

@@ -576,6 +576,26 @@ object EtlQueries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Multi-field record linkage over customers ∪ dirty copies (every
+    * 10th customer re-stated under id+3,000,000 with its name's 2nd
+    * char dropped): fuzzy-name blocking + weighted integer agreement
+    * score. The oracle recomputes scores over a BRUTE-FORCE cross
+    * join — a hash match proves the blocking found every pair. */
+  val q130RecordLinkage: Q = (s, d) => {
+    val base = t(s, d, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val dirty = base.filter(col("c_custkey") % 10 === 0)
+      .select((col("c_custkey") + 3000000).as("c_custkey"),
+        concat(substring(col("c_name"), 1, 1), substring(col("c_name"), 3, 1000))
+          .as("c_name"),
+        col("c_nationkey"), col("c_mktsegment"))
+    graft.operators.RecordLinkage.link(base.unionByName(dirty),
+      "c_custkey", "c_name",
+      Seq("c_nationkey" -> 15, "c_mktsegment" -> 15),
+      nameWeightByDist = Seq(50, 30, 20), threshold = 45)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-user daily forward-fill resample: sparse events → a dense
     * integer-epoch-day grid with last-observation-carried-forward
     * (and the observation's day). One key shuffle — see
@@ -669,6 +689,7 @@ object EtlQueries {
     "q121_global_percentiles" -> q121GlobalPercentiles,
     "q124_user_sequences" -> q124UserSequences,
     "q129_resample_ffill" -> q129ResampleFfill,
+    "q130_record_linkage" -> q130RecordLinkage,
     "q125_cohort_retention" -> q125CohortRetention,
     "q126_event_transitions" -> q126EventTransitions,
     "q72_moving_window" -> q72MovingWindow,
@@ -834,6 +855,25 @@ object EtlQueries {
       """SELECT event_type, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type ORDER BY event_type""",
     "q17_events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // brute-force rescoring of every pair — completeness proof for the
+    // deletion-neighborhood blocking (all-integer score surface)
+    "q130_record_linkage" ->
+      """WITH corpus AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 3000000, substr(c_name, 1, 1) || substr(c_name, 3),
+        |    c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS d,
+        |  (CASE WHEN a.c_nationkey = b.c_nationkey THEN 15 ELSE 0 END) +
+        |  (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 15 ELSE 0 END) AS fs
+        |  FROM corpus a JOIN corpus b ON a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, CAST(d AS INTEGER) AS name_dist,
+        |  CAST((CASE d WHEN 0 THEN 50 WHEN 1 THEN 30 ELSE 20 END) + fs AS INTEGER) AS score
+        |FROM p
+        |WHERE d <= 2 AND (CASE d WHEN 0 THEN 50 WHEN 1 THEN 30 ELSE 20 END) + fs >= 45
+        |ORDER BY id_a, id_b""".stripMargin,
     // union-marker LOCF replay: same (day, marker-last, ts, seq) order,
     // last_value IGNORE NULLS carries obs into grid rows
     "q129_resample_ffill" ->

@@ -65,4 +65,39 @@ object MergeOps {
     * single-side case allowed (run_etl_with_retries.py:41-44). */
   def combineStores(frames: Seq[DataFrame]): DataFrame =
     frames.reduce(_.unionByName(_))
+
+  /** CDC-style snapshot diff: classify every key as insert / delete /
+    * update / unchanged between two versions of a table — the change
+    * feed a downstream incremental consumer (or an audit) wants from
+    * two [[graft.sources.VersionedTable]] snapshots.
+    *
+    * Value comparison hashes the non-key columns through a canonical
+    * string rendering (null → a reserved sentinel) — each engine
+    * compares its OWN renderings, so equal values always classify
+    * `unchanged` and any real change flips to `update`; the hash never
+    * crosses engines. One full-outer hash join on the keys, both
+    * sides shuffled once; at 100 TB diff two bucketed snapshots so
+    * the join is co-partitioned.
+    *
+    * @return keyCols ++ (op) for every key where op ≠ 'unchanged'
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      "snapshotDiff: schemas must match")
+    val dataCols = after.columns.filterNot(keyCols.contains).sorted
+    def hashed(df: DataFrame, as: String) = df.select(
+      keyCols.map(col) :+ md5(concat_ws("\u0001",
+        dataCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        .as(as): _*)
+    hashed(before, "__hb")
+      .join(hashed(after, "__ha"), keyCols, "full_outer")
+      .withColumn("op",
+        when(col("__hb").isNull, "insert")
+          .when(col("__ha").isNull, "delete")
+          .when(col("__hb") =!= col("__ha"), "update")
+          .otherwise("unchanged"))
+      .filter(col("op") =!= "unchanged")
+      .select(keyCols.map(col) :+ col("op"): _*)
+  }
 }

@@ -173,8 +173,10 @@ object TimeOps {
       col(seqCol).cast("long").as("__seq"),
       col(valCol).as("__v")): _*)
       .transform(Materialize.once) // bounds + grid keys + obs all read it
-    val Array(loD, hiD) = e.agg(min("day"), max("day"))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val boundsRow = e.agg(min("day"), max("day")).head()
+    require(!boundsRow.isNullAt(0),
+      "resampleFfill: input has no rows — nothing to grid")
+    val (loD, hiD) = (boundsRow.getLong(0), boundsRow.getLong(1))
     val spine = spark.range(loD, hiD + 1).toDF("day")
     val grid = e.select(keys: _*).distinct()
       .crossJoin(broadcast(spine))

@@ -596,6 +596,22 @@ object EtlQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** CDC snapshot diff between two constructed order-table versions:
+    * before = pre-1998 orders; after = all orders with a +1.00
+    * correction on every key ≡ 0 (mod 100). Inserts are the 1998+
+    * keys, updates the corrected pre-1998 keys; the oracle classifies
+    * by explicit column comparison (the operator hashes — equivalent
+    * per engine). */
+  val q131SnapshotDiff: Q = (s, d) => {
+    val orders = t(s, d, "orders")
+    val before = orders.filter(year(col("o_orderdate")) < 1998)
+    val after = orders.withColumn("o_totalprice",
+      col("o_totalprice") +
+        when(col("o_orderkey") % 100 === 0, 1.0).otherwise(0.0))
+    graft.operators.MergeOps.snapshotDiff(before, after, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   /** Per-user daily forward-fill resample: sparse events → a dense
     * integer-epoch-day grid with last-observation-carried-forward
     * (and the observation's day). One key shuffle — see
@@ -690,6 +706,7 @@ object EtlQueries {
     "q124_user_sequences" -> q124UserSequences,
     "q129_resample_ffill" -> q129ResampleFfill,
     "q130_record_linkage" -> q130RecordLinkage,
+    "q131_snapshot_diff" -> q131SnapshotDiff,
     "q125_cohort_retention" -> q125CohortRetention,
     "q126_event_transitions" -> q126EventTransitions,
     "q72_moving_window" -> q72MovingWindow,
@@ -855,6 +872,25 @@ object EtlQueries {
       """SELECT event_type, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type ORDER BY event_type""",
     "q17_events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // explicit column-compare classification (engine-local hashes on
+    // the Spark side are equivalent: equal values render equal)
+    "q131_snapshot_diff" ->
+      """WITH before AS (SELECT * FROM orders WHERE year(o_orderdate) < 1998),
+        |after AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + (CASE WHEN o_orderkey % 100 = 0 THEN 1.0 ELSE 0.0 END) AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders),
+        |d AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |       WHEN a.o_orderkey IS NULL THEN 'delete'
+        |       WHEN (b.o_custkey IS DISTINCT FROM a.o_custkey)
+        |         OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
+        |         OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice)
+        |         OR (b.o_orderdate IS DISTINCT FROM a.o_orderdate)
+        |         OR (b.o_orderpriority IS DISTINCT FROM a.o_orderpriority)
+        |       THEN 'update' ELSE 'unchanged' END AS op
+        |  FROM before b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey)
+        |SELECT o_orderkey, op FROM d WHERE op <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
     // brute-force rescoring of every pair — completeness proof for the
     // deletion-neighborhood blocking (all-integer score surface)
     "q130_record_linkage" ->

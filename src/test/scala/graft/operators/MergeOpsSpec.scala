@@ -94,4 +94,26 @@ class MergeOpsSpec extends SparkSpec {
     val only = table(("1", "x", 1.0))
     assert(MergeOps.combineStores(Seq(only)).count() == 1)
   }
+
+  test("snapshotDiff: insert/delete/update classified; unchanged suppressed") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, "a", 10.0), (2L, "b", 99.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val out = MergeOps.snapshotDiff(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+  }
+
+  test("snapshotDiff: null vs value is an update; null vs null is unchanged") {
+    import spark.implicits._
+    val before = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "s")
+    val after = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "s")
+    val out = MergeOps.snapshotDiff(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "update"), s"got $out")
+  }
 }

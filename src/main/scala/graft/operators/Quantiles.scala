@@ -99,8 +99,13 @@ object Quantiles {
         val Array(lo, hi) = cur.agg(min(col("v")), max(col("v")))
           .head().toSeq.map(_.asInstanceOf[Double]).toArray
         if (lo == hi) return lo
+        // adjacent-double range: width underflows to 0 and every row
+        // would land in one bucket forever — pick directly instead
+        val width = (hi - lo) / buckets
+        if (width == 0.0 || !java.lang.Double.isFinite(width))
+          return directPick(cur, target, offset)
         val bucketExpr = least(lit(buckets - 1),
-          floor((col("v") - lit(lo)) / lit((hi - lo) / buckets)).cast("int"))
+          floor((col("v") - lit(lo)) / lit(width)).cast("int"))
         val hist = cur.groupBy(bucketExpr.as("b")).agg(count(lit(1)).as("c"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         var cum = offset; var b = 0
@@ -126,6 +131,9 @@ object Quantiles {
         val Array(lo, hi) = vals.agg(min(col("v")), max(col("v")))
           .head().toSeq.map(_.asInstanceOf[Double]).toArray
         if (lo == hi) targets.map(_._2).distinct.map(t => t -> lo).toMap
+        else if ((hi - lo) / buckets == 0.0 ||
+          !java.lang.Double.isFinite((hi - lo) / buckets))
+          targets.map(_._2).distinct.map(t => t -> directPick(vals, t, 0L)).toMap
         else {
           val bucketExpr = least(lit(buckets - 1),
             floor((col("v") - lit(lo)) / lit((hi - lo) / buckets)).cast("int"))

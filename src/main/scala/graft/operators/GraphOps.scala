@@ -156,17 +156,19 @@ object GraphOps {
     val nNodes = nodes.count()
     val labelHint: DataFrame => DataFrame =
       if (nNodes <= 1000000L) broadcast(_) else identity
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node_id")).orderBy(col("c").desc, col("label"))
     var labels = nodes.withColumn("label", col("node_id"))
     for (round <- 1 to iterations) {
+      // argmax-by-(count desc, label asc) as ONE aggregate — min of
+      // struct(-c, label) — instead of a window: both (node, label)
+      // and (node) phases partial-aggregate map-side, and there is no
+      // per-node sort
       val winner = e
         .join(labelHint(labels), e("src") === labels("node_id"))
         .groupBy(col("dst").as("node_id"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("node_id"), col("label").as("__new"))
+        .groupBy("node_id")
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("__w"))
+        .select(col("node_id"), col("__w.label").as("__new"))
       val next = labels.join(winner, Seq("node_id"), "left")
         .select(col("node_id"),
           coalesce(col("__new"), col("label")).as("label"))

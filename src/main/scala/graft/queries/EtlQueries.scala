@@ -592,7 +592,9 @@ object EtlQueries {
     graft.operators.RecordLinkage.link(base.unionByName(dirty),
       "c_custkey", "c_name",
       Seq("c_nationkey" -> 15, "c_mktsegment" -> 15),
-      nameWeightByDist = Seq(50, 30, 20), threshold = 45)
+      // radius-1 blocking: the dirty copies are single-char deletions,
+      // and radius-2 key fan-out costs ~|name|× more for no recall here
+      nameWeightByDist = Seq(50, 30), threshold = 45)
       .orderBy("id_a", "id_b")
   }
 
@@ -906,9 +908,9 @@ object EtlQueries {
         |  (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 15 ELSE 0 END) AS fs
         |  FROM corpus a JOIN corpus b ON a.c_custkey < b.c_custkey)
         |SELECT id_a, id_b, CAST(d AS INTEGER) AS name_dist,
-        |  CAST((CASE d WHEN 0 THEN 50 WHEN 1 THEN 30 ELSE 20 END) + fs AS INTEGER) AS score
+        |  CAST((CASE d WHEN 0 THEN 50 ELSE 30 END) + fs AS INTEGER) AS score
         |FROM p
-        |WHERE d <= 2 AND (CASE d WHEN 0 THEN 50 WHEN 1 THEN 30 ELSE 20 END) + fs >= 45
+        |WHERE d <= 1 AND (CASE d WHEN 0 THEN 50 ELSE 30 END) + fs >= 45
         |ORDER BY id_a, id_b""".stripMargin,
     // union-marker LOCF replay: same (day, marker-last, ts, seq) order,
     // last_value IGNORE NULLS carries obs into grid rows

@@ -61,11 +61,18 @@ object RangeJoin {
     * `[bStart, bEnd)` intersect. Same bin construction on both sides;
     * a pair colliding in several bins is canonicalized to the FIRST
     * shared bin (max of the two start bins), so each overlapping pair
-    * emits exactly once without a distinct. */
+    * emits exactly once without a distinct.
+    *
+    * `keyPairs` adds equi-key conjuncts `(aKey, bKey)` to the join —
+    * intervals then only meet within the same key (a per-entity
+    * overlap join), and the shuffle partitions on (key, bin) rather
+    * than bin alone, so a hot time range spreads across the key
+    * space instead of landing in one bin's partition. */
   def intervalOverlapJoin(a: DataFrame, b: DataFrame,
                           aStart: String, aEnd: String,
                           bStart: String, bEnd: String,
-                          binWidth: Long): DataFrame = {
+                          binWidth: Long,
+                          keyPairs: Seq[(String, String)] = Nil): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val overlap = a.columns.toSet.intersect(b.columns.toSet)
     require(overlap.isEmpty,
@@ -74,10 +81,14 @@ object RangeJoin {
       .filter(col(s) < col(e))
       .withColumn("__bin", explode(sequence(
         floorDiv(col(s), binWidth), floorDiv(col(e) - 1, binWidth))))
-    binsOf(a, aStart, aEnd).join(binsOf(b, bStart, bEnd), Seq("__bin"))
+    val cond = keyPairs.foldLeft(col("__a.__bin") === col("__b.__bin")) {
+      case (c, (ka, kb)) => c && col(s"__a.$ka") === col(s"__b.$kb")
+    }
+    binsOf(a, aStart, aEnd).alias("__a")
+      .join(binsOf(b, bStart, bEnd).alias("__b"), cond)
       .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
       // first shared bin = bin of max(aStart, bStart): emit-once guard
-      .filter(col("__bin") ===
+      .filter(col(s"__a.__bin") ===
         floorDiv(greatest(col(aStart), col(bStart)), binWidth))
       .drop("__bin")
   }

@@ -51,6 +51,31 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("keyed interval overlap: pairs meet only within their key, each once") {
+    val rnd = new scala.util.Random(41)
+    val as = (1 to 150).map { i =>
+      val s = rnd.nextInt(300)
+      (i.toLong, (i % 5).toLong, s.toLong, (s + 1 + rnd.nextInt(30)).toLong)
+    }
+    val bs = (1 to 150).map { j =>
+      val s = rnd.nextInt(300)
+      (j.toLong, (j % 5).toLong, s.toLong, (s + 1 + rnd.nextInt(30)).toLong)
+    }
+    val adf = as.toDF("aid", "ak", "as", "ae")
+    val bdf = bs.toDF("bid", "bk", "bs", "be")
+    val expected = (for {
+      (aid, ak, s1, e1) <- as
+      (bid, bk, s2, e2) <- bs
+      if ak == bk && s1 < e2 && s2 < e1
+    } yield (aid, bid)).toList.sorted
+    for (w <- Seq(4L, 32L)) {
+      val got = RangeJoin.intervalOverlapJoin(adf, bdf, "as", "ae", "bs", "be",
+          w, keyPairs = Seq(("ak", "bk")))
+        .select("aid", "bid").as[(Long, Long)].collect().toList.sorted
+      assert(got == expected, s"binWidth=$w (cross-key leak, dup or miss)")
+    }
+  }
+
   test("plans a hash join on the bin key, not a nested loop") {
     val idf = Seq((1L, 0L, 10L)).toDF("iid", "s", "e")
     val pdf = (1L to 100L).map(p => (p, p)).toDF("pid", "p")

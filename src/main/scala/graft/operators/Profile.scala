@@ -48,7 +48,7 @@ object Profile {
     * `present` (# non-zero registers) and `zsum` (Σ 2^-register over
     * them): absent buckets contribute 2^0 = 1 each, zeros = m−present
     * (every seen bucket has register ≥ 1). */
-  private def estimate(m: Int, present: Column, zsum: Column): Column = {
+  private[operators] def estimate(m: Int, present: Column, zsum: Column): Column = {
     val raw = lit(alpha(m) * m * m) / ((lit(m.toDouble) - present.cast("double")) + zsum)
     val zeros = lit(m.toLong) - present
     when(raw <= lit(2.5 * m) && zeros > 0L,

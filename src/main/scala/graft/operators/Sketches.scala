@@ -124,6 +124,52 @@ object Sketches {
     conv(substring(md5(concat(lit("hll:"), key.cast("string"))), 1, 15), 16, 10)
       .cast("long")
 
+  /** Sliding-window distinct estimates from DAILY HLL register state:
+    * the "7-day active users" family without ever re-scanning the
+    * window. One pass over the data builds per-(day, bucket) registers
+    * (the only data-sized shuffle, map-side combined); the rolling
+    * merge is a range-window MAX over the register table — whose size
+    * is days × 2^b, CONTROL-PLANE scale regardless of corpus bytes —
+    * and the estimate is [[Profile]]'s dyadic-exact formula, so the
+    * result is a pure integer function of the register state
+    * (hash-reproducible in the DuckDB oracle).
+    *
+    * The window is calendar-based: `day` is an epoch-day LONG and the
+    * RANGE frame spans `windowDays - 1` preceding day VALUES, so gaps
+    * in the data cannot stretch the window. Output rows exist for the
+    * days present in `df` (a day with zero events has no row — emit a
+    * date spine upstream if every calendar day must appear).
+    *
+    * @return (day, distinct_est) ordered by day
+    */
+  def slidingDistinct(df: DataFrame, dayCol: String, keyCol: String,
+                      b: Int, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val m = 1 << b
+    val daily = df
+      .select(col(dayCol).cast("long").as("day"),
+        hllBucket(col(keyCol), b).as("bucket"),
+        hllRegister(col(keyCol), b).as("r"))
+      .where(col("day").isNotNull && col("bucket").isNotNull)
+      .groupBy("day", "bucket").agg(max(col("r")).as("r"))
+    val spine = df.select(col(dayCol).cast("long").as("day"))
+      .where(col("day").isNotNull).distinct()
+      .select(col("day"), explode(sequence(lit(0L), lit((m - 1).toLong))).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    spine.join(daily, Seq("day", "bucket"), "left")
+      .na.fill(0L, Seq("r"))
+      .withColumn("rw", max(col("r")).over(w))
+      .groupBy("day")
+      .agg(sum(when(col("rw") > 0, 1L).otherwise(0L)).as("present"),
+        sum(when(col("rw") > 0, pow(lit(2.0), -col("rw")))).as("zsum"))
+      .select(col("day"),
+        Profile.estimate(m, col("present"), coalesce(col("zsum"), lit(0.0)))
+          .as("distinct_est"))
+      .orderBy("day")
+  }
+
   /** Bloom filter state over a key column: the DISTINCT set-bit
     * positions for `k` Kirsch–Mitzenmacher hash functions over an
     * `m`-bit filter — at most `min(k·n, m)` rows, mergeable by plain

@@ -219,4 +219,58 @@ object TimeOps {
       .filter(col("__rn") === 1)
       .drop("__rn", "__burst")
   }
+
+  /** Per-key ordinary-least-squares trend fit over (x, y) points —
+    * "is this metric trending up?" as ONE aggregation, exact across
+    * engines and cluster sizes because every step is integer:
+    * {{{
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    * }}}
+    * both emitted floor-quantized to 10⁻⁶ (ppm). x is REBASED to the
+    * global minimum first (slope is translation-invariant — exactly
+    * so in integer arithmetic — and the intercept becomes the fitted
+    * value at the corpus' first x, a bounded, meaningful number).
+    *
+    * Floor on possibly-negative rationals is made engine-portable by
+    * the positive-shift identity `floor(a/b) = (a + K·b) div b − K`
+    * for `a + K·b ≥ 0` — truncating and flooring division agree on
+    * positives. K = 10¹² (slope), 10¹⁸ (intercept).
+    *
+    * Magnitude contract (enforced driver-side on the rebased domain):
+    * rebased x spans < 10⁷ and |y| < 10¹³ with n < 10⁷ points per key
+    * keep every intermediate inside DECIMAL(38)/HUGEINT.
+    *
+    * 100 TB shape: one partial-aggregated shuffle on the key; the
+    * global x-min is a one-row broadcast. Keys where all x coincide
+    * (den = 0) emit NULL slope/intercept.
+    *
+    * @return (key, n_points, slope_ppm, intercept_ppm)
+    */
+  def trendFit(df: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .where(col("__k").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
+    val x0 = base.agg(min(col("__x")).as("__x0"))
+    val dec = "decimal(38,0)"
+    val stats = base.crossJoin(broadcast(x0))
+      .select(col("__k"), (col("__x") - col("__x0")).as("__x"), col("__y"))
+      .groupBy("__k")
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__x").cast(dec)).as("sx"),
+        sum(col("__y").cast(dec)).as("sy"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("sxy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("sxx"))
+      .withColumn("num_s", col("n_points").cast(dec) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("num_i", col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .withColumn("den", col("n_points").cast(dec) * col("sxx") - col("sx") * col("sx"))
+    stats.select(col("__k").as(keyCol), col("n_points"),
+        when(col("den") === 0, lit(null).cast("long")).otherwise(expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * num_s + CAST(1000000000000 AS DECIMAL(38,0)) * den) div den - 1000000000000"))
+          .as("slope_ppm"),
+        when(col("den") === 0, lit(null).cast("long")).otherwise(expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * num_i + CAST(1000000000000000000 AS DECIMAL(38,0)) * den) div den - 1000000000000000000"))
+          .as("intercept_ppm"))
+      .orderBy(keyCol)
+  }
 }

@@ -65,9 +65,61 @@ object AnalyticsQueries {
       .orderBy("suppkey")
   }
 
+  /** Triangle census of the part co-purchase graph (parts are linked
+    * when some order contains both). Edges are generated ARRAY-SIDE
+    * per order (no basket self-join), then [[graft.operators.GraphOps
+    * .triangleStats]] counts triangles by degree-ordered orientation —
+    * out-degrees bounded O(√m), so hub parts cannot blow up the wedge
+    * join. One summary row with the exact global clustering
+    * coefficient in ppm. */
+  val q134Triangles: Q = (s, d) => {
+    val pairs = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    graft.operators.GraphOps.triangleStats(pairs, "u", "v")
+  }
+
+  private val HllBits = 10
+  private val SlideDays = 7
+
+  /** Rolling 7-day distinct users from daily HLL register state — the
+    * sliding-cardinality dashboard metric computed WITHOUT re-scanning
+    * each window: one data pass builds (day, bucket) registers, the
+    * roll is a range-window max over the control-plane-sized register
+    * table, and the estimate is the dyadic-exact integer HLL formula
+    * (the oracle replays every hash and register bit). */
+  val q135SlidingDistinct: Q = (s, d) =>
+    graft.operators.Sketches.slidingDistinct(
+      EtlQueries.events(s, d).select(
+        unix_date(to_date(col("ts"))).cast("long").as("day"), col("user_id")),
+      "day", "user_id", HllBits, SlideDays)
+
+  /** Per-nation revenue trend: daily order revenue in exact cents,
+    * then [[graft.operators.TimeOps.trendFit]]'s integer OLS — slope
+    * and first-day intercept in ppm, identical on any cluster size
+    * (the oracle replays the same rational arithmetic in HUGEINT). */
+  val q136RevenueTrend: Q = (s, d) => {
+    val daily = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    graft.operators.TimeOps.trendFit(daily, "nation", "day", "cents")
+  }
+
   val queries: Map[String, Q] = Map(
     "q132_basket_rules" -> q132BasketRules,
     "q133_overlap_pairs" -> q133OverlapPairs,
+    "q134_triangles" -> q134Triangles,
+    "q135_sliding_distinct" -> q135SlidingDistinct,
+    "q136_revenue_trend" -> q136RevenueTrend,
   )
 
   val oracles: Map[String, String] = Map(
@@ -102,5 +154,83 @@ object AnalyticsQueries {
         |  AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
         |  AND a.s < b.e AND b.s < a.e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // triangles enumerated canonically as a<b<c over u<v edges — the
+    // orientation-invariant count triangleStats produces
+    "q134_triangles" ->
+      """WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM pe a JOIN pe b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT n, count(*) AS d
+        |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |tri AS (SELECT count(*) AS t
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |ns AS (SELECT count(*) AS n_nodes,
+        |              CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |ms AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+        |  CASE WHEN n_wedges = 0 THEN 0
+        |       ELSE CAST((3000000 * CAST(t AS HUGEINT)) // n_wedges AS BIGINT)
+        |  END AS clustering_ppm
+        |FROM ns CROSS JOIN ms CROSS JOIN tri""".stripMargin,
+    // bit-exact register replay (q78's hash contract) + range-window
+    // roll + the q82 estimate formula
+    "q135_sliding_distinct" -> {
+      val m = 1 << HllBits
+      val am2 = s"0.7213 / (1.0 + 1.079 / $m) * $m * $m"
+      s"""WITH ev AS (SELECT date_diff('day', DATE '1970-01-01',
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day, user_id FROM events),
+         |h AS (SELECT day,
+         |  CAST(CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+         |  FROM ev WHERE user_id IS NOT NULL),
+         |daily AS (SELECT day, h % $m AS bucket,
+         |  max(CASE WHEN h // $m = 0 THEN ${60 - HllBits + 1}
+         |    ELSE ${60 - HllBits + 1} - length(bin(h // $m)) END) AS r
+         |  FROM h GROUP BY 1, 2),
+         |spine AS (SELECT day, b AS bucket FROM (SELECT DISTINCT day FROM ev)
+         |  CROSS JOIN (SELECT unnest(range(0, $m)) AS b)),
+         |dense AS (SELECT s.day, s.bucket, coalesce(d.r, 0) AS r
+         |  FROM spine s LEFT JOIN daily d ON s.day = d.day AND s.bucket = d.bucket),
+         |rolled AS (SELECT day, bucket, max(r) OVER (PARTITION BY bucket
+         |  ORDER BY day RANGE BETWEEN ${SlideDays - 1} PRECEDING AND CURRENT ROW) AS rw
+         |  FROM dense),
+         |z AS (SELECT day, sum(CASE WHEN rw > 0 THEN 1 ELSE 0 END) AS present,
+         |  coalesce(sum(CASE WHEN rw > 0 THEN pow(2.0, -rw) END), 0.0) AS zsum
+         |  FROM rolled GROUP BY 1)
+         |SELECT day,
+         |  CASE WHEN $am2 / (($m.0 - present) + zsum) <= ${2.5 * m}
+         |        AND ($m - present) > 0
+         |    THEN CAST(floor($m.0 * ln($m.0 / ($m - present))) AS BIGINT)
+         |    ELSE CAST(floor($am2 / (($m.0 - present) + zsum)) AS BIGINT)
+         |  END AS distinct_est
+         |FROM z ORDER BY day""".stripMargin
+    },
+    // HUGEINT replay of trendFit's rational arithmetic; the positive
+    // shift makes // (floor) agree with Spark's div (trunc)
+    "q136_revenue_trend" ->
+      """WITH daily AS (SELECT n_name AS nation,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |reb AS (SELECT nation, CAST(day - (SELECT min(day) FROM daily) AS HUGEINT) AS x,
+        |               CAST(cents AS HUGEINT) AS y FROM daily),
+        |st AS (SELECT nation, count(*) AS n_points, sum(x) AS sx, sum(y) AS sy,
+        |              sum(x * y) AS sxy, sum(x * x) AS sxx
+        |       FROM reb GROUP BY 1),
+        |nd AS (SELECT nation, n_points,
+        |         CAST(n_points AS HUGEINT) * sxy - sx * sy AS num_s,
+        |         sy * sxx - sx * sxy AS num_i,
+        |         CAST(n_points AS HUGEINT) * sxx - sx * sx AS den
+        |       FROM st)
+        |SELECT nation, n_points,
+        |  CASE WHEN den = 0 THEN NULL ELSE
+        |    CAST((1000000 * num_s + 1000000000000 * den) // den
+        |         - 1000000000000 AS BIGINT) END AS slope_ppm,
+        |  CASE WHEN den = 0 THEN NULL ELSE
+        |    CAST((1000000 * num_i + 1000000000000000000 * den) // den
+        |         - 1000000000000000000 AS BIGINT) END AS intercept_ppm
+        |FROM nd ORDER BY nation""".stripMargin,
   )
 }

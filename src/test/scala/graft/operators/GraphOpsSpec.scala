@@ -79,4 +79,47 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(r2 == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
+
+  test("triangleStats: K4 has 4 triangles, clustering 1.0") {
+    val k4 = (for {
+      a <- 1 to 4; b <- 1 to 4 if a != b
+    } yield (a.toLong, b.toLong)).toDF("src", "dst") // both directions + dups
+    val r = GraphOps.triangleStats(k4, "src", "dst").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 6L, 12L, 4L))
+    assert(r.getLong(4) == 1000000L) // 3*4/12
+  }
+
+  test("triangleStats matches brute force on a random graph with hubs") {
+    val rnd = new scala.util.Random(19)
+    // skewed: node 0 joins to many (hub), plus random sparse edges
+    val raw = (1 to 40).map(i => (0L, i.toLong)) ++
+      (1 to 300).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)) ++
+      Seq((7L, 7L)) // self-loop must be dropped
+    val edges = raw.filter { case (a, b) => a != b }.toSet ++ Seq((7L, 7L))
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2))
+    val ns = nodes.toSeq.sorted
+    val expTri = (for {
+      a <- ns; b <- ns if a < b; c <- ns if b < c
+      if und((a, b)) && und((b, c)) && und((a, c))
+    } yield 1).size.toLong
+    val deg = nodes.map(n => n -> und.count(e => e._1 == n || e._2 == n)).toMap
+    val expWedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    val r = GraphOps.triangleStats(edges.toSeq.toDF("src", "dst"), "src", "dst")
+      .collect()(0)
+    assert(r.getLong(0) == nodes.size.toLong)
+    assert(r.getLong(1) == und.size.toLong)
+    assert(r.getLong(2) == expWedges)
+    assert(r.getLong(3) == expTri)
+    assert(r.getLong(4) == (if (expWedges == 0) 0L else 3000000L * expTri / expWedges))
+  }
+
+  test("triangleStats: triangle-free bipartite graph counts zero") {
+    val bip = (for (a <- 1 to 5; b <- 6 to 10) yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val r = GraphOps.triangleStats(bip, "src", "dst").collect()(0)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+  }
 }

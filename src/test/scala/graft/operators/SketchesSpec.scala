@@ -75,6 +75,48 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 20.0) < 2.0, s"estimate $est")
   }
 
+  test("slidingDistinct: window estimate == single-shot estimate of the union") {
+    // day 10: users 1..100; day 11: users 50..150; day 20: users 1..30.
+    val rows = (1 to 100).map(u => (10L, u.toLong)) ++
+      (50 to 150).map(u => (11L, u.toLong)) ++
+      (1 to 30).map(u => (20L, u.toLong))
+    val got = Sketches.slidingDistinct(rows.toDF("day", "u"), "day", "u",
+        b = 10, windowDays = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(10L, 11L, 20L))
+    // merged-window estimate must equal the estimate over the UNION's
+    // rows collapsed onto one day (register merge == union of key sets)
+    def singleShot(users: Seq[Long]): Long =
+      Sketches.slidingDistinct(users.map(u => (1L, u)).toDF("day", "u"),
+        "day", "u", b = 10, windowDays = 1)
+        .collect()(0).getLong(1)
+    assert(got(10L) == singleShot((1 to 100).map(_.toLong)))
+    assert(got(11L) == singleShot((1 to 150).map(_.toLong)))
+    // day 20 is 9 > 6 days after day 11: nothing of days 10/11 leaks in
+    assert(got(20L) == singleShot((1 to 30).map(_.toLong)))
+  }
+
+  test("slidingDistinct: calendar window evicts at exactly windowDays") {
+    val rows = (1 to 80).map(u => (100L, u.toLong)) ++ Seq((106L, 1L), (107L, 1L))
+    val got = Sketches.slidingDistinct(rows.toDF("day", "u"), "day", "u",
+        b = 10, windowDays = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day 106 still sees day 100 (6 days back); day 107 does not
+    assert(got(106L) > 50L, s"got $got")
+    assert(got(107L) <= 2L, s"got $got")
+  }
+
+  test("slidingDistinct estimate lands near truth and is partitioning-invariant") {
+    val rows = (1 to 4000).map(u => ((u % 5).toLong, u.toLong))
+    val df = rows.toDF("day", "u")
+    val est = Sketches.slidingDistinct(df, "day", "u", b = 10, windowDays = 5)
+      .filter($"day" === 4L).collect()(0).getLong(1)
+    assert(math.abs(est - 4000.0) / 4000.0 < 0.10, s"estimate $est")
+    val est2 = Sketches.slidingDistinct(df.repartition(13), "day", "u",
+      b = 10, windowDays = 5).filter($"day" === 4L).collect()(0).getLong(1)
+    assert(est == est2)
+  }
+
   test("Bloom: no false negatives, bounded false positives") {
     val m = 4096; val k = 5
     val dim = (1 to 300).map(i => s"key$i").toDF("k")

@@ -121,6 +121,43 @@ class TimeOpsSpec extends SparkSpec {
     assert(head.toSeq == Seq(3L)) // lower eid is the head
   }
 
+  test("trendFit: exact line recovers slope and intercept in ppm") {
+    val pts = (0L to 10L).map(x => ("k", x + 5000L, 3L * (x + 5000L) + 7L))
+    // intercept is at the REBASED origin x0 = 5000: y(5000) = 15007
+    val r = TimeOps.trendFit(pts.toDF("k", "x", "y"), "k", "x", "y").collect()(0)
+    assert(r.getLong(1) == 11L)
+    assert(r.getLong(2) == 3000000L)
+    assert(r.getLong(3) == 15007L * 1000000L)
+  }
+
+  test("trendFit: negative non-integer slope floors (never truncates)") {
+    // slope = -1/14 -> floor(-71428.57...) = -71429
+    val pts = Seq(("k", 0L, 0L), ("k", 1L, 1L), ("k", 3L, 0L))
+    val r = TimeOps.trendFit(pts.toDF("k", "x", "y"), "k", "x", "y").collect()(0)
+    assert(r.getLong(2) == -71429L, s"slope ${r.getLong(2)}")
+  }
+
+  test("trendFit: rational fit matches hand arithmetic; x-shift invariant") {
+    // (0,0),(1,1),(2,1): slope 1/2, intercept 1/6
+    val base = Seq(0L -> 0L, 1L -> 1L, 2L -> 1L)
+    for (shift <- Seq(0L, 1000L, 730000L)) {
+      val pts = base.map { case (x, y) => ("k", x + shift, y) }
+      val r = TimeOps.trendFit(pts.toDF("k", "x", "y"), "k", "x", "y").collect()(0)
+      assert(r.getLong(2) == 500000L, s"shift=$shift")
+      assert(r.getLong(3) == 166666L, s"shift=$shift") // floor(1e6/6)
+    }
+  }
+
+  test("trendFit: degenerate single-x key yields NULL fit; keys independent") {
+    val pts = Seq(("flat", 5L, 10L), ("flat", 5L, 20L),
+      ("up", 0L, 0L), ("up", 1L, 2L))
+    val rs = TimeOps.trendFit(pts.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(rs("flat").isEmpty)
+    assert(rs("up").contains(2000000L))
+  }
+
   test("resampleFfill: dense daily grid, carry-forward, same-day latest wins") {
     def ts(day: Long, h: Int) =
       new java.sql.Timestamp((day * 86400L + h * 3600L) * 1000L)

@@ -156,4 +156,18 @@ object Quantiles {
     targets.map { case (p, t) => (p, values(t), n) }
       .toDF("pct", "pct_value", "n")
   }
+
+  /** Quantile discretization: a `bin` column counting the cut points
+    * STRICTLY below the value (values equal to a cut fall in the
+    * lower bin — an exact comparison on stored doubles, no
+    * arithmetic, so engines agree bit-for-bit). Cuts are literals
+    * (control-plane, e.g. from [[exactGlobalPercentiles]]), so the
+    * assignment is a shuffle-free codegen projection — the
+    * QuantileDiscretizer pattern without an ML pipeline. */
+  def binByCuts(df: DataFrame, valCol: String, cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty, "need at least one cut point")
+    df.withColumn("bin",
+      cuts.map(c => when(col(valCol) > lit(c), 1L).otherwise(0L))
+        .reduce(_ + _))
+  }
 }

@@ -114,12 +114,52 @@ object AnalyticsQueries {
     graft.operators.TimeOps.trendFit(daily, "nation", "day", "cents")
   }
 
+  private val PcaIters = 3
+
+  /** Top principal direction of the embedding corpus by integer power
+    * iteration — matrix-free `Σ xᵢ(xᵢ·v)` rounds with the direction as
+    * a control-plane literal, bit-reproducible in the unrolled-CTE
+    * oracle. */
+  val q137PowerIteration: Q = (s, d) =>
+    graft.operators.Pca.powerIteration(
+      t(s, d, "embeddings"), "embedding", dim = 64, iters = PcaIters)
+
+  private val BinPcts = Seq(25, 50, 75)
+
+  /** Quantile discretization end-to-end: exact global quartiles of
+    * l_extendedprice by histogram-refine selection (no global sort),
+    * then a shuffle-free literal-cut binning and one aggregate —
+    * item counts and exact-decimal revenue per price-quartile bin. */
+  val q138QuantileBins: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val cuts = graft.operators.Quantiles.exactGlobalPercentiles(
+        li, "l_extendedprice", BinPcts, buckets = 64, directThreshold = 5000L)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    graft.operators.Quantiles.binByCuts(li, "l_extendedprice",
+        BinPcts.map(cuts))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("bin")
+  }
+
+  /** Majority-vote label consolidation: per part, the winning return
+    * flag across its lineitems with exact agreement ppm — struct-min
+    * winner, no window sort. */
+  val q139MajorityVote: Q = (s, d) =>
+    graft.operators.LabelOps.majorityVote(
+      t(s, d, "lineitem"), "l_partkey", "l_returnflag")
+
   val queries: Map[String, Q] = Map(
     "q132_basket_rules" -> q132BasketRules,
     "q133_overlap_pairs" -> q133OverlapPairs,
     "q134_triangles" -> q134Triangles,
     "q135_sliding_distinct" -> q135SlidingDistinct,
     "q136_revenue_trend" -> q136RevenueTrend,
+    "q137_power_iteration" -> q137PowerIteration,
+    "q138_quantile_bins" -> q138QuantileBins,
+    "q139_majority_vote" -> q139MajorityVote,
   )
 
   val oracles: Map[String, String] = Map(
@@ -232,5 +272,39 @@ object AnalyticsQueries {
         |    CAST((1000000 * num_i + 1000000000000000000 * den) // den
         |         - 1000000000000000000 AS BIGINT) END AS intercept_ppm
         |FROM nd ORDER BY nation""".stripMargin,
+    "q137_power_iteration" -> graft.operators.Pca.powerIterationOracleSql(
+      "SELECT list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv FROM embeddings",
+      dim = 64, iters = PcaIters),
+    // cuts by the shared rank rule (value AT rank max(1, ceil(n·p/100)));
+    // bin = #cuts strictly below the value
+    "q138_quantile_bins" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM v),
+        |ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+        |cuts AS (SELECT
+        |    max(CASE WHEN rn = greatest(1, (n.n * 25 + 99) // 100) THEN x END) AS c25,
+        |    max(CASE WHEN rn = greatest(1, (n.n * 50 + 99) // 100) THEN x END) AS c50,
+        |    max(CASE WHEN rn = greatest(1, (n.n * 75 + 99) // 100) THEN x END) AS c75
+        |  FROM ranked CROSS JOIN n)
+        |SELECT (CASE WHEN x > c25 THEN 1 ELSE 0 END
+        |      + CASE WHEN x > c50 THEN 1 ELSE 0 END
+        |      + CASE WHEN x > c75 THEN 1 ELSE 0 END) AS bin,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM v CROSS JOIN cuts GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q139_majority_vote" ->
+      """WITH c AS (SELECT l_partkey, l_returnflag AS label, count(*) AS votes
+        |           FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT l_partkey, CAST(sum(votes) AS BIGINT) AS total_votes,
+        |             count(*) AS n_labels FROM c GROUP BY 1),
+        |w AS (SELECT l_partkey, label, votes,
+        |        row_number() OVER (PARTITION BY l_partkey
+        |                           ORDER BY votes DESC, label) AS rn FROM c)
+        |SELECT w.l_partkey, w.label, votes, total_votes, n_labels,
+        |  CAST((1000000 * CAST(votes AS HUGEINT)) // total_votes AS BIGINT)
+        |    AS agreement_ppm
+        |FROM w JOIN t USING (l_partkey) WHERE rn = 1
+        |ORDER BY w.l_partkey""".stripMargin,
   )
 }

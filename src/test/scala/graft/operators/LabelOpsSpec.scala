@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class LabelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("majority winner with exact agreement; ties to lexically smallest") {
+    val rows = Seq(
+      ("i1", "cat"), ("i1", "cat"), ("i1", "dog"),            // clear winner
+      ("i2", "b"), ("i2", "a"),                               // tie -> "a"
+      ("i3", "z")                                             // unanimous
+    )
+    val got = LabelOps.majorityVote(rows.toDF("item", "lab"), "item", "lab")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("i1") == (("cat", 2L, 3L, 2L, 666666L)))
+    assert(got("i2") == (("a", 1L, 2L, 2L, 500000L)))
+    assert(got("i3") == (("z", 1L, 1L, 1L, 1000000L)))
+  }
+
+  test("null items and null labels are abstentions, not votes") {
+    val rows = Seq(
+      (Some("i"), Some("x")), (Some("i"), None), (None, Some("y"))
+    )
+    val got = LabelOps.majorityVote(rows.toDF("item", "lab"), "item", "lab")
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getString(1) == "x" && got(0).getLong(3) == 1L)
+  }
+
+  test("winner is partitioning-invariant (total order, no arbitrary first)") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 2000).map(_ =>
+      (s"i${rnd.nextInt(40)}", s"l${rnd.nextInt(4)}"))
+    val df = rows.toDF("item", "lab")
+    val a = LabelOps.majorityVote(df, "item", "lab").collect().toList
+    val b = LabelOps.majorityVote(df.repartition(17), "item", "lab").collect().toList
+    assert(a.map(_.toString) == b.map(_.toString))
+    // cross-check one key by brute force
+    val k = "i7"
+    val byLab = rows.filter(_._1 == k).groupBy(_._2).view.mapValues(_.size).toMap
+    if (byLab.nonEmpty) {
+      val best = byLab.toSeq.sortBy { case (l, v) => (-v, l) }.head
+      val row = a.find(_.getString(0) == k).get
+      assert((row.getString(1), row.getLong(2).toInt) == best)
+    }
+  }
+}

@@ -57,6 +57,15 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("binByCuts: strict-above semantics, cut values land in the lower bin") {
+    val df = Seq(1.0, 2.0, 2.0, 3.0, 5.0).toDF("x")
+    val got = Quantiles.binByCuts(df, "x", Seq(2.0, 4.0))
+      .groupBy("bin").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1.0, 2.0, 2.0 -> bin 0 (== cut is NOT above); 3.0 -> 1; 5.0 -> 2
+    assert(got == Map(0L -> 3L, 1L -> 1L, 2L -> 1L), got.toString)
+  }
+
   test("exactGlobalPercentiles: constant column and heavy duplicates") {
     val df = (Seq.fill(200)(5.0) ++ Seq.fill(100)(1.0) ++ Seq.fill(100)(9.0))
       .toDF("v")

@@ -144,16 +144,35 @@ object Sketches {
     */
   def slidingDistinct(df: DataFrame, dayCol: String, keyCol: String,
                       b: Int, windowDays: Int): DataFrame = {
-    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
-    val m = 1 << b
-    val daily = df
-      .select(col(dayCol).cast("long").as("day"),
+    val days = df.select(col(dayCol).cast("long").as("day"))
+      .where(col("day").isNotNull).distinct()
+    slidingFromRegisters(dailyRegisters(df, dayCol, keyCol, b), days,
+      b, windowDays)
+  }
+
+  /** The per-(day, bucket) register state behind [[slidingDistinct]]:
+    * mergeable by MAX on (day, bucket) — a streaming sink can fold
+    * micro-batches into it and [[slidingFromRegisters]] answers from
+    * the folded state (see graft.streaming.IncrementalStream). */
+  def dailyRegisters(df: DataFrame, dayCol: String, keyCol: String,
+                     b: Int): DataFrame =
+    df.select(col(dayCol).cast("long").as("day"),
         hllBucket(col(keyCol), b).as("bucket"),
         hllRegister(col(keyCol), b).as("r"))
       .where(col("day").isNotNull && col("bucket").isNotNull)
       .groupBy("day", "bucket").agg(max(col("r")).as("r"))
-    val spine = df.select(col(dayCol).cast("long").as("day"))
-      .where(col("day").isNotNull).distinct()
+
+  /** Sliding estimates from a (day, bucket, r) register table; `days`
+    * is the output spine (one row per day to answer for). Registers on
+    * days outside the spine still feed the windows of spine days in
+    * range (the roll runs over the union of days, then projects onto
+    * the spine). */
+  def slidingFromRegisters(daily: DataFrame, days: DataFrame,
+                           b: Int, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val m = 1 << b
+    val spine = days.select(col("day")).union(daily.select(col("day")))
+      .distinct()
       .select(col("day"), explode(sequence(lit(0L), lit((m - 1).toLong))).as("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy(col("day"))
@@ -167,6 +186,7 @@ object Sketches {
       .select(col("day"),
         Profile.estimate(m, col("present"), coalesce(col("zsum"), lit(0.0)))
           .as("distinct_est"))
+      .join(days.select(col("day")).distinct(), Seq("day"), "left_semi")
       .orderBy("day")
   }
 

@@ -65,9 +65,13 @@ object AnalyticsQueries {
       .orderBy("suppkey")
   }
 
-  /** Triangle census of the part co-purchase graph (parts are linked
-    * when some order contains both). Edges are generated ARRAY-SIDE
-    * per order (no basket self-join), then [[graft.operators.GraphOps
+  /** Triangle census of the part co-purchase AFFINITY graph (parts
+    * linked when co-purchased in >= 2 distinct orders — the support
+    * threshold is what keeps the graph an affinity signal rather than
+    * a quadratic blowup of every big basket: support-1 pairs are two
+    * orders of magnitude more numerous and pure noise). Edges are
+    * generated ARRAY-SIDE per order (no basket self-join) and
+    * support-counted in one shuffle, then [[graft.operators.GraphOps
     * .triangleStats]] counts triangles by degree-ordered orientation —
     * out-degrees bounded O(√m), so hub parts cannot blow up the wedge
     * join. One summary row with the exact global clustering
@@ -80,7 +84,9 @@ object AnalyticsQueries {
       .select(explode(expr(
         "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
         .as("p"))
-      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
     graft.operators.GraphOps.triangleStats(pairs, "u", "v")
   }
 
@@ -151,6 +157,41 @@ object AnalyticsQueries {
     graft.operators.LabelOps.majorityVote(
       t(s, d, "lineitem"), "l_partkey", "l_returnflag")
 
+  /** Reliability-weighted label consolidation (one integer
+    * Dawid–Skene round): suppliers "annotate" their parts with return
+    * flags; annotators are scored by agreement with the majority and
+    * the vote re-runs weighted. */
+  val q140WeightedVote: Q = (s, d) =>
+    graft.operators.LabelOps.reliabilityWeightedVote(
+      t(s, d, "lineitem"), "l_partkey", "l_suppkey", "l_returnflag")
+
+  /** RFM segmentation: per-customer recency / frequency / monetary,
+    * each quintile-binned by its own EXACT global percentiles
+    * (histogram-refine selection — no global sort), customers counted
+    * per segment cell. The three cut sets are control-plane literals;
+    * scoring is one shuffle-free projection over the customer
+    * aggregate. */
+  val q141RfmSegments: Q = (s, d) => {
+    import graft.operators.Quantiles
+    val cust = t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(unix_date(to_date(col("o_orderdate")))).cast("double").as("r"),
+        count(lit(1)).cast("double").as("f"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").cast("double").as("m"))
+      .transform(graft.operators.Materialize.once)
+    def cuts(c: String): Seq[Double] =
+      Quantiles.exactGlobalPercentiles(cust, c, Seq(20, 40, 60, 80),
+        buckets = 64, directThreshold = 5000L)
+        .collect().map(_.getDouble(1)).toSeq
+    val scored = Seq("r", "f", "m").foldLeft(cust) { (df, c) =>
+      Quantiles.binByCuts(df, c, cuts(c)).withColumnRenamed("bin", s"${c}_score")
+    }
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   val queries: Map[String, Q] = Map(
     "q132_basket_rules" -> q132BasketRules,
     "q133_overlap_pairs" -> q133OverlapPairs,
@@ -160,6 +201,8 @@ object AnalyticsQueries {
     "q137_power_iteration" -> q137PowerIteration,
     "q138_quantile_bins" -> q138QuantileBins,
     "q139_majority_vote" -> q139MajorityVote,
+    "q140_weighted_vote" -> q140WeightedVote,
+    "q141_rfm_segments" -> q141RfmSegments,
   )
 
   val oracles: Map[String, String] = Map(
@@ -198,8 +241,9 @@ object AnalyticsQueries {
     // orientation-invariant count triangleStats produces
     "q134_triangles" ->
       """WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-        |      FROM pe a JOIN pe b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT a.pk AS u, b.pk AS v
+        |      FROM pe a JOIN pe b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (SELECT n, count(*) AS d
         |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
         |tri AS (SELECT count(*) AS t
@@ -306,5 +350,64 @@ object AnalyticsQueries {
         |    AS agreement_ppm
         |FROM w JOIN t USING (l_partkey) WHERE rn = 1
         |ORDER BY w.l_partkey""".stripMargin,
+    "q140_weighted_vote" ->
+      """WITH v AS (SELECT l_partkey AS k, l_suppkey AS a, l_returnflag AS l
+        |           FROM lineitem),
+        |c AS (SELECT k, l, count(*) AS votes FROM v GROUP BY 1, 2),
+        |maj AS (SELECT k, l AS maj FROM (SELECT k, l, row_number() OVER
+        |          (PARTITION BY k ORDER BY votes DESC, l) AS rn FROM c)
+        |        WHERE rn = 1),
+        |rel AS (SELECT a, CAST((1000000 * CAST(sum(CASE WHEN l = maj THEN 1
+        |            ELSE 0 END) AS HUGEINT)) // count(*) AS BIGINT) AS rel
+        |        FROM v JOIN maj USING (k) GROUP BY 1),
+        |wc AS (SELECT k, l, CAST(sum(rel) AS BIGINT) AS w, count(*) AS nv
+        |       FROM v JOIN rel USING (a) GROUP BY 1, 2),
+        |win AS (SELECT k, l, w, row_number() OVER (PARTITION BY k
+        |          ORDER BY w DESC, l) AS rn FROM wc),
+        |tot AS (SELECT k, CAST(sum(nv) AS BIGINT) AS n_voters FROM wc GROUP BY 1)
+        |SELECT win.k AS l_partkey, win.l AS label, w AS weight_ppm, n_voters
+        |FROM win JOIN tot USING (k) WHERE rn = 1 ORDER BY 1""".stripMargin,
+    // three independent rank-rule quintile cut sets over the customer
+    // aggregate, then strict-above binning — q138's contract per axis
+    "q141_rfm_segments" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    CAST(max(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE))) AS DOUBLE) AS r,
+        |    CAST(count(*) AS DOUBLE) AS f,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS DOUBLE) AS m
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM cust),
+        |rr AS (SELECT r AS x, row_number() OVER (ORDER BY r) AS rn FROM cust),
+        |rf AS (SELECT f AS x, row_number() OVER (ORDER BY f) AS rn FROM cust),
+        |rm AS (SELECT m AS x, row_number() OVER (ORDER BY m) AS rn FROM cust),
+        |cr AS (SELECT
+        |    max(CASE WHEN rn = greatest(1, (n.n * 20 + 99) // 100) THEN x END) AS c1,
+        |    max(CASE WHEN rn = greatest(1, (n.n * 40 + 99) // 100) THEN x END) AS c2,
+        |    max(CASE WHEN rn = greatest(1, (n.n * 60 + 99) // 100) THEN x END) AS c3,
+        |    max(CASE WHEN rn = greatest(1, (n.n * 80 + 99) // 100) THEN x END) AS c4
+        |  FROM rr CROSS JOIN n),
+        |cf AS (SELECT
+        |    max(CASE WHEN rn = greatest(1, (n.n * 20 + 99) // 100) THEN x END) AS c1,
+        |    max(CASE WHEN rn = greatest(1, (n.n * 40 + 99) // 100) THEN x END) AS c2,
+        |    max(CASE WHEN rn = greatest(1, (n.n * 60 + 99) // 100) THEN x END) AS c3,
+        |    max(CASE WHEN rn = greatest(1, (n.n * 80 + 99) // 100) THEN x END) AS c4
+        |  FROM rf CROSS JOIN n),
+        |cm AS (SELECT
+        |    max(CASE WHEN rn = greatest(1, (n.n * 20 + 99) // 100) THEN x END) AS c1,
+        |    max(CASE WHEN rn = greatest(1, (n.n * 40 + 99) // 100) THEN x END) AS c2,
+        |    max(CASE WHEN rn = greatest(1, (n.n * 60 + 99) // 100) THEN x END) AS c3,
+        |    max(CASE WHEN rn = greatest(1, (n.n * 80 + 99) // 100) THEN x END) AS c4
+        |  FROM rm CROSS JOIN n)
+        |SELECT
+        |  (CASE WHEN r > cr.c1 THEN 1 ELSE 0 END + CASE WHEN r > cr.c2 THEN 1 ELSE 0 END
+        |   + CASE WHEN r > cr.c3 THEN 1 ELSE 0 END + CASE WHEN r > cr.c4 THEN 1 ELSE 0 END) AS r_score,
+        |  (CASE WHEN f > cf.c1 THEN 1 ELSE 0 END + CASE WHEN f > cf.c2 THEN 1 ELSE 0 END
+        |   + CASE WHEN f > cf.c3 THEN 1 ELSE 0 END + CASE WHEN f > cf.c4 THEN 1 ELSE 0 END) AS f_score,
+        |  (CASE WHEN m > cm.c1 THEN 1 ELSE 0 END + CASE WHEN m > cm.c2 THEN 1 ELSE 0 END
+        |   + CASE WHEN m > cm.c3 THEN 1 ELSE 0 END + CASE WHEN m > cm.c4 THEN 1 ELSE 0 END) AS m_score,
+        |  count(*) AS n_customers
+        |FROM cust CROSS JOIN cr CROSS JOIN cf CROSS JOIN cm
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
 }

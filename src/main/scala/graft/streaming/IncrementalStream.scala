@@ -202,6 +202,55 @@ object IncrementalStream {
       }
       .start()
 
+  /** Fold one micro-batch into the persistent (day, bucket, register)
+    * HLL state behind [[graft.operators.Sketches.slidingDistinct]] —
+    * register merge is MAX per (day, bucket), so a fold is idempotent
+    * in VALUE; the `__batch_id` guard still skips replayed batches to
+    * keep the atomic-swap count bounded. State size is days × 2^b
+    * regardless of event volume, and
+    * [[slidingDistinctFromState]] answers the sliding-cardinality
+    * query from it without touching raw events. */
+  def applyHllRegisterBatch(batch: DataFrame, batchId: Long, statePath: String,
+                            dayCol: String, keyCol: String, b: Int): Unit = {
+    val prior = AtomicTableWriter.read(batch.sparkSession, statePath)
+    val applied = prior.flatMap(maxBatchId)
+    if (applied.exists(_ >= batchId)) return // replay: already folded in
+    val fresh = graft.operators.Sketches.dailyRegisters(batch, dayCol, keyCol, b)
+    val next = prior match {
+      case Some(st) => st.drop("__batch_id").union(fresh)
+        .groupBy("day", "bucket").agg(max(col("r")).as("r"))
+      case None => fresh
+    }
+    AtomicTableWriter.overwrite(next.withColumn("__batch_id", lit(batchId)),
+      statePath)
+  }
+
+  /** [[applyHllRegisterBatch]] as an AvailableNow sink. */
+  def hllRegisterSink(stream: DataFrame, statePath: String,
+                      dayCol: String, keyCol: String, b: Int,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyHllRegisterBatch(batch, id, statePath, dayCol, keyCol, b)
+      }
+      .start()
+
+  /** The q135 sliding-distinct answer from maintained register state:
+    * one row per day present in the state, estimates identical to the
+    * batch [[graft.operators.Sketches.slidingDistinct]] over the same
+    * events (register max-merge is associative and commutative). */
+  def slidingDistinctFromState(spark: org.apache.spark.sql.SparkSession,
+                               statePath: String, b: Int,
+                               windowDays: Int): DataFrame = {
+    val st = AtomicTableWriter.read(spark, statePath)
+      .getOrElse(sys.error(s"no HLL register state at $statePath"))
+      .drop("__batch_id")
+    graft.operators.Sketches.slidingFromRegisters(
+      st, st.select(col("day")).distinct(), b, windowDays)
+  }
+
   /** Fold one micro-batch of NEW documents into a persistent BM25
     * inverted index — the streaming twin of
     * [[graft.operators.Bm25Index.build]]. Postings land under

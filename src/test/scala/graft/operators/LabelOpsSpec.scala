@@ -30,6 +30,28 @@ class LabelOpsSpec extends SparkSpec {
     assert(got(0).getString(1) == "x" && got(0).getLong(3) == 1L)
   }
 
+  test("reliability weighting flips a careless majority, exact ppm weights") {
+    // gold items g1..g5: careful c1,c2 vote A; sloppy s1,s2,s3 scatter
+    // B/C/D -> majority A. Target t: c's vote X, s's all vote Y.
+    val gold = (1 to 5).flatMap(i => Seq(
+      (s"g$i", "c1", "A"), (s"g$i", "c2", "A"),
+      (s"g$i", "s1", "B"), (s"g$i", "s2", "C"), (s"g$i", "s3", "D")))
+    val target = Seq(("t", "c1", "X"), ("t", "c2", "X"),
+      ("t", "s1", "Y"), ("t", "s2", "Y"), ("t", "s3", "Y"))
+    val df = (gold ++ target).toDF("item", "ann", "lab")
+    // plain majority on t is Y (3 > 2)...
+    val plain = LabelOps.majorityVote(target.toDF("item", "ann", "lab")
+      .select($"item", $"lab"), "item", "lab").collect()(0)
+    assert(plain.getString(1) == "Y")
+    // ...but reliability re-weighting picks X: rel(c)=5e6/6 div=833333,
+    // rel(s)=1e6/6 div=166666 -> X: 2*833333=1666666 > Y: 3*166666=499998
+    val r = LabelOps.reliabilityWeightedVote(df, "item", "ann", "lab")
+      .collect().map(x => x.getString(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("t") == (("X", 1666666L, 5L)), r("t").toString)
+    assert((1 to 5).forall(i => r(s"g$i")._1 == "A"))
+  }
+
   test("winner is partitioning-invariant (total order, no arbitrary first)") {
     val rnd = new scala.util.Random(3)
     val rows = (1 to 2000).map(_ =>

@@ -270,6 +270,32 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(read() == Set(("d1", 15L, 2L), ("d2", 5L, 2L), ("d3", 7L, 1L)))
   }
 
+  test("maintained HLL registers: folded state answers == batch slidingDistinct") {
+    val root = Files.createTempDirectory("graft-hll").toString
+    val state = s"$root/registers"
+    val b1 = (1 to 100).map(u => (10L, u.toLong))
+    val b2 = (50 to 150).map(u => (11L, u.toLong)) ++
+      (1 to 30).map(u => (20L, u.toLong))
+
+    IncrementalStream.applyHllRegisterBatch(
+      b1.toDF("day", "u"), 0, state, "day", "u", b = 10)
+    IncrementalStream.applyHllRegisterBatch(
+      b2.toDF("day", "u"), 1, state, "day", "u", b = 10)
+    // crash-replay of batch 1: guard skips, state unchanged
+    val before = spark.read.parquet(state).collect().toSet
+    IncrementalStream.applyHllRegisterBatch(
+      b2.toDF("day", "u"), 1, state, "day", "u", b = 10)
+    assert(spark.read.parquet(state).collect().toSet == before)
+
+    val streamed = IncrementalStream
+      .slidingDistinctFromState(spark, state, b = 10, windowDays = 7)
+      .as[(Long, Long)].collect().toList
+    val batch = graft.operators.Sketches.slidingDistinct(
+      (b1 ++ b2).toDF("day", "u"), "day", "u", b = 10, windowDays = 7)
+      .as[(Long, Long)].collect().toList
+    assert(streamed == batch)
+  }
+
   test("maintained rollup survives an empty first micro-batch") {
     val root = Files.createTempDirectory("graft-mv0").toString
     val state = s"$root/rollup"

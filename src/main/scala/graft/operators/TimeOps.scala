@@ -247,6 +247,57 @@ object TimeOps {
     *
     * @return (key, n_points, slope_ppm, intercept_ppm)
     */
+  /** Integer EWMA control chart per key: exponential smoothing with
+    * α = 1/alphaDen and a deviation flag, exact across engines.
+    * {{{
+    *   s₁ = x₁
+    *   sₜ = sₜ₋₁ + floor((xₜ − sₜ₋₁) / alphaDen)
+    *   flagₜ = 1 iff |xₜ − sₜ₋₁| > threshold   (t > 1)
+    * }}}
+    * The floor on a possibly-negative delta uses the positive-shift
+    * identity (K = 10¹²), so truncating and flooring engines agree —
+    * the same rule as [[trendFit]].
+    *
+    * The recurrence is inherently sequential, so it runs ARRAY-SIDE:
+    * one shuffle to (key, sorted series), then a codegen'd
+    * `aggregate` fold per key. Per-key state is the series itself —
+    * suited to series of control-plane length (daily/monthly metrics,
+    * ≲10⁵ points per key), NOT to per-key event firehoses; contract
+    * |x| < 10¹² and series length < 10⁵ per key.
+    *
+    * @return (keyCol, xCol, valCol, ewma, flag) ordered by (key, x)
+    */
+  def ewmaChart(df: DataFrame, keyCol: String, xCol: String, valCol: String,
+                alphaDen: Int, threshold: Long): DataFrame = {
+    require(alphaDen >= 1, s"alphaDen must be >= 1: $alphaDen")
+    require(threshold >= 0, s"threshold must be >= 0: $threshold")
+    val k = 1000000000000L
+    val step = // shifted floor division: floor((x - s) / alphaDen)
+      s"acc.s + (((p.x - acc.s) + $k * $alphaDen) div $alphaDen - $k)"
+    val fold = s"""
+      aggregate(__pts,
+        struct(CAST(NULL AS BIGINT) AS s,
+               CAST(array() AS array<struct<o: BIGINT, x: BIGINT,
+                                            ew: BIGINT, flag: INT>>) AS out),
+        (acc, p) -> struct(
+          CASE WHEN acc.s IS NULL THEN p.x ELSE $step END AS s,
+          concat(acc.out, array(struct(p.o AS o, p.x AS x,
+            CASE WHEN acc.s IS NULL THEN p.x ELSE $step END AS ew,
+            CASE WHEN acc.s IS NOT NULL AND abs(p.x - acc.s) > $threshold
+                 THEN 1 ELSE 0 END AS flag))) AS out))"""
+    df.select(col(keyCol).as("__k"), col(xCol).cast("long").as("__o"),
+        col(valCol).cast("long").as("__x"))
+      .where(col("__k").isNotNull && col("__o").isNotNull && col("__x").isNotNull)
+      .groupBy("__k")
+      .agg(sort_array(collect_list(struct(col("__o").as("o"), col("__x").as("x"))))
+        .as("__pts"))
+      .select(col("__k"), explode(expr(fold).getField("out")).as("__e"))
+      .select(col("__k").as(keyCol), col("__e.o").as(xCol),
+        col("__e.x").as(valCol), col("__e.ew").as("ewma"),
+        col("__e.flag").as("flag"))
+      .orderBy(keyCol, xCol)
+  }
+
   def trendFit(df: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
     val base = df.select(col(keyCol).as("__k"),
         col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))

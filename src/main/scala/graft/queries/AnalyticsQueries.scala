@@ -192,7 +192,46 @@ object AnalyticsQueries {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  private val ZipfTop = 500
+
+  /** Corpus Zipf fit: ln-ln regression of term frequency against
+    * frequency rank over the top-500 vocabulary — the slope is the
+    * Zipf exponent (≈ −1 for natural text), a one-row corpus health
+    * metric. Composes [[graft.operators.Vocab.build]]'s distributed
+    * top-k term counts with [[graft.operators.TimeOps.trendFit]]'s
+    * integer OLS; the only float step is ln of an integer, floor-
+    * quantized to ppm (the q47/q81/q113 logarithm rule). */
+  val q142ZipfFit: Q = (s, d) => {
+    val v = graft.operators.Vocab.build(t(s, d, "documents"), "text", ZipfTop)
+    val pts = v.select(lit("corpus").as("corpus"),
+      floor(log((col("token_id") + 1).cast("double")) * 1e6).cast("long").as("ln_rank"),
+      floor(log(col("freq").cast("double")) * 1e6).cast("long").as("ln_freq"))
+    graft.operators.TimeOps.trendFit(pts, "corpus", "ln_rank", "ln_freq")
+  }
+
+  private val EwmaAlphaDen = 4
+  private val EwmaThreshold = 300000000L // 3M dollars in cents
+
+  /** EWMA control chart over monthly per-nation revenue: integer
+    * exponential smoothing (α = 1/4) with a deviation flag, replayed
+    * by the oracle as a recursive CTE — the sequential recurrence runs
+    * array-side after one key shuffle. */
+  val q143EwmaChart: Q = (s, d) => {
+    val monthly = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        ((year(to_date(col("o_orderdate"))) - 1970) * 12 +
+          month(to_date(col("o_orderdate"))) - 1).cast("long").as("mon"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    graft.operators.TimeOps.ewmaChart(monthly, "nation", "mon", "cents",
+      EwmaAlphaDen, EwmaThreshold)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q142_zipf_fit" -> q142ZipfFit,
+    "q143_ewma_chart" -> q143EwmaChart,
     "q132_basket_rules" -> q132BasketRules,
     "q133_overlap_pairs" -> q133OverlapPairs,
     "q134_triangles" -> q134Triangles,
@@ -409,5 +448,57 @@ object AnalyticsQueries {
         |  count(*) AS n_customers
         |FROM cust CROSS JOIN cr CROSS JOIN cf CROSS JOIN cm
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // top-rank terms by the q67 vocab order; q136's HUGEINT OLS over
+    // ppm-quantized logs
+    "q142_zipf_fit" ->
+      s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM documents),
+         |freq AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+         |top AS (SELECT c, rn FROM (
+         |    SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rn FROM freq)
+         |  WHERE rn <= $ZipfTop),
+         |pts AS (SELECT CAST(floor(1000000 * ln(rn)) AS HUGEINT) AS x0,
+         |               CAST(floor(1000000 * ln(c)) AS HUGEINT) AS y FROM top),
+         |reb AS (SELECT x0 - (SELECT min(x0) FROM pts) AS x, y FROM pts),
+         |st AS (SELECT count(*) AS n_points, sum(x) AS sx, sum(y) AS sy,
+         |              sum(x * y) AS sxy, sum(x * x) AS sxx FROM reb),
+         |nd AS (SELECT n_points,
+         |         CAST(n_points AS HUGEINT) * sxy - sx * sy AS num_s,
+         |         sy * sxx - sx * sxy AS num_i,
+         |         CAST(n_points AS HUGEINT) * sxx - sx * sx AS den
+         |       FROM st)
+         |SELECT 'corpus' AS corpus, n_points,
+         |  CASE WHEN den = 0 THEN NULL ELSE
+         |    CAST((1000000 * num_s + 1000000000000 * den) // den
+         |         - 1000000000000 AS BIGINT) END AS slope_ppm,
+         |  CASE WHEN den = 0 THEN NULL ELSE
+         |    CAST((1000000 * num_i + 1000000000000000000 * den) // den
+         |         - 1000000000000000000 AS BIGINT) END AS intercept_ppm
+         |FROM nd""".stripMargin,
+    // sequential integer recurrence replayed as a recursive CTE; the
+    // shift keeps // (floor) == div (trunc) on negative deltas
+    "q143_ewma_chart" ->
+      s"""WITH RECURSIVE monthly AS (
+         |  SELECT n_name AS nation,
+         |    CAST((year(CAST(o_orderdate AS DATE)) - 1970) * 12
+         |         + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mon,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |              JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1, 2),
+         |ser AS (SELECT nation, mon, cents,
+         |          row_number() OVER (PARTITION BY nation ORDER BY mon) AS rn
+         |        FROM monthly),
+         |rec AS (
+         |  SELECT nation, mon, cents, rn, cents AS ewma, 0 AS flag
+         |  FROM ser WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.nation, s.mon, s.cents, s.rn,
+         |    r.ewma + (((s.cents - r.ewma) + 1000000000000 * $EwmaAlphaDen)
+         |              // $EwmaAlphaDen - 1000000000000),
+         |    CASE WHEN abs(s.cents - r.ewma) > $EwmaThreshold THEN 1 ELSE 0 END
+         |  FROM ser s JOIN rec r ON s.nation = r.nation AND s.rn = r.rn + 1)
+         |SELECT nation, mon, cents, ewma, flag
+         |FROM rec ORDER BY nation, mon""".stripMargin,
   )
 }

@@ -361,4 +361,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"$exchanges key shuffles (want 1):\n$p")
     assert(!plan.contains("Join"), s"pct literals must not join:\n$p")
   }
+
+  test("q132: marginals and the frequent set broadcast; rules end in TakeOrdered") {
+    val p = finalPlan("q132_basket_rules")
+    val plan = p.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"marginals not broadcast:\n$p")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"rule metrics degraded to a wide join:\n$p")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
+  }
+
+  test("q134: triangle closure is hash equi-joins; crosses only for 1-row stats") {
+    val p = finalPlan("q134_triangles")
+    val plan = p.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), s"wedge join degenerated:\n$p")
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)".r
+      .findFirstIn(plan).isDefined, s"no equi-join for the closure:\n$p")
+    // the only nested loops are the single-row summary crosses
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r
+      .findAllIn(plan).size == "BroadcastNestedLoopJoin".r.findAllIn(plan).size,
+      s"non-cross nested loop crept in:\n$p")
+  }
+
+  test("q137: the dot-product pass joins nothing but the 1-row renorm max") {
+    val p = finalPlan("q137_power_iteration")
+    val plan = p.split("== Initial Plan ==").head
+    // direction literal is compiled in: no equi-join anywhere; the one
+    // nested loop is the single-row max cross for renormalization
+    assert(!plan.contains("CartesianProduct") && !plan.contains("HashJoin") &&
+      !plan.contains("SortMergeJoin"), s"direction must be a literal:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, p)
+  }
+
+  test("q138: bin assignment is a literal projection over the scan — no join") {
+    val p = finalPlan("q138_quantile_bins")
+    val plan = p.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"cuts must be literals:\n$p")
+  }
+
+  test("q140: annotator reliabilities broadcast back onto the vote table") {
+    val p = finalPlan("q140_weighted_vote")
+    val plan = p.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"reliability join not broadcast:\n$p")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q143: the EWMA fold is ONE key shuffle, no self-join on the series") {
+    val p = finalPlan("q143_ewma_chart")
+    val plan = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"$exchanges key shuffles (want <=2: month agg + fold):\n$p")
+  }
 }

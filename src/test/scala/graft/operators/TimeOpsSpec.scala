@@ -121,6 +121,36 @@ class TimeOpsSpec extends SparkSpec {
     assert(head.toSeq == Seq(3L)) // lower eid is the head
   }
 
+  test("ewmaChart: hand replay incl. FLOOR on a negative delta") {
+    // alpha = 1/4. s1=10; x2=1: floor(-9/4) = -3 (trunc would say -2)
+    // -> s2 = 7; x3=11: floor(4/4)=1 -> s3 = 8
+    val pts = Seq(("k", 1L, 10L), ("k", 2L, 1L), ("k", 3L, 11L))
+    val got = TimeOps.ewmaChart(pts.toDF("k", "t", "x"), "k", "t", "x",
+        alphaDen = 4, threshold = 5L)
+      .select("t", "x", "ewma", "flag")
+      .as[(Long, Long, Long, Int)].collect().toList
+    assert(got == List((1L, 10L, 10L, 0), (2L, 1L, 7L, 1), (3L, 11L, 8L, 0)))
+  }
+
+  test("ewmaChart: keys fold independently; result partitioning-invariant") {
+    val rnd = new scala.util.Random(31)
+    val pts = for (k <- Seq("a", "b", "c"); t <- 1 to 200)
+      yield (k, t.toLong, rnd.nextInt(2000).toLong - 1000L)
+    val df = pts.toDF("k", "t", "x")
+    val one = TimeOps.ewmaChart(df, "k", "t", "x", 8, 400L).collect().toList
+    val two = TimeOps.ewmaChart(df.repartition(11), "k", "t", "x", 8, 400L)
+      .collect().toList
+    assert(one.map(_.toString) == two.map(_.toString))
+    // brute-force one key
+    def replay(xs: List[Long]): List[Long] = xs match {
+      case h :: t => t.scanLeft(h)((s, x) => s + Math.floorDiv(x - s, 8L))
+      case Nil => Nil
+    }
+    val exp = replay(pts.filter(_._1 == "b").sortBy(_._2).map(_._3).toList)
+    val gotB = one.filter(_.getString(0) == "b").map(_.getLong(3))
+    assert(gotB == exp)
+  }
+
   test("trendFit: exact line recovers slope and intercept in ppm") {
     val pts = (0L to 10L).map(x => ("k", x + 5000L, 3L * (x + 5000L) + 7L))
     // intercept is at the REBASED origin x0 = 5000: y(5000) = 15007

@@ -94,4 +94,52 @@ object Association {
       .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
       .limit(topK)
   }
+
+  /** Item–item Jaccard similarity from co-occurrence counts — the
+    * "customers who bought X also bought Y" primitive:
+    * {{{
+    *   jaccard(a,b) = c_ab / (c_a + c_b − c_ab)      (in ppm, floor)
+    * }}}
+    * Same pipeline as [[rules]] (apriori prune → array-side pairs →
+    * one pair shuffle → broadcast marginals), same magnitude story;
+    * top-k per LEFT item via the bounded-heap TopKPerKey plan node, so
+    * no per-item window sort. Pairs emit symmetrically (a→b and b→a)
+    * so every item gets its neighbor list.
+    *
+    * @return (item, neighbor, cab, ca, cb, jaccard_ppm), the top-k
+    *         neighbors per item by (jaccard_ppm desc, neighbor),
+    *         totally ordered
+    */
+  def itemNeighbors(baskets: DataFrame, basketCol: String, itemCol: String,
+                    minSupport: Long, k: Int): DataFrame = {
+    require(minSupport >= 1 && k >= 1, s"bad args: $minSupport, $k")
+    val b = baskets
+      .select(col(basketCol).as("__basket"), col(itemCol).cast("string").as("__item"))
+      .where(col("__basket").isNotNull && col("__item").isNotNull)
+      .distinct()
+      .transform(Materialize.once)
+    val ci = b.groupBy("__item").agg(count(lit(1)).as("__c"))
+      .transform(Materialize.once)
+    val frequent = ci.filter(col("__c") >= minSupport).select("__item")
+    val arrs = b.join(broadcast(frequent), Seq("__item"))
+      .groupBy("__basket")
+      .agg(sort_array(collect_set(col("__item"))).as("__items"))
+    val pairs = arrs
+      .select(explode(flatten(expr(
+        "transform(__items, (x, i) -> transform(slice(__items, i + 2, size(__items)), y -> struct(x AS a, y AS b)))")))
+        .as("__p"))
+      .select(col("__p.a").as("item"), col("__p.b").as("neighbor"))
+    val sym = pairs.union(pairs.select(col("neighbor").as("item"), col("item").as("neighbor")))
+    val scored = sym.groupBy("item", "neighbor").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minSupport)
+      .join(broadcast(ci.select(col("__item").as("item"), col("__c").as("ca"))), Seq("item"))
+      .join(broadcast(ci.select(col("__item").as("neighbor"), col("__c").as("cb"))), Seq("neighbor"))
+      .withColumn("jaccard_ppm", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * cab) div (ca + cb - cab)"))
+    ScaleOps.topKPerKey(
+        scored.select(col("item"), col("neighbor"), col("cab"), col("ca"),
+          col("cb"), col("jaccard_ppm")),
+        Seq("item"), Seq(col("jaccard_ppm").desc, col("neighbor").asc), k)
+      .orderBy(col("item"), col("jaccard_ppm").desc, col("neighbor"))
+  }
 }

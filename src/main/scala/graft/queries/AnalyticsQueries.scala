@@ -229,7 +229,23 @@ object AnalyticsQueries {
       EwmaAlphaDen, EwmaThreshold)
   }
 
+  private val NeighborK = 5
+
+  /** "Bought together" item neighbors: top-5 Jaccard-similar brands
+    * per brand from order co-occurrence — the collaborative-filtering
+    * item-item primitive, with the bounded-heap TopKPerKey node in
+    * place of a per-item window sort. */
+  val q144ItemNeighbors: Q = (s, d) => {
+    val baskets = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+    graft.operators.Association.itemNeighbors(
+      baskets, "basket", "item", BasketMinSupport, NeighborK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q144_item_neighbors" -> q144ItemNeighbors,
     "q142_zipf_fit" -> q142ZipfFit,
     "q143_ewma_chart" -> q143EwmaChart,
     "q132_basket_rules" -> q132BasketRules,
@@ -500,5 +516,24 @@ object AnalyticsQueries {
          |  FROM ser s JOIN rec r ON s.nation = r.nation AND s.rn = r.rn + 1)
          |SELECT nation, mon, cents, ewma, flag
          |FROM rec ORDER BY nation, mon""".stripMargin,
+    "q144_item_neighbors" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+         |           FROM lineitem JOIN part ON p_partkey = l_partkey),
+         |ci AS (SELECT item, count(*) AS c FROM b GROUP BY 1),
+         |cab AS (SELECT x.item AS item, y.item AS neighbor, count(*) AS cab
+         |        FROM b x JOIN b y ON x.basket = y.basket AND x.item <> y.item
+         |        GROUP BY 1, 2),
+         |sc AS (SELECT cab.item AS item, cab.neighbor AS neighbor, cab.cab AS cab,
+         |         ca.c AS ca, cb.c AS cb,
+         |         CAST((1000000 * CAST(cab.cab AS HUGEINT))
+         |              // (ca.c + cb.c - cab.cab) AS BIGINT) AS jaccard_ppm
+         |       FROM cab JOIN ci ca ON ca.item = cab.item
+         |                JOIN ci cb ON cb.item = cab.neighbor
+         |       WHERE cab.cab >= $BasketMinSupport),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY item
+         |         ORDER BY jaccard_ppm DESC, neighbor) AS rn FROM sc)
+         |SELECT item, neighbor, cab, ca, cb, jaccard_ppm
+         |FROM rk WHERE rn <= $NeighborK
+         |ORDER BY item, jaccard_ppm DESC, neighbor""".stripMargin,
   )
 }

@@ -395,14 +395,20 @@ object TextQueries {
     * arrays out, every pack exactly full except each shard's last.
     * One shuffle (pack assembly); order inside a pack is deterministic
     * by offset, never arrival. The oracle rebuilds the id streams
-    * foreign-encoder-first and re-derives every pack. */
+    * foreign-encoder-first and re-derives every pack. The pack
+    * contents are emitted as order-sensitive hashable derivations
+    * (md5 of the comma-joined ids + the integer id sum), never as a
+    * raw array column — array cells are not hashable downstream. */
   val q107PackIds: Q = (s, d) => {
     val withIds = docs(s, d).select(col("doc_id"),
       graft.operators.Bpe.encodeIds(col("text"), bpeMerges, bpeVocab).as("ids"))
     graft.operators.Packing.packIdSequences(withIds, "doc_id", "ids",
       pmod(col("doc_id"), lit(4)), budget = 512)
       .select(col("pack_id"), col("n_tokens"),
-        col("ids").cast("array<long>").as("ids"))
+        md5(concat_ws(",", transform(col("ids"), _.cast("string"))))
+          .as("ids_md5"),
+        aggregate(col("ids").cast("array<long>"), lit(0L),
+          (acc, x) => acc + x).as("id_sum"))
       .orderBy("pack_id")
   }
 
@@ -1119,7 +1125,8 @@ object TextQueries {
          |          flatten(list(piece ORDER BY pack_offset)) AS ids
          |          FROM pieces GROUP BY shard, pack)
          |SELECT pack_id, CAST(len(ids) AS BIGINT) AS n_tokens,
-         |       list_transform(ids, x -> CAST(x AS BIGINT)) AS ids
+         |       md5(array_to_string(ids, ',')) AS ids_md5,
+         |       COALESCE(CAST(list_sum(ids) AS BIGINT), 0) AS id_sum
          |FROM packs ORDER BY pack_id""".stripMargin
     },
     // same foreign encoder, then ids through the literal vocabulary

@@ -70,7 +70,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum // failures drag the total negative — visible
-    println(f"""{"metric":"total","value":$total%.3f,"median":$total%.3f,"runs":$runs,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"median":$total%.3f,"runs":$runs,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // durability: harness tails can truncate the printed line, losing
+    // the early-alphabet per-query times — also land the complete JSON
+    // in the repo so round-over-round comparisons cover every query
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")),
+      line + "\n")
+    catch { case _: Throwable => () } // best-effort; stdout stays canonical
     spark.stop()
   }
 }

@@ -33,9 +33,13 @@ import org.apache.spark.sql.functions._
   *  4. per-basket sorted item arrays, pairs generated ARRAY-SIDE
   *     (transform+slice+flatten, one explode — no basket self-join),
   *     then the single (a, b) count shuffle;
-  *  5. marginals re-attach by broadcast; top-k is
-  *     TakeOrderedAndProject (per-partition heaps, never a global
-  *     sort).
+  *  5. marginals re-attach by broadcast — from the FREQUENT-filtered
+  *     count table only, never the full item domain: c_ab ≤
+  *     min(c_a, c_b) means no pair surviving the support filter can
+  *     reference an infrequent item, and the unfiltered table is
+  *     unbounded (a web-scale item domain would OOM under a forced
+  *     broadcast hint). Top-k is TakeOrderedAndProject (per-partition
+  *     heaps, never a global sort).
   * The explode in (4) is quadratic in BASKET size, not corpus size —
   * cap pathological baskets upstream (a 10⁴-item basket is 5·10⁷
   * pairs).
@@ -67,7 +71,10 @@ object Association {
     val n = b.agg(count_distinct(col("__basket")).as("n_baskets"))
     val ci = b.groupBy("__item").agg(count(lit(1)).as("__c"))
       .transform(Materialize.once)
-    val frequent = ci.filter(col("__c") >= minSupport).select("__item")
+    // broadcast-sized by construction (≤ N/minSupport rows) — the
+    // ONLY count table that may carry an explicit broadcast hint
+    val cif = ci.filter(col("__c") >= minSupport)
+    val frequent = cif.select("__item")
 
     // apriori prune, then per-basket sorted arrays and array-side pairs
     val arrs = b.join(broadcast(frequent), Seq("__item"))
@@ -83,8 +90,8 @@ object Association {
     // for these all-positive operands in Spark and DuckDB alike
     pairs.groupBy("item_a", "item_b").agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= minSupport)
-      .join(broadcast(ci.select(col("__item").as("item_a"), col("__c").as("ca"))), Seq("item_a"))
-      .join(broadcast(ci.select(col("__item").as("item_b"), col("__c").as("cb"))), Seq("item_b"))
+      .join(broadcast(cif.select(col("__item").as("item_a"), col("__c").as("ca"))), Seq("item_a"))
+      .join(broadcast(cif.select(col("__item").as("item_b"), col("__c").as("cb"))), Seq("item_b"))
       .crossJoin(broadcast(n))
       .select(col("item_a"), col("item_b"), col("cab"), col("ca"), col("cb"),
         col("n_baskets"),
@@ -120,7 +127,9 @@ object Association {
       .transform(Materialize.once)
     val ci = b.groupBy("__item").agg(count(lit(1)).as("__c"))
       .transform(Materialize.once)
-    val frequent = ci.filter(col("__c") >= minSupport).select("__item")
+    // frequent-filtered marginals: the only broadcast-safe count table
+    val cif = ci.filter(col("__c") >= minSupport)
+    val frequent = cif.select("__item")
     val arrs = b.join(broadcast(frequent), Seq("__item"))
       .groupBy("__basket")
       .agg(sort_array(collect_set(col("__item"))).as("__items"))
@@ -132,8 +141,8 @@ object Association {
     val sym = pairs.union(pairs.select(col("neighbor").as("item"), col("item").as("neighbor")))
     val scored = sym.groupBy("item", "neighbor").agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= minSupport)
-      .join(broadcast(ci.select(col("__item").as("item"), col("__c").as("ca"))), Seq("item"))
-      .join(broadcast(ci.select(col("__item").as("neighbor"), col("__c").as("cb"))), Seq("neighbor"))
+      .join(broadcast(cif.select(col("__item").as("item"), col("__c").as("ca"))), Seq("item"))
+      .join(broadcast(cif.select(col("__item").as("neighbor"), col("__c").as("cb"))), Seq("neighbor"))
       .withColumn("jaccard_ppm", expr(
         "(CAST(1000000 AS DECIMAL(38,0)) * cab) div (ca + cb - cab)"))
     ScaleOps.topKPerKey(

@@ -11,7 +11,11 @@ import graft.functions.TextFunctions
   * Layout at `path`:
   *  - `postings/bucket=N/` — (term, doc_id, dl, tf) rows, partitioned
   *    by `bucket = portable_hash(term) % nBuckets`
-  *  - `stats/` — one row (n, sumdl), the corpus-level constants
+  *  - `stats/` — one row (n, sumdl, n_buckets): the corpus-level
+  *    constants PLUS the build-time bucket count, so a search can
+  *    never prune with a different modulus than the one the postings
+  *    were laid out with (a silent wrong-bucket probe would return
+  *    incomplete rankings, not an error)
   *
   * A search resolves its terms' buckets ON THE DRIVER (same md5
   * derivation as the column hash) and pushes them as a partition
@@ -54,14 +58,26 @@ object Bm25Index {
     docs.agg(
       count(lit(1)).as("n"),
       sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("sumdl"))
+      .withColumn("n_buckets", lit(nBuckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Search the index; same contract and numbers as [[Bm25.topK]]. */
+  /** Search the index; same contract and numbers as [[Bm25.topK]].
+    * The bucket count comes from the stats sidecar written at build
+    * time — never from the caller — so the probe's driver-side bucket
+    * derivation is in lockstep with the on-disk layout by
+    * construction. */
   def search(spark: SparkSession, indexPath: String,
-             queries: Seq[(Int, String)], k: Int = 10, nBuckets: Int = 64,
+             queries: Seq[(Int, String)], k: Int = 10,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = Bm25.queryTerms(spark, queries)
+    // the streaming-maintained index carries an extra __batch_id
+    // guard column here — select the stat columns explicitly
+    val statsAll = spark.read.parquet(s"$indexPath/stats")
+    require(statsAll.columns.contains("n_buckets"),
+      s"Bm25Index: $indexPath/stats has no n_buckets column — index " +
+        "predates the layout-pinning sidecar; rebuild it")
+    val nBuckets = statsAll.select("n_buckets").head().getInt(0)
     // control-plane: the query set is small by contract — its terms'
     // buckets resolve on the driver and prune the postings scan
     val terms = queries.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty).distinct
@@ -70,9 +86,7 @@ object Bm25Index {
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
       .select("doc_id", "dl", "term", "tf")
-    // select the two stat columns: the streaming-maintained index
-    // carries an extra __batch_id guard column here
-    val stats = spark.read.parquet(s"$indexPath/stats").select("n", "sumdl")
+    val stats = statsAll.select("n", "sumdl")
     Bm25.scoreAndRank(tf, qTerms, stats, k, k1, b)
   }
 }

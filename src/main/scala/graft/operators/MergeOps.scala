@@ -71,11 +71,16 @@ object MergeOps {
     * feed a downstream incremental consumer (or an audit) wants from
     * two [[graft.sources.VersionedTable]] snapshots.
     *
-    * Value comparison hashes the non-key columns through a canonical
-    * string rendering (null → a reserved sentinel) — each engine
-    * compares its OWN renderings, so equal values always classify
-    * `unchanged` and any real change flips to `update`; the hash never
-    * crosses engines. One full-outer hash join on the keys, both
+    * Value comparison hashes each non-key column INDIVIDUALLY (md5 of
+    * its string rendering, null → a reserved sentinel), then hashes
+    * the fixed-width concatenation — so a data value containing the
+    * separator (or a literal sentinel string vs a real NULL) can never
+    * make two different rows render identically; the per-column digests
+    * are constant-width hex, leaving nothing for a hostile value to
+    * collide with. Each engine compares its OWN renderings, so equal
+    * values always classify `unchanged` and any real change flips to
+    * `update`; the hash never crosses engines. One full-outer hash
+    * join on the keys, both
     * sides shuffled once; at 100 TB diff two bucketed snapshots so
     * the join is co-partitioned.
     *
@@ -88,7 +93,8 @@ object MergeOps {
     val dataCols = after.columns.filterNot(keyCols.contains).sorted
     def hashed(df: DataFrame, as: String) = df.select(
       keyCols.map(col) :+ md5(concat_ws("\u0001",
-        dataCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        dataCols.map(c => when(col(c).isNull, lit("\u0000"))
+          .otherwise(md5(col(c).cast("string")))): _*))
         .as(as): _*)
     hashed(before, "__hb")
       .join(hashed(after, "__ha"), keyCols, "full_outer")

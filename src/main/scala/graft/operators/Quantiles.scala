@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** Exact per-group percentile values.
+  /** Exact per-group percentile values. NULL values are excluded
+    * before ranking (`n` counts non-null rows) — Spark's ascending
+    * window puts NULLs FIRST while most SQL engines' `row_number`
+    * defaults to NULLS LAST, so ranking over a nullable column would
+    * silently select different values per engine.
     *
     * @param pcts integer percents in (0, 100], e.g. Seq(25, 50, 75, 95, 99)
     * @return keyCols ++ (pct, pct_value, n) — one row per (group, pct)
@@ -41,6 +45,7 @@ object Quantiles {
     val w = Window.partitionBy(keys: _*).orderBy(col(valCol))
     val wAll = Window.partitionBy(keys: _*)
     val ranked = df.select(keys :+ col(valCol): _*)
+      .filter(col(valCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
     ranked

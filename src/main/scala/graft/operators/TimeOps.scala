@@ -220,33 +220,6 @@ object TimeOps {
       .drop("__rn", "__burst")
   }
 
-  /** Per-key ordinary-least-squares trend fit over (x, y) points —
-    * "is this metric trending up?" as ONE aggregation, exact across
-    * engines and cluster sizes because every step is integer:
-    * {{{
-    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
-    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
-    * }}}
-    * both emitted floor-quantized to 10⁻⁶ (ppm). x is REBASED to the
-    * global minimum first (slope is translation-invariant — exactly
-    * so in integer arithmetic — and the intercept becomes the fitted
-    * value at the corpus' first x, a bounded, meaningful number).
-    *
-    * Floor on possibly-negative rationals is made engine-portable by
-    * the positive-shift identity `floor(a/b) = (a + K·b) div b − K`
-    * for `a + K·b ≥ 0` — truncating and flooring division agree on
-    * positives. K = 10¹² (slope), 10¹⁸ (intercept).
-    *
-    * Magnitude contract (enforced driver-side on the rebased domain):
-    * rebased x spans < 10⁷ and |y| < 10¹³ with n < 10⁷ points per key
-    * keep every intermediate inside DECIMAL(38)/HUGEINT.
-    *
-    * 100 TB shape: one partial-aggregated shuffle on the key; the
-    * global x-min is a one-row broadcast. Keys where all x coincide
-    * (den = 0) emit NULL slope/intercept.
-    *
-    * @return (key, n_points, slope_ppm, intercept_ppm)
-    */
   /** Integer EWMA control chart per key: exponential smoothing with
     * α = 1/alphaDen and a deviation flag, exact across engines.
     * {{{
@@ -298,14 +271,72 @@ object TimeOps {
       .orderBy(keyCol, xCol)
   }
 
+  /** Per-key ordinary-least-squares trend fit over (x, y) points —
+    * "is this metric trending up?" as ONE aggregation, exact across
+    * engines and cluster sizes because every step is integer:
+    * {{{
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    * }}}
+    * both emitted floor-quantized to 10⁻⁶ (ppm). x is REBASED to the
+    * global minimum first (slope is translation-invariant — exactly
+    * so in integer arithmetic — and the intercept becomes the fitted
+    * value at the corpus' first x, a bounded, meaningful number).
+    *
+    * Floor on possibly-negative rationals is made engine-portable by
+    * the positive-shift identity `floor(a/b) = (a + K·b) div b − K`
+    * for `a + K·b ≥ 0` — truncating and flooring division agree on
+    * positives. K = 10¹² (slope), 10¹⁸ (intercept).
+    *
+    * Magnitude contract, enforced LOUDLY driver-side on the actual
+    * data (the [[sigmaOutliers]] pattern): with N = total points,
+    * X = global rebased x span, Y = max|y|, the exact BigInt checks
+    * {{{
+    *   N·X²                     < 10³⁸   (Σx² aggregate)
+    *   N·Y                      < 10³⁸   (Σy aggregate)
+    *   N²·X²·(2·10⁶·Y + 10¹⁸)   < 10³⁸   (intercept numerator)
+    * }}}
+    * guarantee every DECIMAL(38) intermediate — Σxy, num_s, num_i,
+    * den, and both shifted floor numerators — fits; past them this
+    * throws instead of silently emitting NULL fits. (The third bound
+    * dominates the slope side 2·10⁶·N²·X·Y + 10¹²·N²·X².) EAGER: the
+    * bounds and the global x-min used for rebasing are one collected
+    * stats row — a Spark job at DataFrame-construction time.
+    *
+    * 100 TB shape: one partial-aggregated shuffle on the key; the
+    * global x-min enters as a literal, not a join. Keys where all x
+    * coincide (den = 0) emit NULL slope/intercept.
+    *
+    * @return (key, n_points, slope_ppm, intercept_ppm)
+    */
   def trendFit(df: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
     val base = df.select(col(keyCol).as("__k"),
         col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
       .where(col("__k").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
-    val x0 = base.agg(min(col("__x")).as("__x0"))
+    val b = base.agg(count(lit(1)).as("__n"), min(col("__x")).as("__x0"),
+      max(col("__x")).as("__x1"), max(abs(col("__y"))).as("__ym")).first()
+    val n = b.getLong(0)
+    val x0v = if (n == 0) 0L else b.getLong(1)
+    if (n > 0) {
+      val span = BigInt(b.getLong(2)) - BigInt(x0v)
+      val ymax = BigInt(b.getLong(3))
+      val bigN = BigInt(n)
+      val lim = BigInt(10).pow(38)
+      require(bigN * span * span < lim,
+        s"trendFit: n=$n with rebased x span=$span overflows DECIMAL(38) " +
+          "in sum(x*x) — N*X^2 must stay below 10^38")
+      require(bigN * ymax < lim,
+        s"trendFit: n=$n with max|y|=$ymax overflows DECIMAL(38) in " +
+          "sum(y) — N*Y must stay below 10^38")
+      require(bigN * bigN * span * span *
+          (BigInt(2000000) * ymax + BigInt(10).pow(18)) < lim,
+        s"trendFit: n=$n, rebased x span=$span, max|y|=$ymax overflow " +
+          "DECIMAL(38) in the intercept numerator — " +
+          "N^2*X^2*(2e6*Y + 1e18) must stay below 10^38")
+    }
     val dec = "decimal(38,0)"
-    val stats = base.crossJoin(broadcast(x0))
-      .select(col("__k"), (col("__x") - col("__x0")).as("__x"), col("__y"))
+    val stats = base
+      .select(col("__k"), (col("__x") - lit(x0v)).as("__x"), col("__y"))
       .groupBy("__k")
       .agg(count(lit(1)).as("n_points"),
         sum(col("__x").cast(dec)).as("sx"),

@@ -79,13 +79,27 @@ object HygieneQueries {
   /** Substring-level contamination: 40-char spans lifted from every
     * 50th document (span_id = source doc_id), probed verbatim against
     * the whole corpus in one compiled Rabin–Karp pass. Every span hits
-    * at least its own source document. */
+    * at least its own source document.
+    *
+    * The span list is a driver-side collect BY DESIGN —
+    * [[Decontaminate.substringMatches]] contracts a test-set-sized
+    * (control-plane) pattern list that ships inside the compiled
+    * matcher, mirroring Sketches.bloomBitmap's contract. Because this
+    * demo derives its spans from the CORPUS (1-in-50 docs), the
+    * collect would otherwise scale with corpus size, so it is capped
+    * loudly at [[MaxContamSpans]]: a real pipeline probes a fixed test
+    * set, not a corpus sample. */
+  private val MaxContamSpans = 10000
   val q68SubstringContam: Q = (s, d) => {
     val spans = docs(s, d)
       .filter(col("doc_id") % 50 === 0 && length(col("text")) >= 50)
       .select(col("doc_id"), substring(col("text"), 11, 40).as("span"))
+      .limit(MaxContamSpans + 1)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       .sortBy(_._1)
+    require(spans.size <= MaxContamSpans,
+      s"q68: span probe list exceeds $MaxContamSpans — the pattern " +
+        "table is control-plane by contract; probe a fixed test set")
     Decontaminate.substringMatches(docs(s, d), "doc_id", "text", spans)
       .orderBy("doc_id", "span_id")
   }

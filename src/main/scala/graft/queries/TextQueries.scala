@@ -214,7 +214,7 @@ object TextQueries {
     * q110, over a different query set. */
   val q118Bm25Index: Q = (s, d) =>
     graft.operators.Bm25Index.search(s, Bm25IndexCache.getOrBuild(s, d),
-      bm25IndexQueries, k = 10, nBuckets = Bm25IndexCache.NBuckets)
+      bm25IndexQueries, k = 10)
       .orderBy("qid", "rank")
 
   /** DSIR importance weights: hashed-unigram log-likelihood ratio of

@@ -272,6 +272,15 @@ object IncrementalStream {
     val spark = batch.sparkSession
     val prior = AtomicTableWriter.read(spark, s"$indexPath/stats")
     if (prior.flatMap(maxBatchId).exists(_ >= batchId)) return // replay
+    // the stats sidecar pins the postings' bucket modulus; folding a
+    // batch with a different nBuckets would scatter the same term
+    // across two layouts and silently break search-side pruning
+    prior.filter(_.columns.contains("n_buckets")).foreach { st =>
+      val pinned = st.select("n_buckets").head().getInt(0)
+      require(pinned == nBuckets,
+        s"applyBm25IndexBatch: index at $indexPath was built with " +
+          s"n_buckets=$pinned; refusing to fold a batch at nBuckets=$nBuckets")
+    }
     batch.select(
       col(idCol).as("doc_id"),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
@@ -293,7 +302,8 @@ object IncrementalStream {
       case None => delta
     }
     AtomicTableWriter.overwrite(
-      next.withColumn("__batch_id", lit(batchId)), s"$indexPath/stats")
+      next.withColumn("__batch_id", lit(batchId))
+        .withColumn("n_buckets", lit(nBuckets)), s"$indexPath/stats")
   }
 
   /** Streaming BM25 index maintenance: AvailableNow micro-batches of

@@ -78,4 +78,16 @@ class AssociationSpec extends SparkSpec {
     assert(main.contains("BroadcastHashJoin"), main)
     assert(!main.contains("SortMergeJoin") && !main.contains("CartesianProduct"), main)
   }
+
+  test("plan: only frequent-filtered marginals broadcast (no unbounded hint)") {
+    // the support filter must sit on EVERY broadcast count-table
+    // branch: the frequent semi-join side plus both marginal sides --
+    // an unfiltered item-marginal broadcast is unbounded at a
+    // web-scale item domain
+    val rows = (1 to 50).flatMap(i => Seq((i.toLong, "a"), (i.toLong, "b")))
+    val opt = Association.rules(rows.toDF("bk", "it"), "bk", "it", 2, 5)
+      .queryExecution.optimizedPlan.toString
+    val nSupportFilters = "__c#\\d+L? >= 2".r.findAllIn(opt).length
+    assert(nSupportFilters >= 3, s"want >= 3 support filters, got $nSupportFilters:\n$opt")
+  }
 }

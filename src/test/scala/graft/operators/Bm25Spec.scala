@@ -69,7 +69,7 @@ class Bm25Spec extends SparkSpec {
     val qs = Seq(1 -> "hash join", 2 -> "table spark", 3 -> "zzz-missing")
     val scan = Bm25.topK(docs, "id", "text", qs, k = 3)
       .collect().map(_.toString).sorted.toSeq
-    val idx = Bm25Index.search(spark, dir, qs, k = 3, nBuckets = 8)
+    val idx = Bm25Index.search(spark, dir, qs, k = 3)
       .collect().map(_.toString).sorted.toSeq
     assert(idx == scan, s"index path diverged:\nscan=$scan\nidx=$idx")
   }
@@ -77,7 +77,7 @@ class Bm25Spec extends SparkSpec {
   test("Bm25Index: probe prunes to the query terms' bucket partitions") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx2").toString
     Bm25Index.build(docs, "id", "text", dir, nBuckets = 8)
-    val out = Bm25Index.search(spark, dir, Seq(1 -> "hash"), k = 3, nBuckets = 8)
+    val out = Bm25Index.search(spark, dir, Seq(1 -> "hash"), k = 3)
     val p = out.queryExecution.executedPlan.toString
     assert(p.matches("(?s).*PartitionFilters: \\[.*bucket.*"),
       s"no bucket pruning:\n$p")

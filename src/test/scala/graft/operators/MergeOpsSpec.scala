@@ -116,4 +116,20 @@ class MergeOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(2L -> "update"), s"got $out")
   }
+
+  test("snapshotDiff: separator-bearing values cannot mask a real change") {
+    import spark.implicits._
+    // key 1's VALUE carries the separator character, so a naive
+    // separator-join rendering concatenates before and after
+    // identically; per-column digests stay injective.
+    val b1 = Seq((1L, "a\u0001b", "c"), (2L, null.asInstanceOf[String], "z"))
+      .toDF("k", "s1", "s2")
+    val a1 = Seq((1L, "a", "b\u0001c"), (2L, "\u0000", "z"))
+      .toDF("k", "s1", "s2")
+    val out = MergeOps.snapshotDiff(b1, a1, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1: the column boundary moved; 2: a real NULL became the literal
+    // sentinel string; both must classify as updates
+    assert(out == Map(1L -> "update", 2L -> "update"), s"got $out")
+  }
 }

@@ -79,4 +79,14 @@ class QuantilesSpec extends SparkSpec {
       buckets = 4, directThreshold = 10L).collect()
     assert(c.head.getDouble(1) == 3.25)
   }
+
+  test("exactPercentiles: NULL values excluded from ranking and n") {
+    val df = Seq[(String, Option[Int])](
+      ("g", Some(10)), ("g", None), ("g", Some(20)),
+      ("g", Some(30)), ("g", None)).toDF("k", "v")
+    val out = Quantiles.exactPercentiles(df, Seq("k"), "v", Seq(50, 100))
+      .collect().map(r => r.getInt(1) -> (r.getInt(2), r.getLong(3))).toMap
+    // non-null sorted: 10, 20, 30 -> n = 3; p50 rank 2 -> 20, p100 -> 30
+    assert(out == Map(50 -> (20, 3L), 100 -> (30, 3L)), out.toString)
+  }
 }

@@ -178,6 +178,20 @@ class TimeOpsSpec extends SparkSpec {
     }
   }
 
+  test("trendFit: magnitude breach fails loudly, never as silent NULL fits") {
+    // n=2, rebased x span 1e9, max|y| 2e13: the intercept-numerator
+    // bound N^2*X^2*(2e6*Y + 1e18) reaches ~1.6e38 >= 1e38
+    val pts = Seq(("a", 0L, 20000000000000L), ("a", 1000000000L, 0L))
+    val ex = intercept[IllegalArgumentException] {
+      TimeOps.trendFit(pts.toDF("k", "x", "y"), "k", "x", "y").collect()
+    }
+    assert(ex.getMessage.contains("intercept numerator"), ex.getMessage)
+    // just inside the bound at the same shape still computes
+    val ok = Seq(("a", 0L, 10000000000000L), ("a", 1000000000L, 0L))
+    val r = TimeOps.trendFit(ok.toDF("k", "x", "y"), "k", "x", "y").collect()(0)
+    assert(!r.isNullAt(2) && !r.isNullAt(3))
+  }
+
   test("trendFit: degenerate single-x key yields NULL fit; keys independent") {
     val pts = Seq(("flat", 5L, 10L), ("flat", 5L, 20L),
       ("up", 0L, 0L), ("up", 1L, 2L))

@@ -432,19 +432,19 @@ class IncrementalStreamSpec extends SparkSpec {
     IncrementalStream.applyBm25IndexBatch(b2, 1L, idx, "id", "text", nBuckets = 8)
 
     val qs = Seq(1 -> "hash join", 2 -> "spark table")
-    val streamed = Bm25Index.search(spark, idx, qs, k = 4, nBuckets = 8)
+    val streamed = Bm25Index.search(spark, idx, qs, k = 4)
       .collect().map(_.toString).sorted.toSeq
 
     // the batch-built index over the SAME corpus must agree exactly
     val batchIdx = s"$root/batch"
     Bm25Index.build(b1.unionByName(b2), "id", "text", batchIdx, nBuckets = 8)
-    val batch = Bm25Index.search(spark, batchIdx, qs, k = 4, nBuckets = 8)
+    val batch = Bm25Index.search(spark, batchIdx, qs, k = 4)
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
 
     // crash-replay of batch 1: postings overwrite in place, stats skip
     IncrementalStream.applyBm25IndexBatch(b2, 1L, idx, "id", "text", nBuckets = 8)
-    val replayed = Bm25Index.search(spark, idx, qs, k = 4, nBuckets = 8)
+    val replayed = Bm25Index.search(spark, idx, qs, k = 4)
       .collect().map(_.toString).sorted.toSeq
     assert(replayed == streamed, "replayed batch must not change the index")
     val stats = spark.read.parquet(s"$idx/stats").collect().head
@@ -459,5 +459,14 @@ class IncrementalStreamSpec extends SparkSpec {
       "id", "text", idx2, nBuckets = 8, s"$root/cp")
     q.awaitTermination(60000)
     assert(spark.read.parquet(s"$idx2/stats").collect().head.getAs[Long]("n") == 2L)
+
+    // the stats sidecar pins the bucket modulus: folding a batch with
+    // a different nBuckets must refuse, not scatter the layout
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalStream.applyBm25IndexBatch(
+        Seq((99L, "late doc")).toDF("id", "text"), 2L, idx, "id", "text",
+        nBuckets = 16)
+    }
+    assert(ex.getMessage.contains("n_buckets=8"), ex.getMessage)
   }
 }

@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * external jars. [[AutoDecoder]] sniffs the magic bytes and routes
   * image content there per row.
   *
-  * ====== STUB BOUNDARY (video/audio only) ======
-  * The JDK has no video/audio codecs and this container has no media
-  * libraries, so non-image byte-level decoding is a STUB:
+  * AUDIO (RIFF/WAV PCM) is decoded for real by [[WavDecoder]] —
+  * `javax.sound.sampled` also ships with every JDK.
+  *
+  * ====== STUB BOUNDARY (video + compressed audio only) ======
+  * The JDK has no video or compressed-audio codecs and this container
+  * has no media libraries, so those byte-level decodes are a STUB:
   * [[StubDecoder]] produces deterministic fake pixels/frames from the
   * content hash. The Spark-side plumbing — schema, batch iteration via
   * `mapPartitions`, size-bucketed repartitioning, feature-vector
@@ -148,9 +151,10 @@ object Multimodal {
   }
 
   /** Magic-byte router: image content (PNG/JPEG/GIF/BMP signatures) →
-    * [[ImageIoDecoder]]; everything else (video/audio/unknown) →
-    * [[StubDecoder]]. Sniffing is a few byte compares per row — noise
-    * next to the decode itself. */
+    * [[ImageIoDecoder]]; `RIFF....WAVE` → [[WavDecoder]]; everything
+    * else (video/compressed audio/unknown) → [[StubDecoder]]. Sniffing
+    * is a few byte compares per row — noise next to the decode
+    * itself. */
   object AutoDecoder extends Decoder {
     private[multimodal] def isImage(c: Array[Byte]): Boolean =
       c.length >= 8 && (
@@ -159,7 +163,9 @@ object Multimodal {
         (c(0) == 'G' && c(1) == 'I' && c(2) == 'F' && c(3) == '8') ||
         (c(0) == 'B' && c(1) == 'M')) // BMP
     private def pick(c: Array[Byte]): Decoder =
-      if (isImage(c)) ImageIoDecoder else StubDecoder
+      if (isImage(c)) ImageIoDecoder
+      else if (WavDecoder.isWav(c)) WavDecoder
+      else StubDecoder
     def decodeMeta(content: Array[Byte]): MediaMeta = pick(content).decodeMeta(content)
     def extractFeatures(content: Array[Byte], dim: Int): Array[Float] =
       pick(content).extractFeatures(content, dim)

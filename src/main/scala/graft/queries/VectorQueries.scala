@@ -254,6 +254,60 @@ object VectorQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL audio decode end-to-end, oracle-checked: every doc becomes a
+    * planted waveform — sign flips every `hp` samples, magnitude is a
+    * per-doc base + a per-channel offset + a 16-step ramp — encoded
+    * into a genuine RIFF/WAV container, then decoded back THROUGH
+    * `javax.sound.sampled` ([[graft.multimodal.WavDecoder]], reached
+    * via the AutoDecoder magic-byte route) into integer features:
+    * duration_µs, per-channel integer RMS (isqrt of the mean square),
+    * and zero-crossing counts. The oracle replays the waveform
+    * arithmetic sample-by-sample in SQL (lateral range + lag) — any
+    * deviation in the container round-trip, channel de-interleave, or
+    * sample decode breaks the hash. */
+  val q145AudioDecode: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.{Multimodal, WavDecoder}
+    Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val sr = 8000
+          val nch = 1 + (id % 2).toInt
+          val n = 800 + (id % 5).toInt * 40
+          val hp = 4 + (id % 8).toInt
+          val base = 500 + (id % 7).toInt * 300
+          val pcm = new Array[Byte](n * nch * 2)
+          var i = 0
+          while (i < n) {
+            val sgn = if ((i / hp) % 2 == 0) 1 else -1
+            var c = 0
+            while (c < nch) {
+              val v = sgn * (base + 173 * c + (i % 16))
+              val off = (i * nch + c) * 2
+              pcm(off) = (v & 0xff).toByte
+              pcm(off + 1) = ((v >> 8) & 0xff).toByte
+              c += 1
+            }
+            i += 1
+          }
+          val wav = WavDecoder.encodeWav(pcm, sr.toFloat, nch)
+          // decode THROUGH the codec: every emitted number must come
+          // from the container bytes, not the synthesis parameters
+          val meta = Multimodal.AutoDecoder.decodeMeta(wav)
+          val chs = WavDecoder.decodeSamples(wav)
+          val frames = chs(0).length.toLong
+          (id, meta.mimeType, meta.width.toLong, meta.height.toLong, frames,
+            frames * 1000000L / meta.width,
+            WavDecoder.intRms(chs.head), WavDecoder.zeroCrossings(chs.head),
+            WavDecoder.intRms(chs.last), WavDecoder.zeroCrossings(chs.last))
+        }
+      }
+      .toDF("doc_id", "mime", "sample_rate", "channels", "n_frames",
+        "duration_us", "rms0", "zc0", "rms_last", "zc_last")
+      .orderBy("doc_id")
+  }
+
   /** Perceptual image dedup end-to-end: every doc becomes a 72×64
     * textured PNG (pattern from doc_id/10) with a per-member uniform
     * brightness shift (doc_id%10) — ten exposure variants of each base
@@ -385,6 +439,7 @@ object VectorQueries {
     "q102_image_phash" -> q102ImagePhash,
     "q105_image_near_dup" -> q105ImageNearDup,
     "q58_image_decode" -> q58ImageDecode,
+    "q145_audio_decode" -> q145AudioDecode,
     "q48_embedding_lsh" -> q48EmbeddingLsh,
     "q28_knn_brute" -> q28KnnBrute,
     "q29_embedding_pairs" -> q29EmbeddingPairs,
@@ -605,6 +660,39 @@ object VectorQueries {
         |       c.cluster_size, a.doc_id = c.cluster_id AS is_canonical
         |FROM assigned a JOIN cl c USING (phash_lo, phash_hi)
         |ORDER BY a.doc_id""".stripMargin,
+    "q145_audio_decode" ->
+      """WITH params AS (
+        |  SELECT doc_id,
+        |         CAST(8000 AS BIGINT) AS sample_rate,
+        |         CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |         CAST(800 + (doc_id % 5) * 40 AS BIGINT) AS n_frames,
+        |         4 + doc_id % 8 AS hp,
+        |         500 + (doc_id % 7) * 300 AS base
+        |  FROM documents),
+        |samples AS (
+        |  SELECT p.doc_id, cc.c, ii.i,
+        |         (CASE WHEN ((ii.i // p.hp) % 2) = 0 THEN 1 ELSE -1 END)
+        |           * (p.base + 173 * cc.c + (ii.i % 16)) AS s
+        |  FROM params p, range(0, 960) ii(i), range(0, 2) cc(c)
+        |  WHERE ii.i < p.n_frames AND cc.c < p.channels),
+        |flips AS (
+        |  SELECT doc_id, c, s,
+        |         lag(s) OVER (PARTITION BY doc_id, c ORDER BY i) AS prev
+        |  FROM samples),
+        |ch AS (
+        |  SELECT doc_id, c,
+        |         CAST(floor(sqrt(CAST(CAST(sum(s * s) AS BIGINT) // count(*) AS DOUBLE))) AS BIGINT) AS rms,
+        |         CAST(count(*) FILTER (WHERE prev IS NOT NULL AND prev * s < 0) AS BIGINT) AS zc
+        |  FROM flips GROUP BY doc_id, c)
+        |SELECT p.doc_id, 'audio/wav' AS mime, p.sample_rate, p.channels,
+        |       p.n_frames,
+        |       CAST((p.n_frames * 1000000) // p.sample_rate AS BIGINT) AS duration_us,
+        |       c0.rms AS rms0, c0.zc AS zc0,
+        |       cl.rms AS rms_last, cl.zc AS zc_last
+        |FROM params p
+        |JOIN ch c0 ON c0.doc_id = p.doc_id AND c0.c = 0
+        |JOIN ch cl ON cl.doc_id = p.doc_id AND cl.c = p.channels - 1
+        |ORDER BY p.doc_id""".stripMargin,
     "q58_image_decode" ->
       """SELECT doc_id, 'image/png' AS mime,
         |  CAST(16 + doc_id % 32 AS INTEGER) AS width,

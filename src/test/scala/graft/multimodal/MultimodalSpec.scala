@@ -123,4 +123,66 @@ class MultimodalSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "content"))
     assert(out.rdd.getNumPartitions == 4)
   }
+
+  private def sine16(n: Int, sr: Int, ch: Int)(sample: (Int, Int) => Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * ch * 2)
+    for (i <- 0 until n; c <- 0 until ch) {
+      val v = sample(i, c)
+      val off = (i * ch + c) * 2
+      pcm(off) = (v & 0xff).toByte
+      pcm(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    WavDecoder.encodeWav(pcm, sr.toFloat, ch)
+  }
+
+  test("WavDecoder: meta mapping and exact PCM round-trip") {
+    // stereo, 100 frames at 8 kHz: width=rate, height=channels
+    val wav = sine16(100, 8000, 2)((i, c) => (i % 50) * 100 - 2000 + c)
+    val meta = WavDecoder.decodeMeta(wav)
+    assert(meta.mimeType == "audio/wav")
+    assert(meta.width == 8000 && meta.height == 2)
+    assert(meta.durationMs == 100L * 1000 / 8000)
+    val chs = WavDecoder.decodeSamples(wav)
+    assert(chs.length == 2 && chs(0).length == 100)
+    // bit-exact de-interleave: every sample recovered
+    for (i <- 0 until 100; c <- 0 until 2)
+      assert(chs(c)(i) == (i % 50) * 100 - 2000 + c, s"($i,$c)")
+  }
+
+  test("WavDecoder: integer RMS and zero crossings match hand math") {
+    // constant-magnitude alternating signal: RMS = |A| exactly, one
+    // crossing per sign flip
+    val wav = sine16(8, 8000, 1)((i, _) => if (i % 2 == 0) 300 else -300)
+    val ch0 = WavDecoder.decodeSamples(wav)(0)
+    assert(WavDecoder.intRms(ch0) == 300L)
+    assert(WavDecoder.zeroCrossings(ch0) == 7L)
+    // isqrt floors: samples 1,2,2 -> mean sq 3 -> isqrt 1
+    assert(WavDecoder.intRms(Array(1, 2, 2)) == 1L)
+    assert(WavDecoder.zeroCrossings(Array(5, 0, -5)) == 0L) // zero breaks the strict product
+  }
+
+  test("WavDecoder: frames and resize outputs are decodable WAVs") {
+    val wav = sine16(1600, 8000, 1)((i, _) => if ((i / 4) % 2 == 0) 1000 else -1000)
+    val frames = WavDecoder.sampleFrames(wav, everyMs = 50)
+    assert(frames.size == 4) // 200 ms / 50 ms
+    frames.foreach { f =>
+      assert(WavDecoder.isWav(f))
+      assert(WavDecoder.decodeSamples(f)(0).length == 400)
+    }
+    val small = WavDecoder.resize(wav, 100, 0)
+    assert(WavDecoder.decodeSamples(small)(0).length == 100)
+    // nearest-neighbor: values come from the source alphabet
+    assert(WavDecoder.decodeSamples(small)(0).forall(v => v == 1000 || v == -1000))
+  }
+
+  test("AutoDecoder: RIFF/WAVE routes to the real audio decoder") {
+    val wav = sine16(80, 8000, 1)((i, _) => i * 10)
+    assert(WavDecoder.isWav(wav))
+    val meta = Multimodal.AutoDecoder.decodeMeta(wav)
+    assert(meta.mimeType == "audio/wav" && meta.width == 8000)
+    // truncated/garbage RIFF still fences to the stub, not a crash
+    val fake = "RIFFxxxxNOPE-not-audio".getBytes
+    assert(!WavDecoder.isWav(fake))
+    assert(Multimodal.AutoDecoder.decodeMeta(fake).mimeType == "application/x-stub")
+  }
 }

@@ -634,8 +634,27 @@ object TextQueries {
       .orderBy("canonical_url")
   }
 
+  /** Supervised classification: integer multinomial Naive Bayes over
+    * hashed unigram buckets — trained on the 2/3 labelled split of the
+    * corpus (label = `lang`), scored on the held-out third. Every
+    * per-token log-probability is floor(x·10⁶)-quantized BEFORE the
+    * per-doc sum (the q112 DSIR pattern), so the trained model AND all
+    * scores replay exactly oracle-side. */
+  val q146NbClassify: Q = (s, d) => {
+    val dd = docs(s, d)
+    val train = dd.where(col("doc_id") % 3 =!= 0)
+    val test = dd.where(col("doc_id") % 3 === 0)
+    graft.operators.NbClassifier.trainScore(train, test, "doc_id", "text",
+        "lang", buckets = 1024)
+      .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("pred"), col("score_q"),
+        (col("pred") === col("lang")).as("hit"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q89_url_canon" -> q89UrlCanon,
+    "q146_nb_classify" -> q146NbClassify,
     "q81_bigram_lm" -> q81BigramLm,
     "q80_incremental_dedup" -> q80IncrementalDedup,
     "q64_char_ngrams" -> q64CharNgrams,
@@ -910,6 +929,43 @@ object TextQueries {
          |SELECT doc_id, lang, CAST(sum(cq) AS BIGINT) AS logw_q, count(*) AS n_toks,
          |  CAST(sum(cq) AS BIGINT) > 0 AS target_like
          |FROM c GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    // full NB replay: train counts, dense add-one-smoothed quantized
+    // log-probs (unseen buckets score ln(1)-ln(tc+B)), integer argmax
+    "q146_nb_classify" ->
+      s"""WITH tr AS (SELECT lang AS cls, text FROM documents
+         |  WHERE doc_id % 3 <> 0 AND lang IS NOT NULL),
+         |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0),
+         |trtok AS (SELECT cls, ${hx("term")} % 1024 AS f
+         |  FROM (SELECT cls, unnest($tok) AS term FROM tr)),
+         |cnt AS (SELECT cls, f, count(*) AS c FROM trtok GROUP BY cls, f),
+         |tot AS (SELECT cls, count(*) AS tc FROM trtok GROUP BY cls),
+         |nd AS (SELECT cls, count(*) AS nd FROM tr GROUP BY cls),
+         |ndt AS (SELECT CAST(sum(nd) AS BIGINT) AS ndt FROM nd),
+         |pri AS (SELECT cls, CAST(floor((ln(CAST(nd AS DOUBLE)) -
+         |    ln(CAST(ndt AS DOUBLE))) * 1000000.0) AS BIGINT) AS pq
+         |  FROM nd, ndt),
+         |tf AS (SELECT doc_id, ${hx("term")} % 1024 AS f, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($tok) AS term FROM te)
+         |  GROUP BY doc_id, f),
+         |sc AS (SELECT t.doc_id, k.cls,
+         |    CAST(sum(t.tf * CAST(floor((ln(coalesce(cnt.c, 0) + 1.0) -
+         |      ln(tot.tc + 1024.0)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+         |  FROM tf t CROSS JOIN (SELECT cls FROM nd) k
+         |  LEFT JOIN cnt ON cnt.cls = k.cls AND cnt.f = t.f
+         |  JOIN tot ON tot.cls = k.cls
+         |  GROUP BY t.doc_id, k.cls),
+         |post AS (SELECT sc.doc_id, sc.cls, sc.s + pri.pq AS score
+         |  FROM sc JOIN pri USING (cls)),
+         |best AS (SELECT doc_id, cls, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+         |  FROM post),
+         |dflt AS (SELECT cls, pq FROM pri ORDER BY pq DESC, cls ASC LIMIT 1)
+         |SELECT te.doc_id, te.lang, coalesce(b.cls, dflt.cls) AS pred,
+         |  coalesce(b.score, dflt.pq) AS score_q,
+         |  (coalesce(b.cls, dflt.cls) = te.lang) AS hit
+         |FROM te LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+         |  CROSS JOIN dflt
+         |ORDER BY te.doc_id""".stripMargin,
     // add-one-smoothed ln((bc+1)/(uc+V)) per bigram, floor-quantized
     // to 1e-6 BEFORE the per-doc integer sum (order-independence)
     "q81_bigram_lm" ->

@@ -320,6 +320,59 @@ object IncrementalStream {
       }
       .start()
 
+  /** Log one micro-batch's PSI drift against a PINNED reference
+    * snapshot — the streaming twin of q122: each arriving batch is
+    * scored with the same [[graft.operators.Drift.psiByBucket]] as the
+    * batch monitor (identical integer per-bucket contributions), and
+    * its per-bucket rows land in a persistent drift log stamped with
+    * the micro-batch id, so the log answers both "PSI now" and "PSI
+    * trajectory across batches". Appending a log row is NOT naturally
+    * idempotent, so the applied batch id rides in the log itself under
+    * the same `__batch_id` guard as the rollup sinks — a
+    * crash-replayed batch is a no-op. An empty micro-batch still logs
+    * its reference-side buckets (c_cur = 0), which both records the
+    * "everything vanished" drift signal and advances the guard.
+    *
+    * Scale shape: the log holds ≤ `buckets` rows per applied batch —
+    * control-plane-sized by construction — and the atomic swap
+    * rewrites O(batches · buckets) monitoring rows per trigger, never
+    * anything corpus-sized; the reference snapshot is re-scanned once
+    * per batch, so pin it to a pre-aggregated or sampled frame if the
+    * full corpus is large. */
+  def applyDriftBatch(batch: DataFrame, batchId: Long, reference: DataFrame,
+                      statePath: String, textCol: String,
+                      buckets: Int = 256): Unit = {
+    val prior = AtomicTableWriter.read(batch.sparkSession, statePath)
+    if (prior.flatMap(maxBatchId).exists(_ >= batchId)) return // replay
+    val fresh = graft.operators.Drift
+      .psiByBucket(reference, batch, textCol, buckets)
+      .withColumn("__batch_id", lit(batchId))
+    AtomicTableWriter.overwrite(
+      prior.map(_.unionByName(fresh)).getOrElse(fresh), statePath)
+  }
+
+  /** [[applyDriftBatch]] as an AvailableNow sink. */
+  def driftSink(stream: DataFrame, reference: DataFrame, statePath: String,
+                textCol: String, buckets: Int,
+                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyDriftBatch(batch, id, reference, statePath, textCol, buckets)
+      }
+      .start()
+
+  /** The drift trajectory from maintained log state: one row per
+    * applied batch with the corpus-level PSI (sum of the exact integer
+    * per-bucket contributions — `psi = psi_q_sum / 10⁹`). */
+  def driftTrajectory(spark: SparkSession, statePath: String): DataFrame =
+    AtomicTableWriter.read(spark, statePath)
+      .getOrElse(sys.error(s"no drift log at $statePath"))
+      .groupBy("__batch_id")
+      .agg(sum(col("psi_q")).as("psi_q_sum"))
+      .orderBy("__batch_id")
+
   /** Streaming SCD2 maintenance: each micro-batch of change events
     * merges into the persisted history via
     * [[graft.operators.Scd2.merge]] — closed versions never rewrite,

@@ -469,4 +469,51 @@ class IncrementalStreamSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("n_buckets=8"), ex.getMessage)
   }
+
+  test("streaming drift log: per-batch PSI equals the batch twin; replay no-op") {
+    val root = Files.createTempDirectory("graft-drift").toString
+    val b = 64
+    val reference = Seq("alpha beta gamma delta", "alpha beta epsilon",
+      "gamma delta alpha").toDF("text")
+    val day1 = Seq((1L, "alpha beta gamma"), (2L, "alpha delta"))
+    val day2 = Seq((3L, "zork quux flarp"), (4L, "zork zork"))
+
+    // one source + one checkpoint across drains: the second query
+    // RESUMES from the checkpoint and gets the next micro-batch id —
+    // restart semantics, not a fresh stream
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String)](spark)
+    def drain(rows: Seq[(Long, String)]): Unit = {
+      docs.addData(rows: _*)
+      val q = IncrementalStream.driftSink(docs.toDF().toDF("doc_id", "text"),
+        reference, s"$root/log", "text", b, s"$root/ckpt")
+      q.awaitTermination(60000)
+    }
+    drain(day1)
+    drain(day2)
+
+    val log = spark.read.parquet(s"$root/log")
+    def logged(id: Long) = log.filter($"__batch_id" === id)
+      .select("bucket", "c_base", "c_cur", "psi_q")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def twin(rows: Seq[(Long, String)]) = graft.operators.Drift
+      .psiByBucket(reference, rows.toDF("doc_id", "text"), "text", b)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(logged(0L) == twin(day1))
+    assert(logged(1L) == twin(day2))
+
+    // day2 drifted (disjoint vocabulary) — its PSI must dominate day1's
+    val traj = IncrementalStream.driftTrajectory(spark, s"$root/log")
+      .as[(Long, Long)].collect().toSeq
+    assert(traj.map(_._1) == Seq(0L, 1L))
+    assert(traj(1)._2 > traj(0)._2,
+      s"disjoint-vocabulary batch should score higher PSI: $traj")
+
+    // crash-replay of an applied batch id is a no-op
+    val before = log.collect().toSet
+    IncrementalStream.applyDriftBatch(day2.toDF("doc_id", "text"), 1L,
+      reference, s"$root/log", "text", b)
+    val after = spark.read.parquet(s"$root/log").collect().toSet
+    assert(after == before)
+  }
 }

@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   * is a deliberate, documented bias of ~1e-9 per rank unit — noise for
   * ranking purposes, determinism for engineering purposes.
   *
-  * Scale shape per iteration: one hash join of ranks onto edges (both
-  * sides partitioned by the same key — at scale, pre-bucket edges by
-  * `src` so the per-round shuffle touches only the rank side) and one
-  * aggregation on `dst`. Rank state is one long per node. Rounds are
+  * Scale shape per iteration: one hash join of ranks onto edges and
+  * one aggregation on `dst`. Small graphs broadcast the rank frame
+  * (shuffle-free join); big graphs pre-bucket the edge table by `src`
+  * once, so every round's join moves ONLY the node-sized rank side —
+  * the edge table never re-shuffles. Rank state is one long per node. Rounds are
   * checkpointed so the plan does not grow with iteration count —
   * lineage-safe via [[Materialize.once]]'s persist fallback.
   *
@@ -49,12 +50,17 @@ object GraphOps {
     *               src -> dst. Dangling nodes (no out-edges) leak their
     *               mass — standard for the simple formulation; make the
     *               graph symmetric if every node must keep mass.
+    * @param broadcastCutoff node count at or below which the rank frame
+    *               is broadcast per round; above it the edge table is
+    *               pre-bucketed by `src` instead (see the layout note
+    *               in the body). Both layouts compute identical ranks.
     * @return (node_id, rank_scaled) — rank in units of 1/SCALE, after
     *         `iterations` rounds from the uniform start.
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Int = 85,
                checkpointEvery: Int = 4,
-               assumeDistinct: Boolean = false): DataFrame = {
+               assumeDistinct: Boolean = false,
+               broadcastCutoff: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && damping >= 0 && damping <= 100,
       "need iterations >= 1 and damping in [0,100]")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
@@ -69,36 +75,73 @@ object GraphOps {
       e.select(col("src").as("node_id"))
         .union(e.select(col("dst").as("node_id"))).distinct())
     val nNodes = nodes.count() // control-plane scalar: one long
-    val degreed = Materialize.once(
-      e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
+    // nNodes is KNOWN here (unlike a generic plan), so pick the
+    // per-round join layout explicitly instead of hoping AQE infers it
+    // through checkpoint-stripped statistics:
+    //  - small graphs (<= broadcastCutoff nodes): broadcast the rank
+    //    frame — each round's join has NO shuffle at all. A rank row
+    //    is a node id (tens of bytes) + a long, so the default 1M-row
+    //    cutoff is tens of MB, inside a sane broadcast budget; the
+    //    explicit hint OVERRIDES autoBroadcastJoinThreshold, so it
+    //    must stay well below memory, not at "technically fits".
+    //  - big graphs: pre-bucket the degreed edge table by `src` (one
+    //    extra shuffle, ONCE) and persist it. The cached
+    //    InMemoryRelation REPORTS its hashpartitioning(src) to every
+    //    round's join — localCheckpoint would erase it to
+    //    UnknownPartitioning (its LogicalRDD drops the physical
+    //    partitioning, verified on Spark 4.1) — so EnsureRequirements
+    //    exchanges ONLY the node-sized rank side. Edges (row per EDGE,
+    //    orders of magnitude larger than ranks on real graphs) never
+    //    move again; the cache entry is dropped before returning.
+    //    Explicit numPartitions keeps AQE from coalescing the layout
+    //    into a partitioning the per-round planner can't reuse.
+    val bucketed = nNodes > broadcastCutoff
+    val degreedPlan =
+      e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val degreed =
+      if (bucketed) degreedPlan.repartition(nParts, col("src")).persist()
+      else Materialize.once(degreedPlan)
     val base = (Scale / nNodes) * (100 - damping) / 100
-    // nNodes is KNOWN here (unlike a generic plan): when the rank frame
-    // is broadcast-sized, say so explicitly — each round's join then
-    // skips the edge-side Exchange regardless of the checkpoint having
-    // stripped size statistics. The cutoff is ~1M nodes: a rank row is
-    // a node id (tens of bytes) + a long, so 1M rows is tens of MB —
-    // inside a sane executor/driver broadcast budget. Forcing the hint
-    // OVERRIDES autoBroadcastJoinThreshold, so it must stay well below
-    // memory, not at "technically fits"; bigger graphs keep the shuffle
-    // join (and should pre-bucket edges by src so only the rank side
-    // moves per round).
     val rankHint: DataFrame => DataFrame =
-      if (nNodes <= 1000000L) broadcast(_) else identity
+      if (bucketed) identity else broadcast(_)
     var ranks = nodes.withColumn("rank_scaled", lit(Scale / nNodes))
     for (round <- 1 to iterations) {
-      val contrib = degreed
-        .join(rankHint(ranks), degreed("src") === ranks("node_id"))
-        .groupBy(col("dst").as("node_id"))
-        .agg(sum(expr("rank_scaled div deg")).as("__in"))
-      val next = nodes.join(contrib, Seq("node_id"), "left")
-        .select(col("node_id"),
-          (lit(base) + expr(s"($damping * coalesce(__in, 0L)) div 100"))
-            .as("rank_scaled"))
+      val next = roundStep(degreed, nodes, ranks, rankHint, damping, base)
       ranks = if (round % checkpointEvery == 0 && round < iterations)
         Materialize.once(next)
       else next
     }
-    ranks
+    if (!bucketed) ranks
+    else {
+      // cache hygiene: materialize the final ranks, then drop the edge
+      // cache so pageRank leaves no SQL-cache entry behind (count()
+      // forces the job even in persist-fallback Materialize mode,
+      // where once() is lazy)
+      val out = Materialize.once(ranks)
+      out.count()
+      degreed.unpersist(false)
+      out
+    }
+  }
+
+  /** One damped-PageRank round: contributions flow along `degreed`
+    * edges from the current `ranks`, aggregate on `dst`, and every
+    * node (including ones with no in-edges) re-bases. Factored out so
+    * the spec can pin the per-round plan shape — the call sites ARE
+    * this plan. */
+  private[graft] def roundStep(degreed: DataFrame, nodes: DataFrame,
+                               ranks: DataFrame,
+                               rankHint: DataFrame => DataFrame,
+                               damping: Int, base: Long): DataFrame = {
+    val contrib = degreed
+      .join(rankHint(ranks), degreed("src") === ranks("node_id"))
+      .groupBy(col("dst").as("node_id"))
+      .agg(sum(expr("rank_scaled div deg")).as("__in"))
+    nodes.join(contrib, Seq("node_id"), "left")
+      .select(col("node_id"),
+        (lit(base) + expr(s"($damping * coalesce(__in, 0L)) div 100"))
+          .as("rank_scaled"))
   }
 
   /** The q93 DuckDB oracle for [[pageRank]]: unrolled CTE rounds that

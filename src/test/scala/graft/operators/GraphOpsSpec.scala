@@ -44,6 +44,74 @@ class GraphOpsSpec extends SparkSpec {
     assert(total <= GraphOps.Scale && total > GraphOps.Scale - 10000)
   }
 
+  test("edge-bucketed branch computes identical ranks to the broadcast branch") {
+    // force the big-graph layout (cutoff 0 -> every graph "is big");
+    // bit-identical output is the whole point of integer arithmetic
+    val small = GraphOps.pageRank(path, iterations = 3)
+      .as[(String, Long)].collect().toMap
+    val bucketed = GraphOps.pageRank(path, iterations = 3, broadcastCutoff = 0)
+      .as[(String, Long)].collect().toMap
+    assert(bucketed == small)
+    // denser asymmetric graph, across a checkpoint boundary too
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 400)
+      .map(_ => (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val a = GraphOps.pageRank(edges, iterations = 5, checkpointEvery = 2)
+      .as[(String, Long)].collect().toMap
+    val b = GraphOps.pageRank(edges, iterations = 5, checkpointEvery = 2,
+      broadcastCutoff = 0).as[(String, Long)].collect().toMap
+    assert(a == b)
+    // hygiene: the bucketed branch's edge cache must not outlive the call
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bucketed pageRank leaked a SQL-cache entry")
+  }
+
+  test("edge-bucketed branch: per-round joins never re-shuffle the edge table") {
+    // drive GraphOps.roundStep (the loop body) against the bucketed
+    // layout pageRank builds for big graphs: the edge side must arrive
+    // pre-partitioned from the cache (no "hashpartitioning(src"
+    // anywhere in the round plan), while the rank side DOES exchange —
+    // that shuffle moves node-sized data only. On a toy graph Catalyst
+    // would auto-broadcast the rank side from size stats (fine in
+    // production, but it hides the shuffle layout this pin is about),
+    // so switch auto-broadcast off to surface the big-graph shape.
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    val e = path.distinct()
+    val degreed = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .repartition(4, col("src")).persist()
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      degreed.count()
+      // materialized, as in pageRank — a lazy union-distinct would drag
+      // its own (src, dst) exchange into the round plan under audit
+      val nodes = e.select(col("src").as("node_id"))
+        .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+      val ranks = nodes.withColumn("rank_scaled", lit(GraphOps.Scale / 3))
+      val df = GraphOps.roundStep(degreed, nodes, ranks, identity,
+        damping = 85, base = 50000000L)
+      df.count() // AQE: finalize the adaptive plan before reading it
+      // audit the per-round work only: the plan string embeds the
+      // cached InMemoryRelation's BUILD plan (the one-time bucketing
+      // shuffle) below the InMemoryTableScan — cut it off
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+        .split("InMemoryRelation").head
+      assert(!p.contains("hashpartitioning(src"),
+        s"edge table re-shuffled in the bucketed branch:\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        s"bucketed branch must not broadcast (that's the small-graph path):\n$p")
+      assert(p.contains("hashpartitioning(node_id"),
+        s"expected the rank-side exchange:\n$p")
+    } finally {
+      degreed.unpersist(true)
+      spark.conf.set(thresholdKey, saved)
+    }
+  }
+
   test("result is invariant to input partitioning") {
     val r1 = GraphOps.pageRank(path.repartition(7), iterations = 2)
       .as[(String, Long)].collect().toMap

@@ -144,6 +144,115 @@ object GraphOps {
           .as("rank_scaled"))
   }
 
+  /** Multi-source BFS: hop distance from the nearest seed over a
+    * directed edge list — the "crawl depth from trusted roots" prior a
+    * web-corpus curation pipeline scores documents with (seeds = vetted
+    * domains, hops = link distance; cf. the q93 graph machinery).
+    *
+    * Synchronous Bellman–Ford relaxation on INTEGER distances with an
+    * explicit unreached sentinel (`maxHops + 1`), so every round is
+    * `dist' = least(dist, min over in-edges (dist_src + 1))` on
+    * non-null longs — min is order-independent and the whole run
+    * replays exactly in SQL ([[bfsDepthOracleSql]]). No floats, no
+    * NULL-ordering semantics, no tie-breaks needed.
+    *
+    * Scale shape per round, same layout discipline as [[pageRank]]:
+    * small graphs broadcast the node-sized distance frame (shuffle-free
+    * join); big graphs pre-bucket the edge table by `src` once and
+    * persist, so each round exchanges only the distance side. Full
+    * relaxation (not frontier-tracked) keeps rounds identical and
+    * oracle-replayable; with `maxHops` fixed and small the wasted
+    * re-relaxations are bounded at `maxHops` · |E| row visits.
+    *
+    * EAGER like [[pageRank]] (materializations at construction).
+    *
+    * @param seeds   frame whose FIRST column holds seed node ids
+    *                (cast to string); seeds not present in the graph
+    *                are still reported at hops = 0
+    * @param maxHops rounds to relax; nodes farther than this from
+    *                every seed report NULL
+    * @return (node_id, hops) for every node in the graph ∪ seeds
+    */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+               broadcastCutoff: Long = 1000000L): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val inf = maxHops + 1L
+    val normalized = edges
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+    val e = Materialize.once(normalized.distinct())
+    val seedSet = seeds
+      .select(col(seeds.columns.head).cast("string").as("node_id")).distinct()
+    val nodes = Materialize.once(
+      e.select(col("src").as("node_id"))
+        .union(e.select(col("dst").as("node_id")))
+        .union(seedSet.select(col("node_id"))).distinct())
+    val nNodes = nodes.count()
+    val bucketed = nNodes > broadcastCutoff
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val eLayout =
+      if (bucketed) e.repartition(nParts, col("src")).persist()
+      else e
+    val distHint: DataFrame => DataFrame =
+      if (bucketed) identity else broadcast(_)
+    var dist = nodes.join(seedSet.withColumn("__seed", lit(0L)),
+        Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("__seed"), lit(inf)).as("hops"))
+    for (round <- 1 to maxHops) {
+      val relaxed = eLayout
+        .join(distHint(dist), eLayout("src") === dist("node_id"))
+        .groupBy(col("dst").as("node_id"))
+        .agg(min(col("hops") + lit(1L)).as("__h"))
+      // dist spans every node already — fold the relaxation back in
+      // with one node-sized left join
+      val next = dist.join(relaxed, Seq("node_id"), "left")
+        .select(col("node_id"),
+          least(col("hops"), coalesce(col("__h"), lit(inf))).as("hops"))
+      dist = if (round % 4 == 0 && round < maxHops) Materialize.once(next)
+      else next
+    }
+    val out = dist.select(col("node_id"),
+      when(col("hops") >= inf, lit(null).cast("long"))
+        .otherwise(col("hops")).as("hops"))
+    if (!bucketed) out
+    else {
+      val fin = Materialize.once(out)
+      fin.count()
+      eLayout.unpersist(false)
+      fin
+    }
+  }
+
+  /** The DuckDB oracle for [[bfsDepth]]: unrolled relaxation rounds on
+    * the identical integer-sentinel arithmetic. Lives here so the
+    * Spark rounds and the oracle can never drift apart. */
+  def bfsDepthOracleSql(edgesSql: String, seedsSql: String, maxHops: Int): String = {
+    val inf = maxHops + 1L
+    val rounds = (1 to maxHops).map { i =>
+      s"""d$i AS (
+         |  SELECT nodes.node_id,
+         |         least(d.hops, COALESCE(c.mh, $inf)) AS hops
+         |  FROM nodes
+         |  JOIN d${i - 1} d ON d.node_id = nodes.node_id
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node_id, min(p.hops + 1) AS mh
+         |    FROM edges e JOIN d${i - 1} p ON p.node_id = e.src
+         |    GROUP BY e.dst) c ON c.node_id = nodes.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |seeds AS (SELECT DISTINCT node_id FROM ($seedsSql)),
+       |nodes AS (SELECT src AS node_id FROM edges
+       |          UNION SELECT dst FROM edges
+       |          UNION SELECT node_id FROM seeds),
+       |d0 AS (SELECT nodes.node_id,
+       |         CASE WHEN s.node_id IS NULL THEN $inf ELSE 0 END AS hops
+       |       FROM nodes LEFT JOIN seeds s ON s.node_id = nodes.node_id),
+       |$rounds
+       |SELECT node_id,
+       |       CASE WHEN hops >= $inf THEN NULL
+       |            ELSE CAST(hops AS BIGINT) END AS hops
+       |FROM d$maxHops ORDER BY node_id""".stripMargin
+  }
+
   /** The q93 DuckDB oracle for [[pageRank]]: unrolled CTE rounds that
     * replay the identical integer arithmetic. Lives here so the Spark
     * constant (SCALE, damping) and the oracle can never drift apart. */

@@ -197,8 +197,29 @@ object WarehouseQueries {
       .orderBy("day")
   }
 
+  /** Multi-source BFS: hop distance from "trusted" seed suppliers
+    * (every 25th) over the same symmetric supplier↔part graph as q93 —
+    * the distance-from-vetted-roots prior a crawl-curation pipeline
+    * scores pages with. Integer sentinel relaxation, unrolled-round
+    * oracle; nodes beyond 3 hops report NULL. */
+  val q147BfsDepth: Q = (s, d) => {
+    val sp = graft.operators.Materialize.once(
+      Tables(s, d, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("s"),
+          concat(lit("p"), col("l_partkey")).as("p"))
+        .distinct())
+    val edges = sp.select(col("s").as("src"), col("p").as("dst"))
+      .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
+    val seeds = Tables(s, d, "supplier")
+      .where(col("s_suppkey") % 25 === 0)
+      .select(concat(lit("s"), col("s_suppkey")).as("node_id"))
+    GraphOps.bfsDepth(edges, seeds, maxHops = 3)
+      .orderBy("node_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q90_fuzzy_join" -> q90FuzzyJoin,
+    "q147_bfs_depth" -> q147BfsDepth,
     "q91_date_spine" -> q91DateSpine,
     "q92_scd2" -> q92Scd2,
     "q93_pagerank" -> q93Pagerank,
@@ -259,6 +280,9 @@ object WarehouseQueries {
         |       valid_to IS NULL AS is_current, CAST(version AS INTEGER) AS version
         |FROM versioned ORDER BY user_id, version""".stripMargin,
     "q93_pagerank" -> GraphOps.pageRankOracleSql(pagerankEdgesSql, iterations = 3),
+    "q147_bfs_depth" -> GraphOps.bfsDepthOracleSql(pagerankEdgesSql,
+      "SELECT 's' || s_suppkey AS node_id FROM supplier WHERE s_suppkey % 25 = 0",
+      maxHops = 3),
     "q128_communities" -> GraphOps.labelPropagationOracleSql(pagerankEdgesSql, iterations = 3),
     "q94_incremental_agg" ->
       """SELECT CAST(o_orderdate AS DATE) AS day,

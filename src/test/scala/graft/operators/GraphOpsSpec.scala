@@ -120,6 +120,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("bfsDepth: multi-seed hop distances with sentinel NULL past maxHops") {
+    // directed path a -> b -> c -> d -> e, plus disconnected f -> g
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("f", "g")).toDF("src", "dst")
+    def run(seeds: Seq[String], hops: Int) =
+      GraphOps.bfsDepth(edges, seeds.toDF("node_id"), maxHops = hops)
+        .collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+    val one = run(Seq("a"), 3)
+    assert(one == Map("a" -> Some(0L), "b" -> Some(1L), "c" -> Some(2L),
+      "d" -> Some(3L), "e" -> None, "f" -> None, "g" -> None))
+    // a second seed pulls the tail in; directedness: d's seed never
+    // reaches back to c
+    val two = run(Seq("a", "d"), 2)
+    assert(two("e") == Some(1L) && two("c") == Some(2L) && two("d") == Some(0L))
+    assert(two("g") == None)
+    // a seed absent from the edge list still reports at distance 0
+    val ghost = run(Seq("z"), 1)
+    assert(ghost("z") == Some(0L))
+    assert(ghost.filterNot(_._1 == "z").values.forall(_ == None))
+  }
+
+  test("bfsDepth: bucketed branch identical to broadcast branch, cache clean") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 300)
+      .map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val seeds = Seq("n0", "n7").toDF("node_id")
+    val a = GraphOps.bfsDepth(edges, seeds, maxHops = 4)
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    val b = GraphOps.bfsDepth(edges, seeds, maxHops = 4, broadcastCutoff = 0)
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(a == b)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bucketed bfsDepth leaked a SQL-cache entry")
+  }
+
   test("labelPropagation: two cliques converge to per-clique communities") {
     // clique {a,b,c} and clique {x,y,z}, symmetric edges within each
     def clique(ns: Seq[String]) =

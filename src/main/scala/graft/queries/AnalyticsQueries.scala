@@ -244,8 +244,48 @@ object AnalyticsQueries {
       baskets, "basket", "item", BasketMinSupport, NeighborK)
   }
 
+  /** ROLLUP revenue cube: (nation, year) detail plus per-nation and
+    * grand-total marginals in ONE pass — Spark's Expand feeds a single
+    * partial-aggregated shuffle, so the three grouping levels cost one
+    * scan instead of three. Exact decimal money sums (the dsum rule);
+    * grouping_id distinguishes rollup NULLs from data NULLs. Sort
+    * leads with gid so NULL-ordering differences between engines can
+    * never reach the comparator.
+    *
+    * Expressed in Spark SQL: the equivalent DataFrame-API chain
+    * (rollup + agg over a join) trips DetectAmbiguousSelfJoin on the
+    * Expand's duplicated grouping attributes (Spark 4.1), while the
+    * SQL path plans the identical Expand → partial-agg → shuffle. */
+  val q148RollupRevenue: Q = (s, d) => s.sql(
+    s"""WITH j AS (
+       |  SELECT /*+ BROADCAST(n) */ n_name,
+       |         CAST(year(o_orderdate) AS BIGINT) AS yr, o_totalprice
+       |  FROM parquet.`$d/orders.parquet` o
+       |  JOIN parquet.`$d/customer.parquet` c ON o.o_custkey = c.c_custkey
+       |  JOIN parquet.`$d/nation.parquet` n ON c.c_nationkey = n.n_nationkey)
+       |SELECT n_name, yr,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       |  count(*) AS n_orders,
+       |  CAST(grouping_id(n_name, yr) AS BIGINT) AS gid
+       |FROM j GROUP BY ROLLUP(n_name, yr)
+       |ORDER BY gid, n_name, yr""".stripMargin)
+
+  /** CUBE order counts: all four grouping levels of
+    * (priority, status) — detail, both one-dimension marginals, grand
+    * total — in one Expand pass; the CUBE twin of q148's ROLLUP. */
+  val q149CubeOrders: Q = (s, d) => s.sql(
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       |  count(*) AS n_orders,
+       |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+       |FROM parquet.`$d/orders.parquet`
+       |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+       |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "q144_item_neighbors" -> q144ItemNeighbors,
+    "q148_rollup_revenue" -> q148RollupRevenue,
+    "q149_cube_orders" -> q149CubeOrders,
     "q142_zipf_fit" -> q142ZipfFit,
     "q143_ewma_chart" -> q143EwmaChart,
     "q132_basket_rules" -> q132BasketRules,
@@ -261,6 +301,26 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_rollup_revenue" ->
+      """WITH j AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |             o_totalprice
+        |           FROM orders
+        |           JOIN customer ON o_custkey = c_custkey
+        |           JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, yr,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders,
+        |  CAST(GROUPING(n_name, yr) AS BIGINT) AS gid
+        |FROM j GROUP BY ROLLUP(n_name, yr)
+        |ORDER BY gid, n_name, yr""".stripMargin,
+    "q149_cube_orders" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
     "q132_basket_rules" ->
       s"""WITH b AS (SELECT DISTINCT l_orderkey AS basket, p_brand AS item
          |           FROM lineitem JOIN part ON p_partkey = l_partkey),

@@ -412,4 +412,23 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 2, s"$exchanges key shuffles (want <=2: month agg + fold):\n$p")
   }
+
+  test("q148: rollup is one Expand into a partial-aggregated shuffle, nation broadcast") {
+    val p = finalPlan("q148_rollup_revenue")
+    val plan = p.split("== Initial Plan ==").head
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"expected exactly one Expand (three grouping levels, one scan):\n$p")
+    assert(plan.contains("BroadcastHashJoin"), s"nation join not broadcast:\n$p")
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"rollup aggregation lost map-side partials:\n$p")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q149: cube's four grouping levels cost one scan and one agg shuffle") {
+    val p = finalPlan("q149_cube_orders")
+    val plan = p.split("== Initial Plan ==").head
+    assert("Expand".r.findAllIn(plan).size == 1, s"want one Expand:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges key shuffles (want 1):\n$p")
+  }
 }

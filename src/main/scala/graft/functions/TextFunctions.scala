@@ -240,12 +240,30 @@ object TextFunctions {
     * zero hits → "und" (undetermined). Nonzero ties resolve to the
     * lexicographically GREATEST language (struct-max semantics — the
     * deterministic rule the DuckDB oracle mirrors). */
-  def langId(text: Column): Column = {
-    val ts = tokens(text)
+  def langId(text: Column): Column = langIdTokens(tokens(text))
+
+  /** The [[langId]] vote over a token ARRAY — exposed so callers can
+    * vote on slices (per-segment language for code-switch detection)
+    * without re-tokenizing. */
+  def langIdTokens(ts: Column): Column = {
     def hits(ws: Seq[String]): Column = size(filter(ts, t => t.isin(ws: _*)))
     val langs = langStopwords.toSeq.sortBy(_._1)
     val best = langs.map { case (l, ws) => struct(hits(ws).as("n"), lit(l).as("l")) }
     val winner = array_max(array(best: _*)) // max by (n, then lang desc)
     when(winner.getField("n") === 0, lit("und")).otherwise(winner.getField("l"))
+  }
+
+  /** Per-segment language votes: the token stream cut into fixed
+    * `window`-token segments (last segment ragged), each segment
+    * language-voted independently — the substrate for code-switch
+    * detection. Pure per-row HOF projection: no explode, no shuffle,
+    * whatever the corpus size. Blank text → empty array. */
+  def segmentLangs(text: Column, window: Int): Column = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val ts = tokens(text)
+    val nSeg = floor((size(ts) + lit(window - 1)) / lit(window)).cast("int")
+    when(size(ts) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nSeg),
+        i => langIdTokens(slice(ts, (i - 1) * window + 1, lit(window)))))
   }
 }

@@ -652,9 +652,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The German tail planted on every 10th doc by q150 — guarantees
+    * real code-switches exist in the audited corpus. */
+  private val DeTail = " der die und das ist der die und das ist"
+
+  /** Code-switch detection: every doc cut into 10-token segments, each
+    * segment language-voted ([[graft.functions.TextFunctions.segmentLangs]]),
+    * then per-doc mixture stats — segment count, distinct non-und
+    * languages, adjacent-segment switches, dominant language with the
+    * deterministic (count, lang) max tie-break. The whole computation
+    * is a per-row HOF projection: zero shuffles at any corpus size.
+    * Every 10th doc gets a planted German tail so true switches exist
+    * and the oracle must reproduce them. */
+  val q150CodeSwitch: Q = (s, d) => {
+    val corpus = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(docs(s, d).where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          concat(col("text"), lit(DeTail)).as("text")))
+    val segs = segmentLangs(col("text"), 10)
+    val nonUnd = filter(segs, x => x =!= lit("und"))
+    val adjacent = zip_with(segs, slice(segs, lit(2), size(segs)),
+      (a, b) => coalesce(a =!= lit("und") && b =!= lit("und") && a =!= b,
+        lit(false)))
+    val dominant = coalesce(
+      array_max(transform(array_distinct(nonUnd),
+        l => struct(size(filter(segs, s => s === l)).as("n"), l.as("l"))))
+        .getField("l"),
+      lit("und"))
+    corpus.select(col("doc_id"), col("lang"),
+      size(segs).cast("long").as("n_segments"),
+      size(array_distinct(nonUnd)).cast("long").as("distinct_langs"),
+      size(filter(adjacent, b => b)).cast("long").as("n_switches"),
+      dominant.as("dominant_lang"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q89_url_canon" -> q89UrlCanon,
     "q146_nb_classify" -> q146NbClassify,
+    "q150_code_switch" -> q150CodeSwitch,
     "q81_bigram_lm" -> q81BigramLm,
     "q80_incremental_dedup" -> q80IncrementalDedup,
     "q64_char_ngrams" -> q64CharNgrams,
@@ -966,6 +1002,56 @@ object TextQueries {
          |FROM te LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
          |  CROSS JOIN dflt
          |ORDER BY te.doc_id""".stripMargin,
+    // segment-level langid replay: same stopword lists (interpolated
+    // from the one Scala constant), same (n DESC, lang DESC) vote,
+    // same und rule — then lag-based switch counting
+    "q150_code_switch" -> {
+      val lw = graft.functions.TextFunctions.langStopwords.toSeq.sortBy(_._1)
+        .map { case (l, ws) =>
+          s"('$l', [${ws.map(w => s"'$w'").mkString(", ")}])" }
+        .mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, text || '$DeTail'
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |tok AS (SELECT doc_id, lang, $tok AS ts FROM corpus),
+         |seg AS (SELECT doc_id, i AS seg_idx, ts[(i-1)*10+1:(i-1)*10+10] AS seg
+         |        FROM tok, LATERAL (SELECT unnest(range(1,
+         |          CAST(ceil(len(ts) / 10.0) AS BIGINT) + 1)) AS i) g),
+         |lw(l, ws) AS (VALUES $lw),
+         |hits AS (SELECT doc_id, seg_idx, l,
+         |         len(list_filter(seg, t -> list_contains(ws, t))) AS n
+         |         FROM seg CROSS JOIN lw),
+         |winr AS (SELECT doc_id, seg_idx, n, l, row_number() OVER (
+         |           PARTITION BY doc_id, seg_idx ORDER BY n DESC, l DESC) AS rn
+         |         FROM hits),
+         |win AS (SELECT doc_id, seg_idx, CASE WHEN n = 0 THEN 'und' ELSE l END AS w
+         |        FROM winr WHERE rn = 1),
+         |sw AS (SELECT doc_id, w,
+         |         lag(w) OVER (PARTITION BY doc_id ORDER BY seg_idx) AS pw
+         |       FROM win),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         |        CAST(count(DISTINCT w) FILTER (WHERE w <> 'und') AS BIGINT)
+         |          AS distinct_langs,
+         |        CAST(sum(CASE WHEN pw IS NOT NULL AND w <> 'und'
+         |          AND pw <> 'und' AND w <> pw THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_switches
+         |        FROM sw GROUP BY doc_id),
+         |domc AS (SELECT doc_id, w, count(*) AS c FROM win
+         |         WHERE w <> 'und' GROUP BY 1, 2),
+         |domr AS (SELECT doc_id, w, row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY c DESC, w DESC) AS rn
+         |         FROM domc)
+         |SELECT c.doc_id, c.lang,
+         |  coalesce(a.n_segments, 0) AS n_segments,
+         |  coalesce(a.distinct_langs, 0) AS distinct_langs,
+         |  coalesce(a.n_switches, 0) AS n_switches,
+         |  coalesce(d.w, 'und') AS dominant_lang
+         |FROM corpus c LEFT JOIN agg a USING (doc_id)
+         |LEFT JOIN (SELECT doc_id, w FROM domr WHERE rn = 1) d USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin
+    },
     // add-one-smoothed ln((bc+1)/(uc+V)) per bigram, floor-quantized
     // to 1e-6 BEFORE the per-doc integer sum (order-independence)
     "q81_bigram_lm" ->

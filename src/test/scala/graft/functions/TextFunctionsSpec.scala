@@ -125,6 +125,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.toSeq == Seq("fr", "de", "und", "fr"))
   }
 
+  test("segmentLangs: per-window votes, ragged tail, blank text") {
+    // 10-token en run, then a 10-token de run, then a 4-token fr tail
+    val en = "the cat and the dog of the house is big"
+    val de = "der hund und die katze ist da der die das"
+    val fr = "le chat et la"
+    val df = Seq(s"$en $de $fr", en, "", "xyzzy plugh").toDF("t")
+    val out = df.select(segmentLangs($"t", 10)).as[Seq[String]].collect()
+    assert(out(0) == Seq("en", "de", "fr"))
+    assert(out(1) == Seq("en"))
+    assert(out(2) == Seq.empty)
+    assert(out(3) == Seq("und")) // ragged single segment, no hits
+    // window boundaries matter: a 5-token window splits the en run in two
+    val w5 = df.select(segmentLangs($"t", 5)).as[Seq[String]].collect()
+    assert(w5(1).size == 2 && w5(1).forall(_ == "en"))
+  }
+
   test("quality metrics on known text") {
     val df = Seq("the quick brown fox jumps over the lazy dog again").toDF("t")
     val sw = df.select(stopwordRatio($"t")).as[Double].head()

@@ -282,10 +282,25 @@ object AnalyticsQueries {
        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin)
 
+  /** Bootstrap 95% CI for mean order value per priority class:
+    * 200 deterministic hash-Poisson replicates, quantized integer
+    * replicate means, rank-selected endpoints — the uncertainty
+    * quantification a metrics pipeline attaches to every dashboard
+    * number, engine-exact (see [[graft.operators.Bootstrap]]). */
+  val q151BootstrapCi: Q = (s, d) =>
+    graft.operators.Bootstrap.groupMeanCi(
+      t(s, d, "orders").select(col("o_orderpriority").as("grp"),
+        col("o_orderkey").as("id"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents")),
+      "grp", "id", "cents", reps = 200, loRank = 5, hiRank = 195)
+      .orderBy("grp")
+
   val queries: Map[String, Q] = Map(
     "q144_item_neighbors" -> q144ItemNeighbors,
     "q148_rollup_revenue" -> q148RollupRevenue,
     "q149_cube_orders" -> q149CubeOrders,
+    "q151_bootstrap_ci" -> q151BootstrapCi,
     "q142_zipf_fit" -> q142ZipfFit,
     "q143_ewma_chart" -> q143EwmaChart,
     "q132_basket_rules" -> q132BasketRules,
@@ -301,6 +316,36 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_bootstrap_ci" -> {
+      val h = TextQueries.hx("CAST(b.id AS VARCHAR)")
+      val u = graft.operators.Bootstrap.uniformSql("b.h", "r.rep")
+      val w = graft.operators.Bootstrap.poissonWSql("u")
+      val p = graft.operators.Bootstrap.P
+      s"""WITH base0 AS (SELECT o_orderpriority AS grp, o_orderkey AS id,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |base AS (SELECT grp, id, cents, $h % $p AS h FROM base0 b),
+         |pt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |  (1000000 * CAST(sum(cents) AS BIGINT)) // CAST(count(*) AS BIGINT)
+         |    AS mean_q
+         |  FROM base GROUP BY grp),
+         |reps AS (SELECT unnest(range(0, 200)) AS rep),
+         |draw AS (SELECT b.grp, r.rep, b.cents, $u AS u
+         |         FROM base b CROSS JOIN reps r),
+         |wtab AS (SELECT grp, rep, cents, $w AS w FROM draw),
+         |rm AS (SELECT grp, rep,
+         |  (1000000 * CAST(sum(w * cents) AS BIGINT)) // CAST(sum(w) AS BIGINT)
+         |    AS m
+         |  FROM wtab WHERE w > 0 GROUP BY grp, rep),
+         |rk AS (SELECT grp, rep, m, row_number() OVER (
+         |         PARTITION BY grp ORDER BY m, rep) AS rn FROM rm)
+         |SELECT pt.grp, pt.n, pt.mean_q,
+         |  max(CASE WHEN rk.rn = 5 THEN rk.m END) AS lo_q,
+         |  max(CASE WHEN rk.rn = 195 THEN rk.m END) AS hi_q
+         |FROM pt JOIN rk USING (grp)
+         |GROUP BY pt.grp, pt.n, pt.mean_q
+         |ORDER BY pt.grp""".stripMargin
+    },
     "q148_rollup_revenue" ->
       """WITH j AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
         |             o_totalprice

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{FuzzyJoin, GraphOps, MaterializedAgg, Scd2, SkewJoin, TimeOps}
+import graft.operators.{DataQuality, FuzzyJoin, GraphOps, MaterializedAgg, Scd2, SkewJoin, TimeOps}
 
 /** Warehouse-pattern queries (round 6): SCD2 history, date-spine gap
   * fill, incremental materialized-aggregate maintenance, fuzzy
@@ -217,9 +217,43 @@ object WarehouseQueries {
       .orderBy("node_id")
   }
 
+  /** Data-quality expectation report: null / domain / range checks
+    * folded into ONE scan per table, key uniqueness, and lineitem →
+    * orders referential integrity — the pre-merge gate generalizing
+    * the reference's row-count audit into a typed suite. Every 97th
+    * order is re-inserted corrupted (NULL custkey, negated price,
+    * bogus status, +100y date — also a duplicate key) and every 101st
+    * lineitem re-keyed to an absent order, so each check class
+    * registers real violations the oracle must reproduce. */
+  val q152DqReport: Q = (s, d) => {
+    val o = Tables(s, d, "orders")
+    val bad = o.where(col("o_orderkey") % 97 === 0)
+      .withColumn("o_custkey", lit(null).cast("bigint"))
+      .withColumn("o_totalprice", -col("o_totalprice"))
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 100 YEARS"))
+    val audited = o.unionByName(bad)
+    val li = Tables(s, d, "lineitem")
+    val liAudited = li.unionByName(
+      li.where(col("l_orderkey") % 101 === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(100000000L)))
+    DataQuality.scanReport(audited, "orders", Seq(
+      "null_o_custkey" -> col("o_custkey").isNull,
+      "nonpositive_o_totalprice" -> (col("o_totalprice") <= 0),
+      "domain_o_orderstatus" -> !col("o_orderstatus").isin("O", "F", "P"),
+      "range_o_orderdate" ->
+        (col("o_orderdate") < lit("1992-01-01").cast("timestamp_ntz") ||
+          col("o_orderdate") >= lit("2010-01-01").cast("timestamp_ntz"))))
+      .unionByName(DataQuality.uniqueKey(audited, "orders", Seq("o_orderkey")))
+      .unionByName(DataQuality.referential(
+        liAudited, "lineitem", "l_orderkey", audited, "o_orderkey"))
+      .orderBy("table_name", "check_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q90_fuzzy_join" -> q90FuzzyJoin,
     "q147_bfs_depth" -> q147BfsDepth,
+    "q152_dq_report" -> q152DqReport,
     "q91_date_spine" -> q91DateSpine,
     "q92_scd2" -> q92Scd2,
     "q93_pagerank" -> q93Pagerank,
@@ -283,6 +317,45 @@ object WarehouseQueries {
     "q147_bfs_depth" -> GraphOps.bfsDepthOracleSql(pagerankEdgesSql,
       "SELECT 's' || s_suppkey AS node_id FROM supplier WHERE s_suppkey % 25 = 0",
       maxHops = 3),
+    "q152_dq_report" ->
+      """WITH audited AS (
+        |  SELECT * FROM orders
+        |  UNION ALL
+        |  SELECT * REPLACE (CAST(NULL AS BIGINT) AS o_custkey,
+        |    -o_totalprice AS o_totalprice, 'X' AS o_orderstatus,
+        |    o_orderdate + INTERVAL 100 YEAR AS o_orderdate)
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |li AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey + 100000000 FROM lineitem WHERE l_orderkey % 101 = 0),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        |  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+        |    OR o_orderdate >= TIMESTAMP '2010-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+        |  CAST(count(*) - count(DISTINCT o_orderkey)
+        |    - sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_uniq
+        |  FROM audited),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM li LEFT JOIN (SELECT DISTINCT o_orderkey FROM audited) o
+        |    ON li.l_orderkey = o.o_orderkey
+        |  WHERE li.l_orderkey IS NOT NULL)
+        |SELECT * FROM (
+        |  SELECT 'orders' AS table_name, 'null_o_custkey' AS check_name,
+        |    n AS n_checked, v_null AS n_violations, v_null = 0 AS pass FROM s
+        |  UNION ALL SELECT 'orders', 'nonpositive_o_totalprice', n, v_price,
+        |    v_price = 0 FROM s
+        |  UNION ALL SELECT 'orders', 'domain_o_orderstatus', n, v_status,
+        |    v_status = 0 FROM s
+        |  UNION ALL SELECT 'orders', 'range_o_orderdate', n, v_date,
+        |    v_date = 0 FROM s
+        |  UNION ALL SELECT 'orders', 'unique_o_orderkey', n, v_uniq,
+        |    v_uniq = 0 FROM s
+        |  UNION ALL SELECT 'lineitem', 'fk_l_orderkey', n, v, v = 0 FROM fk)
+        |ORDER BY table_name, check_name""".stripMargin,
     "q128_communities" -> GraphOps.labelPropagationOracleSql(pagerankEdgesSql, iterations = 3),
     "q94_incremental_agg" ->
       """SELECT CAST(o_orderdate AS DATE) AS day,

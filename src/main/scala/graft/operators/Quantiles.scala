@@ -162,6 +162,81 @@ object Quantiles {
       .toDF("pct", "pct_value", "n")
   }
 
+  /** Robust per-group outlier report via the median / MAD modified
+    * z-score (Iglewicz–Hoaglin): a point is flagged when
+    * `0.6745·|x−med| / MAD > 3.5`, evaluated as the integer
+    * cross-multiplication `6745·|x−med| > 35000·MAD` — no division,
+    * no floats, engine-exact. This is the outlier rule that survives
+    * the outliers themselves (mean/σ rules drag their own threshold
+    * toward the anomaly; median and MAD have 50% breakdown).
+    *
+    * Contract: `valCol` is ALREADY integer-quantized (cents, µs —
+    * the sigmaOutliers convention). Median and MAD are type-1 low
+    * medians (value at 1-indexed rank `(n+1) div 2` of the ascending
+    * sort, ties then broken arbitrarily but harmlessly: equal values
+    * select equal answers). `MAD = 0` (over half the group identical)
+    * flags every deviating point — the rule's standard degenerate
+    * behavior, noted here because it is deliberate.
+    *
+    * Scale shape: two window sorts on the SAME group-key partitioning
+    * (median of values, then median of deviations — the second sort
+    * reuses the first's exchange) plus one group-sized broadcast-able
+    * join back; WindowExec spills past memory, so giant groups
+    * degrade, not OOM.
+    *
+    * Output: `keyCols ++ (n, median, mad, n_outliers, max_abs_dev)`.
+    */
+  def madOutliers(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    def lowMedian(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(keys: _*).orderBy(col(c))
+      val wAll = Window.partitionBy(keys: _*)
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(keys ++ Seq(col(c).as(out), col("__n").as(s"${out}_n")): _*)
+    }
+    val vals = df.select(keys :+ col(valCol).cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val med = lowMedian(vals, "__v", "median")
+    val dev = vals.join(med, keyCols)
+      .withColumn("__dev", abs(col("__v") - col("median")))
+    val mad = lowMedian(dev.select(keys :+ col("__dev"): _*), "__dev", "mad")
+    dev.join(mad, keyCols)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        min("median").as("median"),
+        min("mad").as("mad"),
+        sum(when(col("__dev") * 6745L > col("mad") * 35000L, 1L).otherwise(0L))
+          .as("n_outliers"),
+        max("__dev").as("max_abs_dev"))
+      .orderBy(keyCols.head, keyCols.tail: _*)
+  }
+
+  /** DuckDB replica of [[madOutliers]] — identical rank selection and
+    * integer cross-multiplied threshold. `relSql` must yield the
+    * group columns plus an integer `v`. */
+  def madOutliersOracleSql(relSql: String, keyCols: Seq[String]): String = {
+    val ks = keyCols.mkString(", ")
+    s"""WITH vals AS (SELECT * FROM ($relSql) WHERE v IS NOT NULL),
+       |rv AS (SELECT *, row_number() OVER (PARTITION BY $ks ORDER BY v) AS rn,
+       |         count(*) OVER (PARTITION BY $ks) AS n FROM vals),
+       |med AS (SELECT $ks, v AS median FROM rv WHERE rn = (n + 1) // 2),
+       |dev AS (SELECT vals.*, med.median, abs(v - median) AS d
+       |        FROM vals JOIN med USING ($ks)),
+       |rd AS (SELECT *, row_number() OVER (PARTITION BY $ks ORDER BY d) AS rn,
+       |         count(*) OVER (PARTITION BY $ks) AS n FROM dev),
+       |mad AS (SELECT $ks, d AS mad FROM rd WHERE rn = (n + 1) // 2)
+       |SELECT $ks, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(min(median) AS BIGINT) AS median,
+       |  CAST(min(mad) AS BIGINT) AS mad,
+       |  CAST(sum(CASE WHEN d * 6745 > mad * 35000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers,
+       |  CAST(max(d) AS BIGINT) AS max_abs_dev
+       |FROM dev JOIN mad USING ($ks)
+       |GROUP BY $ks ORDER BY $ks""".stripMargin
+  }
+
   /** Quantile discretization: a `bin` column counting the cut points
     * STRICTLY below the value (values equal to a cut fall in the
     * lower bin — an exact comparison on stored doubles, no

@@ -296,7 +296,41 @@ object AnalyticsQueries {
       "grp", "id", "cents", reps = 200, loRank = 5, hiRank = 195)
       .orderBy("grp")
 
+  private val AttributionTouches = Seq("view", "click", "signup")
+  private val AttributionLookbackUs = 24L * 3600 * 1000000 // 24 h
+
+  /** Multi-touch attribution over the events stream: purchase value
+    * credited to the view/click/signup touches of the preceding 24 h
+    * under first-touch, last-touch and linear models at once. One
+    * user-keyed shuffle (see [[graft.operators.Attribution]]). */
+  val q153Attribution: Q = (s, d) =>
+    graft.operators.Attribution.multiTouch(t(s, d, "events"),
+      "user_id", "ts", "event_type", "event_id", "value",
+      AttributionTouches, "purchase", AttributionLookbackUs)
+
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  /** Ordered view → click → purchase funnel: greedy earliest-
+    * completion chain folded ARRAY-SIDE per user — one shuffle for
+    * any number of steps (see [[graft.operators.Funnel]]). */
+  val q154FunnelSteps: Q = (s, d) =>
+    graft.operators.Funnel.steps(t(s, d, "events"),
+      "user_id", "ts", "event_type", "event_id", FunnelSteps)
+
+  /** Robust outlier report per event type: median/MAD modified
+    * z-score over integer cents — the outlier rule with 50% breakdown
+    * (see [[graft.operators.Quantiles.madOutliers]]). Cents are
+    * `floor(value·100)` on the IEEE double, identical per engine. */
+  val q160MadOutliers: Q = (s, d) =>
+    graft.operators.Quantiles.madOutliers(
+      t(s, d, "events").select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents")),
+      Seq("event_type"), "cents")
+
   val queries: Map[String, Q] = Map(
+    "q153_attribution" -> q153Attribution,
+    "q154_funnel_steps" -> q154FunnelSteps,
+    "q160_mad_outliers" -> q160MadOutliers,
     "q144_item_neighbors" -> q144ItemNeighbors,
     "q148_rollup_revenue" -> q148RollupRevenue,
     "q149_cube_orders" -> q149CubeOrders,
@@ -316,6 +350,14 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q153_attribution" -> graft.operators.Attribution.multiTouchOracleSql(
+      "SELECT * FROM events", AttributionTouches, "purchase",
+      AttributionLookbackUs),
+    "q154_funnel_steps" -> graft.operators.Funnel.stepsOracleSql(
+      "SELECT * FROM events", FunnelSteps),
+    "q160_mad_outliers" -> graft.operators.Quantiles.madOutliersOracleSql(
+      "SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events",
+      Seq("event_type")),
     "q151_bootstrap_ci" -> {
       val h = TextQueries.hx("CAST(b.id AS VARCHAR)")
       val u = graft.operators.Bootstrap.uniformSql("b.h", "r.rep")

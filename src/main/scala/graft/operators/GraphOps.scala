@@ -253,6 +253,66 @@ object GraphOps {
        |FROM d$maxHops ORDER BY node_id""".stripMargin
   }
 
+  /** k-core decomposition by synchronous peeling: each round drops
+    * every node whose degree in the CURRENT surviving subgraph is
+    * < k, together with its edges, and repeats. After enough rounds
+    * the survivor set is exactly the k-core (the maximal subgraph of
+    * minimum degree k); `rounds` is fixed and unrolled so the DuckDB
+    * oracle can replay the identical computation, and the spec
+    * asserts the test graph reaches its fixpoint within the budget
+    * (synchronous peeling removes at least one node per non-fixpoint
+    * round, so `rounds` bounds the eccentricity of the peel, not an
+    * approximation knob at convergence).
+    *
+    * Input contract: `src`/`dst` columns, SYMMETRIC edge list (both
+    * directions present) — degree is then out-degree of the
+    * deduplicated list. Self-loops count once.
+    *
+    * Scale shape per round: one degree aggregation + two semi-joins
+    * of edges against the surviving node set — all hash equi-joins
+    * on node keys (the node frame broadcasts below the same ~1M-node
+    * cutoff as [[pageRank]]); the edge frame only ever SHRINKS, and
+    * each round is materialized so lineage stays flat.
+    *
+    * Output: `node_id, core_degree` for nodes surviving `rounds`
+    * peels, ordered by node. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            broadcastCutoff: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var e = Materialize.once(
+      edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")).distinct())
+    val small = e.select("src").distinct().count() <= broadcastCutoff
+    val hint: DataFrame => DataFrame = if (small) broadcast(_) else identity
+    for (_ <- 1 to rounds) {
+      val survivors = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select(col("src").as("__node"))
+      e = Materialize.once(
+        e.join(hint(survivors), e("src") === col("__node"), "left_semi")
+          .join(hint(survivors), e("dst") === col("__node"), "left_semi"))
+    }
+    e.groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("node_id")
+  }
+
+  /** DuckDB replica of [[kCore]]: unrolled peeling rounds on the
+    * identical degree arithmetic. Lives here so the Spark rounds and
+    * the oracle can never drift apart. */
+  def kCoreOracleSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY src),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN d$i a ON a.src = e.src AND a.deg >= $k
+         |  JOIN d$i b ON b.src = e.dst AND b.deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |$steps
+       |SELECT src AS node_id, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM e$rounds GROUP BY src ORDER BY node_id""".stripMargin
+  }
+
   /** The q93 DuckDB oracle for [[pageRank]]: unrolled CTE rounds that
     * replay the identical integer arithmetic. Lives here so the Spark
     * constant (SCALE, damping) and the oracle can never drift apart. */

@@ -93,6 +93,19 @@ object Sampling {
       when(col(idCol).isNull, lit(null).cast("string")).otherwise(label))
   }
 
+  /** Leakage-safe GROUP holdout: [[assignSplit]] keyed on the group
+    * column, so every row of a group (author, domain, session,
+    * near-dup cluster id) lands in the SAME split — the split
+    * discipline that keeps eval honest when rows within a group are
+    * correlated (a per-row split leaks every multi-document author
+    * across the train/test boundary and inflates eval). Same exact
+    * thresholds, same hash, same portability contract; still a
+    * shuffle-free projection (the hash is computed per row from the
+    * group key — no group table, no join). */
+  def groupHoldout(df: DataFrame, groupCol: String,
+                   splits: Seq[(String, Double)], seed: Int = 0): DataFrame =
+    assignSplit(df, groupCol, splits, seed)
+
   /** Stratified deterministic sampling: per-stratum keep fractions over
     * the same hash decision as [[deterministicSample]] — "50% of en,
     * all of de, none of the rest" in one shuffle-free pass. Strata

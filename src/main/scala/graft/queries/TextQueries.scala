@@ -687,7 +687,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val Chi2TopK = 15
+  private val Chi2MinDf = 5L
+
+  /** χ² token↔language association: the tokens most diagnostic of
+    * each `lang` label, exact DECIMAL(38) arithmetic (see
+    * [[graft.operators.FeatureSelect]]). Blank docs excluded on both
+    * engines (DuckDB's regexp_split yields [''] on blanks where the
+    * engine tokenizer yields []). */
+  val q158Chi2Tokens: Q = (s, d) =>
+    graft.operators.FeatureSelect.chi2TopTokens(
+      docs(s, d).filter(trim(col("text")) =!= ""),
+      "doc_id", "text", "lang", k = Chi2TopK, minDf = Chi2MinDf)
+
+  private val HoldoutSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val HoldoutSeed = 9
+
+  /** Leakage-safe GROUP holdout: every document of a `source` lands
+    * in the same split (hash on the group key — see
+    * [[graft.operators.Sampling.groupHoldout]]); reports per-split
+    * group / doc / char totals. */
+  val q159GroupHoldout: Q = (s, d) =>
+    graft.operators.Sampling.groupHoldout(
+      docs(s, d), "source", HoldoutSplits, seed = HoldoutSeed)
+      .groupBy("split")
+      .agg(countDistinct(col("source")).as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split")
+
   val queries: Map[String, Q] = Map(
+    "q158_chi2_tokens" -> q158Chi2Tokens,
+    "q159_group_holdout" -> q159GroupHoldout,
     "q89_url_canon" -> q89UrlCanon,
     "q146_nb_classify" -> q146NbClassify,
     "q150_code_switch" -> q150CodeSwitch,
@@ -846,6 +877,19 @@ object TextQueries {
     minhashSigSql("list_transform(list_distinct(shr), s -> " + hx("s") + " % 2147483647)", 16)
 
   val oracles: Map[String, String] = Map(
+    "q158_chi2_tokens" -> graft.operators.FeatureSelect.chi2OracleSql(
+      "SELECT doc_id AS id, text, lang AS label FROM documents WHERE trim(text) <> ''",
+      tok, k = Chi2TopK, minDf = Chi2MinDf),
+    "q159_group_holdout" -> {
+      val h = hx(s"'$HoldoutSeed:' || source")
+      s"""SELECT ${graft.operators.Sampling.assignSplitCaseSql("h", HoldoutSplits)}
+         |    AS split,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM (SELECT source, n_chars, $h AS h FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // closed form: both synthesized variants of a doc MUST canonicalize
     // to this exact string, so each group has exactly 2 members
     "q89_url_canon" ->

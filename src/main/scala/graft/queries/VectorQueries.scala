@@ -435,7 +435,38 @@ object VectorQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Int8 scalar-quantization reconstruction report: per-dimension
+    * codebook plus exact round-trip error sums — the "how lossy is 4×
+    * compression on THIS corpus" audit (see
+    * [[graft.operators.Int8Quant]]). */
+  val q156Int8Recon: Q = (s, d) =>
+    graft.operators.Int8Quant.reconReport(emb(s, d), "embedding")
+
+  /** Top-10 neighbors in int8 CODE space for every 50th vector — the
+    * quantized first-pass ranking of a compressed ANN serving tier;
+    * integer code dot products, engine-exact. */
+  val q157Int8TopK: Q = (s, d) =>
+    graft.operators.Int8Quant.codeTopK(
+      emb(s, d).filter(col("vec_id") % 50 === 0), emb(s, d),
+      "vec_id", "embedding", k = 10)
+
+  /** MMR diversified top-10 against the vec_id=0 probe (λ=70%):
+    * greedy relevance-vs-redundancy selection, replayed move-for-move
+    * by the oracle's chained argmax CTEs (see
+    * [[graft.operators.Mmr]]). */
+  val q161MmrSelect: Q = (s, d) => {
+    val qvec = emb(s, d).filter(col("vec_id") === 0)
+      .select(quantize(col("embedding")).as("qv"))
+      .head().getSeq[Long](0).toArray
+    graft.operators.Mmr.selectTopK(
+      emb(s, d).filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      qvec, k = 10, lambdaPct = 70)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q156_int8_recon" -> q156Int8Recon,
+    "q157_int8_topk" -> q157Int8TopK,
+    "q161_mmr_select" -> q161MmrSelect,
     "q102_image_phash" -> q102ImagePhash,
     "q105_image_near_dup" -> q105ImageNearDup,
     "q58_image_decode" -> q58ImageDecode,
@@ -572,7 +603,49 @@ object VectorQueries {
            |ORDER BY asn.vec_id""".stripMargin)
   }
 
+  /** Shared int8 oracle scaffolding: per-dim codebook over the
+    * zip-unnested quantized coords, then codes by integer floor
+    * division — the Int8Quant arithmetic in DuckDB. */
+  private val int8CbSql =
+    s"""e AS (SELECT vec_id, $qv AS qv FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(range(1, len(qv) + 1)) AS dim,
+       |              unnest(qv) AS x FROM e),
+       |cb AS (SELECT dim, min(x) AS min_q, max(x) AS max_q,
+       |              greatest(max(x) - min(x), 1) AS rng
+       |       FROM ex GROUP BY dim)""".stripMargin
+
   private val staticOracles: Map[String, String] = Map(
+    "q156_int8_recon" ->
+      s"""WITH $int8CbSql,
+         |codes AS (SELECT ex.vec_id, ex.dim, ex.x, cb.min_q, cb.max_q, cb.rng,
+         |  ((ex.x - cb.min_q) * 255) // cb.rng AS code
+         |  FROM ex JOIN cb USING (dim))
+         |SELECT dim, CAST(min_q AS BIGINT) AS min_q,
+         |  CAST(max_q AS BIGINT) AS max_q,
+         |  CAST(sum(code) AS BIGINT) AS sum_codes,
+         |  CAST(sum(abs(x - (min_q + (code * rng) // 255))) AS BIGINT)
+         |    AS sum_abs_err
+         |FROM codes GROUP BY dim, min_q, max_q ORDER BY dim""".stripMargin,
+    "q157_int8_topk" ->
+      s"""WITH $int8CbSql,
+         |lists AS (SELECT list(min_q ORDER BY dim) AS mn,
+         |                 list(rng ORDER BY dim) AS rg FROM cb),
+         |enc AS (SELECT vec_id,
+         |  [((qv[i] - mn[i]) * 255) // rg[i] for i in range(1, len(qv) + 1)] AS cd
+         |  FROM e, lists),
+         |q AS (SELECT vec_id AS query_id, cd AS qc FROM enc WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${dot("q.qc", "c.cd")} AS code_dot
+         |  FROM q, enc c WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY code_dot DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, code_dot
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q161_mmr_select" -> graft.operators.Mmr.mmrOracleSql(
+      s"SELECT vec_id AS id, $qv AS qv FROM embeddings WHERE vec_id <> 0",
+      s"SELECT $qv AS qv FROM embeddings WHERE vec_id = 0",
+      k = 10, lambdaPct = 70),
     "q115_kmeans" -> kmeansOracleSql(k = 8, iters = 3, dim = 64),
     // BM25 replay (shared CTEs) → PRF query vectors from its top-1 →
     // quantized-cosine dense ranking → integer RRF fusion

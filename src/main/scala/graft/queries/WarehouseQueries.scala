@@ -250,7 +250,29 @@ object WarehouseQueries {
       .orderBy("table_name", "check_name")
   }
 
+  private val KCoreK = 10
+  private val KCoreRounds = 6
+
+  /** k-core of the supplier↔part graph (k = 10): iteratively peel
+    * nodes of degree < 10 — the dense backbone that survives when
+    * thin connections are stripped, the standard "is this node in the
+    * well-connected core or the sparse fringe" signal for curation
+    * and fraud graphs. Six synchronous peeling rounds (fixpoint on
+    * this graph — asserted in GraphOpsSpec), identical unrolled
+    * rounds in the DuckDB oracle. */
+  val q155KCore: Q = (s, d) => {
+    val sp = graft.operators.Materialize.once(
+      Tables(s, d, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("s"),
+          concat(lit("p"), col("l_partkey")).as("p"))
+        .distinct())
+    val edges = sp.select(col("s").as("src"), col("p").as("dst"))
+      .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
+    GraphOps.kCore(edges, k = KCoreK, rounds = KCoreRounds)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q155_kcore" -> q155KCore,
     "q90_fuzzy_join" -> q90FuzzyJoin,
     "q147_bfs_depth" -> q147BfsDepth,
     "q152_dq_report" -> q152DqReport,
@@ -314,6 +336,8 @@ object WarehouseQueries {
         |       valid_to IS NULL AS is_current, CAST(version AS INTEGER) AS version
         |FROM versioned ORDER BY user_id, version""".stripMargin,
     "q93_pagerank" -> GraphOps.pageRankOracleSql(pagerankEdgesSql, iterations = 3),
+    "q155_kcore" -> GraphOps.kCoreOracleSql(pagerankEdgesSql,
+      k = KCoreK, rounds = KCoreRounds),
     "q147_bfs_depth" -> GraphOps.bfsDepthOracleSql(pagerankEdgesSql,
       "SELECT 's' || s_suppkey AS node_id FROM supplier WHERE s_suppkey % 25 = 0",
       maxHops = 3),

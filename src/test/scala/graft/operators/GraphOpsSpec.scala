@@ -222,6 +222,51 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getLong(4) == (if (expWedges == 0) 0L else 3000000L * expTri / expWedges))
   }
 
+  private def sym(pairs: Seq[(String, String)]) =
+    (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+
+  test("kCore: triangle with a pendant — 2-core strips the pendant, keeps the triangle") {
+    val g = sym(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")))
+    val out = GraphOps.kCore(g, k = 2, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("kCore: cascading peel — a chain hanging off a clique unravels one round at a time") {
+    // K4 on a,b,c,d plus chain d-e-f and k=2: f (deg 1) drops in round
+    // 1; e STARTS at degree 2 and only falls below k once f is gone,
+    // so it survives round 1 and drops in round 2 — the 2-core is K4
+    val k4 = for { x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d") if x < y }
+      yield (x, y)
+    val g = sym(k4 ++ Seq(("d", "e"), ("e", "f")))
+    val afterOne = GraphOps.kCore(g, k = 2, rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(afterOne.contains("e") && !afterOne.contains("f"),
+      "round 1 drops f but e still hangs on via d")
+    val out = GraphOps.kCore(g, k = 2, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("kCore: k above max degree empties the graph") {
+    val g = sym(Seq(("a", "b"), ("b", "c")))
+    assert(GraphOps.kCore(g, k = 5, rounds = 2).count() == 0)
+  }
+
+  test("q155 budget reaches the fixpoint on the supplier-part graph") {
+    val sp = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .selectExpr("concat('s', l_suppkey) AS s", "concat('p', l_partkey) AS p")
+      .distinct()
+    val edges = sp.selectExpr("s AS src", "p AS dst")
+      .unionByName(sp.selectExpr("p AS src", "s AS dst"))
+    val atBudget = GraphOps.kCore(edges, k = 10, rounds = 6)
+      .as[(String, Long)].collect().sorted.toSeq
+    val onePast = GraphOps.kCore(edges, k = 10, rounds = 7)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(atBudget == onePast, "6 peeling rounds must be a fixpoint")
+    assert(atBudget.nonEmpty, "the 10-core should be non-empty at sf0.001")
+  }
+
   test("triangleStats: triangle-free bipartite graph counts zero") {
     val bip = (for (a <- 1 to 5; b <- 6 to 10) yield (a.toLong, b.toLong))
       .toDF("src", "dst")

@@ -89,4 +89,47 @@ class QuantilesSpec extends SparkSpec {
     // non-null sorted: 10, 20, 30 -> n = 3; p50 rank 2 -> 20, p100 -> 30
     assert(out == Map(50 -> (20, 3L), 100 -> (30, 3L)), out.toString)
   }
+
+  test("madOutliers: hand case — median, MAD, and the 3.5 modified z cut") {
+    // group g: 9 points around 100 plus one wild point. sorted values
+    // 96..104 ∪ 1000: low median (n=10 → rank 5) = 100; deviations
+    // sorted 0,1,1,2,2,3,3,4,4,900 → MAD (rank 5) = 2.
+    // flag iff 6745·dev > 35000·2 = 70000 → dev ≥ 11: only the wild point.
+    val vals = Seq(96L, 97L, 99L, 100L, 100L, 102L, 102L, 103L, 104L, 1000L)
+    val df = vals.map(("g", _)).toDF("k", "v")
+    val out = Quantiles.madOutliers(df, Seq("k"), "v").collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3), out.getLong(4),
+      out.getLong(5)) == ((10L, 100L, 2L, 1L, 900L)))
+  }
+
+  test("madOutliers: robust where the sigma rule is dragged by its own outlier") {
+    // one colossal outlier inflates stddev enough to hide itself from
+    // a 3-sigma rule on small n; the MAD cut still flags it
+    val vals = Seq.fill(8)(100L) :+ 100000L
+    val df = vals.map(("g", _)).toDF("k", "v")
+    val out = Quantiles.madOutliers(df, Seq("k"), "v").collect().head
+    assert(out.getLong(4) == 1L, "MAD flags the planted outlier")
+    val (mean, sd) = {
+      val m = vals.sum.toDouble / vals.size
+      (m, math.sqrt(vals.map(v => (v - m) * (v - m)).sum / vals.size))
+    }
+    assert(vals.count(v => math.abs(v - mean) > 3 * sd) == 0,
+      "population 3-sigma rule misses it on this data — that's the point")
+  }
+
+  test("madOutliers: MAD = 0 degenerate flags every deviating point") {
+    val df = (Seq.fill(6)(5L) ++ Seq(7L, 9L)).map(("g", _)).toDF("k", "v")
+    val out = Quantiles.madOutliers(df, Seq("k"), "v").collect().head
+    assert(out.getLong(3) == 0L && out.getLong(4) == 2L)
+  }
+
+  test("madOutliers: per-group isolation and partition independence") {
+    val df = (Seq.fill(5)(("a", 10L)) ++ Seq(("a", 500L)) ++
+      Seq.fill(5)(("b", 10L))).toDF("k", "v")
+    val a = Quantiles.madOutliers(df, Seq("k"), "v").collect().toSeq
+    val b = Quantiles.madOutliers(df.repartition(7), Seq("k"), "v").collect().toSeq
+    assert(a == b)
+    val byKey = a.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(byKey("a") == 1L && byKey("b") == 0L)
+  }
 }

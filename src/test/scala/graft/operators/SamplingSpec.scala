@@ -299,4 +299,22 @@ class SamplingSpec extends SparkSpec {
     assert((0L until 500L).count(i => aMap(i) != c(i)) > 400,
       "epochs must be independent permutations")
   }
+
+  test("groupHoldout: every row of a group lands in the same split") {
+    val df = (1L to 900L).map(i => (i, s"author${i % 30}")).toDF("id", "grp")
+    val out = Sampling.groupHoldout(df, "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 3)
+    val perGroup = out.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n"))
+      .as[(String, Long)].collect()
+    assert(perGroup.forall(_._2 == 1L), "a split boundary crossed a group")
+    // group-keyed assignment coincides with assignSplit ON the group key
+    val viaAssign = Sampling.assignSplit(
+      df.select("grp").distinct(), "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 3)
+      .as[(String, String)].collect().toMap
+    val got = out.select("grp", "split").distinct()
+      .as[(String, String)].collect().toMap
+    assert(got == viaAssign)
+  }
 }

@@ -355,4 +355,79 @@ object TimeOps {
           .as("intercept_ppm"))
       .orderBy(keyCol)
   }
+
+  /** Sample autocorrelation of ONE integer series at lags 1..maxLag —
+    * the seasonality probe (weekly revenue cycles light up lag 7)
+    * and the "is this metric mean-reverting or trending" diagnostic.
+    *
+    * `r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²` computed on
+    * the mean-free integers `y_t = n·x_t − S` (numerator and
+    * denominator both scale by n², which cancels) — no float mean, no
+    * rounding. The ppm render uses the trendFit offset trick
+    * (`(10⁶·num + 10⁷·den) div den − 10⁷`) so the divided quantity is
+    * positive and truncating vs flooring division can never differ
+    * between engines; |r_k| ≤ 1 by Cauchy–Schwarz keeps the offset
+    * sound. DECIMAL(38) bound enforced loudly: n²·x_max² ·n·10⁶ must
+    * stay under 10³⁸ (n ≤ 10⁴ with cents ≤ 10¹⁰ passes with room).
+    *
+    * Scale shape: the series is an AGGREGATE (one day = one row), so
+    * n is calendar-bounded — thousands, not corpus-sized. One count/
+    * sum pass (driver scalars n, S), one t-keyed self-join fanned by
+    * the lag list, one final aggregation. The input must carry a
+    * dense 1-based index `t` (row_number over the series order). */
+  def acf(series: DataFrame, tCol: String, valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val row = series.agg(count(lit(1)), sum(col(valCol).cast("long")),
+      max(abs(col(valCol).cast("long")))).head()
+    val n = row.getLong(0)
+    require(n > maxLag, s"need more than $maxLag points, have $n")
+    val s0 = row.getLong(1)
+    val xmax = row.getLong(2)
+    // num, den ≤ n³·x_max²; the render computes 10⁶·num + 10⁷·den,
+    // so the largest intermediate is (10⁶+10⁷)·n³·x_max²
+    require(BigInt(n).pow(3) * BigInt(xmax).pow(2) * 11000000L <
+        BigInt(10).pow(38),
+      s"acf: n=$n with |x| up to $xmax overflows DECIMAL(38)")
+    val dec = "decimal(38,0)"
+    val y = series.select(col(tCol).cast("long").as("t"),
+      (lit(n) * col(valCol).cast("long") - lit(s0)).as("y"))
+    val den = y.agg(sum(col("y").cast(dec) * col("y").cast(dec))).head()
+      .getDecimal(0)
+    require(den.signum() != 0,
+      "acf: constant series (zero variance) has no defined autocorrelation")
+    val lagged = y.select(col("t"), col("y"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .select((col("t") - col("lag")).as("t"), col("lag"),
+        col("y").as("y_lead"))
+    y.join(lagged, Seq("t"))
+      .groupBy("lag")
+      .agg(sum(col("y").cast(dec) * col("y_lead").cast(dec)).as("num"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        expr(s"""(CAST(1000000 AS $dec) * num + CAST(10000000 AS $dec)
+                 | * CAST(${den.toPlainString} AS $dec))
+                 | div CAST(${den.toPlainString} AS $dec)
+                 | - 10000000""".stripMargin)
+          .cast("long").as("acf_ppm"))
+      .orderBy("lag")
+  }
+
+  /** DuckDB replica of [[acf]]: identical mean-free integers and the
+    * identical positive-offset division. `seriesSql` must yield
+    * (t, x) with t a dense 1-based BIGINT index. */
+  def acfOracleSql(seriesSql: String, maxLag: Int): String =
+    s"""WITH s AS (SELECT CAST(t AS HUGEINT) AS t, CAST(x AS HUGEINT) AS x
+       |           FROM ($seriesSql)),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s0 FROM s),
+       |y AS (SELECT t, n * x - s0 AS y FROM s, nn),
+       |den AS (SELECT sum(y * y) AS d FROM y),
+       |lags AS (SELECT unnest(range(1, ${maxLag + 1})) AS lag),
+       |pairs AS (SELECT a.y AS ya, b.y AS yb, l.lag
+       |          FROM y a JOIN lags l ON true
+       |          JOIN y b ON b.t = a.t + l.lag)
+       |SELECT CAST(lag AS BIGINT) AS lag,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST((1000000 * sum(ya * yb) + 10000000 * (SELECT d FROM den))
+       |       // (SELECT d FROM den) - 10000000 AS BIGINT) AS acf_ppm
+       |FROM pairs GROUP BY lag ORDER BY lag""".stripMargin
 }

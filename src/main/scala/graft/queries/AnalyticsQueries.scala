@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -327,7 +328,46 @@ object AnalyticsQueries {
         floor(col("value") * 100).cast("long").as("cents")),
       Seq("event_type"), "cents")
 
+  private val EntryPathLen = 5
+  private val EntryPathTopK = 20
+
+  /** Entry-path mining: each user's first five event types as an
+    * ordered '>' -joined path, counted across users — the "how do
+    * sessions begin" product-analytics staple. One user shuffle
+    * (array-side sort + slice), one path count; ties break by path
+    * string so the top-k is total-ordered. */
+  val q163EntryPaths: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy("user_id")
+      .agg(slice(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type").as("typ")))), 1, EntryPathLen).as("head5"))
+      .select(array_join(expr("transform(head5, x -> x.typ)"), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(EntryPathTopK)
+
+  private val AcfMaxLag = 14
+
+  /** Autocorrelation of the daily-revenue series at lags 1..14 — the
+    * weekly-seasonality probe, exact mean-free integer arithmetic
+    * (see [[graft.operators.TimeOps.acf]]). The row_number index
+    * window runs on the AGGREGATED series (calendar-bounded rows),
+    * not the fact table. */
+  val q164Acf: Q = (s, d) => {
+    val daily = t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val series = daily.withColumn("t",
+      row_number().over(Window.orderBy("day")))
+    graft.operators.TimeOps.acf(series, "t", "cents", maxLag = AcfMaxLag)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q163_entry_paths" -> q163EntryPaths,
+    "q164_acf" -> q164Acf,
     "q153_attribution" -> q153Attribution,
     "q154_funnel_steps" -> q154FunnelSteps,
     "q160_mad_outliers" -> q160MadOutliers,
@@ -350,6 +390,25 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_entry_paths" ->
+      s"""WITH ranked AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+         |  FROM events),
+         |paths AS (
+         |  SELECT user_id,
+         |    string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM ranked WHERE rn <= $EntryPathLen GROUP BY user_id)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+         |FROM paths GROUP BY path
+         |ORDER BY n_users DESC, path LIMIT $EntryPathTopK""".stripMargin,
+    "q164_acf" -> graft.operators.TimeOps.acfOracleSql(
+      """SELECT row_number() OVER (ORDER BY day) AS t, cents AS x
+        |FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |          AS cents
+        |      FROM orders GROUP BY 1)""".stripMargin, maxLag = 14),
     "q153_attribution" -> graft.operators.Attribution.multiTouchOracleSql(
       "SELECT * FROM events", AttributionTouches, "purchase",
       AttributionLookbackUs),

@@ -716,7 +716,18 @@ object TextQueries {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("split")
 
+  private val KnTopK = 60
+
+  /** Interpolated Kneser–Ney bigram model over the corpus: top-60
+    * bigrams with discounted + continuation-smoothed probabilities,
+    * one exact rational per cell (see
+    * [[graft.operators.LmScore.kneserNeyBigrams]]). */
+  val q162KneserNey: Q = (s, d) =>
+    graft.operators.LmScore.kneserNeyBigrams(
+      docs(s, d).filter(trim(col("text")) =!= ""), "text", topK = KnTopK)
+
   val queries: Map[String, Q] = Map(
+    "q162_kneser_ney" -> q162KneserNey,
     "q158_chi2_tokens" -> q158Chi2Tokens,
     "q159_group_holdout" -> q159GroupHoldout,
     "q89_url_canon" -> q89UrlCanon,
@@ -877,6 +888,8 @@ object TextQueries {
     minhashSigSql("list_transform(list_distinct(shr), s -> " + hx("s") + " % 2147483647)", 16)
 
   val oracles: Map[String, String] = Map(
+    "q162_kneser_ney" -> graft.operators.LmScore.kneserNeyOracleSql(
+      "SELECT text FROM documents", topK = KnTopK),
     "q158_chi2_tokens" -> graft.operators.FeatureSelect.chi2OracleSql(
       "SELECT doc_id AS id, text, lang AS label FROM documents WHERE trim(text) <> ''",
       tok, k = Chi2TopK, minDf = Chi2MinDf),

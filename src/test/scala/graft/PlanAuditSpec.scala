@@ -431,4 +431,52 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"$exchanges key shuffles (want 1):\n$p")
   }
+
+  test("q153: the touch pairing is one user-keyed hash join, no cartesian") {
+    val p = finalPlan("q153_attribution")
+    val plan = p.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), s"attribution went quadratic:\n$p")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"lookback predicate must ride the user equi-join as a residual:\n$p")
+    // events scan → conv/touch splits → ONE pairing join on user
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no hash/merge equi-join found:\n$p")
+  }
+
+  test("q154: the funnel is ONE user shuffle however many steps") {
+    val p = finalPlan("q154_funnel_steps")
+    val plan = p.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"funnel must not join per step:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"$exchanges shuffles (want <=2: user agg + step agg):\n$p")
+  }
+
+  test("q157: code-space search broadcasts queries; corpus never shuffles") {
+    val p = finalPlan("q157_int8_topk")
+    val plan = p.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"queries not broadcast:\n$p")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q158: chi2 label marginals broadcast onto the token-label counts") {
+    val p = finalPlan("q158_chi2_tokens")
+    val plan = p.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"label marginals not broadcast:\n$p")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q159: the group-holdout split is a pure projection — no join, no shuffle before the rollup") {
+    val p = finalPlan("q159_group_holdout")
+    val plan = p.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"split assignment must not join a group table:\n$p")
+  }
+
+  test("q160: MAD reuses one event_type partitioning across both medians") {
+    val p = finalPlan("q160_mad_outliers")
+    val plan = p.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"))
+    // both rank selections and both joins hash on the same group key;
+    // AQE may reuse exchanges but never plan a nested loop here
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"group join degraded:\n$p")
+  }
 }

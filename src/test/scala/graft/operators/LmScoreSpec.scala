@@ -67,4 +67,52 @@ class LmScoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("kneserNeyBigrams: hand-replayed rational on a tiny corpus") {
+    // corpus: "a b", "a b", "a c", "d b" →
+    // bigram types: (a,b) c12=2, (a,c) 1, (d,b) 1 → T = 3
+    // ctx a: c1=3, n_follow=2; ctx d: c1=1, n_follow=1
+    // pre b: n_precede=2; pre c: 1
+    val c = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d b"))
+      .toDF("doc_id", "text")
+    val out = LmScore.kneserNeyBigrams(c, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // P(b|a) = [max(8-3,0)*3 + 3*2*2] / (4*3*3) = 27/36 = 0.75
+    assert(out(("a", "b")) == ((2L, 2L, 2L, 750000L)))
+    // P(c|a) = [1*3 + 3*2*1] / 36 = 9/36 = 0.25
+    assert(out(("a", "c")) == ((1L, 2L, 1L, 250000L)))
+    // P(b|d) = [1*3 + 3*1*2] / (4*1*3) = 9/12 = 0.75
+    assert(out(("d", "b")) == ((1L, 1L, 2L, 750000L)))
+  }
+
+  test("kneserNeyBigrams: probabilities over a context sum to <= 1 (mass conservation)") {
+    val c = Seq((1L, "x y z x y w x z y x"), (2L, "y x w z z y"),
+      (3L, "w w x y z")).toDF("doc_id", "text")
+    val out = LmScore.kneserNeyBigrams(c, "text", topK = 100).collect()
+    val byCtx = out.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(5)).sum).toMap
+    byCtx.foreach { case (w1, total) =>
+      // floor-rounding only ever loses mass; with every w2 the context
+      // has SEEN, discounted+continuation mass stays below 1 (the
+      // remainder belongs to unseen continuations)
+      assert(total <= 1000000L, s"context $w1 exceeds unit mass: $total ppm")
+    }
+    // the corpus' richest context keeps most of its mass (sanity floor)
+    assert(byCtx.values.max > 500000L)
+  }
+
+  test("kneserNeyBigrams: continuation beats raw frequency for one-context words") {
+    // 'kong' is frequent but ONLY follows 'hong'; 'tea' is rarer but
+    // follows many contexts → for a context that never saw either,
+    // the continuation term must favor 'tea'-like words. Compare the
+    // backoff parts: n_precede drives them.
+    val c = Seq(
+      (1L, "hong kong hong kong hong kong hong kong"),
+      (2L, "green tea black tea iced tea sweet tea")).toDF("doc_id", "text")
+    val out = LmScore.kneserNeyBigrams(c, "text", topK = 100)
+      .collect().map(r => (r.getString(1), r.getLong(4))).distinct.toMap
+    assert(out("tea") == 4L && out("kong") == 1L,
+      "distinct-predecessor counts must expose the Kong pathology")
+  }
 }

@@ -225,4 +225,53 @@ class TimeOpsSpec extends SparkSpec {
     assert(out(("a", 4L)) == ((Some(30.0), Some(4L))), "same-day latest wins")
     assert(out(("b", 4L)) == ((Some(5.0), Some(1L))))
   }
+
+  private def series(xs: Seq[Long]) =
+    xs.zipWithIndex.map { case (x, i) => (i + 1L, x) }.toDF("t", "x")
+
+  test("acf: strict alternation scores ~-1 at lag 1, ~+1 at lag 2") {
+    val out = TimeOps.acf(series(Seq.fill(20)(Seq(100L, 200L)).flatten),
+      "t", "x", maxLag = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // truncated-sum ACF is biased slightly toward 0; the sign and
+    // near-unit magnitude are the invariant
+    assert(out(1L) < -900000L && out(1L) >= -1000000L, out.toString)
+    assert(out(2L) > 900000L && out(2L) <= 1000000L)
+  }
+
+  test("acf: period-7 cycle peaks at lag 7") {
+    val cycle = Seq(10L, 30L, 50L, 90L, 40L, 20L, 70L)
+    val out = TimeOps.acf(series(Seq.fill(30)(cycle).flatten), "t", "x", maxLag = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(7L) > out(1L) && out(7L) > out(6L) && out(7L) > out(8L))
+    assert(out(7L) > 900000L)
+  }
+
+  test("acf: white-ish hash noise stays near zero at every lag") {
+    val xs = (1 to 400).map(i =>
+      (scala.util.hashing.MurmurHash3.stringHash(s"n$i").toLong % 1000) + 1000)
+    val out = TimeOps.acf(series(xs), "t", "x", maxLag = 5).collect()
+    out.foreach(r => assert(math.abs(r.getLong(2)) < 150000L,
+      s"lag ${r.getLong(0)} = ${r.getLong(2)} ppm: not noise-like"))
+  }
+
+  test("acf: hand-replayed rational on a 5-point series") {
+    // x = 1,2,3,4,10 (n=5, S=20): y = 5x-20 = -15,-10,-5,0,30
+    // den = 225+100+25+0+900 = 1250
+    // lag1: (-15)(-10)+(-10)(-5)+(-5)(0)+0*30 = 150+50 = 200 → 160000 ppm
+    // lag2: (-15)(-5)+(-10)(0)+(-5)(30) = 75-150 = -75 → -60000 ppm
+    val out = TimeOps.acf(series(Seq(1L, 2L, 3L, 4L, 10L)), "t", "x", maxLag = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 4L, 160000L), (2L, 3L, -60000L)))
+  }
+
+  test("acf: n_pairs shrinks by one per lag; constant series refuses loudly") {
+    val out = TimeOps.acf(series((1L to 20L).map(i => i * i)), "t", "x", maxLag = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 19L, 2L -> 18L, 3L -> 17L))
+    val e = intercept[IllegalArgumentException] {
+      TimeOps.acf(series(Seq.fill(10)(7L)), "t", "x", maxLag = 2)
+    }
+    assert(e.getMessage.contains("zero variance"))
+  }
 }

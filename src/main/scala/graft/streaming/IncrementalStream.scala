@@ -443,6 +443,53 @@ object IncrementalStream {
   }
 
   // ---------------------------------------------------- custom state
+  case class FunnelEvent(userId: Long, ts: java.sql.Timestamp,
+                         eventId: Long, eventType: String)
+  case class FunnelUpdate(userId: Long, stepsReached: Int, chainUs: Seq[Long])
+
+  /** Incremental funnel state (`mapGroupsWithState`): each user's
+    * greedy earliest-completion chain (graft.operators.Funnel
+    * semantics — step i is the earliest matching event strictly after
+    * step i−1) maintained across micro-batches. The greedy fold is
+    * prefix-stable: already-reached steps never change, so folding a
+    * time-ordered stream batch-by-batch lands on EXACTLY the batch
+    * operator's chain (asserted in IncrementalStreamSpec). Same
+    * arrival-order contract as [[sessionize]]: within a batch events
+    * fold in (ts, eventId) order; late cross-batch events are the
+    * watermark's problem, not the fold's.
+    *
+    * State per user is `steps.size` longs — bounded, no event buffer.
+    * Emits an update row (userId, steps reached, chain µs) per user
+    * per touched batch. */
+  def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
+                   steps: Seq[String]): org.apache.spark.sql.Dataset[FunnelUpdate] = {
+    require(steps.size >= 2 && steps.distinct.size == steps.size,
+      s"need >= 2 distinct funnel steps: $steps")
+    import events.sparkSession.implicits._
+    val k = steps.size
+    events.groupByKey(_.userId)
+      .mapGroupsWithState[Seq[Long], FunnelUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[Seq[Long]]) =>
+          // full-precision epoch µs (getTime alone truncates to ms)
+          def us0(t: java.sql.Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+          val init = state.getOption.getOrElse(Seq.fill(k)(-1L))
+          val sorted = evs.toSeq.sortBy(e => (us0(e.ts), e.eventId))
+          val next = sorted.foldLeft(init) { (chain, e) =>
+            val us = us0(e.ts)
+            chain.zipWithIndex.map { case (t, i) =>
+              if (t >= 0) t
+              else if (e.eventType == steps(i) &&
+                (i == 0 || (chain(i - 1) >= 0 && us > chain(i - 1)))) us
+              else -1L
+            }
+          }
+          state.update(next)
+          FunnelUpdate(userId, next.count(_ >= 0), next)
+      }
+  }
+
   case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionCount: Long, lastTs: Long, events: Long, total: Double)
   case class SessionUpdate(userId: Long, sessionCount: Long, events: Long, total: Double)

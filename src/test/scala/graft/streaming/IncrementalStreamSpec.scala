@@ -516,4 +516,62 @@ class IncrementalStreamSpec extends SparkSpec {
     val after = spark.read.parquet(s"$root/log").collect().toSet
     assert(after == before)
   }
+
+  test("streaming funnel state equals the batch greedy chain, batch by batch") {
+    import IncrementalStream._
+    val steps = Seq("view", "click", "buy")
+    def ts(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    // user 1 completes across THREE micro-batches; user 2's click
+    // arrives before any view (must not chain); user 3 same-µs
+    // view+click (strictly-after keeps click unchained)
+    val all = Seq(
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "error"),
+      (3L, 500L, 2L, "click"),
+      (4L, 3000L, 3L, "view"), (5L, 3000L, 3L, "click"),
+      (6L, 2500L, 1L, "click"),
+      (7L, 4000L, 2L, "view"),
+      (8L, 9000L, 1L, "buy"), (9L, 9500L, 2L, "click"))
+    val batches = Seq(all.take(5), all.slice(5, 7), all.drop(7))
+
+    val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEvent](spark)
+    val q = funnelStream(events.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_state")
+      .outputMode("update").start()
+    var fed = Seq.empty[(Long, Long, Long, String)]
+    batches.foreach { b =>
+      events.addData(b.map { case (id, us, u, t) => FunnelEvent(u, ts(us), id, t) })
+      q.processAllAvailable()
+      fed ++= b
+      // batch twin over everything fed so far: per-user chains via the
+      // SAME greedy rule, computed by graft.operators.Funnel's fold
+      val batchChains = fed.groupBy(_._3).map { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._2, e._1))
+        val chain = sorted.foldLeft(Seq.fill(3)(-1L)) { (c, e) =>
+          c.zipWithIndex.map { case (t, i) =>
+            if (t >= 0) t
+            else if (e._4 == steps(i) && (i == 0 || (c(i - 1) >= 0 && e._2 > c(i - 1))))
+              e._2
+            else -1L
+          }
+        }
+        u -> chain
+      }
+      val streamed = spark.table("funnel_state").as[FunnelUpdate].collect()
+        .groupBy(_.userId).map { case (u, us) => u -> us.last.chainUs }
+      streamed.foreach { case (u, chain) =>
+        assert(chain == batchChains(u), s"user $u diverged after this batch")
+      }
+    }
+    q.stop()
+    val last = spark.table("funnel_state").as[FunnelUpdate].collect()
+      .groupBy(_.userId).map { case (u, us) => u -> us.last }
+    assert(last(1L).stepsReached == 3, "user 1 completes")
+    assert(last(2L).stepsReached == 2,
+      "user 2: the pre-view click never chains; the later one does")
+    assert(last(3L).stepsReached == 1, "user 3: same-µs click is not strictly after")
+  }
 }

@@ -366,6 +366,106 @@ object Dedup {
     * doc-keyed shuffle to reassemble. No pairwise comparisons, no
     * driver-side state. Null-text documents contribute no paragraphs
     * and report n_paras = 0. */
+  /** Cross-document repeated-span coverage: for each doc, the fraction
+    * of its tokens lying inside an n-gram that ALSO appears in some
+    * other document — the per-document signal behind exact-substring
+    * dedup pipelines (trim or drop documents that are mostly boilerplate
+    * shared with the rest of the corpus). n-gram granularity bounds the
+    * index at one row per (doc, position) instead of a suffix
+    * structure, and is the standard practical proxy.
+    *
+    * Determinism: coverage is the exact union length of the
+    * [p, p+n) intervals of duplicated grams, computed by an ARRAY-SIDE
+    * fold over the sorted position list with the running (end, total)
+    * state PACKED into one long (`end·10⁹ + total`) — the same fold,
+    * same packing, replayed by DuckDB's `list_reduce` in the oracle, so
+    * the ppm fraction hash-matches.
+    *
+    * Scale shape: one (gram) count shuffle to find grams in ≥ 2
+    * distinct docs (map-side combined), one equi-join of per-position
+    * gram rows against that set, one per-doc collect of POSITIONS
+    * (ints, not text). Hot boilerplate grams fan back to every doc
+    * that holds them — that is the answer, not a skew accident; the
+    * per-doc position lists stay document-bounded. Token counts
+    * and positions must stay < 10⁹ (packing base; loudly documented
+    * contract, generous vs any real document). */
+  def duplicatedSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, minDocs: Long = 2L): DataFrame = {
+    require(n >= 2, s"gram size must be >= 2: $n")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    import graft.functions.TextFunctions.{tokens, wordShingles}
+    val base = fanOut(df).select(col(idCol).as("id"),
+      tokens(col(textCol)).as("ts"), wordShingles(col(textCol), n).as("gs"))
+    val pos = base.select(col("id"), size(col("ts")).as("n_tokens"),
+      posexplode(col("gs")).as(Seq("p", "g")))
+    val dupGrams = pos.groupBy("g")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("g")
+    val covered = pos.join(dupGrams, Seq("g"))
+      .groupBy("id", "n_tokens")
+      .agg(sort_array(collect_list(col("p"))).as("ps"),
+        count(lit(1)).as("n_dup_grams"))
+      // fold state packed end*1e9 + total; p is 0-based, spans [p, p+n)
+      .withColumn("covered", aggregate(col("ps"), lit(0L),
+        (acc, p0) => {
+          val pL = p0.cast("long")
+          // packed-state unpack: end = acc div 1e9 (the double divide
+          // is exact here: acc < 2^53 and any fractional part is
+          // >= 1e-9, far above ulp — so floor equals integer div)
+          val end = floor(acc / lit(1000000000L)).cast("long")
+          val tot = pmod(acc, lit(1000000000L))
+          val add = greatest(lit(0L), pL + lit(n.toLong) - greatest(end, pL))
+          greatest(end, pL + lit(n.toLong)) * lit(1000000000L) + tot + add
+        }))
+      .select(col("id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_dup_grams"),
+        pmod(col("covered"), lit(1000000000L)).as("covered_tokens"))
+    base.select(col("id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(covered.drop("n_tokens"), Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("(coalesce(covered_tokens, 0L) * 1000000) div n_tokens"))
+          .as("dup_ppm"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB replica of [[duplicatedSpanCoverage]] — same shingling,
+    * same packed-state fold via `list_reduce` (a 0 sentinel prepended
+    * as the initial accumulator). `docsSql` must yield (id, text);
+    * `idOut` renames the id column to match the Spark output. */
+  def duplicatedSpanOracleSql(docsSql: String, n: Int, minDocs: Long = 2L,
+                              idOut: String = "id"): String =
+    s"""WITH docs AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |              FROM ($docsSql) WHERE trim(text) <> ''),
+       |blank AS (SELECT id FROM ($docsSql) WHERE trim(text) = ''),
+       |pos AS (SELECT id, len(ts) AS n_tokens, i.i - 1 AS p,
+       |               array_to_string(ts[i.i:i.i + ${n - 1}], ' ') AS g
+       |        FROM docs, LATERAL (SELECT unnest(range(1, len(ts) - ${n - 2})) AS i) i),
+       |dup AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT id) >= $minDocs),
+       |cov AS (SELECT id, any_value(n_tokens) AS n_tokens,
+       |               count(*) AS n_dup_grams,
+       |               list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                   list_sort(list(CAST(p AS BIGINT)))),
+       |                 (acc, p) -> greatest(acc // 1000000000, p + $n)
+       |                     * 1000000000
+       |                   + acc % 1000000000
+       |                   + greatest(0, p + $n - greatest(acc // 1000000000, p)))
+       |                 % 1000000000 AS covered
+       |        FROM pos JOIN dup USING (g) GROUP BY id)
+       |SELECT d.id AS $idOut, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       |  CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+       |  CAST(CASE WHEN d.n_tokens = 0 THEN 0
+       |       ELSE (COALESCE(c.covered, 0) * 1000000) // d.n_tokens END AS BIGINT)
+       |    AS dup_ppm
+       |FROM (SELECT id, len(ts) AS n_tokens FROM docs
+       |      UNION ALL SELECT id, 0 FROM blank) d
+       |LEFT JOIN cov c USING (id)
+       |ORDER BY d.id""".stripMargin
+
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n"): DataFrame = {
     val paras = fanOut(df)

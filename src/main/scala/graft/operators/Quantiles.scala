@@ -237,6 +237,74 @@ object Quantiles {
        |GROUP BY $ks ORDER BY $ks""".stripMargin
   }
 
+  /** Winsorized mean per group: clamp values to the exact [loPct,
+    * hiPct] type-1 percentile cuts, then take the mean — the standard
+    * "mean that ignores fat tails without dropping rows" estimator
+    * (trimming deletes, winsorizing clamps, so n stays n). Cuts use
+    * the same integer rank arithmetic as [[exactPercentiles]]; means
+    * are exact `floor(10⁶·Σ/n)` ppm on integer-quantized values (the
+    * sigmaOutliers convention), so results hash-match the oracle.
+    *
+    * Scale shape: one group-key window sort for the ranks; cuts come
+    * from the SAME ranked frame (no second scan), rejoin on the group
+    * key, then one aggregation. Output: `keyCols ++ (n, lo_cut,
+    * hi_cut, mean_ppm, winsorized_mean_ppm)`. */
+  def winsorizedMean(df: DataFrame, keyCols: Seq[String], valCol: String,
+                     loPct: Int, hiPct: Int): DataFrame = {
+    require(loPct > 0 && hiPct <= 100 && loPct < hiPct,
+      s"need 0 < loPct < hiPct <= 100: ($loPct, $hiPct)")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(keys: _*)
+    val ranked = df.select(keys :+ col(valCol).cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val cuts = ranked
+      .withColumn("__is_lo",
+        col("__rn") === greatest(lit(1L), expr(s"(__n * $loPct + 99) div 100")))
+      .withColumn("__is_hi",
+        col("__rn") === greatest(lit(1L), expr(s"(__n * $hiPct + 99) div 100")))
+      .filter(col("__is_lo") || col("__is_hi"))
+      .groupBy(keys: _*)
+      .agg(min(when(col("__is_lo"), col("__v"))).as("lo_cut"),
+        min(when(col("__is_hi"), col("__v"))).as("hi_cut"))
+    ranked.join(cuts, keyCols)
+      .withColumn("__w", least(greatest(col("__v"), col("lo_cut")), col("hi_cut")))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        min("lo_cut").as("lo_cut"), min("hi_cut").as("hi_cut"),
+        expr("(1000000 * sum(__v)) div count(1)").as("mean_ppm"),
+        expr("(1000000 * sum(__w)) div count(1)").as("winsorized_mean_ppm"))
+      .orderBy(keyCols.head, keyCols.tail: _*)
+  }
+
+  /** DuckDB replica of [[winsorizedMean]]. `relSql` must yield the
+    * group columns plus integer `v`. */
+  def winsorizedMeanOracleSql(relSql: String, keyCols: Seq[String],
+                              loPct: Int, hiPct: Int): String = {
+    val ks = keyCols.mkString(", ")
+    s"""WITH vals AS (SELECT * FROM ($relSql) WHERE v IS NOT NULL),
+       |ranked AS (SELECT *,
+       |    row_number() OVER (PARTITION BY $ks ORDER BY v) AS rn,
+       |    count(*) OVER (PARTITION BY $ks) AS n
+       |  FROM vals),
+       |cuts AS (SELECT $ks,
+       |    min(CASE WHEN rn = greatest(1, (n * $loPct + 99) // 100)
+       |        THEN v END) AS lo_cut,
+       |    min(CASE WHEN rn = greatest(1, (n * $hiPct + 99) // 100)
+       |        THEN v END) AS hi_cut
+       |  FROM ranked GROUP BY $ks)
+       |SELECT $ks, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(min(lo_cut) AS BIGINT) AS lo_cut,
+       |  CAST(min(hi_cut) AS BIGINT) AS hi_cut,
+       |  CAST((1000000 * sum(v)) // count(*) AS BIGINT) AS mean_ppm,
+       |  CAST((1000000 * sum(least(greatest(v, lo_cut), hi_cut))) // count(*)
+       |    AS BIGINT) AS winsorized_mean_ppm
+       |FROM ranked JOIN cuts USING ($ks)
+       |GROUP BY $ks ORDER BY $ks""".stripMargin
+  }
+
   /** Quantile discretization: a `bin` column counting the cut points
     * STRICTLY below the value (values equal to a cut fall in the
     * lower bin — an exact comparison on stored doubles, no

@@ -365,7 +365,17 @@ object AnalyticsQueries {
     graft.operators.TimeOps.acf(series, "t", "cents", maxLag = AcfMaxLag)
   }
 
+  /** Winsorized vs raw mean of event value cents per event type
+    * (clamp at the exact p5/p95 rank cuts) — the tail-robust KPI
+    * estimator (see [[graft.operators.Quantiles.winsorizedMean]]). */
+  val q166Winsorized: Q = (s, d) =>
+    graft.operators.Quantiles.winsorizedMean(
+      t(s, d, "events").select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents")),
+      Seq("event_type"), "cents", loPct = 5, hiPct = 95)
+
   val queries: Map[String, Q] = Map(
+    "q166_winsorized" -> q166Winsorized,
     "q163_entry_paths" -> q163EntryPaths,
     "q164_acf" -> q164Acf,
     "q153_attribution" -> q153Attribution,
@@ -390,6 +400,9 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q166_winsorized" -> graft.operators.Quantiles.winsorizedMeanOracleSql(
+      "SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events",
+      Seq("event_type"), loPct = 5, hiPct = 95),
     "q163_entry_paths" ->
       s"""WITH ranked AS (
          |  SELECT user_id, event_type,

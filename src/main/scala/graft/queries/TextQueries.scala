@@ -726,7 +726,18 @@ object TextQueries {
     graft.operators.LmScore.kneserNeyBigrams(
       docs(s, d).filter(trim(col("text")) =!= ""), "text", topK = KnTopK)
 
+  private val SpanGram = 5
+
+  /** Cross-document repeated-span coverage: per doc, the exact token
+    * fraction inside 5-grams shared with other documents — the
+    * exact-substring-dedup signal at n-gram granularity (see
+    * [[graft.operators.Dedup.duplicatedSpanCoverage]]). */
+  val q165DupSpans: Q = (s, d) =>
+    graft.operators.Dedup.duplicatedSpanCoverage(
+      docs(s, d), "doc_id", "text", n = SpanGram)
+
   val queries: Map[String, Q] = Map(
+    "q165_dup_spans" -> q165DupSpans,
     "q162_kneser_ney" -> q162KneserNey,
     "q158_chi2_tokens" -> q158Chi2Tokens,
     "q159_group_holdout" -> q159GroupHoldout,
@@ -888,6 +899,9 @@ object TextQueries {
     minhashSigSql("list_transform(list_distinct(shr), s -> " + hx("s") + " % 2147483647)", 16)
 
   val oracles: Map[String, String] = Map(
+    "q165_dup_spans" -> graft.operators.Dedup.duplicatedSpanOracleSql(
+      "SELECT doc_id AS id, text FROM documents", n = SpanGram,
+      idOut = "doc_id"),
     "q162_kneser_ney" -> graft.operators.LmScore.kneserNeyOracleSql(
       "SELECT text FROM documents", topK = KnTopK),
     "q158_chi2_tokens" -> graft.operators.FeatureSelect.chi2OracleSql(

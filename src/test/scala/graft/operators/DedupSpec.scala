@@ -151,4 +151,53 @@ class DedupSpec extends SparkSpec {
     assert(out.orderBy("id").collect().toSeq ==
       out11.orderBy("id").collect().toSeq)
   }
+
+  test("duplicatedSpanCoverage: hand case — shared trigram union, overlap merged") {
+    // docs 1 and 2 share "a b c" at two positions in doc 1 (overlapping
+    // occurrences: p=0 and p=2 via 'a b a b c'? no — doc 1 holds the
+    // gram at p=0 and p=4, doc 3 is untouched
+    val docs = Seq(
+      (1L, "a b c x a b c"),   // gram 'a b c' at p=0 and p=4 (7 tokens)
+      (2L, "z a b c z z"),     // at p=1 (6 tokens)
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: spans [0,3) ∪ [4,7) → 6 of 7 tokens; ppm = 6e6 div 7
+    assert(out(1L) == ((7L, 2L, 6L, 857142L)))
+    assert(out(2L) == ((6L, 1L, 3L, 500000L)))
+    assert(out(3L) == ((6L, 0L, 0L, 0L)))
+  }
+
+  test("duplicatedSpanCoverage: overlapping duplicated grams never double-count") {
+    // docs share the 4-token run 'a b c d' → duplicated trigrams at
+    // p=0 and p=1 overlap in [1,3); union must be 4, not 6
+    val docs = Seq(
+      (1L, "a b c d x y"),
+      (2L, "a b c d q r")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 4L)))
+    assert(out(2L) == ((2L, 4L)))
+  }
+
+  test("duplicatedSpanCoverage: within-doc repetition alone is not cross-doc duplication") {
+    val docs = Seq(
+      (1L, "m n o m n o m n o"), // self-repeats, but no other doc has it
+      (2L, "totally different words here now")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("duplicatedSpanCoverage: fully boilerplate doc scores 1000000 ppm") {
+    val docs = Seq(
+      (1L, "the same exact line"),
+      (2L, "the same exact line"),
+      (3L, "the same exact line plus a tail")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out(1L) == 1000000L && out(2L) == 1000000L)
+    assert(out(3L) == 4000000L / 7L)
+  }
 }

@@ -123,6 +123,24 @@ class QuantilesSpec extends SparkSpec {
     assert(out.getLong(3) == 0L && out.getLong(4) == 2L)
   }
 
+  test("winsorizedMean: clamps exactly at the rank cuts; raw mean unchanged") {
+    // 1..100 in one group: p5 cut = rank 5 → 5, p95 cut = rank 95 → 95.
+    // winsorized sum = 4·5 + Σ5..95 + 5·95 = 20 + 4550 + 475 = 5045
+    val df = (1L to 100L).map(("g", _)).toDF("k", "v")
+    val out = Quantiles.winsorizedMean(df, Seq("k"), "v", 5, 95).collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) == ((100L, 5L, 95L)))
+    assert(out.getLong(4) == 1000000L * 5050 / 100) // raw mean 50.5
+    assert(out.getLong(5) == 1000000L * 5045 / 100)
+  }
+
+  test("winsorizedMean: a wild outlier moves the raw mean, barely the winsorized one") {
+    val df = ((1L to 99L) :+ 1000000L).map(("g", _)).toDF("k", "v")
+    val out = Quantiles.winsorizedMean(df, Seq("k"), "v", 5, 95).collect().head
+    val raw = out.getLong(4); val win = out.getLong(5)
+    assert(raw > 10000 * 1000000L, "raw mean dragged past 10k by the outlier")
+    assert(win < 100 * 1000000L, "winsorized mean stays in the body's range")
+  }
+
   test("madOutliers: per-group isolation and partition independence") {
     val df = (Seq.fill(5)(("a", 10L)) ++ Seq(("a", 500L)) ++
       Seq.fill(5)(("b", 10L))).toDF("k", "v")

@@ -272,25 +272,43 @@ object GraphOps {
     * of edges against the surviving node set — all hash equi-joins
     * on node keys (the node frame broadcasts below the same ~1M-node
     * cutoff as [[pageRank]]); the edge frame only ever SHRINKS, and
-    * each round is materialized so lineage stays flat.
+    * each round is materialized so lineage stays flat. Peeling STOPS
+    * EARLY at the fixpoint (edge count unchanged ⇒ all remaining
+    * rounds are identical no-ops, so the early exit returns exactly
+    * the full unroll — and exactly what the unrolled oracle computes).
+    * `assumeDistinct` skips the input dedup shuffle for edge lists
+    * that are distinct by construction.
     *
     * Output: `node_id, core_degree` for nodes surviving `rounds`
     * peels, ordered by node. */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
-            broadcastCutoff: Long = 1000000L): DataFrame = {
+            broadcastCutoff: Long = 1000000L,
+            assumeDistinct: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val normalized = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"))
     var e = Materialize.once(
-      edges.select(col("src").cast("string").as("src"),
-        col("dst").cast("string").as("dst")).distinct())
+      if (assumeDistinct) normalized else normalized.distinct())
+    var eCount = e.count()
     val small = e.select("src").distinct().count() <= broadcastCutoff
     val hint: DataFrame => DataFrame = if (small) broadcast(_) else identity
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
       val survivors = e.groupBy("src").agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k).select(col("src").as("__node"))
-      e = Materialize.once(
+      val next = Materialize.once(
         e.join(hint(survivors), e("src") === col("__node"), "left_semi")
           .join(hint(survivors), e("dst") === col("__node"), "left_semi"))
+      val nextCount = next.count()
+      // fixpoint: no edge was peeled, so every remaining round is an
+      // identical no-op — the result equals the full `rounds` unroll
+      // (and therefore the unrolled oracle), skip the dead work
+      converged = nextCount == eCount
+      e = next
+      eCount = nextCount
+      round += 1
     }
     e.groupBy(col("src").as("node_id"))
       .agg(count(lit(1)).as("core_degree"))

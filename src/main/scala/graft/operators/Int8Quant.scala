@@ -87,6 +87,42 @@ object Int8Quant {
       .orderBy("dim")
   }
 
+  /** Quantization-quality audit: recall@k of the CODE-space ranking
+    * against the exact full-precision integer-dot ranking, per query —
+    * the number that decides whether 4× compression is free or is
+    * costing retrieval quality. Both rankings are deterministic
+    * (integer dots, id tie-breaks), so the recall table is exact and
+    * oracle-checkable, not a sampled estimate. Two broadcast passes
+    * over the corpus (queries ≪ corpus by contract), one count join.
+    *
+    * Output: `query_id, n_overlap, recall_ppm` (overlap·10⁶ div k). */
+  def recallVsExact(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val approx = codeTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def enc(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), VectorFunctions.quantize(col(vecCol)).as(v))
+    val q = enc(queries, "query_id", "qq")
+    val c = enc(corpus, "neighbor_id", "cv")
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    val exact = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", VectorFunctions.intDot(col("qq"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(q.select("query_id"), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"(coalesce(n_overlap, 0L) * 1000000) div $k").as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
   /** Exact top-k in CODE space: per query (broadcast), the k corpus
     * rows with the highest integer code dot product, ties broken by
     * neighbor id — the cheap first-pass ranking a quantized ANN

@@ -412,6 +412,90 @@ object TimeOps {
       .orderBy("lag")
   }
 
+  /** Single best changepoint of a NONNEGATIVE integer series (counts,
+    * cents — keeps every div operand positive, where Spark's
+    * truncating `div` and DuckDB's flooring `//` agree) by exact
+    * two-segment
+    * least squares: the split t* minimizing SSE_left + SSE_right —
+    * equivalently (Σx² is constant) MAXIMIZING the between-segment
+    * term `f(t) = S_l²/t + S_r²/(n−t)`, which needs only prefix sums.
+    * The level-shift detector for "did the metric move, and when".
+    *
+    * Every candidate's score is the exact rational
+    * `num(t)/den(t) = (S_l²·(n−t) + S_r²·t) / (t·(n−t))`, rendered as
+    * the integer `score_q = num div (den·scoreUnit)` (DECIMAL(38)
+    * inside, LONG out — Spark's decimal `div` yields a long, so
+    * f(t) ≤ Σx² ≤ n·x_max² must fit after the unit division; the
+    * require bounds it below 10¹⁸·scoreUnit). Pick `scoreUnit` at the
+    * value scale: 1 for small integers, 10⁶ for cents-sized sums. The
+    * argmax is over (score_q desc, t asc) — a total order on
+    * integers, so both engines pick the identical breakpoint even
+    * among near-ties (sub-unit ties collapse onto the same floor in
+    * BOTH engines and resolve by t).
+    *
+    * Scale shape: one window prefix-sum over the t-ordered series and
+    * one TakeOrdered(1) — the series is an aggregate (one row per
+    * day/hour), calendar-bounded like [[acf]], so the unpartitioned
+    * window is a deliberate control-plane-sized sort, not a corpus
+    * shuffle.
+    *
+    * Output: one row `(t_break, n, score_q, mean_left_ppm,
+    * mean_right_ppm)`; means are `floor(10⁶·S/t)` ppm. */
+  def changepoint(series: DataFrame, tCol: String, valCol: String,
+                  scoreUnit: Long = 1L): DataFrame = {
+    require(scoreUnit >= 1, s"scoreUnit must be >= 1: $scoreUnit")
+    val row = series.agg(count(lit(1)), sum(col(valCol).cast("long")),
+      max(abs(col(valCol).cast("long")))).head()
+    val n = row.getLong(0)
+    require(n >= 2, s"need >= 2 points to split, have $n")
+    val s0 = row.getLong(1)
+    val xmax = math.max(row.getLong(2), 1L)
+    require(BigInt(n).pow(3) * BigInt(xmax).pow(2) < BigInt(10).pow(38),
+      s"changepoint: n=$n with |x| up to $xmax overflows DECIMAL(38)")
+    // the LONG quotient bound: score_q = f(t)/unit <= n·x_max²/unit
+    // must fit the long that Spark's decimal `div` returns
+    require(BigInt(n) * BigInt(xmax).pow(2) < BigInt(10).pow(18) * scoreUnit,
+      s"changepoint: n=$n with |x| up to $xmax overflows the score long " +
+        s"at scoreUnit=$scoreUnit — raise the unit")
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col(tCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.select(col(tCol).cast("long").as("t"),
+        col(valCol).cast("long").as("x"))
+      .withColumn("sl", sum("x").over(w))
+      .filter(col("t") < n)
+      .withColumn("sr", lit(s0) - col("sl"))
+      .withColumn("score_q", expr(
+        s"""(CAST(sl AS $dec) * CAST(sl AS $dec) * CAST(${n}L - t AS $dec)
+           | + CAST(sr AS $dec) * CAST(sr AS $dec) * CAST(t AS $dec))
+           | div (CAST(t AS $dec) * CAST(${n}L - t AS $dec)
+           |      * CAST(${scoreUnit}L AS $dec))""".stripMargin))
+      .orderBy(col("score_q").desc, col("t").asc)
+      .limit(1)
+      .select(col("t").as("t_break"), lit(n).as("n"), col("score_q"),
+        expr("(1000000 * sl) div t").as("mean_left_ppm"),
+        expr(s"(1000000 * sr) div (${n}L - t)").as("mean_right_ppm"))
+  }
+
+  /** DuckDB replica of [[changepoint]] (HUGEINT). `seriesSql` must
+    * yield (t, x) with t dense 1-based. */
+  def changepointOracleSql(seriesSql: String, scoreUnit: Long = 1L): String =
+    s"""WITH s AS (SELECT CAST(t AS HUGEINT) AS t, CAST(x AS HUGEINT) AS x
+       |           FROM ($seriesSql)),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s0 FROM s),
+       |pre AS (SELECT t, sum(x) OVER (ORDER BY t
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+       |        FROM s),
+       |cand AS (SELECT t, sl, s0 - sl AS sr,
+       |    (sl * sl * (n - t) + (s0 - sl) * (s0 - sl) * t)
+       |      // (t * (n - t) * $scoreUnit) AS score_q, n
+       |  FROM pre, nn WHERE t < n)
+       |SELECT CAST(t AS BIGINT) AS t_break, CAST(n AS BIGINT) AS n,
+       |  CAST(score_q AS BIGINT) AS score_q,
+       |  CAST((1000000 * sl) // t AS BIGINT) AS mean_left_ppm,
+       |  CAST((1000000 * sr) // (n - t) AS BIGINT) AS mean_right_ppm
+       |FROM cand ORDER BY score_q DESC, t ASC LIMIT 1""".stripMargin
+
   /** DuckDB replica of [[acf]]: identical mean-free integers and the
     * identical positive-offset division. `seriesSql` must yield
     * (t, x) with t a dense 1-based BIGINT index. */

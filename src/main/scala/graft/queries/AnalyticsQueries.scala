@@ -374,7 +374,56 @@ object AnalyticsQueries {
         floor(col("value") * 100).cast("long").as("cents")),
       Seq("event_type"), "cents", loPct = 5, hiPct = 95)
 
+  private val DailyRevenueSeriesSql =
+    """SELECT row_number() OVER (ORDER BY day) AS t, cents AS x
+      |FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+      |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |          AS cents
+      |      FROM orders GROUP BY 1)""".stripMargin
+
+  private def dailyRevenueSeries(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    daily.withColumn("t", row_number().over(Window.orderBy("day")))
+  }
+
+  /** Best single changepoint of the daily-revenue series by exact
+    * two-segment least squares (see
+    * [[graft.operators.TimeOps.changepoint]]). */
+  val q168Changepoint: Q = (s, d) =>
+    graft.operators.TimeOps.changepoint(dailyRevenueSeries(s, d), "t", "cents",
+      scoreUnit = 1000000L)
+
+  /** Benford first-digit audit of order totals (in cents): observed
+    * leading-digit distribution vs the Benford expectation, deviation
+    * in ppm — the classic fabricated-numbers screen. Pure projection
+    * + one 9-group aggregate; the expectation is a fixed integer
+    * literal table (floor(10⁶·log₁₀(1+1/d))), identical per engine. */
+  val q169Benford: Q = (s, d) => {
+    val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val cases = benford.zipWithIndex
+      .map { case (p, i) => (i + 1).toString -> p }
+      .foldRight(lit(null).cast("long")) { case ((d, p), rest) =>
+        when(col("digit") === d, lit(p)).otherwise(rest)
+      }
+    t(s, d, "orders")
+      .select(substring((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("obs_ppm",
+        expr("(n * 1000000) div sum(n) over ()"))
+      .withColumn("benford_ppm", cases)
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      .select("digit", "n", "obs_ppm", "benford_ppm", "dev_ppm")
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q168_changepoint" -> q168Changepoint,
+    "q169_benford" -> q169Benford,
     "q166_winsorized" -> q166Winsorized,
     "q163_entry_paths" -> q163EntryPaths,
     "q164_acf" -> q164Acf,
@@ -400,6 +449,25 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_changepoint" -> graft.operators.TimeOps.changepointOracleSql(
+      DailyRevenueSeriesSql, scoreUnit = 1000000L),
+    "q169_benford" -> {
+      val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+        66946L, 57991L, 51152L, 45757L)
+      val caseSql = benford.zipWithIndex
+        .map { case (p, i) => s"WHEN '${i + 1}' THEN $p" }
+        .mkString("CASE digit ", " ", " ELSE NULL END")
+      s"""WITH d AS (SELECT substr(CAST(CAST(
+         |    CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS digit FROM orders),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
+         |SELECT digit, n,
+         |  CAST((n * 1000000) // (SELECT sum(n) FROM g) AS BIGINT) AS obs_ppm,
+         |  CAST($caseSql AS BIGINT) AS benford_ppm,
+         |  CAST(abs((n * 1000000) // (SELECT sum(n) FROM g)
+         |    - $caseSql) AS BIGINT) AS dev_ppm
+         |FROM g ORDER BY digit""".stripMargin
+    },
     "q166_winsorized" -> graft.operators.Quantiles.winsorizedMeanOracleSql(
       "SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events",
       Seq("event_type"), loPct = 5, hiPct = 95),

@@ -463,7 +463,16 @@ object VectorQueries {
       qvec, k = 10, lambdaPct = 70)
   }
 
+  /** Recall@10 of int8 code-space ranking vs the exact integer-dot
+    * ranking for every 50th vector — the compression-quality audit
+    * (see [[graft.operators.Int8Quant.recallVsExact]]). */
+  val q167Int8Recall: Q = (s, d) =>
+    graft.operators.Int8Quant.recallVsExact(
+      emb(s, d).filter(col("vec_id") % 50 === 0), emb(s, d),
+      "vec_id", "embedding", k = 10)
+
   val queries: Map[String, Q] = Map(
+    "q167_int8_recall" -> q167Int8Recall,
     "q156_int8_recon" -> q156Int8Recon,
     "q157_int8_topk" -> q157Int8TopK,
     "q161_mmr_select" -> q161MmrSelect,
@@ -642,6 +651,33 @@ object VectorQueries {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, code_dot
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q167_int8_recall" ->
+      s"""WITH $int8CbSql,
+         |lists AS (SELECT list(min_q ORDER BY dim) AS mn,
+         |                 list(rng ORDER BY dim) AS rg FROM cb),
+         |enc AS (SELECT vec_id, qv,
+         |  [((qv[i] - mn[i]) * 255) // rg[i] for i in range(1, len(qv) + 1)] AS cd
+         |  FROM e, lists),
+         |q AS (SELECT vec_id AS query_id, qv AS qq, cd AS qc
+         |      FROM enc WHERE vec_id % 50 = 0),
+         |apx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
+         |      PARTITION BY q.query_id
+         |      ORDER BY ${dot("q.qc", "c.cd")} DESC, c.vec_id ASC) AS rank
+         |  FROM q, enc c WHERE c.vec_id <> q.query_id) WHERE rank <= 10),
+         |exct AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
+         |      PARTITION BY q.query_id
+         |      ORDER BY ${dot("q.qq", "c.qv")} DESC, c.vec_id ASC) AS rank
+         |  FROM q, enc c WHERE c.vec_id <> q.query_id) WHERE rank <= 10),
+         |hits AS (SELECT exct.query_id, count(*) AS n_overlap
+         |         FROM exct JOIN apx USING (query_id, neighbor_id)
+         |         GROUP BY exct.query_id)
+         |SELECT q.query_id,
+         |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST((COALESCE(h.n_overlap, 0) * 1000000) // 10 AS BIGINT) AS recall_ppm
+         |FROM q LEFT JOIN hits h USING (query_id)
+         |ORDER BY q.query_id""".stripMargin,
     "q161_mmr_select" -> graft.operators.Mmr.mmrOracleSql(
       s"SELECT vec_id AS id, $qv AS qv FROM embeddings WHERE vec_id <> 0",
       s"SELECT $qv AS qv FROM embeddings WHERE vec_id = 0",

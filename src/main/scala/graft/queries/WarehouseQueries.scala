@@ -268,7 +268,10 @@ object WarehouseQueries {
         .distinct())
     val edges = sp.select(col("s").as("src"), col("p").as("dst"))
       .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
-    GraphOps.kCore(edges, k = KCoreK, rounds = KCoreRounds)
+    // distinct by construction: sp is deduped and the union sides are
+    // disjoint (s-prefix vs p-prefix sources) — skip the re-dedup
+    GraphOps.kCore(edges, k = KCoreK, rounds = KCoreRounds,
+      assumeDistinct = true)
   }
 
   val queries: Map[String, Q] = Map(

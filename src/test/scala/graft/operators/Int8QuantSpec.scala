@@ -56,6 +56,33 @@ class Int8QuantSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("recallVsExact: one row per query, overlap bounded, replay matches") {
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val out = Int8Quant.recallVsExact(queries, emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(0L, 10L, 20L, 30L))
+    out.foreach { case (_, overlap, ppm) =>
+      assert(overlap >= 0 && overlap <= 5 && ppm == overlap * 1000000L / 5)
+    }
+    // replay: intersect driver-side exact and code rankings
+    val (mins, ranges) = Int8Quant.collectCodebook(
+      Int8Quant.codebook(emb, "embedding"))
+    val codes = emb.select(col("vec_id"),
+      Int8Quant.encodeExpr(col("embedding"), mins, ranges).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val exact = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def topk(vecs: Map[Long, Array[Long]], q: Long) =
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, dot(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    out.foreach { case (q, overlap, _) =>
+      assert(overlap == (topk(exact, q) intersect topk(codes, q)).size)
+    }
+  }
+
   test("determinism: codes independent of partitioning") {
     val (mins, ranges) = Int8Quant.collectCodebook(
       Int8Quant.codebook(emb, "embedding"))

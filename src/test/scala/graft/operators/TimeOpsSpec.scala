@@ -265,6 +265,23 @@ class TimeOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 4L, 160000L), (2L, 3L, -60000L)))
   }
 
+  test("changepoint: finds the level shift; segment means are exact ppm") {
+    val xs = Seq.fill(10)(5L) ++ Seq.fill(10)(50L)
+    val out = TimeOps.changepoint(series(xs), "t", "x").collect().head
+    assert(out.getLong(0) == 10L, "break after the last low point")
+    assert(out.getLong(1) == 20L)
+    assert(out.getLong(3) == 5000000L && out.getLong(4) == 50000000L)
+  }
+
+  test("changepoint: gradual drift picks the variance-optimal split deterministically") {
+    val xs = (1L to 30L).map(i => i * 10)
+    val a = TimeOps.changepoint(series(xs), "t", "x").collect().head
+    val b = TimeOps.changepoint(series(xs).repartition(7), "t", "x").collect().head
+    assert(a.toSeq == b.toSeq, "partitioning must not matter")
+    // for a linear ramp the optimal two-mean split is the midpoint
+    assert(a.getLong(0) == 15L)
+  }
+
   test("acf: n_pairs shrinks by one per lag; constant series refuses loudly") {
     val out = TimeOps.acf(series((1L to 20L).map(i => i * i)), "t", "x", maxLag = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

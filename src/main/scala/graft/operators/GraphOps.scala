@@ -358,6 +358,120 @@ object GraphOps {
        |FROM r$iterations ORDER BY node_id""".stripMargin
   }
 
+  /** Personalized PageRank: the damped walk TELEPORTS BACK TO THE SEED
+    * SET instead of to the uniform distribution — rank becomes
+    * "probability of being here on a random walk that keeps restarting
+    * from the seeds", the standard relevance-to-these-nodes score for
+    * crawl-frontier prioritization, related-item panels, and
+    * trust propagation (seeds = vetted pages).
+    *
+    * Identical integer recurrence to [[pageRank]] except the restart
+    * mass `(SCALE/|S|)·(100−d)/100` lands only on seed nodes (others
+    * re-base at 0), and the walk starts AT the seeds
+    * (`r₀ = SCALE/|S|` on S, 0 elsewhere). Same layout discipline:
+    * rank frame broadcast below `broadcastCutoff` nodes, edge table
+    * pre-bucketed by src above it; same checkpoint cadence; same
+    * dangling-mass caveat. Deterministic — replayed round-for-round by
+    * [[personalizedPageRankOracleSql]].
+    *
+    * @param seeds frame whose FIRST column holds the seed node ids;
+    *              seeds absent from the edge list still hold restart
+    *              mass (they are added to the node set). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                           damping: Int = 85, checkpointEvery: Int = 4,
+                           assumeDistinct: Boolean = false,
+                           broadcastCutoff: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && damping >= 0 && damping <= 100,
+      "need iterations >= 1 and damping in [0,100]")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    val normalized = edges
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+    val e = Materialize.once(
+      if (assumeDistinct) normalized else normalized.distinct())
+    val seedSet = Materialize.once(seeds
+      .select(col(seeds.columns.head).cast("string").as("node_id")).distinct())
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed")
+    val nodes = Materialize.once(
+      e.select(col("src").as("node_id"))
+        .union(e.select(col("dst").as("node_id")))
+        .union(seedSet.select(col("node_id"))).distinct()
+        .join(seedSet.withColumn("__s", lit(1)), Seq("node_id"), "left")
+        .select(col("node_id"), coalesce(col("__s"), lit(0)).as("__seed")))
+    val nNodes = nodes.count()
+    val bucketed = nNodes > broadcastCutoff
+    val degreedPlan =
+      e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val degreed =
+      if (bucketed) degreedPlan.repartition(nParts, col("src")).persist()
+      else Materialize.once(degreedPlan)
+    val baseSeed = (Scale / nSeeds) * (100 - damping) / 100
+    val rankHint: DataFrame => DataFrame =
+      if (bucketed) identity else broadcast(_)
+    var ranks = nodes.select(col("node_id"),
+      when(col("__seed") === 1, lit(Scale / nSeeds)).otherwise(lit(0L))
+        .as("rank_scaled"))
+    for (round <- 1 to iterations) {
+      val contrib = degreed
+        .join(rankHint(ranks), degreed("src") === ranks("node_id"))
+        .groupBy(col("dst").as("node_id"))
+        .agg(sum(expr("rank_scaled div deg")).as("__in"))
+      val next = nodes.join(contrib, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (when(col("__seed") === 1, lit(baseSeed)).otherwise(lit(0L)) +
+            expr(s"($damping * coalesce(__in, 0L)) div 100"))
+            .as("rank_scaled"))
+      ranks = if (round % checkpointEvery == 0 && round < iterations)
+        Materialize.once(next)
+      else next
+    }
+    val out = ranks.orderBy(col("rank_scaled").desc, col("node_id"))
+    if (!bucketed) out
+    else {
+      val fin = Materialize.once(out)
+      fin.count()
+      degreed.unpersist(false)
+      fin
+    }
+  }
+
+  /** DuckDB replica of [[personalizedPageRank]]: unrolled rounds of
+    * the identical integer recurrence with seed-gated restart mass. */
+  def personalizedPageRankOracleSql(edgesSql: String, seedsSql: String,
+                                    iterations: Int, damping: Int = 85): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.node_id,
+         |         CASE WHEN nodes.seeded = 1 THEN (SELECT bs FROM bb) ELSE 0 END
+         |         + ($damping * COALESCE(c.s, 0)) // 100 AS rank_scaled
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node_id, sum(r.rank_scaled // d.deg) AS s
+         |    FROM edges e
+         |    JOIN r${i - 1} r ON r.node_id = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.node_id = nodes.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |seeds AS (SELECT DISTINCT node_id FROM ($seedsSql)),
+       |nodes AS (SELECT n.node_id,
+       |            CASE WHEN s.node_id IS NULL THEN 0 ELSE 1 END AS seeded
+       |          FROM (SELECT src AS node_id FROM edges
+       |                UNION SELECT dst FROM edges
+       |                UNION SELECT node_id FROM seeds) n
+       |          LEFT JOIN seeds s ON s.node_id = n.node_id),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |ns AS (SELECT count(*) AS n FROM seeds),
+       |bb AS (SELECT (($Scale // n) * (100 - $damping)) // 100 AS bs FROM ns),
+       |r0 AS (SELECT node_id,
+       |         CASE WHEN seeded = 1 THEN $Scale // (SELECT n FROM ns)
+       |              ELSE 0 END AS rank_scaled
+       |       FROM nodes),
+       |$rounds
+       |SELECT node_id, CAST(rank_scaled AS BIGINT) AS rank_scaled
+       |FROM r$iterations ORDER BY rank_scaled DESC, node_id""".stripMargin
+  }
+
   /** Synchronous label propagation (community detection, Raghavan et
     * al. 2007) made deterministic: every round each node adopts the
     * most frequent label among its in-neighbors with the

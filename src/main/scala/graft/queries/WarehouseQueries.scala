@@ -274,7 +274,27 @@ object WarehouseQueries {
       assumeDistinct = true)
   }
 
+  /** Personalized PageRank from the q147 trusted-supplier seeds over
+    * the same symmetric supplier↔part graph: relevance-to-the-vetted-
+    * set scores (teleport lands only on seeds), 3 integer rounds (see
+    * [[GraphOps.personalizedPageRank]]). */
+  val q170Ppr: Q = (s, d) => {
+    val sp = graft.operators.Materialize.once(
+      Tables(s, d, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("s"),
+          concat(lit("p"), col("l_partkey")).as("p"))
+        .distinct())
+    val edges = sp.select(col("s").as("src"), col("p").as("dst"))
+      .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
+    val seeds = Tables(s, d, "supplier")
+      .where(col("s_suppkey") % 25 === 0)
+      .select(concat(lit("s"), col("s_suppkey")).as("node_id"))
+    GraphOps.personalizedPageRank(edges, seeds, iterations = 3,
+      assumeDistinct = true)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q170_ppr" -> q170Ppr,
     "q155_kcore" -> q155KCore,
     "q90_fuzzy_join" -> q90FuzzyJoin,
     "q147_bfs_depth" -> q147BfsDepth,
@@ -341,6 +361,9 @@ object WarehouseQueries {
     "q93_pagerank" -> GraphOps.pageRankOracleSql(pagerankEdgesSql, iterations = 3),
     "q155_kcore" -> GraphOps.kCoreOracleSql(pagerankEdgesSql,
       k = KCoreK, rounds = KCoreRounds),
+    "q170_ppr" -> GraphOps.personalizedPageRankOracleSql(pagerankEdgesSql,
+      "SELECT 's' || s_suppkey AS node_id FROM supplier WHERE s_suppkey % 25 = 0",
+      iterations = 3),
     "q147_bfs_depth" -> GraphOps.bfsDepthOracleSql(pagerankEdgesSql,
       "SELECT 's' || s_suppkey AS node_id FROM supplier WHERE s_suppkey % 25 = 0",
       maxHops = 3),

@@ -225,6 +225,25 @@ class GraphOpsSpec extends SparkSpec {
   private def sym(pairs: Seq[(String, String)]) =
     (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
 
+  test("personalizedPageRank: hand-replayed recurrence, teleport only to seeds") {
+    // path a-b-c, seed {a}: r0 = (1e9, 0, 0); two exact integer rounds
+    val seeds = Seq("a").toDF("node_id")
+    val r = GraphOps.personalizedPageRank(path, seeds, iterations = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 511250000L, "b" -> 127500000L, "c" -> 361250000L))
+    // proximity to the seed dominates: a > c despite symmetric degrees
+    assert(r("a") > r("c") && r("c") > r("b"))
+  }
+
+  test("personalizedPageRank: uniform-on-all-nodes seeds reproduce plain pageRank") {
+    val allNodes = Seq("a", "b", "c").toDF("node_id")
+    val ppr = GraphOps.personalizedPageRank(path, allNodes, iterations = 3)
+      .as[(String, Long)].collect().toMap
+    val pr = GraphOps.pageRank(path, iterations = 3)
+      .as[(String, Long)].collect().toMap
+    assert(ppr == pr, "seeding every node uniformly must equal the global walk")
+  }
+
   test("kCore: triangle with a pendant — 2-core strips the pendant, keeps the triangle") {
     val g = sym(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")))
     val out = GraphOps.kCore(g, k = 2, rounds = 3)

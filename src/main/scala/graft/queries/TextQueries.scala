@@ -736,7 +736,25 @@ object TextQueries {
     graft.operators.Dedup.duplicatedSpanCoverage(
       docs(s, d), "doc_id", "text", n = SpanGram)
 
+  /** Retrieval evaluation: MRR / precision@10 / recall@10 of the q110
+    * BM25 ranking against a deterministic relevance set (qid n is
+    * relevant to documents of source `src{n}`) — the gate numbers a
+    * search pipeline ships on (see
+    * [[graft.operators.RetrievalEval]]). */
+  val q171RetrievalEval: Q = (s, d) => {
+    val ranking = graft.operators.Bm25.topK(docs(s, d), "doc_id", "text",
+      bm25Queries, k = 10)
+    val qids = { import s.implicits._; bm25Queries.map(_._1).toDF("qid") }
+      .withColumn("rsrc", concat(lit("src"), col("qid")))
+    val relevance = docs(s, d).select(col("doc_id"), col("source"))
+      .join(broadcast(qids), col("source") === col("rsrc"))
+      .select(col("qid"), col("doc_id"))
+    graft.operators.RetrievalEval.rankMetrics(ranking, "qid", "rank",
+      "doc_id", relevance, "qid", "doc_id", k = 10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q171_retrieval_eval" -> q171RetrievalEval,
     "q165_dup_spans" -> q165DupSpans,
     "q162_kneser_ney" -> q162KneserNey,
     "q158_chi2_tokens" -> q158Chi2Tokens,
@@ -899,6 +917,13 @@ object TextQueries {
     minhashSigSql("list_transform(list_distinct(shr), s -> " + hx("s") + " % 2147483647)", 16)
 
   val oracles: Map[String, String] = Map(
+    "q171_retrieval_eval" -> graft.operators.RetrievalEval.rankMetricsOracleSql(
+      s"""WITH ${bm25OracleCtes(bm25Queries)}
+         |SELECT qid, rank, doc_id FROM r WHERE rank <= 10""".stripMargin,
+      bm25Queries.map(_._1)
+        .map(q => s"SELECT $q AS qid, doc_id FROM documents WHERE source = 'src$q'")
+        .mkString("\nUNION ALL\n"),
+      k = 10),
     "q165_dup_spans" -> graft.operators.Dedup.duplicatedSpanOracleSql(
       "SELECT doc_id AS id, text FROM documents", n = SpanGram,
       idOut = "doc_id"),

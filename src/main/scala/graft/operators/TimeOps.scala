@@ -412,6 +412,62 @@ object TimeOps {
       .orderBy("lag")
   }
 
+  /** Holt linear (double-exponential) smoothing chart: [[ewmaChart]]
+    * plus a TREND state, so the one-step forecast follows a drifting
+    * series instead of lagging it — the standard level+trend
+    * forecaster for KPI monitoring.
+    *
+    * Integer recurrence with α = 1/alphaDen, β = 1/betaDen and the
+    * EWMA shifted-floor-division trick for sign-safe floors:
+    * `pred = l + b; l' = pred + ⌊(x − pred)/αDen⌋;
+    * b' = b + ⌊((l' − l) − b)/βDen⌋`, seeded `l₁ = x₁, b₁ = 0`.
+    * Exact integers end to end; the oracle replays it as a recursive
+    * CTE carrying (level, trend).
+    *
+    * Same scale shape as [[ewmaChart]]: ONE key shuffle, the fold runs
+    * array-side per key over the time-sorted points (series per key
+    * are aggregate-bounded by contract).
+    *
+    * Output: `keyCol, xCol, valCol, forecast, level, trend, err`
+    * (err = value − forecast; forecast at t=1 is the value itself). */
+  def holtChart(df: DataFrame, keyCol: String, xCol: String, valCol: String,
+                alphaDen: Int, betaDen: Int): DataFrame = {
+    require(alphaDen >= 1 && betaDen >= 1,
+      s"denominators must be >= 1: ($alphaDen, $betaDen)")
+    val k = 1000000000000L
+    // sign-safe floors via the +K shift (valid while |numerator| < K·den);
+    // lambdas cannot hold subqueries, so the level expression is inlined
+    // textually wherever the recurrence references it
+    val ln = s"((acc.l + acc.b) + (((p.x - (acc.l + acc.b)) + $k * $alphaDen) div $alphaDen - $k))"
+    val bn = s"(acc.b + (((($ln - acc.l) - acc.b) + $k * $betaDen) div $betaDen - $k))"
+    val fold = s"""
+      aggregate(__pts,
+        struct(CAST(NULL AS BIGINT) AS l, CAST(NULL AS BIGINT) AS b,
+               CAST(array() AS array<struct<o: BIGINT, x: BIGINT,
+                 fc: BIGINT, l: BIGINT, b: BIGINT>>) AS out),
+        (acc, p) -> CASE WHEN acc.l IS NULL THEN
+            struct(p.x AS l, CAST(0 AS BIGINT) AS b,
+              array(struct(p.o AS o, p.x AS x, p.x AS fc,
+                p.x AS l, CAST(0 AS BIGINT) AS b)) AS out)
+          ELSE
+            struct($ln AS l, $bn AS b,
+              concat(acc.out, array(struct(p.o AS o, p.x AS x,
+                (acc.l + acc.b) AS fc, $ln AS l, $bn AS b))) AS out)
+          END)"""
+    df.select(col(keyCol).as("__k"), col(xCol).cast("long").as("__o"),
+        col(valCol).cast("long").as("__x"))
+      .where(col("__k").isNotNull && col("__o").isNotNull && col("__x").isNotNull)
+      .groupBy("__k")
+      .agg(sort_array(collect_list(struct(col("__o").as("o"), col("__x").as("x"))))
+        .as("__pts"))
+      .select(col("__k"), explode(expr(fold).getField("out")).as("__e"))
+      .select(col("__k").as(keyCol), col("__e.o").as(xCol),
+        col("__e.x").as(valCol), col("__e.fc").as("forecast"),
+        col("__e.l").as("level"), col("__e.b").as("trend"),
+        (col("__e.x") - col("__e.fc")).as("err"))
+      .orderBy(keyCol, xCol)
+  }
+
   /** Single best changepoint of a NONNEGATIVE integer series (counts,
     * cents — keeps every div operand positive, where Spark's
     * truncating `div` and DuckDB's flooring `//` agree) by exact

@@ -230,6 +230,25 @@ object AnalyticsQueries {
       EwmaAlphaDen, EwmaThreshold)
   }
 
+  private val HoltAlphaDen = 4
+  private val HoltBetaDen = 5
+
+  /** Holt linear (level+trend) forecast chart over the same monthly
+    * per-nation revenue series as q143 — the trend-aware upgrade of
+    * the EWMA chart (see [[graft.operators.TimeOps.holtChart]]). */
+  val q172HoltChart: Q = (s, d) => {
+    val monthly = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        ((year(to_date(col("o_orderdate"))) - 1970) * 12 +
+          month(to_date(col("o_orderdate"))) - 1).cast("long").as("mon"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    graft.operators.TimeOps.holtChart(monthly, "nation", "mon", "cents",
+      HoltAlphaDen, HoltBetaDen)
+  }
+
   private val NeighborK = 5
 
   /** "Bought together" item neighbors: top-5 Jaccard-similar brands
@@ -422,6 +441,7 @@ object AnalyticsQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q172_holt_chart" -> q172HoltChart,
     "q168_changepoint" -> q168Changepoint,
     "q169_benford" -> q169Benford,
     "q166_winsorized" -> q166Winsorized,
@@ -449,6 +469,36 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q172_holt_chart" -> {
+      val k = 1000000000000L
+      // inlined level/trend recurrence, mirroring TimeOps.holtChart
+      val ln = s"(r.level + r.trend + (((s.cents - (r.level + r.trend)) + $k * $HoltAlphaDen) // $HoltAlphaDen - $k))"
+      s"""WITH RECURSIVE monthly AS (
+         |  SELECT n_name AS nation,
+         |    CAST((year(CAST(o_orderdate AS DATE)) - 1970) * 12
+         |         + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mon,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |              JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1, 2),
+         |ser AS (SELECT nation, mon, cents,
+         |          row_number() OVER (PARTITION BY nation ORDER BY mon) AS rn
+         |        FROM monthly),
+         |rec AS (
+         |  SELECT nation, mon, cents, rn, cents AS forecast,
+         |         cents AS level, CAST(0 AS BIGINT) AS trend
+         |  FROM ser WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.nation, s.mon, s.cents, s.rn,
+         |    r.level + r.trend,
+         |    $ln,
+         |    r.trend + (((($ln - r.level) - r.trend) + $k * $HoltBetaDen)
+         |               // $HoltBetaDen - $k)
+         |  FROM ser s JOIN rec r ON s.nation = r.nation AND s.rn = r.rn + 1)
+         |SELECT nation, mon, cents, forecast, level, trend,
+         |       cents - forecast AS err
+         |FROM rec ORDER BY nation, mon""".stripMargin
+    },
     "q168_changepoint" -> graft.operators.TimeOps.changepointOracleSql(
       DailyRevenueSeriesSql, scoreUnit = 1000000L),
     "q169_benford" -> {

@@ -265,6 +265,37 @@ class TimeOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 4L, 160000L), (2L, 3L, -60000L)))
   }
 
+  test("holtChart: hand-replayed level+trend recurrence") {
+    // alpha = beta = 1/2 over 10,20,30,40:
+    // t2: l=15 b=2 fc=10 | t3: l=23 b=5 fc=17 | t4: l=34 b=8 fc=28
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L), ("g", 4L, 40L))
+      .toDF("k", "o", "x")
+    val out = TimeOps.holtChart(df, "k", "o", "x", alphaDen = 2, betaDen = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 10L, 0L, 0L), (2L, 10L, 15L, 2L, 10L),
+      (3L, 17L, 23L, 5L, 13L), (4L, 28L, 34L, 8L, 12L)))
+  }
+
+  test("holtChart: trend state tracks a steady ramp where EWMA lags forever") {
+    // linear ramp: Holt's one-step error shrinks toward 0; EWMA's
+    // stays pinned near slope·alphaDen
+    val ramp = (1L to 40L).map(i => ("g", i, 100L * i))
+    val holt = TimeOps.holtChart(ramp.toDF("k", "o", "x"), "k", "o", "x", 4, 5)
+      .collect().map(r => r.getLong(1) -> math.abs(r.getLong(6))).toMap
+    val ewma = TimeOps.ewmaChart(ramp.toDF("k", "o", "x"), "k", "o", "x", 4, Long.MaxValue)
+      .collect().map(r => r.getLong(1) ->
+        math.abs(r.getLong(2) - r.getLong(3))).toMap
+    assert(holt(40L) < 50L, s"holt terminal error ${holt(40L)} should be < half a step")
+    assert(ewma(40L) > 250L, "ewma lags a ramp by ~slope*(alphaDen-1)")
+    // negative values flow through the sign-safe shifted floors
+    val neg = TimeOps.holtChart(Seq(("g", 1L, 10L), ("g", 2L, -10L))
+      .toDF("k", "o", "x"), "k", "o", "x", 2, 2).collect()
+    assert(neg.map(r => (r.getLong(4), r.getLong(5))).toSeq ==
+      Seq((10L, 0L), (0L, -5L)))
+  }
+
   test("changepoint: finds the level shift; segment means are exact ppm") {
     val xs = Seq.fill(10)(5L) ++ Seq.fill(10)(50L)
     val out = TimeOps.changepoint(series(xs), "t", "x").collect().head

@@ -442,6 +442,38 @@ object IncrementalStream {
       }
   }
 
+  /** Stream-stream interval join: pair each conversion with the same
+    * user's touch events from the preceding lookback window, as the
+    * events ARRIVE — the streaming twin of the q153 attribution
+    * pairing (graft.operators.Attribution), built on Structured
+    * Streaming's watermarked stream-stream join so state is bounded:
+    * each side keeps only `watermark + lookback` of history, exactly
+    * the built-in mechanism a hand-rolled buffer would reinvent.
+    *
+    * Both inputs must be STREAMING frames carrying (userCol, tsCol,
+    * plus payload). The join condition is the same as the batch
+    * operator: equal user, `touch.ts ∈ (conv.ts − lookback, conv.ts]`
+    * — so on time-ordered replays the emitted pair set equals the
+    * batch inner join (asserted in IncrementalStreamSpec); late data
+    * beyond the watermark is dropped by contract, which is the
+    * streaming semantics the batch gold rebuild reconciles.
+    *
+    * Column contract: touch columns come out prefixed `t_`, conversion
+    * columns `c_`. */
+  def touchPairsStream(touches: DataFrame, conversions: DataFrame,
+                       userCol: String, tsCol: String,
+                       lookbackSec: Long, watermarkSec: Long = 3600L): DataFrame = {
+    require(lookbackSec > 0 && watermarkSec >= 0,
+      s"need lookbackSec > 0, watermarkSec >= 0: ($lookbackSec, $watermarkSec)")
+    def side(df: DataFrame, p: String) = df.select(df.columns.map(c =>
+        col(c).as(s"$p$c")): _*)
+      .withWatermark(s"$p$tsCol", s"$watermarkSec seconds")
+    side(touches, "t_").join(side(conversions, "c_"),
+      expr(s"""t_$userCol = c_$userCol
+              | AND t_$tsCol <= c_$tsCol
+              | AND t_$tsCol > c_$tsCol - INTERVAL $lookbackSec SECONDS""".stripMargin))
+  }
+
   // ---------------------------------------------------- custom state
   case class FunnelEvent(userId: Long, ts: java.sql.Timestamp,
                          eventId: Long, eventType: String)

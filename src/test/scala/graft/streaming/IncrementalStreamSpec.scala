@@ -517,6 +517,47 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("stream-stream touch pairing equals the batch interval join") {
+    import IncrementalStream._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val touches = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, String)](spark)
+    val convs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Double)](spark)
+    val joined = touchPairsStream(
+      touches.toDF().toDF("user", "ts", "kind"),
+      convs.toDF().toDF("user", "ts", "cents"),
+      "user", "ts", lookbackSec = 600)
+    val q = joined.writeStream.format("memory").queryName("touch_pairs")
+      .outputMode("append").start()
+    // touches at 10:00/10:07/10:20 for user 1; conversion at 10:09
+    // pairs with the first two (10-min lookback), not the later one;
+    // user 2's touch never pairs (different user)
+    touches.addData((1L, ts(0), "view"), (1L, ts(7), "click"), (2L, ts(3), "view"))
+    convs.addData((1L, ts(9), 100.0))
+    q.processAllAvailable()
+    touches.addData((1L, ts(20), "view"))
+    convs.addData((1L, ts(25), 200.0))
+    q.processAllAvailable()
+    val got = spark.table("touch_pairs")
+      .select("t_kind", "t_ts", "c_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    q.stop()
+    assert(got == Set(
+      ("view", ts(0), ts(9)), ("click", ts(7), ts(9)),
+      ("view", ts(20), ts(25))),
+      s"streamed pairs diverged: $got")
+    // batch twin over the full data agrees
+    val bt = Seq((1L, ts(0), "view"), (1L, ts(7), "click"), (2L, ts(3), "view"),
+      (1L, ts(20), "view")).toDF("user", "ts", "kind")
+    val bc = Seq((1L, ts(9), 100.0), (1L, ts(25), 200.0)).toDF("user", "ts", "cents")
+    val batch = bt.as("t").join(bc.as("c"),
+      expr("t.user = c.user AND t.ts <= c.ts AND t.ts > c.ts - INTERVAL 600 SECONDS"))
+      .select(col("t.kind"), col("t.ts"), col("c.ts"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(batch == got)
+  }
+
   test("streaming funnel state equals the batch greedy chain, batch by batch") {
     import IncrementalStream._
     val steps = Seq("view", "click", "buy")

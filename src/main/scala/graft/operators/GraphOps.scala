@@ -472,6 +472,99 @@ object GraphOps {
        |FROM r$iterations ORDER BY rank_scaled DESC, node_id""".stripMargin
   }
 
+  /** HyperANF-style neighborhood function (Boldi–Rosa–Vigna 2011): for
+    * r = 0..rounds, the SUM over nodes of the estimated size of each
+    * node's r-hop out-ball, via per-node HLL registers max-merged
+    * along edges each round — THE way to measure reach / effective
+    * diameter on graphs where per-node BFS is quadratic. When the
+    * total stops growing, r has passed the effective diameter.
+    *
+    * Determinism: registers come from the corpus-standard md5 HLL
+    * hash (Sketches contract), merge is MAX (order-free), and the
+    * estimate is the dyadic-exact Profile formula — 2⁻ʳ sums are
+    * exactly representable doubles, so both engines floor identical
+    * values and the oracle replays bit-for-bit.
+    *
+    * Scale shape per round: state is SPARSE (node, bucket, register)
+    * rows — ≤ |V|·2ᵇ — one equi-join of edges against it plus one
+    * map-side-combined max per (node, bucket). Register propagation
+    * costs |E|·(occupied buckets) rows through one shuffle; contrast
+    * per-node BFS at |V|·|E|. EAGER: runs rounds at call time.
+    *
+    * @return one row per round: (round, total_reach_est) */
+  def hyperAnf(edges: DataFrame, b: Int, rounds: Int): DataFrame = {
+    require(b >= 2 && b <= 12, s"register bits out of range: $b")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = edges.sparkSession
+    val m = 1 << b
+    val e = Materialize.once(edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct())
+    val nodes = Materialize.once(
+      e.select(col("src").as("node_id"))
+        .union(e.select(col("dst").as("node_id"))).distinct())
+    var state = Materialize.once(nodes.select(col("node_id"),
+      Sketches.hllBucket(col("node_id"), b).as("bucket"),
+      Sketches.hllRegister(col("node_id"), b).as("r")))
+    def totalReach(st: DataFrame): Long = st.groupBy("node_id")
+      .agg(count(lit(1)).as("present"),
+        sum(pow(lit(2.0), -col("r"))).as("zsum"))
+      .select(sum(Profile.estimate(m, col("present"), col("zsum"))))
+      .head().getLong(0)
+    val out = scala.collection.mutable.ArrayBuffer((0L, totalReach(state)))
+    for (round <- 1 to rounds) {
+      val prop = e.join(state, e("src") === state("node_id"))
+        .select(col("dst").as("node_id"), col("bucket"), col("r"))
+      state = Materialize.once(state.unionByName(prop)
+        .groupBy("node_id", "bucket").agg(max("r").as("r")))
+      out += ((round.toLong, totalReach(state)))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("round", "total_reach_est")
+  }
+
+  /** DuckDB replica of [[hyperAnf]]: unrolled register-propagation
+    * rounds + the identical dyadic-exact estimate. */
+  def hyperAnfOracleSql(edgesSql: String, b: Int, rounds: Int): String = {
+    val m = 1 << b
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673
+    val am2 = s"($alpha * $m * $m)"
+    val restBits = 60 - b
+    val steps = (1 to rounds).map { i =>
+      s"""s$i AS (SELECT node_id, bucket, max(r) AS r FROM (
+         |  SELECT * FROM s${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node_id, p.bucket, p.r
+         |  FROM edges e JOIN s${i - 1} p ON p.node_id = e.src)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    def est(i: Int) =
+      s"""SELECT CAST($i AS BIGINT) AS round, CAST(sum(est) AS BIGINT)
+         |  AS total_reach_est FROM (
+         |  SELECT CASE WHEN $am2 / (($m.0 - present) + zsum) <= ${2.5 * m}
+         |         AND ($m - present) > 0
+         |    THEN CAST(floor($m.0 * ln($m.0 / ($m - present))) AS BIGINT)
+         |    ELSE CAST(floor($am2 / (($m.0 - present) + zsum)) AS BIGINT) END AS est
+         |  FROM (SELECT node_id, count(*) AS present,
+         |          sum(pow(2.0, -r)) AS zsum
+         |        FROM s$i GROUP BY node_id))""".stripMargin
+    s"""WITH edges AS ($edgesSql),
+       |nodes AS (SELECT src AS node_id FROM edges
+       |          UNION SELECT dst FROM edges),
+       |h AS (SELECT node_id,
+       |        CAST(CAST(('0x' || substr(md5('hll:' || node_id), 1, 15))
+       |          AS UBIGINT) AS BIGINT) AS h
+       |      FROM nodes),
+       |s0 AS (SELECT node_id, h % $m AS bucket,
+       |         CASE WHEN h // $m = 0 THEN ${restBits + 1}
+       |              ELSE ${restBits + 1} - length(bin(h // $m)) END AS r
+       |       FROM h),
+       |$steps
+       |SELECT * FROM (${(0 to rounds).map(est).mkString("\nUNION ALL\n")})
+       |ORDER BY round""".stripMargin
+  }
+
   /** Synchronous label propagation (community detection, Raghavan et
     * al. 2007) made deterministic: every round each node adopts the
     * most frequent label among its in-neighbors with the

@@ -293,7 +293,26 @@ object WarehouseQueries {
       assumeDistinct = true)
   }
 
+  private val AnfBits = 4
+  private val AnfRounds = 4
+
+  /** HyperANF neighborhood function of the supplier↔part graph: total
+    * estimated r-hop reach for r = 0..4 via per-node HLL registers
+    * max-merged along edges — the effective-diameter probe (see
+    * [[GraphOps.hyperAnf]]). */
+  val q173HyperAnf: Q = (s, d) => {
+    val sp = graft.operators.Materialize.once(
+      Tables(s, d, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("s"),
+          concat(lit("p"), col("l_partkey")).as("p"))
+        .distinct())
+    val edges = sp.select(col("s").as("src"), col("p").as("dst"))
+      .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
+    GraphOps.hyperAnf(edges, b = AnfBits, rounds = AnfRounds)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q173_hyperanf" -> q173HyperAnf,
     "q170_ppr" -> q170Ppr,
     "q155_kcore" -> q155KCore,
     "q90_fuzzy_join" -> q90FuzzyJoin,
@@ -361,6 +380,8 @@ object WarehouseQueries {
     "q93_pagerank" -> GraphOps.pageRankOracleSql(pagerankEdgesSql, iterations = 3),
     "q155_kcore" -> GraphOps.kCoreOracleSql(pagerankEdgesSql,
       k = KCoreK, rounds = KCoreRounds),
+    "q173_hyperanf" -> GraphOps.hyperAnfOracleSql(pagerankEdgesSql,
+      b = AnfBits, rounds = AnfRounds),
     "q170_ppr" -> GraphOps.personalizedPageRankOracleSql(pagerankEdgesSql,
       "SELECT 's' || s_suppkey AS node_id FROM supplier WHERE s_suppkey % 25 = 0",
       iterations = 3),

@@ -244,6 +244,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(ppr == pr, "seeding every node uniformly must equal the global walk")
   }
 
+  test("hyperAnf: round-0 totals the nodes; reach grows to the diameter then saturates") {
+    // path a-b-c (diameter 2): singleton sets estimate exactly 1 each
+    // at round 0 (linear counting, one occupied bucket), totals are
+    // monotone, and rounds past the diameter change nothing
+    val r = GraphOps.hyperAnf(path, b = 4, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) == 3L, "round 0 = one ball of size 1 per node")
+    assert(r(1L) >= r(0L) && r(2L) >= r(1L))
+    assert(r(3L) == r(2L), "past the diameter the register state is a fixpoint")
+    assert(r(2L) >= 5L && r(2L) <= 10L,
+      s"true 2-ball total is 7; m=16 small-set estimates land nearby: ${r(2L)}")
+  }
+
+  test("hyperAnf: determinism across partitionings") {
+    val g = sym(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "e")))
+    val x = GraphOps.hyperAnf(g, b = 4, rounds = 2).collect().toSeq
+    val y = GraphOps.hyperAnf(g.repartition(7), b = 4, rounds = 2).collect().toSeq
+    assert(x == y)
+  }
+
   test("kCore: triangle with a pendant — 2-core strips the pendant, keeps the triangle") {
     val g = sym(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")))
     val out = GraphOps.kCore(g, k = 2, rounds = 3)

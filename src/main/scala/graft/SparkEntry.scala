@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
       HygieneQueries.queries ++ SketchQueries.queries ++
-      WarehouseQueries.queries ++ AnalyticsQueries.queries
+      WarehouseQueries.queries ++ AnalyticsQueries.queries ++
+      MiningQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EtlQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
       HygieneQueries.oracles ++ SketchQueries.oracles ++
-      WarehouseQueries.oracles ++ AnalyticsQueries.oracles
+      WarehouseQueries.oracles ++ AnalyticsQueries.oracles ++
+      MiningQueries.oracles
 }

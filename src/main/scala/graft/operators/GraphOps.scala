@@ -710,4 +710,316 @@ object GraphOps {
           "(CAST(3000000 AS DECIMAL(38,0)) * n_triangles) div n_wedges"))
           .as("clustering_ppm"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg, JSODA'98) over a directed
+    * edge list — the bipartite-flavored complement of [[pageRank]]:
+    * a node is a good HUB when it points at good authorities and a
+    * good AUTHORITY when good hubs point at it. On a
+    * customer→supplier purchase graph this separates "buys broadly
+    * from the good suppliers" from "supplies the serious buyers" —
+    * two rankings PageRank's single score conflates.
+    *
+    * Determinism: scores are ppm longs; each half-round is an exact
+    * integer sum along edges followed by max-normalization
+    * `(s·10⁶) div max` — the max rides in as a broadcast 1-row frame
+    * (no per-round driver action). Sums are order-independent long
+    * adds, so the result is partitioning-stable and replayed exactly
+    * by [[hitsOracleSql]]. Overflow-safe while degree·10⁶ < 2⁶³.
+    *
+    * Scale shape: each round is two edge⋈score joins (one per
+    * direction) + two dst/src aggregations. Small graphs broadcast
+    * the node-sized score frame both ways (no shuffle); big graphs
+    * pre-bucket TWO persisted edge layouts — by src for the
+    * hub-gather, by dst for the authority-gather — so edges never
+    * re-shuffle and only the score side exchanges ([[pageRank]]'s
+    * layout argument, doubled because HITS alternates join keys).
+    * Rounds checkpoint every `checkpointEvery` like PageRank.
+    *
+    * @return (node_id, hub_q, auth_q) ppm scores after `iterations`
+    *         full rounds; nodes with no out-edges have hub_q 0, no
+    *         in-edges auth_q 0.
+    */
+  def hits(edges: DataFrame, iterations: Int, checkpointEvery: Int = 4,
+           broadcastCutoff: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "need iterations >= 1")
+    val M = 1000000L
+    val e0 = Materialize.once(edges
+      .select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
+      .distinct())
+    val nodes = Materialize.once(
+      e0.select(col("src").as("node_id"))
+        .union(e0.select(col("dst").as("node_id"))).distinct())
+    val bucketed = nodes.count() > broadcastCutoff
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val (eBySrc, eByDst) =
+      if (bucketed)
+        (e0.repartition(nParts, col("src")).persist(),
+          e0.repartition(nParts, col("dst")).persist())
+      else (e0, e0)
+    val scoreHint: DataFrame => DataFrame =
+      if (bucketed) identity else broadcast(_)
+    def normalize(raw: DataFrame, c: String): DataFrame = {
+      // max-normalize to [0, 10^6]; the 1-row max frame broadcasts so
+      // no round needs a driver-side action
+      val mx = raw.agg(max(col(c)).as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node_id"), expr(s"($c * $M) div __mx").as(c))
+    }
+    var hubs = nodes.withColumn("h", lit(M))
+    var auths: DataFrame = null
+    for (round <- 1 to iterations) {
+      val aRaw = eByDst.join(scoreHint(hubs.withColumnRenamed("node_id", "src")),
+          Seq("src"))
+        .groupBy(col("dst").as("node_id")).agg(sum(col("h")).as("a"))
+      val aAll = nodes.join(aRaw, Seq("node_id"), "left")
+        .select(col("node_id"), coalesce(col("a"), lit(0L)).as("a"))
+      auths = normalize(aAll, "a")
+      val hRaw = eBySrc.join(scoreHint(auths.withColumnRenamed("node_id", "dst")),
+          Seq("dst"))
+        .groupBy(col("src").as("node_id")).agg(sum(col("a")).as("h"))
+      val hAll = nodes.join(hRaw, Seq("node_id"), "left")
+        .select(col("node_id"), coalesce(col("h"), lit(0L)).as("h"))
+      hubs = normalize(hAll, "h")
+      if (round % checkpointEvery == 0 && round < iterations) {
+        hubs = Materialize.once(hubs)
+        auths = Materialize.once(auths)
+      }
+    }
+    val out = hubs.join(auths, Seq("node_id"))
+      .select(col("node_id"), col("h").as("hub_q"), col("a").as("auth_q"))
+    if (!bucketed) out
+    else {
+      val o = Materialize.once(out)
+      o.count()
+      eBySrc.unpersist(false); eByDst.unpersist(false)
+      o
+    }
+  }
+
+  /** DuckDB replay of [[hits]]: per-round CTE pairs (authority gather
+    * + max-normalize, hub gather + max-normalize), integer `//`
+    * arithmetic identical to the Spark fold. */
+  def hitsOracleSql(edgesSql: String, iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""ar$i AS (
+         |  SELECT n.node_id, COALESCE(g.a, 0) AS a FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node_id, sum(h.h) AS a
+         |    FROM edges e JOIN hn${i - 1} h ON h.node_id = e.src
+         |    GROUP BY e.dst) g ON g.node_id = n.node_id),
+         |an$i AS (SELECT node_id,
+         |    (a * 1000000) // (SELECT max(a) FROM ar$i) AS a FROM ar$i),
+         |hr$i AS (
+         |  SELECT n.node_id, COALESCE(g.h, 0) AS h FROM nodes n LEFT JOIN (
+         |    SELECT e.src AS node_id, sum(a.a) AS h
+         |    FROM edges e JOIN an$i a ON a.node_id = e.dst
+         |    GROUP BY e.src) g ON g.node_id = n.node_id),
+         |hn$i AS (SELECT node_id,
+         |    (h * 1000000) // (SELECT max(h) FROM hr$i) AS h FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |nodes AS (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
+       |hn0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT h.node_id, CAST(h.h AS BIGINT) AS hub_q,
+       |       CAST(a.a AS BIGINT) AS auth_q
+       |FROM hn$iterations h JOIN an$iterations a ON a.node_id = h.node_id
+       |ORDER BY h.node_id""".stripMargin
+  }
+
+  /** Newman modularity of a community assignment, in ppm:
+    * Q = Σ_c (e_c/m − (d_c/2m)²) — the standard "is this partition
+    * better than chance" score used to audit [[labelPropagation]] (or
+    * any clustering) before acting on it. e_c = intra-community edge
+    * count, d_c = total degree of community c, m = |E| (undirected
+    * distinct edges, no self-loops).
+    *
+    * Exact rational on common denominator 4m²:
+    * Q = Σ_c (4m·e_c − d_c²) / (4m²), DECIMAL(38,0) inside; Q can be
+    * NEGATIVE (worse than chance), so the ppm floor uses the sign-safe
+    * +K shift ((x + K·den) div den − K with K = 2·10⁶, since the
+    * quotient Q·10⁶ lies in [−10⁶, 10⁶]) — Spark's truncating div and
+    * DuckDB's flooring `//` agree once the dividend is nonnegative.
+    *
+    * Scale shape: two node-keyed joins stamp each edge endpoint's
+    * community, one community aggregate for e_c (intra edges only) and
+    * one for d_c, then a scalar combine — nothing beyond the joins
+    * touches edge volume.
+    *
+    * @param edges  (src, dst) undirected distinct edges
+    * @param assign (node_id, label) community per node; must cover
+    *               every endpoint (inner joins drop uncovered edges)
+    * @return one row (m, n_communities, modularity_ppm)
+    */
+  def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val e = Materialize.once(edges
+      .select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")))
+    val a = assign.select(col("node_id").cast("string").as("node_id"),
+      col("label").cast("string").as("__c"))
+    val stamped = e
+      .join(a.select(col("node_id").as("src"), col("__c").as("ca")), Seq("src"))
+      .join(a.select(col("node_id").as("dst"), col("__c").as("cb")), Seq("dst"))
+      .transform(Materialize.once) // intra-edge and degree aggs both read it
+    val intra = stamped.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("__c")).agg(count(lit(1)).as("ec"))
+    val degs = stamped
+      .select(explode(array(col("ca"), col("cb"))).as("__c"))
+      .groupBy("__c").agg(count(lit(1)).as("dc"))
+    val perC = degs.join(intra, Seq("__c"), "left")
+      .select(col("__c"), coalesce(col("ec"), lit(0L)).as("ec"), col("dc"))
+    val mRow = stamped.agg(count(lit(1)).as("m"))
+    perC.crossJoin(broadcast(mRow))
+      .agg(first(col("m")).as("m"), count(lit(1)).as("n_communities"),
+        sum(lit(4).cast("decimal(38,0)") * col("m") * col("ec")
+          - col("dc").cast("decimal(38,0)") * col("dc")).as("__num"))
+      .select(col("m"), col("n_communities"),
+        (expr("""(__num * 1000000 + 2000000 * (4 * CAST(m AS DECIMAL(38,0)) * m))
+                |  div (4 * CAST(m AS DECIMAL(38,0)) * m)""".stripMargin)
+          - lit(2000000L)).as("modularity_ppm"))
+  }
+
+  /** DuckDB replay of [[modularity]] over `edgesSql` (src, dst) and
+    * `assignSql` (node_id, label). */
+  def modularityOracleSql(edgesSql: String, assignSql: String): String =
+    s"""WITH e AS (SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst
+       |           FROM ($edgesSql)),
+       |a AS (SELECT CAST(node_id AS VARCHAR) AS node_id,
+       |             CAST(label AS VARCHAR) AS c FROM ($assignSql)),
+       |st AS (SELECT sa.c AS ca, sb.c AS cb FROM e
+       |       JOIN a sa ON sa.node_id = e.src
+       |       JOIN a sb ON sb.node_id = e.dst),
+       |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM st),
+       |degs AS (SELECT c, CAST(count(*) AS HUGEINT) AS dc
+       |         FROM (SELECT ca AS c FROM st UNION ALL SELECT cb FROM st)
+       |         GROUP BY c),
+       |intra AS (SELECT ca AS c, CAST(count(*) AS HUGEINT) AS ec
+       |          FROM st WHERE ca = cb GROUP BY ca)
+       |SELECT CAST((SELECT m FROM mm) AS BIGINT) AS m,
+       |       CAST(count(*) AS BIGINT) AS n_communities,
+       |       CAST((sum(4 * (SELECT m FROM mm) * COALESCE(i.ec, 0)
+       |               - d.dc * d.dc) * 1000000
+       |             + 2000000 * (4 * (SELECT m FROM mm) * (SELECT m FROM mm)))
+       |            // (4 * (SELECT m FROM mm) * (SELECT m FROM mm))
+       |            - 2000000 AS BIGINT) AS modularity_ppm
+       |FROM degs d LEFT JOIN intra i ON i.c = d.c""".stripMargin
+
+  /** Weighted single-source(-set) shortest paths — [[bfsDepth]]'s
+    * estimator upgrade from hop counts to NONNEGATIVE INTEGER edge
+    * weights (cents, micros, latency µs): synchronous Bellman–Ford,
+    * `dist' = least(dist, min over in-edges (dist_src + w))`. After
+    * `rounds` relaxations the result is exact for every path of at
+    * most `rounds` edges — run `rounds` ≥ the graph's hop diameter
+    * for the true distances (the spec pins a fixpoint the same way
+    * kCore does).
+    *
+    * Determinism: min over longs with an explicit unreached sentinel
+    * `inf = rounds · w_max + 1` (computed from the data, so it
+    * strictly dominates every reachable distance; a relaxation
+    * through an unreached node lands ≥ inf and is clamped back by
+    * `least`). No floats, no NULL-ordering, order-independent — the
+    * oracle ([[weightedSsspOracleSql]]) replays identical rounds with
+    * the identical inline-computed sentinel.
+    *
+    * Scale shape: identical to [[bfsDepth]] — parallel edges collapse
+    * to min weight once; small graphs broadcast the node-sized
+    * distance frame each round (shuffle-free), big graphs pre-bucket
+    * edges by `src` and persist so rounds exchange only the distance
+    * side. EAGER (materializes at construction).
+    *
+    * @param edges (src, dst, w) — w cast to long, must be ≥ 0
+    * @param seeds frame whose FIRST column holds seed node ids
+    * @return (node_id, dist) for every node in the graph ∪ seeds;
+    *         NULL dist = unreached within `rounds` hops
+    */
+  def weightedSssp(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                   broadcastCutoff: Long = 1000000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = Materialize.once(edges
+      .select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
+      .groupBy("src", "dst").agg(min("w").as("w")))
+    val Array(minW, maxW) = e.agg(min("w"), max("w")).head() match {
+      case r if r.isNullAt(0) => Array(0L, 0L)
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    require(minW >= 0, s"edge weights must be nonnegative, got min $minW")
+    require(maxW < Long.MaxValue / (rounds + 2L),
+      s"rounds*w_max overflows long: rounds=$rounds w_max=$maxW")
+    val inf = rounds * maxW + 1L
+    val seedSet = seeds
+      .select(col(seeds.columns.head).cast("string").as("node_id")).distinct()
+    val nodes = Materialize.once(
+      e.select(col("src").as("node_id"))
+        .union(e.select(col("dst").as("node_id")))
+        .union(seedSet.select(col("node_id"))).distinct())
+    val bucketed = nodes.count() > broadcastCutoff
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val eLayout =
+      if (bucketed) e.repartition(nParts, col("src")).persist()
+      else e
+    val distHint: DataFrame => DataFrame =
+      if (bucketed) identity else broadcast(_)
+    var dist = nodes.join(seedSet.withColumn("__seed", lit(0L)),
+        Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("__seed"), lit(inf)).as("dist"))
+    for (round <- 1 to rounds) {
+      val relaxed = eLayout
+        .join(distHint(dist), eLayout("src") === dist("node_id"))
+        .groupBy(col("dst").as("node_id"))
+        .agg(min(col("dist") + col("w")).as("__d"))
+      val next = dist.join(relaxed, Seq("node_id"), "left")
+        .select(col("node_id"),
+          least(col("dist"), coalesce(col("__d"), lit(inf))).as("dist"))
+      dist = if (round % 4 == 0 && round < rounds) Materialize.once(next)
+      else next
+    }
+    val out = dist.select(col("node_id"),
+      when(col("dist") >= inf, lit(null).cast("long"))
+        .otherwise(col("dist")).as("dist"))
+    if (!bucketed) out
+    else {
+      val fin = Materialize.once(out)
+      fin.count()
+      eLayout.unpersist(false)
+      fin
+    }
+  }
+
+  /** DuckDB oracle for [[weightedSssp]]: unrolled relaxations with
+    * the sentinel computed inline from the same min-collapsed edge
+    * table, so both engines derive the identical `inf`. */
+  def weightedSsspOracleSql(edgesSql: String, seedsSql: String,
+                            rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT d.node_id,
+         |         least(d.dist, COALESCE(c.md, (SELECT inf FROM p))) AS dist
+         |  FROM d${i - 1} d
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node_id, min(q.dist + e.w) AS md
+         |    FROM edges e JOIN d${i - 1} q ON q.node_id = e.src
+         |    GROUP BY e.dst) c ON c.node_id = d.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT src, dst, min(w) AS w FROM (
+       |    SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst,
+       |           CAST(w AS BIGINT) AS w FROM ($edgesSql))
+       |  GROUP BY src, dst),
+       |p AS (SELECT $rounds * COALESCE(max(w), 0) + 1 AS inf FROM edges),
+       |seeds AS (SELECT DISTINCT CAST(node_id AS VARCHAR) AS node_id
+       |          FROM ($seedsSql)),
+       |nodes AS (SELECT src AS node_id FROM edges
+       |          UNION SELECT dst FROM edges
+       |          UNION SELECT node_id FROM seeds),
+       |d0 AS (SELECT nodes.node_id,
+       |         CASE WHEN s.node_id IS NULL THEN (SELECT inf FROM p)
+       |              ELSE 0 END AS dist
+       |       FROM nodes LEFT JOIN seeds s ON s.node_id = nodes.node_id),
+       |$steps
+       |SELECT node_id,
+       |       CASE WHEN dist >= (SELECT inf FROM p) THEN NULL
+       |            ELSE CAST(dist AS BIGINT) END AS dist
+       |FROM d$rounds ORDER BY node_id""".stripMargin
+  }
 }

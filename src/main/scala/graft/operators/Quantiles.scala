@@ -318,4 +318,69 @@ object Quantiles {
       cuts.map(c => when(col(valCol) > lit(c), 1L).otherwise(0L))
         .reduce(_ + _))
   }
+
+  /** Exact per-group WEIGHTED percentiles: the value at which the
+    * cumulative weight first reaches p% of the group's total weight —
+    * "the price below which 95% of shipped QUANTITY falls", the
+    * inventory/traffic-weighted cousin of [[exactPercentiles]] (which
+    * weights every row 1).
+    *
+    * Determinism without tie trouble: weights aggregate per DISTINCT
+    * value first, so the cumulative-weight window walks the distinct-
+    * value series — no row-order ambiguity between engines can exist,
+    * and the threshold test `cw·100 ≥ p·W` is pure long arithmetic.
+    * The selected value is emitted untouched.
+    *
+    * Scale shape: one (group, value) map-side-combined aggregate, then
+    * a per-group window over DISTINCT values (value-histogram-sized,
+    * not row-sized) — groups parallelize; the percent list rides as an
+    * exploded literal.
+    *
+    * @param pcts integer percents in (0, 100]
+    * @return keyCols ++ (pct, pct_value, total_w)
+    */
+  def weightedPercentiles(df: DataFrame, keyCols: Seq[String], valCol: String,
+                          weightCol: String, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+      s"percents must be in (0, 100]: $pcts")
+    val keys = keyCols.map(col)
+    val byVal = df
+      .filter(col(valCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("long") > 0)
+      .groupBy(keys :+ col(valCol): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val w = Window.partitionBy(keys: _*).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(keys: _*)
+    byVal
+      .withColumn("__cw", sum(col("__w")).over(w))
+      .withColumn("__tw", sum(col("__w")).over(wAll))
+      .select(keys ++ Seq(col(valCol), col("__cw"), col("__tw"),
+        explode(array(pcts.map(lit): _*)).as("pct")): _*)
+      .filter(col("__cw") * 100 >= col("__tw") * col("pct") &&
+        (col("__cw") - col("__w")) * 100 < col("__tw") * col("pct"))
+      .select(keys ++ Seq(col("pct"), col(valCol).as("pct_value"),
+        col("__tw").as("total_w")): _*)
+  }
+
+  /** DuckDB rendering of [[weightedPercentiles]] over `relSql`
+    * projecting (keyCols..., v, w) with positive long weights. */
+  def weightedPercentilesOracleSql(relSql: String, keyCols: Seq[String],
+                                   pcts: Seq[Int]): String = {
+    val ks = keyCols.mkString(", ")
+    val pl = pcts.mkString(", ")
+    s"""WITH rel AS ($relSql),
+       |byval AS (SELECT $ks, v, sum(w) AS w FROM rel
+       |          WHERE v IS NOT NULL AND w > 0 GROUP BY $ks, v),
+       |cum AS (SELECT $ks, v, w,
+       |          sum(w) OVER (PARTITION BY $ks ORDER BY v
+       |                       ROWS UNBOUNDED PRECEDING) AS cw,
+       |          sum(w) OVER (PARTITION BY $ks) AS tw
+       |        FROM byval)
+       |SELECT $ks, CAST(pct AS INT) AS pct, v AS pct_value,
+       |       CAST(tw AS BIGINT) AS total_w
+       |FROM cum, (SELECT unnest([$pl]) AS pct)
+       |WHERE cw * 100 >= tw * pct AND (cw - w) * 100 < tw * pct
+       |ORDER BY $ks, pct""".stripMargin
+  }
 }

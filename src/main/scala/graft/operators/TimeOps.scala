@@ -570,4 +570,82 @@ object TimeOps {
        |  CAST((1000000 * sum(ya * yb) + 10000000 * (SELECT d FROM den))
        |       // (SELECT d FROM den) - 10000000 AS BIGINT) AS acf_ppm
        |FROM pairs GROUP BY lag ORDER BY lag""".stripMargin
+
+  /** Gap-filled resample with LINEAR interpolation — the missing-day
+    * estimator [[resampleFfill]]'s step-function fill understates:
+    * each absent grid point t between observations (pd, pv) and
+    * (nd, nv) gets `pv + (nv − pv)·(t − pd) / (nd − pd)` floored —
+    * sign-safely: the numerator can be negative on falling series, so
+    * the floor uses the data-dependent +K shift with K = |nv − pv| + 1
+    * (bounding |num| < K·gap since t − pd < gap), keeping the dividend
+    * nonnegative where Spark's truncating `div` and DuckDB's flooring
+    * `//` agree. Observed points pass through untouched; output covers
+    * exactly [min t, max t] of each key (interpolation only — no edge
+    * extrapolation, which would be invention, not estimation).
+    *
+    * Input contract: `df` is an aggregated series — ONE row per
+    * (key, t); t is a long grid index (day number, hour number).
+    *
+    * Scale shape: one per-key bounds aggregate whose `sequence()` span
+    * explodes into the grid (calendar-bounded by contract), one key
+    * shuffle for the union-marker window ([[resampleFfill]]'s layout):
+    * `last(ignoreNulls)` carries (pd, pv) forward, `first(ignoreNulls)`
+    * over the FOLLOWING frame carries (nd, nv) backward — no per-gap
+    * join anywhere.
+    *
+    * @return (keyCols…, t, value, is_obs) — `value` the observed or
+    *         interpolated long, one row per key per grid t
+    */
+  def resampleLinear(df: DataFrame, keyCols: Seq[String], tCol: String,
+                     valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val obs = df.select(keys ++ Seq(col(tCol).cast("long").as("t"),
+      col(valCol).cast("long").as("__v"), lit(0).as("__g")): _*)
+    val grid = df.groupBy(keys: _*)
+      .agg(min(col(tCol).cast("long")).as("__lo"),
+        max(col(tCol).cast("long")).as("__hi"))
+      .select(keys ++ Seq(explode(expr("sequence(__lo, __hi)")).as("t"),
+        lit(null).cast("long").as("__v"), lit(1).as("__g")): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("t"), col("__g"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    obs.unionByName(grid)
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pd", last(when(col("__g") === 0, col("t")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__nd", first(when(col("__g") === 0, col("t")),
+        ignoreNulls = true).over(wNext))
+      .filter(col("__g") === 1)
+      .withColumn("value", when(col("__pd") === col("t"), col("__pv"))
+        .otherwise(expr("""__pv + ((__nv - __pv) * (t - __pd)
+                          |  + (abs(__nv - __pv) + 1) * (__nd - __pd))
+                          |  div (__nd - __pd) - (abs(__nv - __pv) + 1)""".stripMargin)))
+      .withColumn("is_obs", (col("__pd") === col("t")).cast("int"))
+      .select(keys ++ Seq(col("t"), col("value"), col("is_obs")): _*)
+  }
+
+  /** DuckDB rendering of [[resampleLinear]] over `relSql` projecting
+    * (keyCols..., t, v) — segment walk: each observation pairs with
+    * its successor via `lead`, generate_series fills [t, next − 1],
+    * the final observation emits itself. */
+  def resampleLinearOracleSql(relSql: String, keyCols: Seq[String]): String = {
+    val ks = keyCols.mkString(", ")
+    s"""WITH rel AS ($relSql),
+       |seg AS (SELECT $ks, t, v,
+       |          lead(t) OVER (PARTITION BY $ks ORDER BY t) AS nt,
+       |          lead(v) OVER (PARTITION BY $ks ORDER BY t) AS nv
+       |        FROM rel),
+       |pts AS (SELECT $ks, t AS pd, v AS pv, nt, nv,
+       |          unnest(generate_series(t,
+       |            CASE WHEN nt IS NULL THEN t ELSE nt - 1 END)) AS t
+       |        FROM seg)
+       |SELECT $ks, t,
+       |  CASE WHEN t = pd THEN pv
+       |       ELSE pv + ((nv - pv) * (t - pd)
+       |              + (abs(nv - pv) + 1) * (nt - pd)) // (nt - pd)
+       |            - (abs(nv - pv) + 1) END AS value,
+       |  CASE WHEN t = pd THEN 1 ELSE 0 END AS is_obs
+       |FROM pts ORDER BY $ks, t""".stripMargin
+  }
 }

@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Diversity, GraphOps, Isotonic, Quantiles, RankTests,
+  Skyline, Survival, SetSimJoin, TimeOps}
+import graft.functions.TextFunctions.{tokens, wordShingles}
+
+/** Round-9 mining/science tier: exact prefix-filtered set-similarity
+  * join, HITS, skyline, Kaplan–Meier survival, distributional
+  * diagnostics (total variation / Gini / Simpson), modularity audit,
+  * weighted percentiles, linear-interpolation resampling.
+  *
+  * Same determinism discipline as every tier: integer/ppm metrics,
+  * exact decimal money sums, sign-safe floors where a quotient can go
+  * negative, total ORDER BY — every query hash-matches its DuckDB
+  * oracle.
+  */
+object MiningQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Every 3rd document ∪ near-copies (first token dropped) of every
+    * 30th — the TextQueries planted-near-dup construction on a third
+    * of the corpus. The SPARK side scales to the full corpus (prefix
+    * filtering is the whole point); the thinning keeps the ORACLE —
+    * a deliberately quadratic brute-force completeness proof — inside
+    * the driver's DuckDB budget (pair count scales with corpus²). */
+  private def corpusNear(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+  }
+  private val corpusNearSql =
+    """SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '') FROM documents WHERE doc_id % 30 = 0"""
+
+  private val PpjoinThresholdPpm = 500000L
+
+  /** Exact all-pairs Jaccard ≥ 0.5 over 3-shingle sets via TRUE prefix
+    * filtering (rarest-token prefixes + positional bound) — the
+    * no-false-negatives dedup tier; see
+    * [[graft.operators.SetSimJoin.prefixJaccardJoin]]. Unlike q27's
+    * full inverted index this posts only each doc's prefix. Oracle is
+    * the brute-force cross join (completeness proof) in DuckDB. */
+  val q174Ppjoin: Q = (s, d) =>
+    SetSimJoin.prefixJaccardJoin(
+      corpusNear(s, d).select(col("doc_id"),
+        array_distinct(wordShingles(col("text"), 3)).as("sh")),
+      "doc_id", "sh", PpjoinThresholdPpm)
+      .orderBy("id_a", "id_b")
+
+  private val HitsIterations = 4
+
+  /** HITS hubs/authorities on the customer→supplier purchase graph:
+    * hub customers buy broadly from authoritative suppliers. 4 exact
+    * integer rounds, unrolled in the oracle — see
+    * [[graft.operators.GraphOps.hits]]. */
+  val q175Hits: Q = (s, d) => {
+    val edges = t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    GraphOps.hits(edges, HitsIterations).orderBy("node_id")
+  }
+
+  /** Price/size skyline of the part catalog (both minimized): the
+    * Pareto-frontier "best trade-off" rows no other part beats on both
+    * axes — bucket-pruned exact skyline, NOT EXISTS oracle; see
+    * [[graft.operators.Skyline.skyline2d]]. */
+  val q176Skyline: Q = (s, d) =>
+    Skyline.skyline2d(
+      t(s, d, "part").select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        col("p_size").cast("long").as("size")),
+      "cents", "size", bucketWidth = 10000L)
+      .select(col("p_partkey"), col("cents"), col("size"))
+      .orderBy("p_partkey")
+
+  /** Kaplan–Meier time-to-first-purchase: per user, duration in days
+    * from first event to first purchase; users who never purchase are
+    * right-censored at their last event. Exact integer survival
+    * recurrence replayed by a recursive-CTE oracle — see
+    * [[graft.operators.Survival.kaplanMeier]]. */
+  val q177KaplanMeier: Q = (s, d) => {
+    val subjects = t(s, d, "events")
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("f"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("p"),
+        max(unix_micros(col("ts"))).as("l"))
+      .select(
+        expr("CASE WHEN p IS NOT NULL THEN (p - f) div 86400000000 " +
+          "ELSE (l - f) div 86400000000 END").as("dur"),
+        when(col("p").isNotNull, lit(1)).otherwise(lit(0)).as("observed"))
+    Survival.kaplanMeier(subjects, "dur", "observed")
+  }
+
+  /** Pairwise total-variation distance between the unigram
+    * distributions of every two document sources — the source-mix
+    * drift matrix of a corpus blend; see
+    * [[graft.operators.Diversity.tvMatrix]]. */
+  val q178SourceTv: Q = (s, d) =>
+    Diversity.tvMatrix(
+      t(s, d, "documents").select(col("source"),
+        explode(tokens(col("text"))).as("token")),
+      "source", "token")
+      .orderBy("grp_a", "grp_b")
+
+  /** Per-nation daily revenue for 1995 with missing days LINEARLY
+    * interpolated between surrounding observed days (ffill's
+    * estimator upgrade) — see
+    * [[graft.operators.TimeOps.resampleLinear]]. */
+  val q179InterpDaily: Q = (s, d) => {
+    val daily = t(s, d, "orders")
+      .filter(year(to_date(col("o_orderdate"))) === 1995)
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("t"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    TimeOps.resampleLinear(daily, Seq("nation"), "t", "cents")
+      .orderBy("nation", "t")
+  }
+
+  /** Modularity audit of the q128 label-propagation communities over
+    * the supplier↔part graph — "is the partition better than chance"
+    * in ppm (sign-safe), one row; see
+    * [[graft.operators.GraphOps.modularity]]. */
+  val q180Modularity: Q = (s, d) => {
+    val sp = graft.operators.Materialize.once(
+      t(s, d, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("s"),
+          concat(lit("p"), col("l_partkey")).as("p"))
+        .distinct())
+    val sym = sp.select(col("s").as("src"), col("p").as("dst"))
+      .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
+    val assign = GraphOps.labelPropagation(sym, iterations = 3,
+      assumeDistinct = true).select("node_id", "label")
+    GraphOps.modularity(
+      sp.select(col("s").as("src"), col("p").as("dst")), assign)
+  }
+
+  private val WeightedPcts = Seq(25, 50, 75, 90, 99)
+
+  /** Quantity-weighted price percentiles per return flag: "the price
+    * below which p% of shipped QUANTITY falls" — see
+    * [[graft.operators.Quantiles.weightedPercentiles]]. */
+  val q181WeightedPct: Q = (s, d) =>
+    Quantiles.weightedPercentiles(
+      t(s, d, "lineitem").select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        col("l_quantity").cast("long").as("qty")),
+      Seq("l_returnflag"), "cents", "qty", WeightedPcts)
+      .orderBy("l_returnflag", "pct")
+
+  /** Gini coefficient of customer lifetime spend — revenue
+    * concentration in ppm, global ranks via the bucket-histogram
+    * two-phase (no global sort); see
+    * [[graft.operators.Diversity.gini]]. */
+  val q182Gini: Q = (s, d) =>
+    Diversity.gini(
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents")),
+      "cents", bucketWidth = 1000000L)
+
+  /** Simpson lexical diversity per document source: probability two
+    * token draws (without replacement) differ — monoculture sources
+    * score low; see [[graft.operators.Diversity.simpson]]. */
+  val q183Simpson: Q = (s, d) =>
+    Diversity.simpson(
+      t(s, d, "documents").select(col("source"),
+        explode(tokens(col("text"))).as("token")),
+      Seq("source"), "token")
+      .orderBy("source")
+
+  private val SsspRounds = 4
+
+  /** Cheapest supply-chain reach: weighted Bellman–Ford over the
+    * symmetric supplier↔part graph, edge weight = the pair's minimum
+    * line price in cents, from the q147 seed suppliers — "cheapest
+    * total cost to reach each node in ≤ 4 hops"; see
+    * [[graft.operators.GraphOps.weightedSssp]]. */
+  val q184Sssp: Q = (s, d) => {
+    val sp = graft.operators.Materialize.once(
+      t(s, d, "lineitem")
+        .groupBy(concat(lit("s"), col("l_suppkey")).as("s"),
+          concat(lit("p"), col("l_partkey")).as("p"))
+        .agg(min((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("w")))
+    val edges = sp.select(col("s").as("src"), col("p").as("dst"), col("w"))
+      .unionByName(sp.select(col("p").as("src"), col("s").as("dst"), col("w")))
+    val seeds = t(s, d, "supplier")
+      .where(col("s_suppkey") % 25 === 0)
+      .select(concat(lit("s"), col("s_suppkey")).as("node_id"))
+    GraphOps.weightedSssp(edges, seeds, SsspRounds).orderBy("node_id")
+  }
+
+  private val MwBucketCents = 1000000L // $10k histogram buckets
+
+  /** Mann–Whitney rank-sum: does URGENT vs LOW order priority shift
+    * the order-value distribution? Exact doubled-midrank U and
+    * common-language effect size in ppm; see
+    * [[graft.operators.RankTests.mannWhitney]]. */
+  val q185MannWhitney: Q = (s, d) =>
+    RankTests.mannWhitney(
+      t(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderpriority").as("g"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("v")),
+      "g", "v", MwBucketCents)
+
+  /** Two-sample Kolmogorov–Smirnov distance between the purchase and
+    * click event-value distributions (values floored to integer
+    * micro-units — floor is IEEE-identical across engines); see
+    * [[graft.operators.RankTests.ksTwoSample]]. */
+  val q186Ks: Q = (s, d) =>
+    RankTests.ksTwoSample(
+      t(s, d, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type").as("g"),
+          floor(col("value") * 1000000).cast("long").as("v")),
+      "g", "v", bucketWidth = 10000000L)
+
+  /** Isotonic (PAV) fit of return rate as a nondecreasing function of
+    * line quantity — the calibration curve "does bigger basket mean
+    * more returns", exact integer block pooling with a small-step
+    * recursive-CTE replay oracle; see
+    * [[graft.operators.Isotonic.pavFit]]. */
+  val q187Isotonic: Q = (s, d) =>
+    Isotonic.pavFit(
+      t(s, d, "lineitem").select(col("l_quantity").cast("long").as("x"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y")),
+      "x", "y")
+
+  val queries: Map[String, Q] = Map(
+    "q174_ppjoin" -> q174Ppjoin,
+    "q175_hits" -> q175Hits,
+    "q176_skyline" -> q176Skyline,
+    "q177_kaplan_meier" -> q177KaplanMeier,
+    "q178_source_tv" -> q178SourceTv,
+    "q179_interp_daily" -> q179InterpDaily,
+    "q180_modularity" -> q180Modularity,
+    "q181_weighted_pct" -> q181WeightedPct,
+    "q182_gini" -> q182Gini,
+    "q183_simpson" -> q183Simpson,
+    "q184_sssp" -> q184Sssp,
+    "q185_mann_whitney" -> q185MannWhitney,
+    "q186_ks" -> q186Ks,
+    "q187_isotonic" -> q187Isotonic,
+  )
+
+  private val tok = """regexp_split_to_array(trim(text), '\s+')"""
+  private val shingles3 =
+    """[array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]"""
+
+  private val hitsEdgesSql =
+    """SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  private val lpaEdgesSql =
+    """SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+      |FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+      |UNION ALL
+      |SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+      |FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)""".stripMargin
+
+  private val spEdgesSql =
+    """SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+      |FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // brute-force cross join: proves the prefix filter loses nothing
+    "q174_ppjoin" -> {
+      val M = 1000000L
+      s"""WITH corpus AS ($corpusNearSql),
+         |tk AS (SELECT doc_id AS id, $tok AS ts FROM corpus
+         |       WHERE length(trim(text)) > 0),
+         |sh AS (SELECT id, list_distinct($shingles3) AS sh FROM tk
+         |       WHERE len(ts) >= 3)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni,
+         |  CAST((len(list_intersect(a.sh, b.sh)) * $M)
+         |    // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) AS jac_ppm
+         |FROM sh a JOIN sh b ON a.id < b.id
+         |  AND least(len(a.sh), len(b.sh)) * $M
+         |    >= $PpjoinThresholdPpm * greatest(len(a.sh), len(b.sh))
+         |WHERE len(list_intersect(a.sh, b.sh)) * $M
+         |  >= $PpjoinThresholdPpm * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q175_hits" -> GraphOps.hitsOracleSql(hitsEdgesSql, HitsIterations),
+    "q176_skyline" -> (Skyline.skylineOracleSql(
+      """SELECT p_partkey,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(p_size AS BIGINT) AS size FROM part""".stripMargin,
+      "cents", "size", "p_partkey, cents, size") + "\nORDER BY p_partkey"),
+    "q177_kaplan_meier" -> Survival.kaplanMeierOracleSql(
+      """SELECT CASE WHEN p IS NOT NULL THEN (p - f) // 86400000000
+        |            ELSE (l - f) // 86400000000 END AS dur,
+        |       CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS observed
+        |FROM (SELECT user_id, min(epoch_us(ts)) AS f,
+        |        min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p,
+        |        max(epoch_us(ts)) AS l
+        |      FROM events GROUP BY user_id)""".stripMargin),
+    "q178_source_tv" ->
+      """WITH occ AS (SELECT source AS g, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |             FROM documents WHERE length(trim(text)) > 0),
+        |counts AS (SELECT g, t, CAST(count(*) AS HUGEINT) AS n FROM occ GROUP BY g, t),
+        |tot AS (SELECT g, sum(n) AS tot FROM counts GROUP BY g),
+        |shared AS (
+        |  SELECT a.g AS ga, b.g AS gb,
+        |         sum(abs(a.n * tb.tot - b.n * ta.tot)) AS db,
+        |         sum(a.n) AS sa, sum(b.n) AS sb
+        |  FROM counts a JOIN counts b ON a.t = b.t AND a.g < b.g
+        |  JOIN tot ta ON ta.g = a.g JOIN tot tb ON tb.g = b.g
+        |  GROUP BY a.g, b.g)
+        |SELECT pa.g AS grp_a, pb.g AS grp_b,
+        |  CAST(pa.tot AS BIGINT) AS n_a, CAST(pb.tot AS BIGINT) AS n_b,
+        |  CAST((COALESCE(s.db, 0) + (pa.tot - COALESCE(s.sa, 0)) * pb.tot
+        |        + (pb.tot - COALESCE(s.sb, 0)) * pa.tot) * 1000000
+        |       // (2 * pa.tot * pb.tot) AS BIGINT) AS tv_ppm
+        |FROM tot pa JOIN tot pb ON pa.g < pb.g
+        |LEFT JOIN shared s ON s.ga = pa.g AND s.gb = pb.g
+        |ORDER BY grp_a, grp_b""".stripMargin,
+    "q179_interp_daily" -> TimeOps.resampleLinearOracleSql(
+      """SELECT n_name AS nation,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |GROUP BY 1, 2""".stripMargin,
+      Seq("nation")),
+    "q180_modularity" -> GraphOps.modularityOracleSql(spEdgesSql,
+      "\n" + GraphOps.labelPropagationOracleSql(lpaEdgesSql, iterations = 3)),
+    "q181_weighted_pct" -> Quantiles.weightedPercentilesOracleSql(
+      """SELECT l_returnflag,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |  CAST(l_quantity AS BIGINT) AS w FROM lineitem""".stripMargin,
+      Seq("l_returnflag"), WeightedPcts),
+    "q182_gini" -> Diversity.giniOracleSql(
+      """SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |FROM orders GROUP BY o_custkey""".stripMargin),
+    "q184_sssp" -> GraphOps.weightedSsspOracleSql(
+      """SELECT src, dst, w FROM (
+        |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+        |    min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2)
+        |UNION ALL
+        |SELECT dst, src, w FROM (
+        |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+        |    min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2)""".stripMargin,
+      "SELECT 's' || s_suppkey AS node_id FROM supplier WHERE s_suppkey % 25 = 0",
+      rounds = SsspRounds),
+    "q185_mann_whitney" -> RankTests.mannWhitneyOracleSql(
+      """SELECT o_orderpriority AS g,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')""".stripMargin),
+    "q186_ks" -> RankTests.ksTwoSampleOracleSql(
+      """SELECT event_type AS g,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS v
+        |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin),
+    "q187_isotonic" -> Isotonic.pavOracleSql(
+      """SELECT CAST(l_quantity AS BIGINT) AS x,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |FROM lineitem""".stripMargin),
+    "q183_simpson" ->
+      """WITH occ AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |             FROM documents WHERE length(trim(text)) > 0),
+        |cnt AS (SELECT source, token, CAST(count(*) AS HUGEINT) AS n
+        |        FROM occ GROUP BY source, token)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_cats,
+        |  CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(((sum(n) * (sum(n) - 1) - sum(n * (n - 1))) * 1000000)
+        |       // (sum(n) * (sum(n) - 1)) AS BIGINT) AS simpson_ppm
+        |FROM cnt GROUP BY source HAVING sum(n) >= 2 ORDER BY source""".stripMargin,
+  )
+}

@@ -312,4 +312,173 @@ class GraphOpsSpec extends SparkSpec {
     val r = GraphOps.triangleStats(bip, "src", "dst").collect()(0)
     assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
   }
+
+  /** Reference HITS: the exact integer recurrence in plain Scala. */
+  private def refHits(edges: Set[(String, String)], iterations: Int) = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+    val M = 1000000L
+    var h = nodes.map(_ -> M).toMap
+    var a = Map.empty[String, Long]
+    for (_ <- 1 to iterations) {
+      val araw = nodes.map(n => n ->
+        edges.filter(_._2 == n).toSeq.map(e => h(e._1)).sum).toMap
+      val amx = araw.values.max
+      a = araw.map { case (n, v) => n -> v * M / amx }
+      val hraw = nodes.map(n => n ->
+        edges.filter(_._1 == n).toSeq.map(e => a(e._2)).sum).toMap
+      val hmx = hraw.values.max
+      h = hraw.map { case (n, v) => n -> v * M / hmx }
+    }
+    nodes.map(n => (n, h(n), a(n))).toSet
+  }
+
+  test("hits ≡ reference recurrence; bucketed layout computes identical scores") {
+    val rnd = new scala.util.Random(43)
+    val edges = (1 to 150).map(_ =>
+      (s"u${rnd.nextInt(20)}", s"v${rnd.nextInt(15)}")).toSet ++
+      Set(("u0", "v0"), ("u0", "v1"), ("u1", "v0")) // guaranteed structure
+    val df = edges.toSeq.toDF("src", "dst")
+    val expected = refHits(edges, 4)
+    val broadcastPath = GraphOps.hits(df, iterations = 4)
+      .as[(String, Long, Long)].collect().toSet
+    assert(broadcastPath == expected)
+    val bucketedPath = GraphOps.hits(df, iterations = 4, broadcastCutoff = 1L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(bucketedPath == expected, "bucketed branch must match broadcast branch")
+  }
+
+  test("hits on a pure bipartite star: hub and authority roles separate") {
+    // u0 points at every v; each v also has one weak dedicated fan
+    val edges = (0 until 5).flatMap(i => Seq(("u0", s"v$i"), (s"w$i", s"v$i")))
+    val out = GraphOps.hits(edges.toDF("src", "dst"), iterations = 3)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("u0")._1 == 1000000L, "the broad buyer is the top hub")
+    assert(out.filter(_._1.startsWith("v")).values.forall(_._2 == 1000000L),
+      "symmetric authorities all normalize to the max")
+    assert(out.filter(_._1.startsWith("w")).values.forall(_._1 < 1000000L),
+      "single-edge fans are weaker hubs")
+    assert(out.values.forall { case (h, a) => h >= 0 && a >= 0 })
+  }
+
+  /** Reference modularity with exact BigInt rationals + floor. */
+  private def refModularity(edges: Seq[(String, String)],
+                            label: Map[String, String]): Long = {
+    val m = BigInt(edges.size)
+    val cs = label.values.toSet.toSeq
+    val num = cs.map { c =>
+      val ec = BigInt(edges.count(e => label(e._1) == c && label(e._2) == c))
+      val dc = BigInt(edges.count(e => label(e._1) == c) +
+        edges.count(e => label(e._2) == c))
+      4 * m * ec - dc * dc
+    }.sum
+    val den = 4 * m * m
+    val q = (num * 1000000 + 2000000 * den) / den - 2000000 // floor via shift
+    q.toLong
+  }
+
+  test("modularity: clean two-community graph scores high, exact vs reference") {
+    // two triangles joined by one bridge
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+    val label = Map("a" -> "1", "b" -> "1", "c" -> "1",
+      "x" -> "2", "y" -> "2", "z" -> "2")
+    val got = GraphOps.modularity(edges.toDF("src", "dst"),
+      label.toSeq.toDF("node_id", "label"))
+      .as[(Long, Long, Long)].collect().head
+    assert(got._1 == 7L && got._2 == 2L)
+    assert(got._3 == refModularity(edges, label))
+    assert(got._3 > 300000L, "clean split should beat chance clearly")
+  }
+
+  test("modularity: anti-community assignment goes NEGATIVE with exact floor") {
+    // complete bipartite K23 with the bipartition AS the communities:
+    // no intra edges at all -> Q < 0 exercises the sign-safe shift
+    val edges = for (a <- Seq("a1", "a2"); b <- Seq("b1", "b2", "b3"))
+      yield (a, b)
+    val label = Map("a1" -> "A", "a2" -> "A",
+      "b1" -> "B", "b2" -> "B", "b3" -> "B")
+    val got = GraphOps.modularity(edges.toDF("src", "dst"),
+      label.toSeq.toDF("node_id", "label"))
+      .as[(Long, Long, Long)].collect().head
+    assert(got._3 == refModularity(edges, label))
+    assert(got._3 < 0L)
+  }
+
+  /** Reference Dijkstra on a small weighted graph. */
+  private def refDijkstra(edges: Seq[(String, String, Long)],
+                          seeds: Set[String]): Map[String, Long] = {
+    val adj = edges.groupBy(_._1)
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L).toSeq: _*)
+    val pq = scala.collection.mutable.PriorityQueue(
+      seeds.map(s => (0L, s)).toSeq: _*)(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (dist(u) == d)
+        adj.getOrElse(u, Nil).foreach { case (_, v, w) =>
+          if (dist.getOrElse(v, Long.MaxValue) > d + w) {
+            dist(v) = d + w; pq.enqueue((d + w, v))
+          }
+        }
+    }
+    dist.toMap
+  }
+
+  test("weightedSssp ≡ Dijkstra at fixpoint; shorter-hop truncation exact") {
+    val rnd = new scala.util.Random(23)
+    val nodes = (0 until 40).map(i => s"n$i")
+    val edges = (1 to 160).map { _ =>
+      (nodes(rnd.nextInt(40)), nodes(rnd.nextInt(40)),
+        rnd.nextInt(100).toLong)
+    }
+    val seeds = Set("n0", "n7")
+    val expected = refDijkstra(edges, seeds)
+    val got = GraphOps.weightedSssp(edges.toDF("src", "dst", "w"),
+        seeds.toSeq.toDF("node_id"), rounds = 45)
+      .as[(String, Option[Long])].collect().toMap
+    val reached = got.collect { case (n, Some(d)) => n -> d }
+    assert(reached == expected, "fixpoint distances match Dijkstra")
+    assert(got.collect { case (n, None) => n }.toSet ==
+      got.keySet -- expected.keySet, "unreached stay NULL")
+  }
+
+  test("weightedSssp: parallel edges collapse to min; zero weights legal") {
+    val edges = Seq(("a", "b", 5L), ("a", "b", 2L), ("b", "c", 0L),
+      ("a", "c", 9L))
+    val got = GraphOps.weightedSssp(edges.toDF("src", "dst", "w"),
+        Seq("a").toDF("node_id"), rounds = 3)
+      .as[(String, Option[Long])].collect().toMap
+    assert(got == Map("a" -> Some(0L), "b" -> Some(2L), "c" -> Some(2L)))
+  }
+
+  test("weightedSssp: rounds bound path length, not correctness beyond it") {
+    // chain a→b→c→d of weight 1 each plus a direct expensive edge a→d
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("a", "d", 10L))
+    val oneRound = GraphOps.weightedSssp(edges.toDF("src", "dst", "w"),
+        Seq("a").toDF("node_id"), rounds = 1)
+      .as[(String, Option[Long])].collect().toMap
+    assert(oneRound("d") == Some(10L), "1 round sees only the direct edge")
+    val three = GraphOps.weightedSssp(edges.toDF("src", "dst", "w"),
+        Seq("a").toDF("node_id"), rounds = 3)
+      .as[(String, Option[Long])].collect().toMap
+    assert(three("d") == Some(3L), "3 rounds find the cheap chain")
+  }
+
+  test("weightedSssp: negative weights rejected; bucketed branch matches") {
+    intercept[IllegalArgumentException] {
+      GraphOps.weightedSssp(Seq(("a", "b", -1L)).toDF("src", "dst", "w"),
+        Seq("a").toDF("node_id"), rounds = 2)
+    }
+    val rnd = new scala.util.Random(29)
+    val edges = (1 to 120).map { _ =>
+      (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}", rnd.nextInt(50).toLong)
+    }
+    val seeds = Seq("n1").toDF("node_id")
+    val bc = GraphOps.weightedSssp(edges.toDF("src", "dst", "w"), seeds, 6)
+      .as[(String, Option[Long])].collect().toMap
+    val bucketed = GraphOps.weightedSssp(edges.toDF("src", "dst", "w"),
+        seeds, 6, broadcastCutoff = 1L)
+      .as[(String, Option[Long])].collect().toMap
+    assert(bc == bucketed, "bucketed branch must match broadcast branch")
+  }
 }

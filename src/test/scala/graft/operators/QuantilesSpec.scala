@@ -150,4 +150,50 @@ class QuantilesSpec extends SparkSpec {
     val byKey = a.map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(byKey("a") == 1L && byKey("b") == 0L)
   }
+
+  /** Reference weighted percentile: first distinct value whose
+    * cumulative weight reaches p% of the total. */
+  private def refWeighted(rows: Seq[(Long, Long)], p: Int): Long = {
+    val byVal = rows.groupBy(_._1).map { case (v, rs) => v -> rs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    val tw = byVal.map(_._2).sum
+    var cw = 0L
+    byVal.find { case (_, w) => cw += w; cw * 100 >= tw * p }.get._1
+  }
+
+  test("weightedPercentiles ≡ reference cumulative-weight selection") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 800).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(200).toLong, 1L + rnd.nextInt(9)))
+    val df = rows.toDF("k", "v", "w")
+    val pcts = Seq(10, 50, 90, 100)
+    val got = Quantiles.weightedPercentiles(df, Seq("k"), "v", "w", pcts)
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    for (g <- Seq("g0", "g1", "g2"); p <- pcts) {
+      val sub = rows.filter(_._1 == g).map(r => (r._2, r._3))
+      assert(got((g, p)) == ((refWeighted(sub, p), sub.map(_._2).sum)),
+        s"group=$g pct=$p")
+    }
+  }
+
+  test("weightedPercentiles with unit weights ≡ exactPercentiles") {
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 500).map(_ => ("k", rnd.nextInt(1000).toLong, 1L))
+    val df = rows.toDF("k", "v", "w")
+    val pcts = Seq(25, 50, 75, 95)
+    val weighted = Quantiles.weightedPercentiles(df, Seq("k"), "v", "w", pcts)
+      .as[(String, Int, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    val unweighted = Quantiles.exactPercentiles(df, Seq("k"), "v", pcts)
+      .as[(String, Int, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(weighted == unweighted)
+  }
+
+  test("weightedPercentiles: nonpositive weights and null values are excluded") {
+    val df = Seq(("k", 1L, 5L), ("k", 2L, 0L), ("k", 3L, -4L), ("k", 100L, 5L))
+      .toDF("k", "v", "w")
+    val got = Quantiles.weightedPercentiles(df, Seq("k"), "v", "w", Seq(50, 100))
+      .as[(String, Int, Long, Long)].collect().map(r => r._2 -> (r._3, r._4)).toMap
+    assert(got == Map(50 -> ((1L, 10L)), 100 -> ((100L, 10L))))
+  }
 }

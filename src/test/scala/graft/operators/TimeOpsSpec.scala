@@ -322,4 +322,48 @@ class TimeOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("zero variance"))
   }
+
+  /** Reference linear interpolation with mathematical floor. */
+  private def refInterp(obs: Seq[(Long, Long)]): Seq[(Long, Long, Int)] = {
+    val sorted = obs.sortBy(_._1)
+    sorted.zip(sorted.tail).flatMap { case ((pd, pv), (nd, nv)) =>
+      (pd until nd).map { t =>
+        if (t == pd) (t, pv, 1)
+        else (t, pv + Math.floorDiv((nv - pv) * (t - pd), nd - pd), 0)
+      }
+    } :+ ((sorted.last._1, sorted.last._2, 1))
+  }
+
+  test("resampleLinear ≡ floor interpolation, rising and falling segments") {
+    val obs = Seq((0L, 10L), (4L, 22L), (7L, 1L), (8L, 1L), (13L, -9L))
+    val df = obs.map { case (t, v) => ("k", t, v) }.toDF("k", "t", "v")
+    val got = TimeOps.resampleLinear(df, Seq("k"), "t", "v")
+      .as[(String, Long, Long, Int)].collect().sortBy(_._2)
+      .map(r => (r._2, r._3, r._4)).toSeq
+    assert(got == refInterp(obs))
+    // falling segment with negative values exercises the sign-safe
+    // floor: (8,1) -> (13,-9) steps by -2 exactly
+    assert(got.filter(t => t._1 >= 8).map(_._2) == Seq(1L, -1L, -3L, -5L, -7L, -9L))
+  }
+
+  test("resampleLinear: per-key ranges stay independent; obs pass through") {
+    val rnd = new scala.util.Random(61)
+    val keys = Seq("a", "b", "c")
+    val obs = keys.flatMap { k =>
+      val ts = rnd.shuffle((0L to 40L).toList).take(8)
+      ts.map(t => (k, t, rnd.nextInt(2000).toLong - 1000))
+    }
+    val df = obs.toDF("k", "t", "v")
+    val got = TimeOps.resampleLinear(df, Seq("k"), "t", "v")
+      .as[(String, Long, Long, Int)].collect()
+    for (k <- keys) {
+      val kObs = obs.filter(_._1 == k).map(o => (o._2, o._3))
+      val kGot = got.filter(_._1 == k).sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq
+      assert(kGot == refInterp(kObs), s"key=$k")
+      val (lo, hi) = (kObs.map(_._1).min, kObs.map(_._1).max)
+      assert(kGot.map(_._1) == (lo to hi), s"key=$k grid must be dense")
+      for ((t, v) <- kObs)
+        assert(kGot.find(_._1 == t).get._2 == v, s"key=$k obs at $t must pass through")
+    }
+  }
 }

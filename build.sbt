@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Slowpoke alarm: any single test still running after 60 s prints a
+// stack-trace notification every 60 s — a pathological spec (e.g. an
+// un-checkpointed iterative recurrence) surfaces immediately instead
+// of silently eating the round's verification budget.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-W", "60", "60")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

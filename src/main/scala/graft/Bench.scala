@@ -70,8 +70,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum // failures drag the total negative — visible
+    // run-environment provenance: a contended box inflates every query
+    // ~uniformly (seen round 8: +50% on untouched queries); recording
+    // the 1-min load average lets round-over-round comparisons separate
+    // machine noise from code regressions
+    val load = try java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"median":$total%.3f,"runs":$runs,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"median":$total%.3f,"runs":$runs,"load_avg":$load%.2f,"cpus":"$cpus","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // durability: harness tails can truncate the printed line, losing
     // the early-alphabet per-query times — also land the complete JSON

@@ -228,7 +228,7 @@ object GraphOps {
   def bfsDepthOracleSql(edgesSql: String, seedsSql: String, maxHops: Int): String = {
     val inf = maxHops + 1L
     val rounds = (1 to maxHops).map { i =>
-      s"""d$i AS (
+      s"""d$i AS MATERIALIZED (
          |  SELECT nodes.node_id,
          |         least(d.hops, COALESCE(c.mh, $inf)) AS hops
          |  FROM nodes
@@ -238,12 +238,12 @@ object GraphOps {
          |    FROM edges e JOIN d${i - 1} p ON p.node_id = e.src
          |    GROUP BY e.dst) c ON c.node_id = nodes.node_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS ($edgesSql),
-       |seeds AS (SELECT DISTINCT node_id FROM ($seedsSql)),
-       |nodes AS (SELECT src AS node_id FROM edges
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       |seeds AS MATERIALIZED (SELECT DISTINCT node_id FROM ($seedsSql)),
+       |nodes AS MATERIALIZED (SELECT src AS node_id FROM edges
        |          UNION SELECT dst FROM edges
        |          UNION SELECT node_id FROM seeds),
-       |d0 AS (SELECT nodes.node_id,
+       |d0 AS MATERIALIZED (SELECT nodes.node_id,
        |         CASE WHEN s.node_id IS NULL THEN $inf ELSE 0 END AS hops
        |       FROM nodes LEFT JOIN seeds s ON s.node_id = nodes.node_id),
        |$rounds
@@ -320,12 +320,12 @@ object GraphOps {
     * the oracle can never drift apart. */
   def kCoreOracleSql(edgesSql: String, k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
-      s"""d$i AS (SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY src),
-         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+      s"""d$i AS MATERIALIZED (SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY src),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
          |  JOIN d$i a ON a.src = e.src AND a.deg >= $k
          |  JOIN d$i b ON b.src = e.dst AND b.deg >= $k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),
        |$steps
        |SELECT src AS node_id, CAST(count(*) AS BIGINT) AS core_degree
        |FROM e$rounds GROUP BY src ORDER BY node_id""".stripMargin
@@ -336,7 +336,7 @@ object GraphOps {
     * constant (SCALE, damping) and the oracle can never drift apart. */
   def pageRankOracleSql(edgesSql: String, iterations: Int, damping: Int = 85): String = {
     val rounds = (1 to iterations).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT nodes.node_id,
          |         (SELECT base FROM bb)
          |         + ($damping * COALESCE(c.s, 0)) // 100 AS rank_scaled
@@ -347,12 +347,12 @@ object GraphOps {
          |    JOIN deg d ON d.src = e.src
          |    GROUP BY e.dst) c ON c.node_id = nodes.node_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS ($edgesSql),
-       |nodes AS (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
-       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-       |nn AS (SELECT count(*) AS n FROM nodes),
-       |bb AS (SELECT (($Scale // n) * (100 - $damping)) // 100 AS base FROM nn),
-       |r0 AS (SELECT node_id, $Scale // (SELECT n FROM nn) AS rank_scaled FROM nodes),
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       |nodes AS MATERIALIZED (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |bb AS MATERIALIZED (SELECT (($Scale // n) * (100 - $damping)) // 100 AS base FROM nn),
+       |r0 AS MATERIALIZED (SELECT node_id, $Scale // (SELECT n FROM nn) AS rank_scaled FROM nodes),
        |$rounds
        |SELECT node_id, CAST(rank_scaled AS BIGINT) AS rank_scaled
        |FROM r$iterations ORDER BY node_id""".stripMargin
@@ -441,7 +441,7 @@ object GraphOps {
   def personalizedPageRankOracleSql(edgesSql: String, seedsSql: String,
                                     iterations: Int, damping: Int = 85): String = {
     val rounds = (1 to iterations).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT nodes.node_id,
          |         CASE WHEN nodes.seeded = 1 THEN (SELECT bs FROM bb) ELSE 0 END
          |         + ($damping * COALESCE(c.s, 0)) // 100 AS rank_scaled
@@ -452,18 +452,18 @@ object GraphOps {
          |    JOIN deg d ON d.src = e.src
          |    GROUP BY e.dst) c ON c.node_id = nodes.node_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS ($edgesSql),
-       |seeds AS (SELECT DISTINCT node_id FROM ($seedsSql)),
-       |nodes AS (SELECT n.node_id,
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       |seeds AS MATERIALIZED (SELECT DISTINCT node_id FROM ($seedsSql)),
+       |nodes AS MATERIALIZED (SELECT n.node_id,
        |            CASE WHEN s.node_id IS NULL THEN 0 ELSE 1 END AS seeded
        |          FROM (SELECT src AS node_id FROM edges
        |                UNION SELECT dst FROM edges
        |                UNION SELECT node_id FROM seeds) n
        |          LEFT JOIN seeds s ON s.node_id = n.node_id),
-       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-       |ns AS (SELECT count(*) AS n FROM seeds),
-       |bb AS (SELECT (($Scale // n) * (100 - $damping)) // 100 AS bs FROM ns),
-       |r0 AS (SELECT node_id,
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |ns AS MATERIALIZED (SELECT count(*) AS n FROM seeds),
+       |bb AS MATERIALIZED (SELECT (($Scale // n) * (100 - $damping)) // 100 AS bs FROM ns),
+       |r0 AS MATERIALIZED (SELECT node_id,
        |         CASE WHEN seeded = 1 THEN $Scale // (SELECT n FROM ns)
        |              ELSE 0 END AS rank_scaled
        |       FROM nodes),
@@ -532,7 +532,7 @@ object GraphOps {
     val am2 = s"($alpha * $m * $m)"
     val restBits = 60 - b
     val steps = (1 to rounds).map { i =>
-      s"""s$i AS (SELECT node_id, bucket, max(r) AS r FROM (
+      s"""s$i AS MATERIALIZED (SELECT node_id, bucket, max(r) AS r FROM (
          |  SELECT * FROM s${i - 1}
          |  UNION ALL
          |  SELECT e.dst AS node_id, p.bucket, p.r
@@ -549,14 +549,14 @@ object GraphOps {
          |  FROM (SELECT node_id, count(*) AS present,
          |          sum(pow(2.0, -r)) AS zsum
          |        FROM s$i GROUP BY node_id))""".stripMargin
-    s"""WITH edges AS ($edgesSql),
-       |nodes AS (SELECT src AS node_id FROM edges
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       |nodes AS MATERIALIZED (SELECT src AS node_id FROM edges
        |          UNION SELECT dst FROM edges),
-       |h AS (SELECT node_id,
+       |h AS MATERIALIZED (SELECT node_id,
        |        CAST(CAST(('0x' || substr(md5('hll:' || node_id), 1, 15))
        |          AS UBIGINT) AS BIGINT) AS h
        |      FROM nodes),
-       |s0 AS (SELECT node_id, h % $m AS bucket,
+       |s0 AS MATERIALIZED (SELECT node_id, h % $m AS bucket,
        |         CASE WHEN h // $m = 0 THEN ${restBits + 1}
        |              ELSE ${restBits + 1} - length(bin(h // $m)) END AS r
        |       FROM h),
@@ -623,18 +623,18 @@ object GraphOps {
     * semantics and the oracle can never drift apart. */
   def labelPropagationOracleSql(edgesSql: String, iterations: Int): String = {
     val rounds = (1 to iterations).map { i =>
-      s"""w$i AS (SELECT node_id, label FROM (
+      s"""w$i AS MATERIALIZED (SELECT node_id, label FROM (
          |  SELECT e.dst AS node_id, l.label,
          |         row_number() OVER (PARTITION BY e.dst
          |           ORDER BY count(*) DESC, l.label) AS rn
          |  FROM edges e JOIN l${i - 1} l ON l.node_id = e.src
          |  GROUP BY e.dst, l.label) WHERE rn = 1),
-         |l$i AS (SELECT l.node_id, coalesce(w.label, l.label) AS label
+         |l$i AS MATERIALIZED (SELECT l.node_id, coalesce(w.label, l.label) AS label
          |  FROM l${i - 1} l LEFT JOIN w$i w ON l.node_id = w.node_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS ($edgesSql),
-       |nodes AS (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
-       |l0 AS (SELECT node_id, node_id AS label FROM nodes),
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       |nodes AS MATERIALIZED (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
+       |l0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM nodes),
        |$rounds
        |SELECT node_id, label,
        |  count(*) OVER (PARTITION BY label) AS community_size
@@ -739,7 +739,7 @@ object GraphOps {
     *         full rounds; nodes with no out-edges have hub_q 0, no
     *         in-edges auth_q 0.
     */
-  def hits(edges: DataFrame, iterations: Int, checkpointEvery: Int = 4,
+  def hits(edges: DataFrame, iterations: Int, checkpointEvery: Int = 1,
            broadcastCutoff: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "need iterations >= 1")
     val M = 1000000L
@@ -781,7 +781,13 @@ object GraphOps {
       val hAll = nodes.join(hRaw, Seq("node_id"), "left")
         .select(col("node_id"), coalesce(col("h"), lit(0L)).as("h"))
       hubs = normalize(hAll, "h")
-      if (round % checkpointEvery == 0 && round < iterations) {
+      // materialize by default EVERY round (checkpointEvery = 1): each
+      // normalize references its input twice (score ⨯ its own max), so
+      // an un-truncated round k carries 2^k plan copies — the score
+      // frames are only |V|-sized, so per-round truncation is cheap and
+      // the guard must also fire on the LAST round (the old
+      // `round < iterations` exclusion let the final plan explode)
+      if (round % checkpointEvery == 0) {
         hubs = Materialize.once(hubs)
         auths = Materialize.once(auths)
       }
@@ -799,27 +805,34 @@ object GraphOps {
 
   /** DuckDB replay of [[hits]]: per-round CTE pairs (authority gather
     * + max-normalize, hub gather + max-normalize), integer `//`
-    * arithmetic identical to the Spark fold. */
+    * arithmetic identical to the Spark fold.
+    *
+    * Every CTE is `AS MATERIALIZED`: each round references the
+    * previous one 2–3× (join + scalar max subquery), and DuckDB's
+    * default CTE inlining re-evaluates per reference — cost multiplies
+    * per round and the un-materialized form of this oracle burned
+    * >25 min single-core at sf0.01. Materialized, each round is
+    * evaluated exactly once (seconds). */
   def hitsOracleSql(edgesSql: String, iterations: Int): String = {
     val rounds = (1 to iterations).map { i =>
-      s"""ar$i AS (
+      s"""ar$i AS MATERIALIZED (
          |  SELECT n.node_id, COALESCE(g.a, 0) AS a FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS node_id, sum(h.h) AS a
          |    FROM edges e JOIN hn${i - 1} h ON h.node_id = e.src
          |    GROUP BY e.dst) g ON g.node_id = n.node_id),
-         |an$i AS (SELECT node_id,
+         |an$i AS MATERIALIZED (SELECT node_id,
          |    (a * 1000000) // (SELECT max(a) FROM ar$i) AS a FROM ar$i),
-         |hr$i AS (
+         |hr$i AS MATERIALIZED (
          |  SELECT n.node_id, COALESCE(g.h, 0) AS h FROM nodes n LEFT JOIN (
          |    SELECT e.src AS node_id, sum(a.a) AS h
          |    FROM edges e JOIN an$i a ON a.node_id = e.dst
          |    GROUP BY e.src) g ON g.node_id = n.node_id),
-         |hn$i AS (SELECT node_id,
+         |hn$i AS MATERIALIZED (SELECT node_id,
          |    (h * 1000000) // (SELECT max(h) FROM hr$i) AS h FROM hr$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
-       |nodes AS (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
-       |hn0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+    s"""WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |nodes AS MATERIALIZED (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
+       |hn0 AS MATERIALIZED (SELECT node_id, CAST(1000000 AS BIGINT) AS h FROM nodes),
        |$rounds
        |SELECT h.node_id, CAST(h.h AS BIGINT) AS hub_q,
        |       CAST(a.a AS BIGINT) AS auth_q
@@ -882,18 +895,18 @@ object GraphOps {
   /** DuckDB replay of [[modularity]] over `edgesSql` (src, dst) and
     * `assignSql` (node_id, label). */
   def modularityOracleSql(edgesSql: String, assignSql: String): String =
-    s"""WITH e AS (SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst
+    s"""WITH e AS MATERIALIZED (SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst
        |           FROM ($edgesSql)),
-       |a AS (SELECT CAST(node_id AS VARCHAR) AS node_id,
+       |a AS MATERIALIZED (SELECT CAST(node_id AS VARCHAR) AS node_id,
        |             CAST(label AS VARCHAR) AS c FROM ($assignSql)),
-       |st AS (SELECT sa.c AS ca, sb.c AS cb FROM e
+       |st AS MATERIALIZED (SELECT sa.c AS ca, sb.c AS cb FROM e
        |       JOIN a sa ON sa.node_id = e.src
        |       JOIN a sb ON sb.node_id = e.dst),
-       |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM st),
-       |degs AS (SELECT c, CAST(count(*) AS HUGEINT) AS dc
+       |mm AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS m FROM st),
+       |degs AS MATERIALIZED (SELECT c, CAST(count(*) AS HUGEINT) AS dc
        |         FROM (SELECT ca AS c FROM st UNION ALL SELECT cb FROM st)
        |         GROUP BY c),
-       |intra AS (SELECT ca AS c, CAST(count(*) AS HUGEINT) AS ec
+       |intra AS MATERIALIZED (SELECT ca AS c, CAST(count(*) AS HUGEINT) AS ec
        |          FROM st WHERE ca = cb GROUP BY ca)
        |SELECT CAST((SELECT m FROM mm) AS BIGINT) AS m,
        |       CAST(count(*) AS BIGINT) AS n_communities,
@@ -992,7 +1005,7 @@ object GraphOps {
   def weightedSsspOracleSql(edgesSql: String, seedsSql: String,
                             rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
-      s"""d$i AS (
+      s"""d$i AS MATERIALIZED (
          |  SELECT d.node_id,
          |         least(d.dist, COALESCE(c.md, (SELECT inf FROM p))) AS dist
          |  FROM d${i - 1} d
@@ -1001,18 +1014,18 @@ object GraphOps {
          |    FROM edges e JOIN d${i - 1} q ON q.node_id = e.src
          |    GROUP BY e.dst) c ON c.node_id = d.node_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
        |  SELECT src, dst, min(w) AS w FROM (
        |    SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst,
        |           CAST(w AS BIGINT) AS w FROM ($edgesSql))
        |  GROUP BY src, dst),
-       |p AS (SELECT $rounds * COALESCE(max(w), 0) + 1 AS inf FROM edges),
-       |seeds AS (SELECT DISTINCT CAST(node_id AS VARCHAR) AS node_id
+       |p AS MATERIALIZED (SELECT $rounds * COALESCE(max(w), 0) + 1 AS inf FROM edges),
+       |seeds AS MATERIALIZED (SELECT DISTINCT CAST(node_id AS VARCHAR) AS node_id
        |          FROM ($seedsSql)),
-       |nodes AS (SELECT src AS node_id FROM edges
+       |nodes AS MATERIALIZED (SELECT src AS node_id FROM edges
        |          UNION SELECT dst FROM edges
        |          UNION SELECT node_id FROM seeds),
-       |d0 AS (SELECT nodes.node_id,
+       |d0 AS MATERIALIZED (SELECT nodes.node_id,
        |         CASE WHEN s.node_id IS NULL THEN (SELECT inf FROM p)
        |              ELSE 0 END AS dist
        |       FROM nodes LEFT JOIN seeds s ON s.node_id = nodes.node_id),

@@ -319,6 +319,55 @@ object Quantiles {
         .reduce(_ + _))
   }
 
+  /** Exact `ntile(k) OVER (ORDER BY valCol, tieCol)` WITHOUT the
+    * data-sized single-partition sort a global window needs — the
+    * equal-count bucketing (deciles for curriculum/difficulty tiers)
+    * at corpus scale.
+    *
+    * Decomposition: the global 1-based rank of a row is
+    * `(# rows with a strictly smaller value) + (rank by tieCol inside
+    * its value group)`. The first term comes from a VALUE-HISTOGRAM —
+    * per-value counts with a running sum over the distinct-value
+    * series (histogram-sized, not row-sized) broadcast back onto the
+    * rows; the second from a window PARTITIONED by value (parallel
+    * across value groups; one value group is at worst histogram-skew,
+    * which spills rather than serializes the whole corpus). The tile
+    * is then pure integer arithmetic replicating SQL `ntile`: with
+    * `N = q·k + rem`, the first `rem` tiles hold `q+1` rows —
+    * bit-identical to the window function in any engine.
+    *
+    * @param tieCol unique tiebreak column; (valCol, tieCol) must be a
+    *               total order or ranks are ambiguous across engines
+    * @return input columns + `tile` (1..k)
+    */
+  def ntileExact(df: DataFrame, valCol: String, tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val hist = df.groupBy(col(valCol)).agg(count(lit(1)).as("__c"))
+    // running count of rows BELOW each value: a global window, but over
+    // the distinct-value histogram (control-plane-sized), not the rows
+    val below = hist.withColumn("__below",
+        coalesce(sum(col("__c")).over(
+          Window.orderBy(col(valCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__c")
+    val total = df.agg(count(lit(1)).as("__n"))
+    val ranked = df
+      .join(broadcast(below), Seq(valCol))
+      .crossJoin(broadcast(total))
+      .withColumn("__r", col("__below") +
+        row_number().over(
+          Window.partitionBy(col(valCol)).orderBy(col(tieCol))).cast("long"))
+    // ntile arithmetic in integer div; the ELSE divisor is
+    // greatest(q, 1) purely to keep the never-taken q=0 branch safe
+    // (when q=0 every rank satisfies the WHEN: r <= rem = N)
+    ranked.withColumn("tile", expr(
+        s"""CASE WHEN __r <= (__n % $k) * ((__n div $k) + 1)
+           |THEN (__r - 1) div ((__n div $k) + 1) + 1
+           |ELSE (__n % $k) + (__r - (__n % $k) * ((__n div $k) + 1) - 1)
+           |     div greatest(__n div $k, 1) + 1 END""".stripMargin))
+      .drop("__below", "__n", "__r")
+  }
+
   /** Exact per-group WEIGHTED percentiles: the value at which the
     * cumulative weight first reaches p% of the group's total weight —
     * "the price below which 95% of shipped QUANTITY falls", the

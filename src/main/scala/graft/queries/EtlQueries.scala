@@ -34,18 +34,48 @@ object EtlQueries {
     sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
       (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast("double")
 
-  /** `events.parquet` carries parquet TIMESTAMP(NANOS) which Spark's
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]); read the raw INT64 and
-    * truncate to microseconds — exactly what DuckDB's
-    * `CAST(ts AS TIMESTAMP)` does on the same file.
+  /** Layout-robust reader for `events.parquet`. The driver regenerates
+    * testdata between rounds and the physical encoding of `ts` has
+    * already changed once (raw INT64 nanoseconds → logical
+    * TIMESTAMP_MICROS), silently breaking every absolute-time query —
+    * so this reader PROBES the footer schema instead of assuming:
+    *
+    *  - logical TIMESTAMP / TIMESTAMP_NTZ (micros): take Spark's own
+    *    decode; NTZ is cast to session-TZ timestamp (session is pinned
+    *    UTC, so wall-clock values are identical to DuckDB's naive read)
+    *  - raw INT64 (no logical type): nanoseconds by driver convention —
+    *    truncate to micros, matching DuckDB's `CAST(ts AS TIMESTAMP)`
+    *  - TIMESTAMP(NANOS) (footer conversion throws
+    *    [PARQUET_TYPE_ILLEGAL]): fall back to a declared-LongType read
+    *    of the same raw INT64, truncated to micros
+    *
+    * Any other layout fails loud with the observed type rather than
+    * returning plausible-but-wrong rows.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val sch = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    s.read.schema(sch).parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$d/events.parquet"
+    val inferred =
+      try Some(s.read.parquet(path)) // footer-schema inference may throw on NANOS
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    def rawNanos: DataFrame = {
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      s.read.schema(sch).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    inferred match {
+      case None => rawNanos
+      case Some(df) => df.schema("ts").dataType match {
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => df
+        case LongType         => rawNanos
+        case other => throw new IllegalStateException(
+          s"events.parquet ts has unsupported layout $other at $path — " +
+            "extend EtlQueries.events before trusting any events query")
+      }
+    }
   }
 
   // ---------------------------------------------------------------- A2/A4

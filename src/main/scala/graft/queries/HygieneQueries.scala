@@ -145,19 +145,20 @@ object HygieneQueries {
     graft.operators.QualityOps.noveltyProfile(docs(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
-  /** Decile binning by token count (ntile over a deterministic total
-    * order): the curriculum/difficulty bucketing shape. The global
-    * window is presentation-sized here; at corpus scale the same
-    * binning runs from broadcast quantile cutoffs instead. */
-  val q74QualityBins: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    docs(s, d)
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
+  /** Decile binning by token count — the curriculum/difficulty
+    * bucketing shape. Computed by [[graft.operators.Quantiles.ntileExact]]
+    * (histogram-offset + per-value window), NOT a global `ntile`
+    * window: same bit-exact tiles, no data-sized single-partition
+    * sort. The oracle IS the global-window formulation, proving the
+    * decomposition. */
+  val q74QualityBins: Q = (s, d) =>
+    graft.operators.Quantiles.ntileExact(
+      docs(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "n_tokens", "doc_id", 10)
+      .select(col("doc_id"), col("n_tokens"), col("tile").cast("long").as("decile"))
       .orderBy("doc_id")
-  }
 
 
   /** The HYGIENE pipeline composed end-to-end — what a web-corpus

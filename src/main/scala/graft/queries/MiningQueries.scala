@@ -240,6 +240,40 @@ object MiningQueries {
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y")),
       "x", "y")
 
+  /** Video-container metadata extraction over a planted MP4 corpus:
+    * each doc gets a REAL ISO-BMFF container built byte-for-byte
+    * (ftyp/moov/mvhd/trak/tkhd/hdlr boxes, v0/v1 mvhd alternating)
+    * and the box-walk parser ([[graft.multimodal.Mp4Parser]])
+    * re-extracts brand, duration, track count, dimensions and handler
+    * types from the BYTES — the corpus-triage projection of a video
+    * pipeline. Frame decode stays documented-impossible pure-JDK;
+    * the container layer is the real, scalable part (zero shuffle:
+    * encode+parse is a per-row projection). The oracle replays the
+    * planted field arithmetic in closed form — a hash match proves
+    * the byte round-trip decoded every field exactly. */
+  val q188VideoMeta: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.Mp4Parser
+    val brands = Seq("isom", "mp42", "avc1")
+    t(s, d, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val ts = 600L + (id % 5) * 120L
+        val units = (id % 97 + 3) * ts + (id % 7)
+        val wh = if (id % 4 != 0)
+          Some((16 * ((id % 20).toInt + 4), 9 * ((id % 20).toInt + 4)))
+        else None
+        val bytes = Mp4Parser.encodeMp4(brands((id % 3).toInt), ts, units,
+          wh, withAudio = id % 3 == 0, mvhdV1 = id % 2 == 0)
+        val m = Mp4Parser.parse(bytes).get
+        (id, m.majorBrand, m.timescale, m.durationMs, m.nTracks.toLong,
+          m.width.toLong, m.height.toLong, m.handlers.mkString(","))
+      })
+      .toDF("doc_id", "brand", "timescale", "duration_ms", "n_tracks",
+        "width", "height", "handlers")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q174_ppjoin" -> q174Ppjoin,
     "q175_hits" -> q175Hits,
@@ -255,6 +289,7 @@ object MiningQueries {
     "q185_mann_whitney" -> q185MannWhitney,
     "q186_ks" -> q186Ks,
     "q187_isotonic" -> q187Isotonic,
+    "q188_video_meta" -> q188VideoMeta,
   )
 
   private val tok = """regexp_split_to_array(trim(text), '\s+')"""
@@ -385,5 +420,24 @@ object MiningQueries {
         |  CAST(((sum(n) * (sum(n) - 1) - sum(n * (n - 1))) * 1000000)
         |       // (sum(n) * (sum(n) - 1)) AS BIGINT) AS simpson_ppm
         |FROM cnt GROUP BY source HAVING sum(n) >= 2 ORDER BY source""".stripMargin,
+    // closed-form replay of the planted container fields: the Spark
+    // side must recover exactly these values from the BYTES
+    "q188_video_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+        |       ELSE 'avc1' END AS brand,
+        |  CAST(600 + (doc_id % 5) * 120 AS BIGINT) AS timescale,
+        |  CAST(((doc_id % 97 + 3) * (600 + (doc_id % 5) * 120) + doc_id % 7)
+        |       * 1000 // (600 + (doc_id % 5) * 120) AS BIGINT) AS duration_ms,
+        |  CAST((CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tracks,
+        |  CAST(CASE WHEN doc_id % 4 <> 0 THEN 16 * (doc_id % 20 + 4)
+        |       ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 4 <> 0 THEN 9 * (doc_id % 20 + 4)
+        |       ELSE 0 END AS BIGINT) AS height,
+        |  CASE WHEN doc_id % 4 <> 0 AND doc_id % 3 = 0 THEN 'vide,soun'
+        |       WHEN doc_id % 4 <> 0 THEN 'vide'
+        |       WHEN doc_id % 3 = 0 THEN 'soun' ELSE '' END AS handlers
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

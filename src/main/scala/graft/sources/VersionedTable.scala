@@ -41,18 +41,27 @@ object VersionedTable {
   private def versionDir(table: Path, v: Long) =
     new Path(new Path(table, VersionsDir), f"v$v%08d")
 
+  /** The pointer file's committed version, or None when absent (no
+    * recovery fallback — see [[currentVersion]]). */
+  private def pointerVersion(spark: SparkSession, tablePath: String): Option[Long] = {
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    val ptr = new Path(table, Pointer)
+    if (!f.exists(ptr)) None
+    else {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(f.open(ptr), "UTF-8"))
+      try Some(in.readLine().trim.toLong) finally in.close()
+    }
+  }
+
   /** Committed current version, resolving the pointer; falls back to
     * the newest landed version (with a warning) if the pointer is
     * missing but versions exist. */
   def currentVersion(spark: SparkSession, tablePath: String): Option[Long] = {
-    val table = new Path(tablePath)
-    val f = fs(spark, table)
-    val ptr = new Path(table, Pointer)
-    if (f.exists(ptr)) {
-      val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(f.open(ptr), "UTF-8"))
-      try Some(in.readLine().trim.toLong) finally in.close()
-    } else {
+    val fromPtr = pointerVersion(spark, tablePath)
+    if (fromPtr.isDefined) fromPtr
+    else {
       val vs = versions(spark, tablePath)
       if (vs.isEmpty) None
       else {
@@ -80,12 +89,26 @@ object VersionedTable {
     * the new version number. Old snapshots beyond `keepVersions` are
     * pruned after the commit succeeds. */
   def write(df: DataFrame, tablePath: String, keepVersions: Int = 3,
-            partitionBy: Seq[String] = Nil): Long = {
+            partitionBy: Seq[String] = Nil): Long =
+    writeChecked(df, tablePath, keepVersions, partitionBy, expected = None)
+
+  private def conflict(tablePath: String, exp: Option[Long],
+                       got: Option[Long]): Nothing =
+    throw new java.util.ConcurrentModificationException(
+      s"versioned write conflict at $tablePath: expected " +
+        s"${exp.getOrElse("<absent>")}, found " +
+        s"${got.getOrElse("<absent>")} — re-pin and retry")
+
+  private def writeChecked(df: DataFrame, tablePath: String,
+                           keepVersions: Int, partitionBy: Seq[String],
+                           expected: Option[Option[Long]]): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val spark = df.sparkSession
     val table = new Path(tablePath)
     val f = fs(spark, table)
-    val next = currentVersion(spark, tablePath).getOrElse(0L) + 1L
+    val base = currentVersion(spark, tablePath)
+    expected.foreach(exp => if (base != exp) conflict(tablePath, exp, base))
+    val next = base.getOrElse(0L) + 1L
     val dest = versionDir(table, next)
     val tmp = new Path(dest.toString + ".__tmp")
     if (f.exists(tmp)) f.delete(tmp, true)
@@ -95,6 +118,16 @@ object VersionedTable {
       .parquet(tmp.toString)
     if (!f.rename(tmp, dest))
       throw new java.io.IOException(s"versioned write: cannot land $dest")
+    // re-check as late as possible: the expensive snapshot landing is
+    // done; abandon it (orphan, reclaimed by a later write) rather
+    // than clobber a concurrent commit. Resolve the POINTER, falling
+    // back to the newest landed version EXCLUDING the dir we just
+    // landed — our own uncommitted snapshot must not satisfy the check
+    expected.foreach { exp =>
+      val now = pointerVersion(spark, tablePath)
+        .orElse(versions(spark, tablePath).filter(_ != next).maxOption)
+      if (now != exp) { f.delete(dest, true); conflict(tablePath, exp, now) }
+    }
     commitPointer(f, table, next)
     // retention: drop everything older than the newest keepVersions
     versions(spark, tablePath).dropRight(keepVersions)
@@ -169,6 +202,37 @@ object VersionedTable {
   /** The current snapshot, or None for a missing/empty table. */
   def read(spark: SparkSession, tablePath: String): Option[DataFrame] =
     currentVersion(spark, tablePath).flatMap(readVersion(spark, tablePath, _))
+
+  /** A PINNED snapshot: version resolved once at open. */
+  case class Snapshot(version: Long, df: DataFrame)
+
+  /** Snapshot-isolation read contract: resolve the pointer ONCE and
+    * hand back the version together with its frame. Version dirs are
+    * immutable after landing, so every job run against `df` — today or
+    * three commits later — reads exactly the rows of `version`:
+    * a writer swapping the pointer mid-query never tears a read
+    * (the reference got this from Postgres transaction snapshots;
+    * here it falls out of immutability + pointer resolution order).
+    * The pin is durable only while retention keeps the version: run
+    * long audits with `keepVersions` sized to the audit window, or
+    * re-pin and diff on [[Snapshot.version]] drift. */
+  def pin(spark: SparkSession, tablePath: String): Option[Snapshot] =
+    currentVersion(spark, tablePath).flatMap(v =>
+      readVersion(spark, tablePath, v).map(Snapshot(v, _)))
+
+  /** Optimistic concurrency write: land + commit ONLY if the current
+    * committed version still equals `expected` (None = table must not
+    * exist yet). Lost-update protection for the read-modify-write
+    * cycle (`pin` → transform → `writeIf(pin.version)`): a concurrent
+    * commit in between fails this write loudly instead of silently
+    * overwriting it. Best-effort on a plain filesystem — the check
+    * re-reads the pointer just before commit, narrowing the race to
+    * the pointer-swap window rather than eliminating it (single-writer
+    * per table stays the deployment contract; this catches accidental
+    * concurrent pipelines, not adversarial ones). */
+  def writeIf(df: DataFrame, tablePath: String, expected: Option[Long],
+              keepVersions: Int = 3, partitionBy: Seq[String] = Nil): Long =
+    writeChecked(df, tablePath, keepVersions, partitionBy, Some(expected))
 
   /** Time travel: a specific retained snapshot, or None if that
     * version never existed or was pruned. */

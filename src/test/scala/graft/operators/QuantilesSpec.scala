@@ -196,4 +196,38 @@ class QuantilesSpec extends SparkSpec {
       .as[(String, Int, Long, Long)].collect().map(r => r._2 -> (r._3, r._4)).toMap
     assert(got == Map(50 -> ((1L, 10L)), 100 -> ((100L, 10L))))
   }
+
+  test("ntileExact ≡ ntile window: ties, remainders, N<k, N%k==0") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(74)
+    for ((n, k) <- Seq((500, 10), (500, 7), (100, 100), (5, 10), (1, 3))) {
+      // heavy ties: values drawn from a small domain
+      val df = (1 to n).map(i => (i.toLong, rnd.nextInt(17).toLong))
+        .toDF("id", "v")
+      val want = df.withColumn("tile",
+          ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        .select("id", "tile").as[(Long, Long)].collect().toMap
+      val got = Quantiles.ntileExact(df, "v", "id", k)
+        .select("id", "tile").as[(Long, Long)].collect().toMap
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
+
+  test("ntileExact: the only unpartitioned window runs over the histogram") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val df = (1 to 100).map(i => (i.toLong, (i % 5).toLong)).toDF("id", "v")
+    // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec hides
+    // its children from collect until execution
+    val exec = Quantiles.ntileExact(df, "v", "id", 10)
+      .queryExecution.sparkPlan
+    val (global, partitioned) = exec.collect { case w: WindowExec => w }
+      .partition(_.partitionSpec.isEmpty)
+    // one global window, and it consumes the groupBy(v) histogram —
+    // distinct-value-sized, not row-sized; the row-sized window is
+    // partitioned by value
+    assert(global.size == 1 && partitioned.size == 1)
+    assert(global.head.find(_.isInstanceOf[HashAggregateExec]).isDefined)
+  }
 }

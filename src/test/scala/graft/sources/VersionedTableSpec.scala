@@ -104,4 +104,49 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.compact(spark, path).isEmpty)
     assert(VersionedTable.currentVersion(spark, path).contains(1L))
   }
+
+  test("pin: a pinned snapshot reads the SAME rows across a concurrent commit") {
+    val path = tmpTable()
+    VersionedTable.write(Seq((1L, "old")).toDF("id", "s"), path)
+    val pinned = VersionedTable.pin(spark, path).get
+    assert(pinned.version == 1L)
+    // writer swaps underneath the pin
+    VersionedTable.write(Seq((1L, "new"), (2L, "new")).toDF("id", "s"), path)
+    // unpinned readers see the new world...
+    assert(VersionedTable.read(spark, path).get.count() == 2)
+    // ...the pin still reads exactly its version (immutability +
+    // resolve-once: snapshot isolation without a transaction log)
+    assert(pinned.df.as[(Long, String)].collect().toSeq == Seq((1L, "old")))
+  }
+
+  test("writeIf: stale expected version conflicts loudly, fresh one commits") {
+    val path = tmpTable()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), path)
+    val pin = VersionedTable.pin(spark, path).get
+    // another writer commits first
+    VersionedTable.write(Seq((1L, "b")).toDF("id", "s"), path)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.writeIf(Seq((1L, "lost")).toDF("id", "s"), path,
+        expected = Some(pin.version))
+    }
+    // the losing write must NOT have clobbered the winner
+    assert(VersionedTable.read(spark, path).get
+      .as[(Long, String)].collect().toSeq == Seq((1L, "b")))
+    // re-pin → retry succeeds
+    val pin2 = VersionedTable.pin(spark, path).get
+    val v = VersionedTable.writeIf(Seq((1L, "c")).toDF("id", "s"), path,
+      expected = Some(pin2.version))
+    assert(v == pin2.version + 1)
+  }
+
+  test("writeIf: expected=None creates a fresh table, conflicts if one exists") {
+    val path = tmpTable()
+    val v = VersionedTable.writeIf(Seq((1L, "a")).toDF("id", "s"), path,
+      expected = None)
+    assert(v == 1L)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.writeIf(Seq((2L, "b")).toDF("id", "s"), path,
+        expected = None)
+    }
+  }
 }

@@ -91,4 +91,97 @@ object LabelOps {
         (-col("__win.nw")).as("weight_ppm"), col("n_voters"))
       .orderBy(keyCol)
   }
+
+  /** Fleiss' kappa — CHANCE-CORRECTED inter-annotator agreement over
+    * multiply-rated items, the go/no-go gate on a labeling campaign
+    * ([[majorityVote]] tells you what won; kappa tells you whether the
+    * raters agree more than coin-flipping would). Raw agreement is
+    * inflated when one category dominates; kappa subtracts the
+    * agreement a label-marginal-matching random rater achieves.
+    *
+    * Exact rational arithmetic on the standard statistic (Fleiss,
+    * Psych. Bull. 1971): with N subjects, n ratings each, n_ij counts,
+    * C_j category totals —
+    *   A  = Σ_ij n_ij² − N·n          (observed pair-agreements)
+    *   D1 = N·n·(n−1)                 (possible pair-agreements)
+    *   B  = Σ_j C_j²,  T = (N·n)²     (chance mass)
+    *   κ  = (A·T − D1·B) / (D1·T − D1·B)
+    * all in DECIMAL(38,0); κ can be NEGATIVE (worse than chance), so
+    * the ppm floor uses the sign-safe +K shift (K = 2·10⁶) that makes
+    * Spark's truncating `div` agree with a flooring `//`. The
+    * degenerate den = 0 case (every rating one category) yields NULL.
+    *
+    * Requires the same n ratings per subject (the statistic's own
+    * precondition) — asserted with one control-plane scalar, failing
+    * loud instead of returning a plausible-but-meaningless number.
+    *
+    * 100 TB shape: one (subject, label) count shuffle, a subject-keyed
+    * and a label-keyed aggregate over the counts, then 1-row combines
+    * — output is ONE row; nothing after the first aggregate is
+    * data-sized.
+    *
+    * @return one row (n_subjects, n_raters, pbar_ppm, pe_ppm,
+    *         kappa_ppm)
+    */
+  def fleissKappa(df: DataFrame, subjectCol: String, labelCol: String): DataFrame = {
+    val cnt = df
+      .select(col(subjectCol).as("__s"), col(labelCol).cast("string").as("__l"))
+      .where(col("__s").isNotNull && col("__l").isNotNull)
+      .groupBy("__s", "__l")
+      .agg(count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__n"))
+      .transform(Materialize.once) // subject- and label-keyed aggs both read it
+    val perSubject = cnt.groupBy("__s")
+      .agg(sum(expr("__n * __n")).as("__sq"), sum(col("__n")).as("__nn"))
+    // NS/NR, not N/n: Spark resolves identifiers case-insensitively
+    val shape = perSubject.agg(
+      count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("NS"),
+      min(col("__nn")).as("__nmin"), max(col("__nn")).as("NR"),
+      sum(col("__sq")).as("ssq"))
+    val Seq(nMin, nMax) = shape.select(col("__nmin"), col("NR")).collect()
+      .toSeq.flatMap(r => Seq(r.getDecimal(0), r.getDecimal(1)))
+    require(nMin == nMax,
+      s"fleissKappa needs the same rating count per subject; saw [$nMin, $nMax]")
+    require(nMax.longValue >= 2,
+      "fleissKappa needs >= 2 ratings per subject (pair agreement undefined at 1)")
+    val catMass = cnt.groupBy("__l").agg(sum(col("__n")).as("__c"))
+      .agg(sum(expr("__c * __c")).as("B"))
+    shape.crossJoin(catMass)
+      .select(
+        expr("CAST(NS AS BIGINT)").as("n_subjects"),
+        expr("CAST(NR AS BIGINT)").as("n_raters"),
+        expr("ssq - NS * NR").as("A"), expr("NS * NR * (NR - 1)").as("D1"),
+        col("B"), expr("(NS * NR) * (NS * NR)").as("T"))
+      .select(col("n_subjects"), col("n_raters"),
+        expr("CAST((A * 1000000) div D1 AS BIGINT)").as("pbar_ppm"),
+        expr("CAST((B * 1000000) div T AS BIGINT)").as("pe_ppm"),
+        expr("""CASE WHEN D1 * T - D1 * B = 0 THEN NULL ELSE CAST(
+          ((A * T - D1 * B) * 1000000 + 2000000 * (D1 * T - D1 * B))
+            div (D1 * T - D1 * B) - 2000000 AS BIGINT) END""").as("kappa_ppm"))
+  }
+
+  /** DuckDB replay of [[fleissKappa]] over `relSql` rows
+    * (subject, label). */
+  def fleissKappaOracleSql(relSql: String): String =
+    s"""WITH r AS MATERIALIZED ($relSql),
+       |cnt AS MATERIALIZED (
+       |  SELECT subject, label, CAST(count(*) AS HUGEINT) AS n
+       |  FROM r WHERE subject IS NOT NULL AND label IS NOT NULL
+       |  GROUP BY subject, label),
+       |per AS (SELECT subject, sum(n * n) AS sq, sum(n) AS nn
+       |        FROM cnt GROUP BY subject),
+       |shape AS (SELECT CAST(count(*) AS HUGEINT) AS NS, max(nn) AS NR,
+       |                 sum(sq) AS ssq FROM per),
+       |cat AS (SELECT sum(c * c) AS B FROM (
+       |        SELECT sum(n) AS c FROM cnt GROUP BY label)),
+       |parts AS (SELECT CAST(NS AS BIGINT) AS n_subjects,
+       |  CAST(NR AS BIGINT) AS n_raters,
+       |  ssq - NS * NR AS A, NS * NR * (NR - 1) AS D1, B,
+       |  (NS * NR) * (NS * NR) AS T FROM shape, cat)
+       |SELECT n_subjects, n_raters,
+       |  CAST((A * 1000000) // D1 AS BIGINT) AS pbar_ppm,
+       |  CAST((B * 1000000) // T AS BIGINT) AS pe_ppm,
+       |  CASE WHEN D1 * T - D1 * B = 0 THEN NULL ELSE CAST(
+       |    ((A * T - D1 * B) * 1000000 + 2000000 * (D1 * T - D1 * B))
+       |      // (D1 * T - D1 * B) - 2000000 AS BIGINT) END AS kappa_ppm
+       |FROM parts""".stripMargin
 }

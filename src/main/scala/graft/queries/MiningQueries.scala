@@ -274,6 +274,75 @@ object MiningQueries {
       .orderBy("doc_id")
   }
 
+  /** Fleiss' kappa over a planted 5-rater annotation campaign: rater a
+    * agrees with the latent class (doc_id % 4) ~70% of the time, else
+    * errs deterministically — chance-corrected agreement replayed
+    * exactly in SQL; see [[graft.operators.LabelOps.fleissKappa]]. */
+  val q189FleissKappa: Q = (s, d) =>
+    graft.operators.LabelOps.fleissKappa(
+      t(s, d, "documents").select(col("doc_id"))
+        .select(col("doc_id").as("subject"),
+          explode(sequence(lit(1L), lit(5L))).as("a"))
+        .withColumn("label", concat(lit("c"), expr(
+          """CASE WHEN (subject * 31 + a * 17) % 10 < 7 THEN subject % 4
+            |ELSE (subject % 4 + (subject + a) % 3 + 1) % 4 END""".stripMargin))),
+      "subject", "label")
+
+  private val fleissRelSql =
+    """SELECT doc_id AS subject,
+      |  'c' || CAST(CASE WHEN (doc_id * 31 + a * 17) % 10 < 7 THEN doc_id % 4
+      |       ELSE (doc_id % 4 + (doc_id + a) % 3 + 1) % 4 END AS VARCHAR) AS label
+      |FROM documents, (SELECT unnest(range(1, 6)) AS a)""".stripMargin
+
+  private val BtIterations = 5
+
+  /** Bradley–Terry strengths over a planted 50-player arena: matches
+    * drawn from lineitem rows (supplier-mod vs part-mod players), the
+    * lower-numbered player winning ~2/3 of decisions — the
+    * preference-pair rating fit, integer MM rounds replayed by
+    * unrolled MATERIALIZED CTEs; see
+    * [[graft.operators.PreferenceOps.bradleyTerry]]. */
+  val q190BradleyTerry: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+      .select((col("l_suppkey") % 50).as("i"), (col("l_partkey") % 50).as("j"),
+        ((col("l_orderkey") + col("l_linenumber")) % 3).as("coin"))
+      .filter(col("i") =!= col("j"))
+      .select(
+        concat(lit("p"), lpad(when(col("coin") < 2, least(col("i"), col("j")))
+          .otherwise(greatest(col("i"), col("j"))).cast("string"), 2, "0")).as("winner"),
+        concat(lit("p"), lpad(when(col("coin") < 2, greatest(col("i"), col("j")))
+          .otherwise(least(col("i"), col("j"))).cast("string"), 2, "0")).as("loser"))
+    graft.operators.PreferenceOps.bradleyTerry(li, "winner", "loser", BtIterations)
+  }
+
+  private val btOutcomesSql =
+    """SELECT 'p' || lpad(CAST(CASE WHEN coin < 2 THEN least(i, j)
+      |    ELSE greatest(i, j) END AS VARCHAR), 2, '0') AS winner,
+      |  'p' || lpad(CAST(CASE WHEN coin < 2 THEN greatest(i, j)
+      |    ELSE least(i, j) END AS VARCHAR), 2, '0') AS loser
+      |FROM (SELECT l_suppkey % 50 AS i, l_partkey % 50 AS j,
+      |        (l_orderkey + l_linenumber) % 3 AS coin FROM lineitem)
+      |WHERE i <> j""".stripMargin
+
+  /** Reliability diagram + ECE of a planted miscalibrated scorer
+    * (confidence deterministic in doc_id, outcomes biased +15 pts
+    * optimistic) — the calibration audit in exact ppm arithmetic; see
+    * [[graft.operators.Calibration.eceBins]]. */
+  val q191Calibration: Q = (s, d) =>
+    graft.operators.Calibration.eceBins(
+      t(s, d, "documents").select(
+        (((col("doc_id") * 37) % 101) * 9901).as("conf_ppm"),
+        when(((col("doc_id") * 53) % 997) * 1003 <
+          ((col("doc_id") * 37) % 101) * 9901 + 150000, 1L).otherwise(0L)
+          .as("outcome")),
+      "conf_ppm", "outcome")
+
+  private val calibRelSql =
+    """SELECT ((doc_id * 37) % 101) * 9901 AS conf_ppm,
+      |  CASE WHEN ((doc_id * 53) % 997) * 1003
+      |    < ((doc_id * 37) % 101) * 9901 + 150000 THEN 1 ELSE 0 END AS outcome
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q174_ppjoin" -> q174Ppjoin,
     "q175_hits" -> q175Hits,
@@ -290,6 +359,9 @@ object MiningQueries {
     "q186_ks" -> q186Ks,
     "q187_isotonic" -> q187Isotonic,
     "q188_video_meta" -> q188VideoMeta,
+    "q189_fleiss_kappa" -> q189FleissKappa,
+    "q190_bradley_terry" -> q190BradleyTerry,
+    "q191_calibration" -> q191Calibration,
   )
 
   private val tok = """regexp_split_to_array(trim(text), '\s+')"""
@@ -439,5 +511,11 @@ object MiningQueries {
         |       WHEN doc_id % 4 <> 0 THEN 'vide'
         |       WHEN doc_id % 3 = 0 THEN 'soun' ELSE '' END AS handlers
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q189_fleiss_kappa" ->
+      graft.operators.LabelOps.fleissKappaOracleSql(fleissRelSql),
+    "q190_bradley_terry" ->
+      graft.operators.PreferenceOps.bradleyTerryOracleSql(btOutcomesSql, BtIterations),
+    "q191_calibration" ->
+      graft.operators.Calibration.eceOracleSql(calibRelSql),
   )
 }

@@ -69,4 +69,57 @@ class LabelOpsSpec extends SparkSpec {
       assert((row.getString(1), row.getLong(2).toInt) == best)
     }
   }
+
+  test("fleissKappa: perfect agreement scores exactly 10^6") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("subject", "label")
+    val r = LabelOps.fleissKappa(df, "subject", "label").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getLong(4) == 1000000L)
+  }
+
+  test("fleissKappa: systematic disagreement scores exactly -10^6") {
+    // every subject gets one 'a' and one 'b': observed agreement 0,
+    // chance 1/2 -> kappa = -1
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("subject", "label")
+    val r = LabelOps.fleissKappa(df, "subject", "label").collect().head
+    assert(r.getLong(2) == 0) // pbar_ppm
+    assert(r.getLong(4) == -1000000L)
+  }
+
+  test("fleissKappa: matches the textbook double computation on random data") {
+    val rnd = new scala.util.Random(89)
+    val n = 4
+    val rows = for (s <- 1 to 60; _ <- 1 to n)
+      yield (s.toLong, s"c${rnd.nextInt(3)}")
+    val df = rows.toDF("subject", "label")
+    val r = LabelOps.fleissKappa(df, "subject", "label").collect().head
+    // reference: Fleiss 1971 with doubles
+    val bySub = rows.groupBy(_._1).values.toSeq
+    val N = bySub.size.toDouble
+    val pi = bySub.map { ss =>
+      val cs = ss.groupBy(_._2).values.map(_.size.toDouble)
+      (cs.map(c => c * c).sum - n) / (n * (n - 1.0))
+    }
+    val pbar = pi.sum / N
+    val pj = rows.groupBy(_._2).values.map(_.size.toDouble / (N * n))
+    val pe = pj.map(p => p * p).sum
+    val kappa = (pbar - pe) / (1 - pe)
+    assert(math.abs(r.getLong(4) / 1e6 - kappa) < 1e-5)
+    assert(math.abs(r.getLong(2) / 1e6 - pbar) < 1e-5)
+    assert(math.abs(r.getLong(3) / 1e6 - pe) < 1e-5)
+  }
+
+  test("fleissKappa: unequal rating counts fail loud; one category is NULL") {
+    val uneven = Seq((1L, "a"), (1L, "a"), (2L, "a"))
+      .toDF("subject", "label")
+    intercept[IllegalArgumentException] {
+      LabelOps.fleissKappa(uneven, "subject", "label")
+    }
+    val mono = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("subject", "label")
+    val r = LabelOps.fleissKappa(mono, "subject", "label").collect().head
+    assert(r.isNullAt(4)) // kappa undefined when chance agreement is 1
+  }
 }

@@ -781,16 +781,17 @@ object GraphOps {
       val hAll = nodes.join(hRaw, Seq("node_id"), "left")
         .select(col("node_id"), coalesce(col("h"), lit(0L)).as("h"))
       hubs = normalize(hAll, "h")
-      // materialize by default EVERY round (checkpointEvery = 1): each
-      // normalize references its input twice (score ⨯ its own max), so
-      // an un-truncated round k carries 2^k plan copies — the score
-      // frames are only |V|-sized, so per-round truncation is cheap and
+      // materialize HUBS by default EVERY round (checkpointEvery = 1):
+      // each normalize references its input twice (score ⨯ its own
+      // max), so an un-truncated round k carries 2^k plan copies — and
       // the guard must also fire on the LAST round (the old
-      // `round < iterations` exclusion let the final plan explode)
-      if (round % checkpointEvery == 0) {
+      // `round < iterations` exclusion let the final plan explode).
+      // Auths stay lazy: the NEXT round reads only hubs, so an
+      // un-truncated auths plan is re-evaluated a bounded (~4×)
+      // number of times within its own round — half the per-round
+      // driver actions for the same bounded-plan guarantee
+      if (round % checkpointEvery == 0)
         hubs = Materialize.once(hubs)
-        auths = Materialize.once(auths)
-      }
     }
     val out = hubs.join(auths, Seq("node_id"))
       .select(col("node_id"), col("h").as("hub_q"), col("a").as("auth_q"))

@@ -343,6 +343,28 @@ object MiningQueries {
       |    < ((doc_id * 37) % 101) * 9901 + 150000 THEN 1 ELSE 0 END AS outcome
       |FROM documents""".stripMargin
 
+  private val WinnowK = 3
+  private val WinnowW = 4
+
+  /** MOSS-style winnowing fingerprints per document (k=3 grams,
+    * window 4): the local-similarity digest whose selection —
+    * window-min with rightmost ties — is replayed position-for-
+    * position by the oracle; see
+    * [[graft.operators.Winnowing.fingerprints]]. */
+  val q192Winnowing: Q = (s, d) =>
+    graft.operators.Winnowing.fingerprints(
+      t(s, d, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", WinnowK, WinnowW)
+      .orderBy("doc_id")
+
+  /** Good–Turing frequency-of-frequencies + unseen-mass estimate over
+    * corpus 3-gram types (the unigram vocabulary is tiny and
+    * saturated in this corpus — 3-grams carry the classic singleton
+    * tail); see [[graft.operators.Vocab.goodTuring]]. */
+  val q193GoodTuring: Q = (s, d) =>
+    graft.operators.Vocab.goodTuring(
+      t(s, d, "documents").select(col("text")), "text", maxR = 10, gramK = 3)
+
   val queries: Map[String, Q] = Map(
     "q174_ppjoin" -> q174Ppjoin,
     "q175_hits" -> q175Hits,
@@ -362,6 +384,8 @@ object MiningQueries {
     "q189_fleiss_kappa" -> q189FleissKappa,
     "q190_bradley_terry" -> q190BradleyTerry,
     "q191_calibration" -> q191Calibration,
+    "q192_winnowing" -> q192Winnowing,
+    "q193_good_turing" -> q193GoodTuring,
   )
 
   private val tok = """regexp_split_to_array(trim(text), '\s+')"""
@@ -517,5 +541,9 @@ object MiningQueries {
       graft.operators.PreferenceOps.bradleyTerryOracleSql(btOutcomesSql, BtIterations),
     "q191_calibration" ->
       graft.operators.Calibration.eceOracleSql(calibRelSql),
+    "q192_winnowing" -> graft.operators.Winnowing.fingerprintsOracleSql(
+      "SELECT doc_id, text FROM documents", WinnowK, WinnowW),
+    "q193_good_turing" -> graft.operators.Vocab.goodTuringOracleSql(
+      "SELECT text FROM documents", maxR = 10, gramK = 3),
   )
 }

@@ -48,4 +48,28 @@ class VocabSpec extends SparkSpec {
   test("build rejects non-positive sizes") {
     intercept[IllegalArgumentException] { Vocab.build(docs, "text", 0) }
   }
+
+  test("goodTuring: hand case — N_r rows, smoothed r*, unseen mass") {
+    import spark.implicits._
+    // tokens: a x3, b x2, c x1 -> N=6, N1=1
+    val df = Seq("a a a b b c").toDF("text")
+    val got = Vocab.goodTuring(df, "text")
+      .as[(Long, Long, Option[Long], Long)].collect().toList
+    assert(got.map(r => (r._1, r._2)) == List((1L, 1L), (2L, 1L), (3L, 1L)))
+    val byR = got.map(r => r._1 -> r).toMap
+    assert(byR(1L)._3.contains(2000000L)) // r*=2·N2/N1=2
+    assert(byR(2L)._3.contains(3000000L)) // r*=3·N3/N2=3
+    assert(byR(3L)._3.isEmpty)            // N4=0 -> undefined
+    assert(got.forall(_._4 == 166666L))   // p0 = 1/6
+  }
+
+  test("goodTuring: maxR caps rows; gramK=2 counts bigram types") {
+    import spark.implicits._
+    val df = Seq("a b a b c", "a b d").toDF("text")
+    // bigrams: "a b" x3, "b a" x1, "b c" x1, "b d" x1 -> N=6, N1=3
+    val got = Vocab.goodTuring(df, "text", maxR = 2, gramK = 2)
+      .as[(Long, Long, Option[Long], Long)].collect().toList
+    assert(got.map(r => (r._1, r._2)) == List((1L, 3L)))
+    assert(got.head._4 == 500000L) // p0 = 3/6
+  }
 }

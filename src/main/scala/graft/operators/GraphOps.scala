@@ -489,37 +489,64 @@ object GraphOps {
     * rows — ≤ |V|·2ᵇ — one equi-join of edges against it plus one
     * map-side-combined max per (node, bucket). Register propagation
     * costs |E|·(occupied buckets) rows through one shuffle; contrast
-    * per-node BFS at |V|·|E|. EAGER: runs rounds at call time.
+    * per-node BFS at |V|·|E|. The join layout follows [[pageRank]]'s
+    * two-branch rule, sized on STATE rows (|V|·2ᵇ, not |V|): small
+    * states broadcast (each round's join is shuffle-free; edges never
+    * move), big states pre-bucket the persisted edge table by `src`
+    * once so only the state side exchanges per round. EAGER: runs
+    * rounds at call time.
     *
     * @return one row per round: (round, total_reach_est) */
-  def hyperAnf(edges: DataFrame, b: Int, rounds: Int): DataFrame = {
+  def hyperAnf(edges: DataFrame, b: Int, rounds: Int,
+               broadcastStateRows: Long = 2000000L): DataFrame = {
     require(b >= 2 && b <= 12, s"register bits out of range: $b")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val spark = edges.sparkSession
     val m = 1 << b
-    val e = Materialize.once(edges.select(col("src").cast("string").as("src"),
+    val e0 = Materialize.once(edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct())
     val nodes = Materialize.once(
-      e.select(col("src").as("node_id"))
-        .union(e.select(col("dst").as("node_id"))).distinct())
+      e0.select(col("src").as("node_id"))
+        .union(e0.select(col("dst").as("node_id"))).distinct())
+    val bucketed = nodes.count() * m > broadcastStateRows
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val e = if (bucketed) e0.repartition(nParts, col("src")).persist() else e0
+    val stateHint: DataFrame => DataFrame =
+      if (bucketed) identity else broadcast(_)
     var state = Materialize.once(nodes.select(col("node_id"),
       Sketches.hllBucket(col("node_id"), b).as("bucket"),
       Sketches.hllRegister(col("node_id"), b).as("r")))
-    def totalReach(st: DataFrame): Long = st.groupBy("node_id")
+    // per-round totals stay LAZY one-row frames over the (already
+    // materialized) round states, unioned into a single final action —
+    // an eager head() per round would double the driver actions, and
+    // at local[32] scheduling overhead dominates these node-sized aggs
+    def totalReach(st: DataFrame, round: Int): DataFrame = st
+      .groupBy("node_id")
       .agg(count(lit(1)).as("present"),
         sum(pow(lit(2.0), -col("r"))).as("zsum"))
-      .select(sum(Profile.estimate(m, col("present"), col("zsum"))))
-      .head().getLong(0)
-    val out = scala.collection.mutable.ArrayBuffer((0L, totalReach(state)))
+      .select(lit(round.toLong).as("round"),
+        sum(Profile.estimate(m, col("present"), col("zsum")))
+          .as("total_reach_est"))
+    val out = scala.collection.mutable.ArrayBuffer(totalReach(state, 0))
     for (round <- 1 to rounds) {
-      val prop = e.join(state, e("src") === state("node_id"))
+      val prop = e.join(
+          stateHint(state.withColumnRenamed("node_id", "src")), Seq("src"))
         .select(col("dst").as("node_id"), col("bucket"), col("r"))
       state = Materialize.once(state.unionByName(prop)
         .groupBy("node_id", "bucket").agg(max("r").as("r")))
-      out += ((round.toLong, totalReach(state)))
+      out += totalReach(state, round)
     }
-    import spark.implicits._
-    out.toSeq.toDF("round", "total_reach_est")
+    val result = out.reduce(_.unionByName(_)).orderBy("round")
+    if (!bucketed) result
+    else {
+      // round states are materialized, so the output plan no longer
+      // references the persisted edge layout — force it, then drop the
+      // cache entry (pageRank's hygiene rule)
+      val o = Materialize.once(result)
+      o.count()
+      e.unpersist(false)
+      o
+    }
   }
 
   /** DuckDB replica of [[hyperAnf]]: unrolled register-propagation

@@ -608,7 +608,8 @@ object GraphOps {
     * count at call time). */
   def labelPropagation(edges: DataFrame, iterations: Int,
                        checkpointEvery: Int = 4,
-                       assumeDistinct: Boolean = false): DataFrame = {
+                       assumeDistinct: Boolean = false,
+                       broadcastCutoff: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && checkpointEvery >= 1)
     val normalized = edges
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
@@ -618,16 +619,23 @@ object GraphOps {
       e.select(col("src").as("node_id"))
         .union(e.select(col("dst").as("node_id"))).distinct())
     val nNodes = nodes.count()
+    // pageRank's two-branch join layout: small graphs broadcast the
+    // label frame (shuffle-free round); big graphs pre-bucket the
+    // persisted edge table by src ONCE so per round only the
+    // node-sized label side exchanges — edges never re-shuffle
+    val bucketed = nNodes > broadcastCutoff
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val eJ = if (bucketed) e.repartition(nParts, col("src")).persist() else e
     val labelHint: DataFrame => DataFrame =
-      if (nNodes <= 1000000L) broadcast(_) else identity
+      if (bucketed) identity else broadcast(_)
     var labels = nodes.withColumn("label", col("node_id"))
     for (round <- 1 to iterations) {
       // argmax-by-(count desc, label asc) as ONE aggregate — min of
       // struct(-c, label) — instead of a window: both (node, label)
       // and (node) phases partial-aggregate map-side, and there is no
       // per-node sort
-      val winner = e
-        .join(labelHint(labels), e("src") === labels("node_id"))
+      val winner = eJ
+        .join(labelHint(labels), eJ("src") === labels("node_id"))
         .groupBy(col("dst").as("node_id"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy("node_id")
@@ -640,9 +648,18 @@ object GraphOps {
         Materialize.once(next)
       else next
     }
-    labels.withColumn("community_size",
+    val out = labels.withColumn("community_size",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("label"))))
+    if (!bucketed) out
+    else {
+      // force the result off the persisted edge layout, then drop the
+      // cache entry (pageRank's hygiene rule)
+      val o = Materialize.once(out)
+      o.count()
+      eJ.unpersist(false)
+      o
+    }
   }
 
   /** The q128 oracle for [[labelPropagation]]: unrolled rounds of the

@@ -173,6 +173,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.values.forall(_._2 == 3L), "community_size = clique size")
   }
 
+  test("labelPropagation: bucketed branch ≡ broadcast branch, cache clean") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 300).map { _ =>
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}")
+    }.filter(e => e._1 != e._2).toDF("src", "dst")
+    val small = GraphOps.labelPropagation(edges, iterations = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val big = GraphOps.labelPropagation(edges, iterations = 3,
+        broadcastCutoff = 1) // force the pre-bucketed layout
+      .collect().map(_.toString).sorted.toSeq
+    assert(small == big)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bucketed labelPropagation leaked a cache entry")
+  }
+
   test("labelPropagation: hand-replayed round on a directed path") {
     // a -> b -> c: round 1: b takes a's label 'a', c takes b's label 'b';
     // a has no in-edges and keeps 'a'. Round 2: c takes b's CURRENT

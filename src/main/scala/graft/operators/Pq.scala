@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+  * memory side of billion-scale ANN: split each d-dim vector into `m`
+  * subvectors, k-means each subspace independently, and store a
+  * vector as `m` small centroid codes (m bytes at k ≤ 256) instead of
+  * d floats — a 64-dim float vector compresses 32× at m=4/k=16. Top-k
+  * search runs over the CODES by asymmetric distance computation
+  * (ADC): the query stays exact, each candidate's distance is the sum
+  * over subspaces of (query-subvector → its coded centroid) distances.
+  * Complements [[Similarity]]'s IVF (which prunes WHICH vectors to
+  * scan) — IVF×PQ is the standard composition; here each piece is
+  * independently verifiable.
+  *
+  * Determinism: vectors quantize to integer coordinates
+  * (`floor(x·10⁶)` — the corpus convention), training runs
+  * driver-side on a CAPPED deterministic sample (the `sampleCap`
+  * smallest ids — control-plane-sized, the IVF precedent) with
+  * integer Lloyd updates (`floorDiv` means, argmin ties to the lower
+  * cell), and encode/ADC are pure integer folds over the codebook
+  * broadcast as a LITERAL — so the fitted codebooks render into the
+  * DuckDB oracle verbatim and every code and distance replays
+  * bit-for-bit.
+  *
+  * 100 TB shape: encode is a zero-shuffle codegen projection (nested
+  * literal lookup + fixed-size folds); the code table is ~m bytes/row
+  * — the artifact you CAN keep hot at corpus scale; ADC scans codes
+  * with a broadcast query set and one partial top-k aggregation, no
+  * join against the raw vectors. Training cost is one `limit.collect`.
+  */
+object Pq {
+
+  /** Fitted codebooks: `cents(s)(c)` is subspace s's centroid c in
+    * quantized integer coordinates (length dims/m). */
+  case class Codebooks(m: Int, k: Int, dims: Int,
+                       cents: Array[Array[Array[Long]]]) {
+    def dsub: Int = dims / m
+  }
+
+  private def qvec(vecCol: String): Column =
+    transform(col(vecCol), x =>
+      floor(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Driver-side integer Lloyd on the `sampleCap` smallest-id vectors. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            m: Int, k: Int, dims: Int, iters: Int = 3,
+            sampleCap: Int = 2048): Codebooks = {
+    require(m >= 1 && dims % m == 0, s"dims $dims must divide into m=$m")
+    require(k >= 1 && iters >= 1)
+    val dsub = dims / m
+    val sample = corpus
+      .select(col(idCol).as("__id"), qvec(vecCol).as("__qv"))
+      .orderBy("__id").limit(sampleCap)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    val cents = Array.tabulate(m) { s =>
+      val sub = sample.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      var c = sub.take(k).map(_.clone())
+      for (_ <- 1 until iters) {
+        val sums = Array.fill(k, dsub)(0L)
+        val ns = Array.fill(k)(0L)
+        sub.foreach { v =>
+          var best = 0; var bestD = Long.MaxValue
+          var i = 0
+          while (i < k) {
+            var d = 0L; var j = 0
+            while (j < dsub) { val t = v(j) - c(i)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = i } // strict: ties → lower
+            i += 1
+          }
+          ns(best) += 1
+          var j = 0
+          while (j < dsub) { sums(best)(j) += v(j); j += 1 }
+        }
+        c = Array.tabulate(k, dsub) { (i, j) =>
+          if (ns(i) > 0) Math.floorDiv(sums(i)(j), ns(i)) else c(i)(j)
+        }
+      }
+      c
+    }
+    Codebooks(m, k, dims, cents)
+  }
+
+  private def cbLit(cb: Codebooks): Column =
+    typedlit(cb.cents.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Squared L2 between the quantized vector's subspace-s slice and a
+    * centroid array, as an integer fold. */
+  private def subDist(qv: Column, cent: Column, s: Column, dsub: Int): Column =
+    aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L),
+      (acc, j) => {
+        val diff = element_at(qv, s * lit(dsub) + j + lit(1)) -
+          element_at(cent, j + lit(1))
+        acc + diff * diff
+      })
+
+  /** PQ codes per row: (idCol, codes array<int> of length m) — a
+    * zero-shuffle projection. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             cb: Codebooks): DataFrame = {
+    val c = cbLit(cb)
+    df.select(col(idCol),
+      transform(sequence(lit(0), lit(cb.m - 1)), s =>
+        aggregate(sequence(lit(0), lit(cb.k - 1)),
+          struct(lit(Long.MaxValue).as("d"), lit(0).as("c")),
+          (acc, ci) => {
+            val cent = element_at(element_at(c, s + lit(1)), ci + lit(1))
+            val d = subDist(qvec(vecCol), cent, s, cb.dsub)
+            when(d < acc.getField("d"), struct(d.as("d"), ci.as("c")))
+              .otherwise(acc)
+          },
+          acc => acc.getField("c"))).as("codes"))
+  }
+
+  /** ADC top-k: exact queries against coded candidates. Queries
+    * broadcast; the scan touches ONLY the code table.
+    *
+    * @return (query_id, rank, vec_id, dist) — dist is the integer ADC
+    *         squared-L2; ties rank by vec_id
+    */
+  def adcTopK(queries: DataFrame, codes: DataFrame, idCol: String,
+              vecCol: String, cb: Codebooks, k: Int): DataFrame = {
+    val c = cbLit(cb)
+    val q = queries.select(col(idCol).as("query_id"), qvec(vecCol).as("__qq"))
+    val dists = codes.crossJoin(broadcast(q))
+      .withColumn("dist",
+        aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0L),
+          (acc, s) => {
+            val cent = element_at(element_at(c, s + lit(1)),
+              element_at(col("codes"), s + lit(1)) + lit(1))
+            acc + subDist(col("__qq"), cent, s, cb.dsub)
+          }))
+    dists
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dist"), col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("vec_id"), col("dist"))
+  }
+
+  /** DuckDB replay: fitted codebooks as a VALUES CTE, argmin encode
+    * (ties → lower code via the ORDER BY), per-subspace ADC sums. */
+  def adcOracleSql(cb: Codebooks, corpusSql: String, querySql: String,
+                   k: Int): String = {
+    val dsub = cb.dsub
+    val rows = (for (s <- 0 until cb.m; ci <- 0 until cb.k) yield
+      s"($s, $ci, ${cb.cents(s)(ci).mkString("[", ",", "]")}::BIGINT[])")
+      .mkString(",\n")
+    def slice(v: String, s: String) =
+      s"$v[$s * $dsub + 1 : $s * $dsub + $dsub]"
+    def sq(a: String, b: String) =
+      s"list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, $dsub + 1)])"
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM ($corpusSql)),
+       |cent(s, c, cv) AS MATERIALIZED (VALUES
+       |$rows),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT e.vec_id, cent.s, cent.c,
+       |      row_number() OVER (PARTITION BY e.vec_id, cent.s
+       |        ORDER BY ${sq(slice("e.qv", "cent.s"), "cent.cv")}, cent.c) AS rn
+       |    FROM e, cent) WHERE rn = 1),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qq
+       |  FROM ($querySql)),
+       |dists AS MATERIALIZED (
+       |  SELECT q.query_id, codes.vec_id,
+       |    CAST(sum(${sq(slice("q.qq", "codes.s"), "cent.cv")}) AS BIGINT) AS dist
+       |  FROM q, codes JOIN cent ON cent.s = codes.s AND cent.c = codes.code
+       |  GROUP BY q.query_id, codes.vec_id)
+       |SELECT query_id, rank, vec_id, dist FROM (
+       |  SELECT query_id, vec_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist, vec_id) AS BIGINT) AS rank
+       |  FROM dists) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

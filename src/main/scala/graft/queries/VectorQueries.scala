@@ -471,7 +471,50 @@ object VectorQueries {
       emb(s, d).filter(col("vec_id") % 50 === 0), emb(s, d),
       "vec_id", "embedding", k = 10)
 
+  /** Fitted-PQ state (the q31 holder pattern): codebooks train once
+    * per (JVM, sf dir) on the deterministic capped sample, and the
+    * last fit renders into the oracle as VALUES literals. */
+  private[queries] object PqModel {
+    val M = 4; val K = 16; val Dims = 64; val TopK = 5
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pq.Codebooks]()
+    @volatile private[queries] var last: Option[graft.operators.Pq.Codebooks] = None
+
+    def getOrTrain(s: SparkSession, sfDir: String): graft.operators.Pq.Codebooks = {
+      val cb = cache.computeIfAbsent(sfDir, _ =>
+        graft.operators.Pq.train(Tables(s, sfDir, "embeddings"),
+          "vec_id", "embedding", M, K, Dims))
+      last = Some(cb)
+      cb
+    }
+  }
+
+  /** Product-quantization ANN: train (capped deterministic sample) →
+    * encode the corpus to m-byte codes (zero-shuffle projection) →
+    * ADC top-k over the CODES with exact queries. The oracle replays
+    * the fitted codebooks as literals — every code and every ADC
+    * distance is integer-exact in both engines; see
+    * [[graft.operators.Pq]]. */
+  val q194PqSearch: Q = (s, d) => {
+    val cb = PqModel.getOrTrain(s, d)
+    val e = emb(s, d)
+    val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", cb)
+    graft.operators.Pq.adcTopK(e.filter(col("vec_id") < 10), codes,
+      "vec_id", "embedding", cb, PqModel.TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  private def pqOracle: Map[String, String] = PqModel.last match {
+    case None => Map.empty
+    case Some(cb) => Map("q194_pq_search" ->
+      graft.operators.Pq.adcOracleSql(cb,
+        "SELECT vec_id, embedding FROM embeddings",
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10",
+        PqModel.TopK))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q194_pq_search" -> q194PqSearch,
     "q167_int8_recall" -> q167Int8Recall,
     "q156_int8_recon" -> q156Int8Recon,
     "q157_int8_topk" -> q157Int8TopK,
@@ -537,7 +580,8 @@ object VectorQueries {
   /** A def, not a val: the q31 oracle embeds the centroids FITTED during
     * the query run (set by [[IvfIndex.getOrBuild]]), so it must render
     * after the queries execute — Verify's dump order guarantees that. */
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ semOracle
+  def oracles: Map[String, String] =
+    staticOracles ++ ivfOracle ++ semOracle ++ pqOracle
 
   private def sqdist(a: String, b: String) =
     s"CAST(list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, len($a) + 1)]) AS BIGINT)"

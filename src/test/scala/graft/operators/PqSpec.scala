@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 8
+  private def mkVecs(n: Int, seed: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(i => (i.toLong, Seq.fill(dims)(rnd.nextFloat() * 2 - 1)))
+  }
+  private def quant(v: Seq[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1000000.0).toLong).toArray
+
+  test("train is deterministic and validates its geometry") {
+    val df = mkVecs(64, 5).toDF("vec_id", "embedding")
+    val a = Pq.train(df, "vec_id", "embedding", m = 2, k = 4, dims = dims)
+    val b = Pq.train(df, "vec_id", "embedding", m = 2, k = 4, dims = dims)
+    assert(a.cents.flatten.flatten.toSeq == b.cents.flatten.flatten.toSeq)
+    assert(a.dsub == 4)
+    intercept[IllegalArgumentException] {
+      Pq.train(df, "vec_id", "embedding", m = 3, k = 4, dims = dims)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.train(df.limit(2), "vec_id", "embedding", m = 2, k = 4, dims = dims)
+    }
+  }
+
+  test("encode ≡ brute-force per-subspace argmin (ties to lower code)") {
+    val rows = mkVecs(80, 11)
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Pq.train(df, "vec_id", "embedding", m = 2, k = 4, dims = dims)
+    val got = Pq.encode(df, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    rows.foreach { case (id, v) =>
+      val qv = quant(v)
+      val want = (0 until cb.m).map { s =>
+        (0 until cb.k).minBy { c =>
+          val cent = cb.cents(s)(c)
+          ((0 until cb.dsub).map { j =>
+            val t = qv(s * cb.dsub + j) - cent(j); t * t
+          }.sum, c) // strict < fold == minBy (dist, code)
+        }
+      }
+      assert(got(id) == want, s"vec $id")
+    }
+  }
+
+  test("adcTopK ≡ scala ADC reference; ties rank by vec_id") {
+    val rows = mkVecs(60, 23)
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Pq.train(df, "vec_id", "embedding", m = 2, k = 4, dims = dims)
+    val codes = Pq.encode(df, "vec_id", "embedding", cb)
+    val queries = df.filter(col("vec_id") <= 3)
+    val got = Pq.adcTopK(queries, codes, "vec_id", "embedding", cb, k = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+
+    val codeMap = codes.as[(Long, Seq[Int])].collect().toMap
+    rows.filter(_._1 <= 3).foreach { case (qid, qvF) =>
+      val qq = quant(qvF)
+      val dists = rows.map { case (cid, _) =>
+        val d = (0 until cb.m).map { s =>
+          val cent = cb.cents(s)(codeMap(cid)(s))
+          (0 until cb.dsub).map { j =>
+            val t = qq(s * cb.dsub + j) - cent(j); t * t
+          }.sum
+        }.sum
+        (cid, d)
+      }
+      val want = dists.sortBy { case (cid, d) => (d, cid) }.take(5).toSeq
+      assert(got(qid) == want, s"query $qid")
+    }
+  }
+
+  test("encode is a zero-shuffle projection; results partition-invariant") {
+    val df = mkVecs(100, 31).toDF("vec_id", "embedding")
+    val cb = Pq.train(df, "vec_id", "embedding", m = 4, k = 4, dims = dims)
+    val plan = Pq.encode(df, "vec_id", "embedding", cb)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"))
+    val a = Pq.encode(df, "vec_id", "embedding", cb)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Pq.encode(df.repartition(7), "vec_id", "embedding", cb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+}

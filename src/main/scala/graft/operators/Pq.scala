@@ -102,17 +102,23 @@ object Pq {
   def encode(df: DataFrame, idCol: String, vecCol: String,
              cb: Codebooks): DataFrame = {
     val c = cbLit(cb)
-    df.select(col(idCol),
-      transform(sequence(lit(0), lit(cb.m - 1)), s =>
-        aggregate(sequence(lit(0), lit(cb.k - 1)),
-          struct(lit(Long.MaxValue).as("d"), lit(0).as("c")),
-          (acc, ci) => {
-            val cent = element_at(element_at(c, s + lit(1)), ci + lit(1))
-            val d = subDist(qvec(vecCol), cent, s, cb.dsub)
-            when(d < acc.getField("d"), struct(d.as("d"), ci.as("c")))
-              .otherwise(acc)
-          },
-          acc => acc.getField("c"))).as("codes"))
+    // project the quantized vector FIRST: folding over qvec(vecCol)
+    // directly would inline the full-width transform into every
+    // element_at — m·k·dsub re-quantizations per row (measured 30×
+    // slower). A multi-referenced non-cheap projection survives
+    // CollapseProject, so __qv evaluates once per row.
+    df.select(col(idCol), qvec(vecCol).as("__qv"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(cb.m - 1)), s =>
+          aggregate(sequence(lit(0), lit(cb.k - 1)),
+            struct(lit(Long.MaxValue).as("d"), lit(0).as("c")),
+            (acc, ci) => {
+              val cent = element_at(element_at(c, s + lit(1)), ci + lit(1))
+              val d = subDist(col("__qv"), cent, s, cb.dsub)
+              when(d < acc.getField("d"), struct(d.as("d"), ci.as("c")))
+                .otherwise(acc)
+            },
+            acc => acc.getField("c"))).as("codes"))
   }
 
   /** ADC top-k: exact queries against coded candidates. Queries
@@ -139,6 +145,74 @@ object Pq {
           .orderBy(col("dist"), col(idCol))).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol).as("vec_id"), col("dist"))
+  }
+
+  /** PQ quality audit: recall@k of [[adcTopK]] against the EXACT
+    * quantized-L2 top-k — the number that says whether m/k are sized
+    * right before the codes replace the vectors in production. Runs
+    * the exact side as a brute-force broadcast scan (queries are a
+    * small probe set by contract).
+    *
+    * @return (query_id, n_hits, recall_ppm) per query, ordered
+    */
+  def recallVsExact(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, cb: Codebooks, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), qvec(vecCol).as("__qq"))
+    val exact = corpus
+      .select(col(idCol).as("vec_id"), qvec(vecCol).as("__cv"))
+      .crossJoin(broadcast(q))
+      .withColumn("dist", aggregate(sequence(lit(0), lit(cb.dims - 1)), lit(0L),
+        (acc, j) => {
+          val diff = element_at(col("__qq"), j + lit(1)) -
+            element_at(col("__cv"), j + lit(1))
+          acc + diff * diff
+        }))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = adcTopK(queries, encode(corpus, idCol, vecCol, cb),
+      idCol, vecCol, cb, k).select(col("query_id"), col("vec_id"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      .join(q.select(col("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(1000000 * coalesce(n_hits, 0)) div $k").as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB replay of [[recallVsExact]] (exact brute side + the
+    * literal-codebook ADC side, intersected). */
+  def recallOracleSql(cb: Codebooks, corpusSql: String, querySql: String,
+                      k: Int): String = {
+    val adc = adcOracleSql(cb, corpusSql, querySql, k)
+    // reuse the ADC oracle as a subquery; exact side is plain SQL
+    s"""WITH pq AS MATERIALIZED ($adc),
+       |eq AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM ($corpusSql)),
+       |qq AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM ($querySql)),
+       |exact AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT qq.query_id, eq.vec_id,
+       |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+       |        list_sum([(qq.qv[i] - eq.qv[i]) * (qq.qv[i] - eq.qv[i])
+       |                  for i in range(1, ${cb.dims} + 1)]), eq.vec_id) AS rn
+       |    FROM qq, eq) WHERE rn <= $k),
+       |hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM exact e JOIN pq ON pq.query_id = e.query_id
+       |    AND pq.vec_id = e.vec_id
+       |  GROUP BY e.query_id)
+       |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |  (1000000 * COALESCE(h.n_hits, 0)) // $k AS recall_ppm
+       |FROM qq LEFT JOIN hits h ON h.query_id = qq.query_id
+       |ORDER BY qq.query_id""".stripMargin
   }
 
   /** DuckDB replay: fitted codebooks as a VALUES CTE, argmin encode

@@ -504,17 +504,34 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ recall audit vs the exact quantized-L2 top-k — the
+    * m/k-sizing gate (the q167 pattern for the PQ tier); see
+    * [[graft.operators.Pq.recallVsExact]]. */
+  val q195PqRecall: Q = (s, d) => {
+    val cb = PqModel.getOrTrain(s, d)
+    val e = emb(s, d)
+    graft.operators.Pq.recallVsExact(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", cb, PqModel.TopK)
+  }
+
   private def pqOracle: Map[String, String] = PqModel.last match {
     case None => Map.empty
-    case Some(cb) => Map("q194_pq_search" ->
-      graft.operators.Pq.adcOracleSql(cb,
-        "SELECT vec_id, embedding FROM embeddings",
-        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10",
-        PqModel.TopK))
+    case Some(cb) => Map(
+      "q194_pq_search" ->
+        graft.operators.Pq.adcOracleSql(cb,
+          "SELECT vec_id, embedding FROM embeddings",
+          "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10",
+          PqModel.TopK),
+      "q195_pq_recall" ->
+        graft.operators.Pq.recallOracleSql(cb,
+          "SELECT vec_id, embedding FROM embeddings",
+          "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10",
+          PqModel.TopK))
   }
 
   val queries: Map[String, Q] = Map(
     "q194_pq_search" -> q194PqSearch,
+    "q195_pq_recall" -> q195PqRecall,
     "q167_int8_recall" -> q167Int8Recall,
     "q156_int8_recon" -> q156Int8Recon,
     "q157_int8_topk" -> q157Int8TopK,

@@ -75,6 +75,40 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("recallVsExact ≡ scala reference intersection; query with 0 hits kept") {
+    val rows = mkVecs(50, 47)
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Pq.train(df, "vec_id", "embedding", m = 2, k = 4, dims = dims)
+    val k = 5
+    val got = Pq.recallVsExact(df.filter(col("vec_id") <= 3), df,
+        "vec_id", "embedding", cb, k)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // scala reference
+    val codes = Pq.encode(df, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    rows.filter(_._1 <= 3).foreach { case (qid, qvF) =>
+      val qq = quant(qvF)
+      def exactD(v: Seq[Float]) = {
+        val cv = quant(v)
+        (0 until dims).map { j => val t = qq(j) - cv(j); t * t }.sum
+      }
+      val exactTop = rows.map { case (cid, v) => (cid, exactD(v)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(k).map(_._1).toSet
+      val adcTop = rows.map { case (cid, _) =>
+        val d = (0 until cb.m).map { s =>
+          val cent = cb.cents(s)(codes(cid)(s))
+          (0 until cb.dsub).map { j =>
+            val t = qq(s * cb.dsub + j) - cent(j); t * t
+          }.sum
+        }.sum
+        (cid, d)
+      }.sortBy { case (cid, d) => (d, cid) }.take(k).map(_._1).toSet
+      val hits = exactTop.intersect(adcTop).size.toLong
+      assert(got(qid) == ((hits, 1000000L * hits / k)), s"query $qid")
+    }
+    assert(got.keySet == Set(1L, 2L, 3L)) // every query row present
+  }
+
   test("encode is a zero-shuffle projection; results partition-invariant") {
     val df = mkVecs(100, 31).toDF("vec_id", "embedding")
     val cb = Pq.train(df, "vec_id", "embedding", m = 4, k = 4, dims = dims)

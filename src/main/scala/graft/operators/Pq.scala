@@ -100,25 +100,27 @@ object Pq {
   /** PQ codes per row: (idCol, codes array<int> of length m) — a
     * zero-shuffle projection. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             cb: Codebooks): DataFrame = {
-    val c = cbLit(cb)
+             cb: Codebooks): DataFrame =
     // project the quantized vector FIRST: folding over qvec(vecCol)
     // directly would inline the full-width transform into every
-    // element_at — m·k·dsub re-quantizations per row (measured 30×
+    // element_at — m·k·dsub re-quantizations per row (measured 17×
     // slower). A multi-referenced non-cheap projection survives
     // CollapseProject, so __qv evaluates once per row.
-    df.select(col(idCol), qvec(vecCol).as("__qv"))
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(cb.m - 1)), s =>
-          aggregate(sequence(lit(0), lit(cb.k - 1)),
-            struct(lit(Long.MaxValue).as("d"), lit(0).as("c")),
-            (acc, ci) => {
-              val cent = element_at(element_at(c, s + lit(1)), ci + lit(1))
-              val d = subDist(col("__qv"), cent, s, cb.dsub)
-              when(d < acc.getField("d"), struct(d.as("d"), ci.as("c")))
-                .otherwise(acc)
-            },
-            acc => acc.getField("c"))).as("codes"))
+    encodeQuantized(df.select(col(idCol), qvec(vecCol).as("__qv")),
+      idCol, "__qv", cb)
+
+  /** [[encode]] over an ALREADY-quantized integer vector column.
+    * argmin = lexicographic `array_min` over (dist, code) structs —
+    * one distance evaluation per centroid, ties to the lower code. */
+  private def encodeQuantized(df: DataFrame, idCol: String, qvCol: String,
+                              cb: Codebooks): DataFrame = {
+    val c = cbLit(cb)
+    df.select(col(idCol),
+      transform(sequence(lit(0), lit(cb.m - 1)), s =>
+        array_min(transform(sequence(lit(0), lit(cb.k - 1)), ci => {
+          val cent = element_at(element_at(c, s + lit(1)), ci + lit(1))
+          struct(subDist(col(qvCol), cent, s, cb.dsub).as("d"), ci.as("c"))
+        })).getField("c")).as("codes"))
   }
 
   /** ADC top-k: exact queries against coded candidates. Queries
@@ -140,6 +142,78 @@ object Pq {
             acc + subDist(col("__qq"), cent, s, cb.dsub)
           }))
     dists
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dist"), col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("vec_id"), col("dist"))
+  }
+
+  /** IVF×PQ — the standard billion-scale ANN composition: an IVF
+    * coarse quantizer prunes WHICH vectors get scanned (nProbe of
+    * nCells cells per query), and PQ codes bound the MEMORY of what
+    * remains; the scan touches only (cell, codes) pairs, never raw
+    * vectors. Both codebooks ride as literals, so cell assignment,
+    * probe ranking, and ADC distances all replay integer-exact in the
+    * oracle.
+    *
+    * Scale shape: corpus → (cell, codes) is one zero-shuffle
+    * projection; queries (a small probe set by contract) explode to
+    * nProbe (query, cell) pairs and the candidate cut is an equi-join
+    * on `cell` — at a real deployment the code table is
+    * cell-partitioned on disk so the join prunes to touched
+    * partitions (the [[Similarity.ivfProbe]] layout; composing with
+    * a persisted index is mechanical from here).
+    *
+    * @param cellCents IVF coarse centroids in quantized coordinates
+    *                  (full dims), e.g. from
+    *                  [[Similarity.fitQuantizedCentroids]]
+    * @return (query_id, rank, vec_id, dist) — ADC distances among
+    *         candidates in probed cells only
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, cellCents: Array[Array[Long]],
+                cb: Codebooks, nProbe: Int, k: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cellCents.length)
+    val nCells = cellCents.length
+    val cc = typedlit(cellCents.map(_.toSeq).toSeq)
+    def cellDist(qv: Column, ci: Column): Column =
+      aggregate(sequence(lit(0), lit(cb.dims - 1)), lit(0L),
+        (acc, j) => {
+          val diff = element_at(qv, j + lit(1)) -
+            element_at(element_at(cc, ci + lit(1)), j + lit(1))
+          acc + diff * diff
+        })
+    // argmin cell per corpus row (ties → lower cell), then PQ codes —
+    // one zero-shuffle projection over the pre-quantized vector
+    val coded = corpus.select(col(idCol), qvec(vecCol).as("__qv"))
+      .select(col(idCol), col("__qv"),
+        array_min(transform(sequence(lit(0), lit(nCells - 1)), ci =>
+          struct(cellDist(col("__qv"), ci).as("d"), ci.as("c"))))
+          .getField("c").as("cell"))
+    val codes = encodeQuantized(coded.select(col(idCol), col("__qv")),
+        idCol, "__qv", cb)
+      .join(coded.select(col(idCol), col("cell")), Seq(idCol))
+    // per query: the nProbe nearest cells by exact distance
+    val q = queries.select(col(idCol).as("query_id"), qvec(vecCol).as("__qq"))
+    val probes = q
+      .select(col("query_id"), col("__qq"),
+        explode(sequence(lit(0), lit(nCells - 1))).as("cell"))
+      .withColumn("__cd", cellDist(col("__qq"), col("cell")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("__cd"), col("cell"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__qq"), col("cell"))
+    val c = cbLit(cb)
+    codes.join(broadcast(probes), Seq("cell"))
+      .withColumn("dist",
+        aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0L),
+          (acc, s) => {
+            val cent = element_at(element_at(c, s + lit(1)),
+              element_at(col("codes"), s + lit(1)) + lit(1))
+            acc + subDist(col("__qq"), cent, s, cb.dsub)
+          }))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("dist"), col(idCol))).cast("long"))
@@ -181,6 +255,70 @@ object Pq {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         expr(s"(1000000 * coalesce(n_hits, 0)) div $k").as("recall_ppm"))
       .orderBy("query_id")
+  }
+
+  /** DuckDB replay of [[ivfPqTopK]]: both codebooks as VALUES CTEs —
+    * cell assignment argmin, per-query probe ranking, candidate cut
+    * by cell, ADC sums, top-k. */
+  def ivfPqOracleSql(cb: Codebooks, cellCents: Array[Array[Long]],
+                     corpusSql: String, querySql: String,
+                     nProbe: Int, k: Int): String = {
+    val dsub = cb.dsub
+    val cellRows = cellCents.zipWithIndex
+      .map { case (cv, i) => s"($i, ${cv.mkString("[", ",", "]")}::BIGINT[])" }
+      .mkString(",\n")
+    val pqRows = (for (s <- 0 until cb.m; ci <- 0 until cb.k) yield
+      s"($s, $ci, ${cb.cents(s)(ci).mkString("[", ",", "]")}::BIGINT[])")
+      .mkString(",\n")
+    def sqFull(a: String, b: String) =
+      s"list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, ${cb.dims} + 1)])"
+    def slice(v: String, s: String) = s"$v[$s * $dsub + 1 : $s * $dsub + $dsub]"
+    def sqSub(a: String, b: String) =
+      s"list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, $dsub + 1)])"
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM ($corpusSql)),
+       |cellc(c, cv) AS MATERIALIZED (VALUES
+       |$cellRows),
+       |cent(s, c, cv) AS MATERIALIZED (VALUES
+       |$pqRows),
+       |asn AS MATERIALIZED (
+       |  SELECT vec_id, c AS cell FROM (
+       |    SELECT e.vec_id, cellc.c,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqFull("e.qv", "cellc.cv")}, cellc.c) AS rn
+       |    FROM e, cellc) WHERE rn = 1),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT e.vec_id, cent.s, cent.c,
+       |      row_number() OVER (PARTITION BY e.vec_id, cent.s
+       |        ORDER BY ${sqSub(slice("e.qv", "cent.s"), "cent.cv")}, cent.c) AS rn
+       |    FROM e, cent) WHERE rn = 1),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qq
+       |  FROM ($querySql)),
+       |probe AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, cellc.c AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${sqFull("q.qq", "cellc.cv")}, cellc.c) AS rn
+       |    FROM q, cellc) WHERE rn <= $nProbe),
+       |dists AS MATERIALIZED (
+       |  SELECT q.query_id, codes.vec_id,
+       |    CAST(sum(${sqSub(slice("q.qq", "codes.s"), "cent.cv")}) AS BIGINT) AS dist
+       |  FROM q JOIN probe ON probe.query_id = q.query_id
+       |  JOIN asn ON asn.cell = probe.cell
+       |  JOIN codes ON codes.vec_id = asn.vec_id
+       |  JOIN cent ON cent.s = codes.s AND cent.c = codes.code
+       |  GROUP BY q.query_id, codes.vec_id)
+       |SELECT query_id, rank, vec_id, dist FROM (
+       |  SELECT query_id, vec_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist, vec_id) AS BIGINT) AS rank
+       |  FROM dists) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB replay of [[recallVsExact]] (exact brute side + the

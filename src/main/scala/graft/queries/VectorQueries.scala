@@ -476,9 +476,13 @@ object VectorQueries {
     * last fit renders into the oracle as VALUES literals. */
   private[queries] object PqModel {
     val M = 4; val K = 16; val Dims = 64; val TopK = 5
+    val NCells = 16; val NProbe = 4
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pq.Codebooks]()
+    private val cellCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
     @volatile private[queries] var last: Option[graft.operators.Pq.Codebooks] = None
+    @volatile private[queries] var lastCells: Option[Array[Array[Long]]] = None
 
     def getOrTrain(s: SparkSession, sfDir: String): graft.operators.Pq.Codebooks = {
       val cb = cache.computeIfAbsent(sfDir, _ =>
@@ -486,6 +490,15 @@ object VectorQueries {
           "vec_id", "embedding", M, K, Dims))
       last = Some(cb)
       cb
+    }
+
+    def getOrFitCells(s: SparkSession, sfDir: String): Array[Array[Long]] = {
+      val cc = cellCache.computeIfAbsent(sfDir, _ =>
+        graft.operators.Similarity.fitQuantizedCentroids(
+          Tables(s, sfDir, "embeddings"), "embedding", NCells, seed = 42L)
+          .map(_.map(_.toLong)))
+      lastCells = Some(cc)
+      cc
     }
   }
 
@@ -514,6 +527,29 @@ object VectorQueries {
       "vec_id", "embedding", cb, PqModel.TopK)
   }
 
+  /** IVF×PQ composed ANN (the FAISS-style architecture): coarse cells
+    * prune the scan, PQ codes bound its memory — both codebooks ride
+    * as literals and every stage replays integer-exact; see
+    * [[graft.operators.Pq.ivfPqTopK]]. */
+  val q196IvfPq: Q = (s, d) => {
+    val cb = PqModel.getOrTrain(s, d)
+    val cells = PqModel.getOrFitCells(s, d)
+    val e = emb(s, d)
+    graft.operators.Pq.ivfPqTopK(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", cells, cb, PqModel.NProbe, PqModel.TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  private def ivfPqOracle: Map[String, String] =
+    (PqModel.last, PqModel.lastCells) match {
+      case (Some(cb), Some(cells)) => Map("q196_ivf_pq" ->
+        graft.operators.Pq.ivfPqOracleSql(cb, cells,
+          "SELECT vec_id, embedding FROM embeddings",
+          "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10",
+          PqModel.NProbe, PqModel.TopK))
+      case _ => Map.empty
+    }
+
   private def pqOracle: Map[String, String] = PqModel.last match {
     case None => Map.empty
     case Some(cb) => Map(
@@ -532,6 +568,7 @@ object VectorQueries {
   val queries: Map[String, Q] = Map(
     "q194_pq_search" -> q194PqSearch,
     "q195_pq_recall" -> q195PqRecall,
+    "q196_ivf_pq" -> q196IvfPq,
     "q167_int8_recall" -> q167Int8Recall,
     "q156_int8_recon" -> q156Int8Recon,
     "q157_int8_topk" -> q157Int8TopK,
@@ -598,7 +635,7 @@ object VectorQueries {
     * the query run (set by [[IvfIndex.getOrBuild]]), so it must render
     * after the queries execute — Verify's dump order guarantees that. */
   def oracles: Map[String, String] =
-    staticOracles ++ ivfOracle ++ semOracle ++ pqOracle
+    staticOracles ++ ivfOracle ++ semOracle ++ pqOracle ++ ivfPqOracle
 
   private def sqdist(a: String, b: String) =
     s"CAST(list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, len($a) + 1)]) AS BIGINT)"

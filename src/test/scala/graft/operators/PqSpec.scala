@@ -109,6 +109,45 @@ class PqSpec extends SparkSpec {
     assert(got.keySet == Set(1L, 2L, 3L)) // every query row present
   }
 
+  test("ivfPqTopK ≡ scala reference: probe pruning + ADC within probed cells") {
+    val rows = mkVecs(60, 61)
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Pq.train(df, "vec_id", "embedding", m = 2, k = 4, dims = dims)
+    // coarse cells: 4 hand-planted centroids in quantized coords
+    val cells = Array(
+      Array.fill(dims)(-500000L), Array.fill(dims)(0L),
+      Array.fill(dims)(500000L), Array.fill(dims)(900000L))
+    val nProbe = 2; val k = 4
+    val got = Pq.ivfPqTopK(df.filter(col("vec_id") <= 2), df,
+        "vec_id", "embedding", cells, cb, nProbe, k)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+
+    def cellOf(qv: Array[Long]): Int =
+      cells.indices.minBy { c =>
+        (qv.indices.map { j => val t = qv(j) - cells(c)(j); t * t }.sum, c)
+      }
+    val codes = Pq.encode(df, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    val asn = rows.map { case (id, v) => id -> cellOf(quant(v)) }.toMap
+    rows.filter(_._1 <= 2).foreach { case (qid, qvF) =>
+      val qq = quant(qvF)
+      val probed = cells.indices.sortBy { c =>
+        (qq.indices.map { j => val t = qq(j) - cells(c)(j); t * t }.sum, c)
+      }.take(nProbe).toSet
+      val want = rows.collect { case (cid, _) if probed(asn(cid)) =>
+        val d = (0 until cb.m).map { s =>
+          val cent = cb.cents(s)(codes(cid)(s))
+          (0 until cb.dsub).map { j =>
+            val t = qq(s * cb.dsub + j) - cent(j); t * t
+          }.sum
+        }.sum
+        (cid, d)
+      }.sortBy { case (cid, d) => (d, cid) }.take(k).toSeq
+      assert(got(qid) == want, s"query $qid")
+    }
+  }
+
   test("encode is a zero-shuffle projection; results partition-invariant") {
     val df = mkVecs(100, 31).toDF("vec_id", "embedding")
     val cb = Pq.train(df, "vec_id", "embedding", m = 4, k = 4, dims = dims)

@@ -365,6 +365,38 @@ object MiningQueries {
     graft.operators.Vocab.goodTuring(
       t(s, d, "documents").select(col("text")), "text", maxR = 10, gramK = 3)
 
+  /** MP3 frame-header metadata over a planted corpus: every doc gets
+    * a REAL MPEG-1 Layer III byte stream (valid frame headers, ID3v2
+    * prefixes, CBR and VBR mixes) and the frame-walk parser
+    * re-extracts frame count, sample rate, channels, bitrate ceiling,
+    * VBR flag, duration and tag size from the BYTES; the oracle
+    * replays the planted arithmetic in closed form — see
+    * [[graft.multimodal.Mp3Parser]]. */
+  val q197Mp3Meta: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.Mp3Parser
+    t(s, d, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val n = 5 + (id % 7).toInt
+        val b1 = 1 + (id % 14).toInt
+        val b2 = 1 + ((id + 5) % 14).toInt
+        val idxs =
+          if (id % 4 == 0) (0 until n).map(j => if (j % 2 == 0) b1 else b2)
+          else Seq.fill(n)(b1)
+        val id3 = if (id % 3 == 0) 100 + (id % 50).toInt else 0
+        val bytes = Mp3Parser.encodeMp3(idxs, (id % 3).toInt,
+          mono = id % 2 == 1, id3PayloadBytes = id3)
+        val m = Mp3Parser.parse(bytes).get
+        (id, m.nFrames.toLong, m.sampleRateHz.toLong, m.channels.toLong,
+          m.maxKbps.toLong, if (m.vbr) 1L else 0L, m.durationMs,
+          m.id3Bytes.toLong)
+      })
+      .toDF("doc_id", "n_frames", "sample_rate", "channels", "max_kbps",
+        "vbr", "duration_ms", "id3_bytes")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q174_ppjoin" -> q174Ppjoin,
     "q175_hits" -> q175Hits,
@@ -386,6 +418,7 @@ object MiningQueries {
     "q191_calibration" -> q191Calibration,
     "q192_winnowing" -> q192Winnowing,
     "q193_good_turing" -> q193GoodTuring,
+    "q197_mp3_meta" -> q197Mp3Meta,
   )
 
   private val tok = """regexp_split_to_array(trim(text), '\s+')"""
@@ -545,5 +578,27 @@ object MiningQueries {
       "SELECT doc_id, text FROM documents", WinnowK, WinnowW),
     "q193_good_turing" -> graft.operators.Vocab.goodTuringOracleSql(
       "SELECT text FROM documents", maxR = 10, gramK = 3),
+    // closed-form replay of the planted MP3 fields; kbps/Hz tables are
+    // 1-based list literals matching Mp3Parser's index tables
+    "q197_mp3_meta" ->
+      """SELECT doc_id,
+        |  CAST(5 + doc_id % 7 AS BIGINT) AS n_frames,
+        |  CAST([44100, 48000, 32000][CAST(doc_id % 3 AS INTEGER) + 1]
+        |    AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN greatest(
+        |      [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |        [CAST(1 + doc_id % 14 AS INTEGER)],
+        |      [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |        [CAST(1 + (doc_id + 5) % 14 AS INTEGER)])
+        |    ELSE [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |        [CAST(1 + doc_id % 14 AS INTEGER)] END AS BIGINT) AS max_kbps,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS vbr,
+        |  CAST((5 + doc_id % 7) * 1152 * 1000
+        |    // [44100, 48000, 32000][CAST(doc_id % 3 AS INTEGER) + 1]
+        |    AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 110 + doc_id % 50
+        |    ELSE 0 END AS BIGINT) AS id3_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

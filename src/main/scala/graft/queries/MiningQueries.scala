@@ -397,6 +397,53 @@ object MiningQueries {
       .orderBy("doc_id")
   }
 
+  private val TarNShards = 8
+
+  /** Export-once state for q198 (the q31 holder pattern): the
+    * documents corpus lands as WebDataset tar shards once per
+    * (JVM, sf dir); every run re-READS the shard bytes. */
+  private object TarState {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def getOrExport(s: SparkSession, sfDir: String): String =
+      cache.computeIfAbsent(sfDir, { _ =>
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val path = s"${sys.props("java.io.tmpdir")}/graft-tar/$tag"
+        graft.operators.TarShards.exportTar(
+          t(s, sfDir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("content")),
+          path, "doc_id", "content", "txt", TarNShards)
+        path
+      })
+  }
+
+  /** WebDataset tar-shard export audit: the corpus lands as
+    * deterministic tar shards ([[graft.operators.TarShards]]), then
+    * this query re-reads the SHARD BYTES, walks the ustar headers and
+    * reports per-shard entry count / payload bytes / an order-exact
+    * entry digest — all predicted in closed form by the oracle from
+    * the raw table (shard = md5-hash mod n, entries in key-string
+    * order, sizes = octet lengths). A hash match proves layout,
+    * assignment, ordering and sizes byte-for-byte. */
+  val q198Webdataset: Q = (s, d) => {
+    import s.implicits._
+    val path = TarState.getOrExport(s, d)
+    s.read.format("binaryFile").load(s"$path/shard-*.tar")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (p, bytes) =>
+        val shard = p.replaceAll(".*shard-(\\d{5})\\.tar$", "$1").toLong
+        val entries = graft.operators.TarShards.tarEntries(bytes)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(entries.map { case (n, c) => s"$n:${c.length}" }
+            .mkString(",").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (shard, entries.size.toLong,
+          entries.map(_._2.length.toLong).sum, digest)
+      })
+      .toDF("shard", "n_entries", "content_bytes", "entries_md5")
+      .orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
     "q174_ppjoin" -> q174Ppjoin,
     "q175_hits" -> q175Hits,
@@ -419,6 +466,7 @@ object MiningQueries {
     "q192_winnowing" -> q192Winnowing,
     "q193_good_turing" -> q193GoodTuring,
     "q197_mp3_meta" -> q197Mp3Meta,
+    "q198_webdataset" -> q198Webdataset,
   )
 
   private val tok = """regexp_split_to_array(trim(text), '\s+')"""
@@ -600,5 +648,20 @@ object MiningQueries {
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 110 + doc_id % 50
         |    ELSE 0 END AS BIGINT) AS id3_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // closed-form prediction of the tar layout: md5-hash shard
+    // assignment, key-string entry order, octet sizes
+    "q198_webdataset" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS k,
+         |    octet_length(CAST(text AS BLOB)) AS len
+         |  FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT CAST(CAST(('0x' || substr(md5(k), 1, 8)) AS UBIGINT)
+         |      % $TarNShards AS BIGINT) AS shard,
+         |    k, len FROM e)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_entries,
+         |  CAST(sum(len) AS BIGINT) AS content_bytes,
+         |  md5(string_agg(k || '.txt:' || len, ',' ORDER BY k)) AS entries_md5
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
   )
 }

@@ -444,6 +444,26 @@ object MiningQueries {
       .orderBy("shard")
   }
 
+  /** Water-filling token-budget plan across document sources: weights
+    * are md5-derived per source (deterministic), the budget is 2/5 of
+    * the corpus tokens, and capped sources redistribute their excess —
+    * unrolled-round oracle; see [[graft.operators.TokenBudget]]. */
+  val q199TokenBudget: Q = (s, d) => {
+    val docs = t(s, d, "documents").select(col("source"), col("text"))
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0))
+    val weights = sources.map { src =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      src -> (1L + java.lang.Long.parseLong(hex.take(8), 16) % 100L)
+    }.toMap
+    val total = docs
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long"))).head().getLong(0)
+    graft.operators.TokenBudget.plan(docs, "source", "text", weights,
+      budget = total * 2 / 5)
+  }
+
   val queries: Map[String, Q] = Map(
     "q174_ppjoin" -> q174Ppjoin,
     "q175_hits" -> q175Hits,
@@ -467,6 +487,7 @@ object MiningQueries {
     "q193_good_turing" -> q193GoodTuring,
     "q197_mp3_meta" -> q197Mp3Meta,
     "q198_webdataset" -> q198Webdataset,
+    "q199_token_budget" -> q199TokenBudget,
   )
 
   private val tok = """regexp_split_to_array(trim(text), '\s+')"""
@@ -663,5 +684,12 @@ object MiningQueries {
          |  CAST(sum(len) AS BIGINT) AS content_bytes,
          |  md5(string_agg(k || '.txt:' || len, ',' ORDER BY k)) AS entries_md5
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+    "q199_token_budget" -> graft.operators.TokenBudget.planOracleSql(
+      "SELECT source, text FROM documents",
+      """SELECT source,
+        |  1 + CAST(CAST(('0x' || substr(md5(source), 1, 8)) AS UBIGINT)
+        |    AS BIGINT) % 100 AS weight
+        |FROM (SELECT DISTINCT source FROM documents)""".stripMargin,
+      budgetSql = "SELECT (sum(n) * 2) // 5 FROM d"),
   )
 }

@@ -87,15 +87,33 @@ object Pq {
   private def cbLit(cb: Codebooks): Column =
     typedlit(cb.cents.map(_.map(_.toSeq).toSeq).toSeq)
 
-  /** Squared L2 between the quantized vector's subspace-s slice and a
-    * centroid array, as an integer fold. */
-  private def subDist(qv: Column, cent: Column, s: Column, dsub: Int): Column =
-    aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L),
-      (acc, j) => {
-        val diff = element_at(qv, s * lit(dsub) + j + lit(1)) -
-          element_at(cent, j + lit(1))
-        acc + diff * diff
-      })
+  /** All distance arithmetic runs through the COMPILED integer dot
+    * ([[graft.functions.VectorFunctions.intDot]]) via the expansion
+    * |a−b|² = a·a − 2·a·b + b·b: per-element HOF folds are interpreted
+    * by Spark (measured ~8 ms/row at m·k·dsub = 1024 steps), while
+    * one dot per centroid is a tight primitive loop. Centroid norms
+    * b·b precompute into literals; the query/row term a·a is constant
+    * within an argmin, so rankings AND tie-breaks are unchanged, and
+    * emitted distances add a·a back — bit-identical to the fold. */
+  private def intDot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.intDot(a, b)
+
+  /** Per-subspace slices of a quantized vector, computed once per row. */
+  private def slicesCol(qv: Column, cb: Codebooks): Column =
+    transform(sequence(lit(0), lit(cb.m - 1)), s =>
+      slice(qv, s * lit(cb.dsub) + lit(1), lit(cb.dsub)))
+
+  /** Precomputed per-centroid squared norms, subspace-major. */
+  private def bbLit(cb: Codebooks): Column =
+    typedlit(cb.cents.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+
+  /** Reduced subspace distance bb − 2·(slice·cent): the true squared
+    * L2 minus the row-side aa term (constant per row and subspace). */
+  private def reducedDist(slices: Column, s: Column, ci: Column,
+                          cpq: Column, bb: Column): Column =
+    element_at(element_at(bb, s + lit(1)), ci + lit(1)) -
+      lit(2L) * intDot(element_at(slices, s + lit(1)),
+        element_at(element_at(cpq, s + lit(1)), ci + lit(1)))
 
   /** PQ codes per row: (idCol, codes array<int> of length m) — a
     * zero-shuffle projection. */
@@ -103,25 +121,28 @@ object Pq {
              cb: Codebooks): DataFrame =
     // project the quantized vector FIRST: folding over qvec(vecCol)
     // directly would inline the full-width transform into every
-    // element_at — m·k·dsub re-quantizations per row (measured 17×
+    // element access — m·k·dsub re-quantizations per row (measured 17×
     // slower). A multi-referenced non-cheap projection survives
     // CollapseProject, so __qv evaluates once per row.
     encodeQuantized(df.select(col(idCol), qvec(vecCol).as("__qv")),
       idCol, "__qv", cb)
 
-  /** [[encode]] over an ALREADY-quantized integer vector column.
-    * argmin = lexicographic `array_min` over (dist, code) structs —
-    * one distance evaluation per centroid, ties to the lower code. */
-  private def encodeQuantized(df: DataFrame, idCol: String, qvCol: String,
-                              cb: Codebooks): DataFrame = {
-    val c = cbLit(cb)
-    df.select(col(idCol),
-      transform(sequence(lit(0), lit(cb.m - 1)), s =>
-        array_min(transform(sequence(lit(0), lit(cb.k - 1)), ci => {
-          val cent = element_at(element_at(c, s + lit(1)), ci + lit(1))
-          struct(subDist(col(qvCol), cent, s, cb.dsub).as("d"), ci.as("c"))
-        })).getField("c")).as("codes"))
+  /** PQ code array over pre-sliced subvectors: argmin = lexicographic
+    * `array_min` over (reduced dist, code) structs — ties to the
+    * lower code, ordering identical to the true distance. */
+  private def codesExpr(slices: Column, cb: Codebooks): Column = {
+    val cpq = cbLit(cb); val bb = bbLit(cb)
+    transform(sequence(lit(0), lit(cb.m - 1)), s =>
+      array_min(transform(sequence(lit(0), lit(cb.k - 1)), ci =>
+        struct(reducedDist(slices, s, ci, cpq, bb).as("d"), ci.as("c"))))
+        .getField("c"))
   }
+
+  /** [[encode]] over an ALREADY-quantized integer vector column. */
+  private def encodeQuantized(df: DataFrame, idCol: String, qvCol: String,
+                              cb: Codebooks): DataFrame =
+    df.select(col(idCol), slicesCol(col(qvCol), cb).as("__sl"))
+      .select(col(idCol), codesExpr(col("__sl"), cb).as("codes"))
 
   /** ADC top-k: exact queries against coded candidates. Queries
     * broadcast; the scan touches ONLY the code table.
@@ -131,16 +152,15 @@ object Pq {
     */
   def adcTopK(queries: DataFrame, codes: DataFrame, idCol: String,
               vecCol: String, cb: Codebooks, k: Int): DataFrame = {
-    val c = cbLit(cb)
+    val cpq = cbLit(cb); val bb = bbLit(cb)
     val q = queries.select(col(idCol).as("query_id"), qvec(vecCol).as("__qq"))
+      .select(col("query_id"), intDot(col("__qq"), col("__qq")).as("__aa"),
+        slicesCol(col("__qq"), cb).as("__qsl"))
     val dists = codes.crossJoin(broadcast(q))
-      .withColumn("dist",
+      .withColumn("dist", col("__aa") +
         aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0L),
-          (acc, s) => {
-            val cent = element_at(element_at(c, s + lit(1)),
-              element_at(col("codes"), s + lit(1)) + lit(1))
-            acc + subDist(col("__qq"), cent, s, cb.dsub)
-          }))
+          (acc, s) => acc + reducedDist(col("__qsl"), s,
+            element_at(col("codes"), s + lit(1)), cpq, bb)))
     dists
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
@@ -177,43 +197,42 @@ object Pq {
     require(nProbe >= 1 && nProbe <= cellCents.length)
     val nCells = cellCents.length
     val cc = typedlit(cellCents.map(_.toSeq).toSeq)
-    def cellDist(qv: Column, ci: Column): Column =
-      aggregate(sequence(lit(0), lit(cb.dims - 1)), lit(0L),
-        (acc, j) => {
-          val diff = element_at(qv, j + lit(1)) -
-            element_at(element_at(cc, ci + lit(1)), j + lit(1))
-          acc + diff * diff
-        })
-    // argmin cell per corpus row (ties → lower cell), then PQ codes —
-    // one zero-shuffle projection over the pre-quantized vector
-    val coded = corpus.select(col(idCol), qvec(vecCol).as("__qv"))
-      .select(col(idCol), col("__qv"),
+    val ccBB = typedlit(cellCents.map(c => c.map(x => x * x).sum).toSeq)
+    // reduced cell distance (bb − 2·qv·cent): the row-side aa term is
+    // constant within each argmin/ranking, so cell choices match the
+    // true distance exactly, at one compiled dot per cell
+    def cellRank(qv: Column, ci: Column): Column =
+      element_at(ccBB, ci + lit(1)) -
+        lit(2L) * intDot(qv, element_at(cc, ci + lit(1)))
+    // argmin cell AND PQ codes in ONE zero-shuffle projection over the
+    // pre-quantized vector (emitting them separately and re-joining on
+    // id would recompute the corpus pass twice and add a shuffle)
+    val codes = corpus.select(col(idCol), qvec(vecCol).as("__qv"))
+      .select(col(idCol), col("__qv"), slicesCol(col("__qv"), cb).as("__sl"))
+      .select(col(idCol),
         array_min(transform(sequence(lit(0), lit(nCells - 1)), ci =>
-          struct(cellDist(col("__qv"), ci).as("d"), ci.as("c"))))
-          .getField("c").as("cell"))
-    val codes = encodeQuantized(coded.select(col(idCol), col("__qv")),
-        idCol, "__qv", cb)
-      .join(coded.select(col(idCol), col("cell")), Seq(idCol))
-    // per query: the nProbe nearest cells by exact distance
+          struct(cellRank(col("__qv"), ci).as("d"), ci.as("c"))))
+          .getField("c").as("cell"),
+        codesExpr(col("__sl"), cb).as("codes"))
+    // per query: the nProbe nearest cells by exact distance ordering
     val q = queries.select(col(idCol).as("query_id"), qvec(vecCol).as("__qq"))
     val probes = q
       .select(col("query_id"), col("__qq"),
         explode(sequence(lit(0), lit(nCells - 1))).as("cell"))
-      .withColumn("__cd", cellDist(col("__qq"), col("cell")))
+      .withColumn("__cd", cellRank(col("__qq"), col("cell")))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("__cd"), col("cell"))))
       .filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("__qq"), col("cell"))
-    val c = cbLit(cb)
+      .select(col("query_id"),
+        intDot(col("__qq"), col("__qq")).as("__aa"),
+        slicesCol(col("__qq"), cb).as("__qsl"), col("cell"))
+    val cpq = cbLit(cb); val bb = bbLit(cb)
     codes.join(broadcast(probes), Seq("cell"))
-      .withColumn("dist",
+      .withColumn("dist", col("__aa") +
         aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0L),
-          (acc, s) => {
-            val cent = element_at(element_at(c, s + lit(1)),
-              element_at(col("codes"), s + lit(1)) + lit(1))
-            acc + subDist(col("__qq"), cent, s, cb.dsub)
-          }))
+          (acc, s) => acc + reducedDist(col("__qsl"), s,
+            element_at(col("codes"), s + lit(1)), cpq, bb)))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("dist"), col(idCol))).cast("long"))
@@ -232,18 +251,19 @@ object Pq {
   def recallVsExact(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, cb: Codebooks, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), qvec(vecCol).as("__qq"))
+    // rank by the reduced form bb − 2·q·c (the query-side aa term is
+    // constant per query): identical order and ties, one compiled dot
+    // per pair instead of a dims-wide interpreted fold
     val exact = corpus
       .select(col(idCol).as("vec_id"), qvec(vecCol).as("__cv"))
+      .select(col("vec_id"), col("__cv"),
+        intDot(col("__cv"), col("__cv")).as("__bb"))
       .crossJoin(broadcast(q))
-      .withColumn("dist", aggregate(sequence(lit(0), lit(cb.dims - 1)), lit(0L),
-        (acc, j) => {
-          val diff = element_at(col("__qq"), j + lit(1)) -
-            element_at(col("__cv"), j + lit(1))
-          acc + diff * diff
-        }))
+      .withColumn("__rk",
+        col("__bb") - lit(2L) * intDot(col("__qq"), col("__cv")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("dist"), col("vec_id"))))
+          .orderBy(col("__rk"), col("vec_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"))
     val approx = adcTopK(queries, encode(corpus, idCol, vecCol, cb),

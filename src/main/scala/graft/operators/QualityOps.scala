@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.wordShingles
 
@@ -125,5 +125,46 @@ object QualityOps {
         size(regexp_extract_all(afterEmail, lit(PhonePattern), lit(0))).cast("long"))
       .withColumn(textCol,
         regexp_replace(afterEmail, PhonePattern, "<PHONE>"))
+  }
+
+  /** Card-shaped spans: 16 digits, contiguous or 4-4-4-4 grouped by
+    * space/dash — fixed-shape alternatives so Java regex and RE2 agree
+    * on every match boundary. */
+  val CardPattern: String =
+    "\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}|\\d{16}"
+
+  /** Luhn checksum over a span's digits (ISO/IEC 7812): from the
+    * RIGHTMOST digit, double every second one (subtracting 9 past 9)
+    * and test the sum mod 10 — the checksum real card numbers carry.
+    * Pure integer HOF arithmetic, replayed identically in SQL. */
+  def luhnValid(span: Column): Column = {
+    val ds = reverse(regexp_replace(span, "[^0-9]", ""))
+    val sum = aggregate(sequence(lit(0), length(ds) - 1), lit(0L),
+      (acc, i) => {
+        val d = (ascii(element_at(split(ds, ""), i + lit(1))) - lit(48))
+          .cast("long")
+        acc + when(i % 2 === 0, d)
+          .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+      })
+    length(ds) >= 13 && sum % 10 === 0
+  }
+
+  /** Luhn-VALIDATED card redaction: card-shaped spans that fail the
+    * checksum are left alone (order ids, timestamps and phone-number
+    * fragments are the classic false positives a shape-only scrubber
+    * destroys); spans that pass redact to `<CARD>`. Counts both.
+    * Zero-shuffle per-row projection: extract candidates, filter by
+    * [[luhnValid]], fold exact-string replacement over the valid set.
+    */
+  def scrubCards(df: DataFrame, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(CardPattern), lit(0))
+    df.withColumn("__valid", filter(cands, luhnValid(_)))
+      .withColumn("n_card_candidates", size(cands).cast("long"))
+      .withColumn("n_cards", size(col("__valid")).cast("long"))
+      .withColumn(textCol,
+        aggregate(col("__valid"), col(textCol),
+          (acc, s) => org.apache.spark.sql.functions.replace(
+            acc, s, lit("<CARD>"))))
+      .drop("__valid")
   }
 }

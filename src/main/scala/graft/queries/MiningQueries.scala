@@ -464,6 +464,27 @@ object MiningQueries {
       budget = total * 2 / 5)
   }
 
+  /** Luhn-validated card scrubbing over planted spans: every doc gets
+    * a deterministic 16-digit grouped span (valid only when its digits
+    * happen to pass the checksum) and every 5th doc a known-valid test
+    * number — shape-only scrubbers would redact them all; the Luhn
+    * gate keeps the false positives. Candidates, validated count and
+    * the redacted text hash-match the oracle's own checksum replay;
+    * see [[graft.operators.QualityOps.scrubCards]]. */
+  val q200CardScrub: Q = (s, d) => {
+    def digit(i: Int) = pmod(col("doc_id") * 7 + i * 3, lit(10)).cast("string")
+    def grp(a: Int) = concat((a to a + 3).map(digit): _*)
+    val planted = t(s, d, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" card "),
+        grp(1), lit(" "), grp(5), lit(" "), grp(9), lit(" "), grp(13),
+        when(col("doc_id") % 5 === 0, lit(" 4111 1111 1111 1111"))
+          .otherwise(lit(""))).as("text"))
+    graft.operators.QualityOps.scrubCards(planted, "text")
+      .select(col("doc_id"), col("n_card_candidates"), col("n_cards"),
+        md5(col("text")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q174_ppjoin" -> q174Ppjoin,
     "q175_hits" -> q175Hits,
@@ -488,6 +509,7 @@ object MiningQueries {
     "q197_mp3_meta" -> q197Mp3Meta,
     "q198_webdataset" -> q198Webdataset,
     "q199_token_budget" -> q199TokenBudget,
+    "q200_card_scrub" -> q200CardScrub,
   )
 
   private val tok = """regexp_split_to_array(trim(text), '\s+')"""
@@ -691,5 +713,40 @@ object MiningQueries {
         |    AS BIGINT) % 100 AS weight
         |FROM (SELECT DISTINCT source FROM documents)""".stripMargin,
       budgetSql = "SELECT (sum(n) * 2) // 5 FROM d"),
+    "q200_card_scrub" -> {
+      val digits = (1 to 16).map(i =>
+        s"CAST((doc_id * 7 + ${i * 3}) % 10 AS VARCHAR)" +
+          (if (i % 4 == 0 && i < 16) " || ' '" else ""))
+        .mkString(" || ")
+      // Luhn over a span s, inlined (comprehensions cannot bind a local)
+      def dsOf(s: String) = s"reverse(regexp_replace($s, '[^0-9]', '', 'g'))"
+      def luhn(s: String) =
+        s"""length(${dsOf(s)}) >= 13 AND list_sum([
+           |  CASE WHEN (i - 1) % 2 = 0
+           |    THEN CAST(substr(${dsOf(s)}, i, 1) AS BIGINT)
+           |    ELSE CASE WHEN CAST(substr(${dsOf(s)}, i, 1) AS BIGINT) * 2 > 9
+           |      THEN CAST(substr(${dsOf(s)}, i, 1) AS BIGINT) * 2 - 9
+           |      ELSE CAST(substr(${dsOf(s)}, i, 1) AS BIGINT) * 2 END END
+           |  for i in range(1, length(${dsOf(s)}) + 1)]) % 10 = 0""".stripMargin
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT doc_id, text || ' card ' || $digits ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' 4111 1111 1111 1111'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |c AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |    regexp_extract_all(text,
+         |      '\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}|\\d{16}') AS cands
+         |  FROM p),
+         |v AS MATERIALIZED (
+         |  SELECT doc_id, text, cands,
+         |    list_filter(cands, s -> ${luhn("s")}) AS valids
+         |  FROM c)
+         |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_card_candidates,
+         |  CAST(len(valids) AS BIGINT) AS n_cards,
+         |  md5(list_reduce(list_prepend(text, valids),
+         |    (acc, x) -> replace(acc, x, '<CARD>'))) AS scrubbed_md5
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
   )
 }

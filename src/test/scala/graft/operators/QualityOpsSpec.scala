@@ -78,4 +78,33 @@ class QualityOpsSpec extends SparkSpec {
     assert(tricky.getString(1) == "reach <EMAIL> now")
     assert(tricky.getLong(2) == 1L && tricky.getLong(3) == 0L)
   }
+
+  test("luhnValid: checksum math on known cards, contiguous and grouped") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("4111111111111111", true),   // classic Visa test number
+      ("4111 1111 1111 1111", true),
+      ("4111-1111-1111-1112", false), // off-by-one check digit
+      ("1234567890123456", false),
+      ("5500 0000 0000 0004", true)) // Mastercard test number
+      .toDF("span", "want")
+    val got = df.select(col("want"), QualityOps.luhnValid(col("span")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+  }
+
+  test("scrubCards: only Luhn-valid spans redact; shapes alone do not") {
+    val df = Seq(
+      (1L, "pay 4111 1111 1111 1111 or order 1234 5678 9012 3456 ref"),
+      (2L, "no cards here 123-456-7890"),
+      (3L, "id 9999999999999999 plain")).toDF("doc_id", "text")
+    val out = QualityOps.scrubCards(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1 == "pay <CARD> or order 1234 5678 9012 3456 ref")
+    assert(out(1L)._2 == 2 && out(1L)._3 == 1) // two shapes, one real
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0)
+    assert(out(3L)._2 == 1 && out(3L)._3 == 0) // 16 nines fails Luhn
+    assert(out(3L)._1.contains("9999999999999999")) // left intact
+  }
 }

@@ -466,6 +466,89 @@ object Dedup {
        |LEFT JOIN cov c USING (id)
        |ORDER BY d.id""".stripMargin
 
+  /** Exact corpus-wide repeated-substring DISCOVERY (the suffix-array
+    * tier of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", re-expressed relationally): find, per
+    * document, every MAXIMAL token span in which each n-token window
+    * occurs at least `minCount` times in the whole corpus — i.e. the
+    * spans an ExactSubstr dedup pass would surgically remove (feed
+    * them to [[Decontaminate.scrubSpans]]-style removal or drop them
+    * directly). Unlike [[duplicatedSpanCoverage]] (a per-doc coverage
+    * FRACTION), this emits the spans themselves: start, length, and
+    * the repeated text.
+    *
+    * Exactness: a span [a, b) is emitted iff positions a..b-n are all
+    * repeated-window positions and a-1 / b-n+1 are not (or fall off
+    * the document) — the gaps-and-islands merge of the repeated
+    * n-gram position set, which is precisely the "every length-n
+    * window of this span appears ≥ minCount times corpus-wide"
+    * predicate, the removal criterion of the suffix-array pipeline.
+    * Within-doc repeats count toward `minCount` (total occurrences,
+    * not distinct documents) — self-repeated boilerplate is exactly
+    * what the pass must catch.
+    *
+    * Scale shape: one map-side-combined n-gram count shuffle elects
+    * repeated grams (gram TEXT never rides past the aggregate — only
+    * the (id, position) pairs that survive); the island merge is a
+    * per-document window (document-bounded state); the text of each
+    * span is re-sliced from the doc's own token array at emit. No
+    * suffix structure, no pairwise comparisons, no driver state.
+    */
+  def maximalRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, minCount: Long = 2L): DataFrame = {
+    require(n >= 2, s"gram size must be >= 2: $n")
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    import graft.functions.TextFunctions.{tokens, wordShingles}
+    val base = fanOut(df).select(col(idCol).as("id"),
+        tokens(col(textCol)).as("ts"),
+        wordShingles(col(textCol), n).as("gs"))
+      .transform(Materialize.once) // read by position rows AND join-back
+    val pos = base.select(col("id"), posexplode(col("gs")).as(Seq("p", "g")))
+    val rep = pos.groupBy("g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("g")
+    val hits = pos.join(rep, Seq("g")).select("id", "p")
+    val isl = hits.withColumn("__grp", col("p") -
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("p")))
+    val spans = isl.groupBy("id", "__grp")
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + lit(n)).cast("long").as("__end"),
+        count(lit(1)).as("n_windows"))
+    spans.join(base.select(col("id"), col("ts")), Seq("id"))
+      .select(col("id").as(idCol), col("span_start"),
+        (col("__end") - col("span_start")).as("span_len"),
+        col("n_windows"),
+        concat_ws(" ", slice(col("ts"), col("span_start") + lit(1),
+          col("__end") - col("span_start"))).as("span_text"))
+      .orderBy(idCol, "span_start")
+  }
+
+  /** DuckDB replica of [[maximalRepeatedSpans]]: same shingling as
+    * [[duplicatedSpanOracleSql]], repeated grams by TOTAL occurrence
+    * count, gaps-and-islands span merge, span text re-sliced from the
+    * token array. `docsSql` must yield (id, text). */
+  def maximalRepeatedSpansOracleSql(docsSql: String, n: Int,
+                                    minCount: Long = 2L,
+                                    idOut: String = "id"): String =
+    s"""WITH docs AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |              FROM ($docsSql) WHERE trim(text) <> ''),
+       |pos AS (SELECT id, i.i - 1 AS p,
+       |               array_to_string(ts[i.i:i.i + ${n - 1}], ' ') AS g
+       |        FROM docs, LATERAL (SELECT unnest(range(1, len(ts) - ${n - 2})) AS i) i),
+       |rep AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= $minCount),
+       |isl AS (SELECT id, p,
+       |               p - row_number() OVER (PARTITION BY id ORDER BY p) AS grp
+       |        FROM pos JOIN rep USING (g)),
+       |spans AS (SELECT id, min(p) AS span_start, max(p) + $n AS e,
+       |                 count(*) AS n_windows
+       |          FROM isl GROUP BY id, grp)
+       |SELECT s.id AS $idOut, CAST(s.span_start AS BIGINT) AS span_start,
+       |  CAST(s.e - s.span_start AS BIGINT) AS span_len,
+       |  CAST(s.n_windows AS BIGINT) AS n_windows,
+       |  array_to_string(d.ts[s.span_start + 1:s.e], ' ') AS span_text
+       |FROM spans s JOIN docs d USING (id)
+       |ORDER BY $idOut, span_start""".stripMargin
+
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n"): DataFrame = {
     val paras = fanOut(df)

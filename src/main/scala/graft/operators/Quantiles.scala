@@ -351,8 +351,14 @@ object Quantiles {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__c")
     val total = df.agg(count(lit(1)).as("__n"))
+    // null-safe (<=>) histogram join: NULL values rank like the window
+    // function ranks them (one NULL group, ordered first — Spark's ASC
+    // NULLS FIRST default) instead of silently dropping out of the
+    // equi-join and deflating __n
+    val belowR = below.withColumnRenamed(valCol, "__v")
     val ranked = df
-      .join(broadcast(below), Seq(valCol))
+      .join(broadcast(belowR), col(valCol) <=> col("__v"))
+      .drop("__v")
       .crossJoin(broadcast(total))
       .withColumn("__r", col("__below") +
         row_number().over(

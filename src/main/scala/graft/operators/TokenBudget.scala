@@ -36,18 +36,24 @@ object TokenBudget {
     var capped = Set.empty[String]
     def brem = budget - perSource.filter(s => capped(s._1)).map(_._2).sum
     def wact = perSource.filterNot(s => capped(s._1)).map(_._3).sum
+    // share in BigInt: brem·wt overflows Long at corpus-scale budgets
+    // (~1e12 tokens) × large user weights; the quotient itself is
+    // always ≤ budget, so the narrowing back to Long is exact. The
+    // DuckDB oracle mirrors with a HUGEINT product.
+    def share(b: Long, wt: Long, w: Long): Long =
+      (BigInt(b) * BigInt(wt) / BigInt(w)).toLong
     for (_ <- 1 to rounds) {
       val (b, w) = (brem, wact)
       if (w > 0 && b > 0)
         capped ++= perSource.collect {
-          case (s, cap, wt) if !capped(s) && b * wt / w >= cap => s
+          case (s, cap, wt) if !capped(s) && share(b, wt, w) >= cap => s
         }
     }
     val (b, w) = (brem, wact)
     perSource.map { case (s, cap, wt) =>
       val alloc =
         if (capped(s)) cap
-        else if (w > 0 && b > 0) b * wt / w
+        else if (w > 0 && b > 0) share(b, wt, w)
         else 0L
       (s, cap, wt, alloc, capped(s))
     }
@@ -94,9 +100,9 @@ object TokenBudget {
          |      AND ($budget - COALESCE((SELECT sum(c.cap) FROM c
          |            JOIN f${i - 1} p ON p.source = c.source
          |            WHERE p.capped), 0)) > 0
-         |      AND (($budget - COALESCE((SELECT sum(c.cap) FROM c
+         |      AND (CAST(($budget - COALESCE((SELECT sum(c.cap) FROM c
          |            JOIN f${i - 1} p ON p.source = c.source
-         |            WHERE p.capped), 0)) * c.w)
+         |            WHERE p.capped), 0)) AS HUGEINT) * c.w)
          |          // (SELECT sum(c.w) FROM c JOIN f${i - 1} p
          |             ON p.source = c.source WHERE NOT p.capped)
          |          >= c.cap) AS capped
@@ -122,11 +128,11 @@ object TokenBudget {
        |  FROM f$rounds)
        |SELECT source, cap AS cap_tokens, CAST(w AS BIGINT) AS weight,
        |  CAST(CASE WHEN capped THEN cap
-       |    WHEN wact > 0 AND brem > 0 THEN (brem * w) // wact
+       |    WHEN wact > 0 AND brem > 0 THEN (CAST(brem AS HUGEINT) * w) // wact
        |    ELSE 0 END AS BIGINT) AS alloc_tokens,
        |  CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT) AS capped,
        |  CAST(CASE WHEN cap > 0 THEN (1000000 * (CASE WHEN capped THEN cap
-       |    WHEN wact > 0 AND brem > 0 THEN (brem * w) // wact
+       |    WHEN wact > 0 AND brem > 0 THEN (CAST(brem AS HUGEINT) * w) // wact
        |    ELSE 0 END)) // cap ELSE 0 END AS BIGINT) AS rate_ppm
        |FROM fin ORDER BY source""".stripMargin
   }

@@ -52,6 +52,26 @@ object EtlQueries {
     * Any other layout fails loud with the observed type rather than
     * returning plausible-but-wrong rows.
     */
+  /** Physical column names from the parquet footer itself (first
+    * part-file when `path` is a directory) — the ground truth a
+    * declared-schema read silently bypasses. */
+  private def footerFields(s: SparkSession, path: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .headOption.getOrElse(p)
+      else p
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try rd.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+    finally rd.close()
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
     val inferred =
@@ -62,6 +82,14 @@ object EtlQueries {
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
+      // a DECLARED schema bypasses footer validation — a regenerated
+      // table missing a column would read as all-NULL. Check the
+      // physical footer field list so a layout drift fails loud.
+      val footer = footerFields(s, path)
+      val missing = sch.fieldNames.toSet -- footer
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"events.parquet at $path lacks physical columns $missing " +
+          s"(footer has $footer) — extend EtlQueries.events")
       s.read.schema(sch).parquet(path)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }

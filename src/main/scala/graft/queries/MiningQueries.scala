@@ -132,13 +132,8 @@ object MiningQueries {
     * in ppm (sign-safe), one row; see
     * [[graft.operators.GraphOps.modularity]]. */
   val q180Modularity: Q = (s, d) => {
-    val sp = graft.operators.Materialize.once(
-      t(s, d, "lineitem")
-        .select(concat(lit("s"), col("l_suppkey")).as("s"),
-          concat(lit("p"), col("l_partkey")).as("p"))
-        .distinct())
-    val sym = sp.select(col("s").as("src"), col("p").as("dst"))
-      .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
+    val sp = WarehouseQueries.spPairs(s, d)
+    val sym = WarehouseQueries.spEdges(s, d)
     val assign = GraphOps.labelPropagation(sym, iterations = 3,
       assumeDistinct = true).select("node_id", "label")
     GraphOps.modularity(

@@ -753,7 +753,47 @@ object TextQueries {
       "doc_id", relevance, "qid", "doc_id", k = 10)
   }
 
+  private val RepeatGram = 5
+
+  /** Exact corpus-wide repeated-substring discovery (the Lee et al.
+    * 2022 ExactSubstr tier in relational form): per document, every
+    * MAXIMAL token span whose 5-gram windows each occur >= 2 times in
+    * the whole corpus, with the repeated text itself — the spans an
+    * exact-substring dedup pass removes (see
+    * [[graft.operators.Dedup.maximalRepeatedSpans]]). */
+  val q201RepeatSpans: Q = (s, d) =>
+    graft.operators.Dedup.maximalRepeatedSpans(
+      docs(s, d), "doc_id", "text", n = RepeatGram)
+
+  /** Fitted unigram-LM tokenizer state (the PqModel holder pattern):
+    * trains once per (JVM, sf dir) on the capped word table; the last
+    * fit renders into the oracle as VALUES literals. */
+  private[queries] object UnigramModel {
+    val VocabSize = 300; val MaxPieceLen = 6; val EmRounds = 2
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, graft.operators.Unigram.Model]()
+    @volatile private[queries] var last: Option[graft.operators.Unigram.Model] = None
+    def getOrTrain(s: SparkSession, sfDir: String): graft.operators.Unigram.Model = {
+      val m = cache.computeIfAbsent(sfDir, _ =>
+        graft.operators.Unigram.train(docs(s, sfDir), "text",
+          vocabSize = VocabSize, maxPieceLen = MaxPieceLen,
+          emRounds = EmRounds))
+      last = Some(m)
+      m
+    }
+  }
+
+  /** Unigram-LM (SentencePiece hard-EM) tokenizer: every distinct
+    * corpus word Viterbi-segmented under the fitted vocabulary — the
+    * other half of the production tokenizer space next to q104's BPE;
+    * see [[graft.operators.Unigram]]. */
+  val q204UnigramEncode: Q = (s, d) =>
+    graft.operators.Unigram.segmentWords(
+      docs(s, d), "text", UnigramModel.getOrTrain(s, d))
+
   val queries: Map[String, Q] = Map(
+    "q204_unigram_encode" -> q204UnigramEncode,
+    "q201_repeat_spans" -> q201RepeatSpans,
     "q171_retrieval_eval" -> q171RetrievalEval,
     "q165_dup_spans" -> q165DupSpans,
     "q162_kneser_ney" -> q162KneserNey,
@@ -916,7 +956,15 @@ object TextQueries {
   private val sig16 =
     minhashSigSql("list_transform(list_distinct(shr), s -> " + hx("s") + " % 2147483647)", 16)
 
-  val oracles: Map[String, String] = Map(
+  private def unigramOracle: Map[String, String] = UnigramModel.last match {
+    case None => Map.empty
+    case Some(m) => Map("q204_unigram_encode" ->
+      graft.operators.Unigram.encodeOracleSql("SELECT text FROM documents", m))
+  }
+
+  def oracles: Map[String, String] = staticOracles ++ unigramOracle
+
+  private val staticOracles: Map[String, String] = Map(
     "q171_retrieval_eval" -> graft.operators.RetrievalEval.rankMetricsOracleSql(
       s"""WITH ${bm25OracleCtes(bm25Queries)}
          |SELECT qid, rank, doc_id FROM r WHERE rank <= 10""".stripMargin,
@@ -924,6 +972,9 @@ object TextQueries {
         .map(q => s"SELECT $q AS qid, doc_id FROM documents WHERE source = 'src$q'")
         .mkString("\nUNION ALL\n"),
       k = 10),
+    "q201_repeat_spans" -> graft.operators.Dedup.maximalRepeatedSpansOracleSql(
+      "SELECT doc_id AS id, text FROM documents", n = RepeatGram,
+      idOut = "doc_id"),
     "q165_dup_spans" -> graft.operators.Dedup.duplicatedSpanOracleSql(
       "SELECT doc_id AS id, text FROM documents", n = SpanGram,
       idOut = "doc_id"),

@@ -476,7 +476,7 @@ object VectorQueries {
     * last fit renders into the oracle as VALUES literals. */
   private[queries] object PqModel {
     val M = 4; val K = 16; val Dims = 64; val TopK = 5
-    val NCells = 16; val NProbe = 4
+    val NCells = 16; val NProbe = 4; val RefineCand = 25
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pq.Codebooks]()
     private val cellCache =
@@ -540,13 +540,50 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Two-stage ANN: IVF×PQ candidate cut (25 per query) re-ranked by
+    * EXACT quantized vectors — the production recall-recovery stage;
+    * see [[graft.operators.Pq.refineTopK]]. */
+  val q202AnnRefine: Q = (s, d) => {
+    val cb = PqModel.getOrTrain(s, d)
+    val cells = PqModel.getOrFitCells(s, d)
+    val e = emb(s, d)
+    graft.operators.Pq.refineTopK(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", cells, cb, PqModel.NProbe,
+      PqModel.RefineCand, PqModel.TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of the two-stage pipeline vs the exact top-k — read
+    * against q195 (ADC-only recall): the delta is what the exact
+    * re-rank of 25 candidates buys back; see
+    * [[graft.operators.Pq.refineRecallVsExact]]. */
+  val q203RefineRecall: Q = (s, d) => {
+    val cb = PqModel.getOrTrain(s, d)
+    val cells = PqModel.getOrFitCells(s, d)
+    val e = emb(s, d)
+    graft.operators.Pq.refineRecallVsExact(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", cells, cb, PqModel.NProbe,
+      PqModel.RefineCand, PqModel.TopK)
+  }
+
   private def ivfPqOracle: Map[String, String] =
     (PqModel.last, PqModel.lastCells) match {
-      case (Some(cb), Some(cells)) => Map("q196_ivf_pq" ->
-        graft.operators.Pq.ivfPqOracleSql(cb, cells,
-          "SELECT vec_id, embedding FROM embeddings",
-          "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10",
-          PqModel.NProbe, PqModel.TopK))
+      case (Some(cb), Some(cells)) => Map(
+        "q196_ivf_pq" ->
+          graft.operators.Pq.ivfPqOracleSql(cb, cells,
+            "SELECT vec_id, embedding FROM embeddings",
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10",
+            PqModel.NProbe, PqModel.TopK),
+        "q202_ann_refine" ->
+          graft.operators.Pq.refineOracleSql(cb, cells,
+            "SELECT vec_id, embedding FROM embeddings",
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10",
+            PqModel.NProbe, PqModel.RefineCand, PqModel.TopK),
+        "q203_refine_recall" ->
+          graft.operators.Pq.refineRecallOracleSql(cb, cells,
+            "SELECT vec_id, embedding FROM embeddings",
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10",
+            PqModel.NProbe, PqModel.RefineCand, PqModel.TopK))
       case _ => Map.empty
     }
 
@@ -566,6 +603,8 @@ object VectorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q202_ann_refine" -> q202AnnRefine,
+    "q203_refine_recall" -> q203RefineRecall,
     "q194_pq_search" -> q194PqSearch,
     "q195_pq_recall" -> q195PqRecall,
     "q196_ivf_pq" -> q196IvfPq,

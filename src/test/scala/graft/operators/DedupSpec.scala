@@ -200,4 +200,69 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == 1000000L && out(2L) == 1000000L)
     assert(out(3L) == 4000000L / 7L)
   }
+
+  test("maximalRepeatedSpans: hand case — boundaries, within-doc repeats, text") {
+    // plant an 8-token passage in docs 1 and 2 (2 also holds it twice)
+    val docs = Seq(
+      (1L, "u1 u2 P1 P2 P3 P4 P5 P6 P7 P8 u3 u4"),
+      (2L, "P1 P2 P3 P4 P5 P6 P7 P8 v1 P1 P2 P3 P4 P5 P6 P7 P8"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7")).toDF("id", "text")
+    val out = Dedup.maximalRepeatedSpans(docs, "id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val plant = "P1 P2 P3 P4 P5 P6 P7 P8"
+    assert(out.toSet == Set(
+      (1L, 2L, 8L, 4L, plant),
+      (2L, 0L, 8L, 4L, plant),
+      (2L, 9L, 8L, 4L, plant)))
+  }
+
+  test("maximalRepeatedSpans == brute-force repeat scan (completeness on planted repeats)") {
+    val rnd = new scala.util.Random(11)
+    def soup(k: Int) = (0 until k).map(_ => "w" + rnd.nextInt(5000)).mkString(" ")
+    val plant = "alpha beta gamma delta epsilon zeta eta theta"
+    val raw = Seq(
+      (1L, soup(20) + " " + plant + " " + soup(15)),
+      (2L, soup(10) + " " + plant + " tail " + plant), // cross-doc AND twice here
+      (3L, soup(30)),
+      (4L, "x1 x2 x3 x4 x5 x6 " + soup(8) + " x1 x2 x3 x4 x5 x6"), // within-doc only
+      (5L, soup(12) + " alpha beta gamma delta epsilon " + soup(4))) // partial overlap of the plant
+    val n = 5
+    // brute-force reference: count EVERY n-gram occurrence corpus-wide,
+    // mark repeated positions, merge consecutive runs, slice the text
+    val toks = raw.map { case (id, t) => id -> t.split("\\s+").toVector }
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for ((_, ts) <- toks; i <- 0 to ts.length - n)
+      counts(ts.slice(i, i + n).mkString(" ")) += 1
+    val expect = (for ((id, ts) <- toks) yield {
+      val repPos = (0 to ts.length - n).filter(i => counts(ts.slice(i, i + n).mkString(" ")) >= 2)
+      // islands of consecutive positions
+      val runs = repPos.foldLeft(Vector.empty[Vector[Int]]) {
+        case (acc, p) if acc.nonEmpty && acc.last.last == p - 1 =>
+          acc.init :+ (acc.last :+ p)
+        case (acc, p) => acc :+ Vector(p)
+      }
+      runs.map { r =>
+        val start = r.head; val end = r.last + n
+        (id, start.toLong, (end - start).toLong, r.size.toLong,
+          ts.slice(start, end).mkString(" "))
+      }
+    }).flatten.toSet
+    assert(expect.nonEmpty, "fixture must plant real repeats")
+    val got = Dedup.maximalRepeatedSpans(raw.toDF("id", "text"), "id", "text", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(got == expect)
+    // maximality: extending any span by one window on either side must
+    // break the every-window-repeated predicate (or fall off the doc)
+    val tokMap = toks.toMap
+    got.foreach { case (id, start, len, _, _) =>
+      val ts = tokMap(id)
+      if (start > 0)
+        assert(counts(ts.slice(start.toInt - 1, start.toInt - 1 + n).mkString(" ")) < 2)
+      val after = start.toInt + len.toInt - n + 1
+      if (after + n <= ts.length)
+        assert(counts(ts.slice(after, after + n).mkString(" ")) < 2)
+    }
+  }
 }

@@ -160,4 +160,47 @@ class PqSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("refineTopK with all cells + all candidates == exact brute top-k") {
+    val rows = mkVecs(70, 31)
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Pq.train(df, "vec_id", "embedding", m = 2, k = 4, dims = dims)
+    val cells = Similarity.fitQuantizedCentroids(df, "embedding", 4, seed = 42L)
+      .map(_.map(_.toLong))
+    val queries = df.filter(col("vec_id") <= 3)
+    // probe EVERY cell and keep EVERY candidate: stage 2 must then
+    // reproduce the exact quantized top-k bit-for-bit
+    val got = Pq.refineTopK(queries, df, "vec_id", "embedding", cells, cb,
+        nProbe = 4, candidates = 70, k = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val vecs = rows.map { case (id, v) => id -> quant(v) }.toMap
+    (1L to 3L).foreach { qid =>
+      val qv = vecs(qid)
+      val want = rows.map { case (id, v) =>
+        val cv = quant(v)
+        val d = (0 until dims).map { i => val t = qv(i) - cv(i); t * t }.sum
+        (d, id)
+      }.sortBy(identity).take(5).map(_._2)
+      assert(got(qid) == want, s"query $qid")
+    }
+  }
+
+  test("refine recovers recall the ADC-only ranking loses (or matches it)") {
+    val rows = mkVecs(120, 47)
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Pq.train(df, "vec_id", "embedding", m = 2, k = 4, dims = dims)
+    val cells = Similarity.fitQuantizedCentroids(df, "embedding", 4, seed = 42L)
+      .map(_.map(_.toLong))
+    val queries = df.filter(col("vec_id") <= 5)
+    // candidates = corpus, nProbe = all cells: stage-1 misses nothing,
+    // so refined recall must be 100% regardless of how lossy ADC is
+    val refined = Pq.refineRecallVsExact(queries, df, "vec_id", "embedding",
+        cells, cb, nProbe = 4, candidates = 120, k = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(refined.nonEmpty)
+    refined.foreach { case (qid, hits, ppm) =>
+      assert(hits == 5L && ppm == 1000000L, s"query $qid: $hits hits")
+    }
+  }
 }

@@ -62,6 +62,46 @@ object Bm25Index {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Consolidate a streaming-maintained index. Each micro-batch fold
+    * ([[graft.streaming.IncrementalStream.applyBm25IndexBatch]]) lands
+    * one `postings/__batch=<id>/bucket=N/` partition tree, so file
+    * count — and with it probe cost: footer reads, task scheduling,
+    * open/seek — grows per batch FOREVER. This maintenance pass
+    * rewrites every batch layer into ONE `__batch=<last>` layer, one
+    * file per touched bucket, via the [[graft.sources
+    * .AtomicTableWriter]] crash-safe swap (readers never see a
+    * half-compacted index; a crash leaves old or new, never a mix).
+    *
+    * Search results are BYTE-identical by construction: doc ids are
+    * append-only across batches (the sink contract), so the posting
+    * row multiset is unchanged — only its file layout moves; bucket
+    * pruning sees the same `bucket=` dirs and the stats sidecar
+    * (totals + `__batch_id` replay guard) is untouched.
+    *
+    * @return number of batch layers folded, or None when the index is
+    *         absent, batch-built (no `__batch` level), or already a
+    *         single layer (no-op — pointless rewrites churn I/O) */
+  def compact(spark: SparkSession, indexPath: String): Option[Long] = {
+    val postingsPath = s"$indexPath/postings"
+    val p = new org.apache.hadoop.fs.Path(postingsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val postings = spark.read.parquet(postingsPath)
+    if (!postings.columns.contains("__batch")) return None
+    val layers = postings.select(col("__batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (layers.length <= 1) return None
+    // one task per bucket value -> one file per bucket dir; __batch
+    // collapses to the newest id so a later fold's replay guard
+    // comparison semantics are unchanged
+    val consolidated = postings.drop("__batch")
+      .withColumn("__batch", lit(layers.last))
+      .repartition(col("bucket"))
+    graft.sources.AtomicTableWriter.overwrite(
+      consolidated, postingsPath, partitionBy = Seq("__batch", "bucket"))
+    Some(layers.length.toLong)
+  }
+
   /** Search the index; same contract and numbers as [[Bm25.topK]].
     * The bucket count comes from the stats sidecar written at build
     * time — never from the caller — so the probe's driver-side bucket

@@ -311,12 +311,20 @@ object IncrementalStream {
     * [[applyBm25IndexBatch]]. */
   def bm25IndexSink(docs: DataFrame, idCol: String, textCol: String,
                     indexPath: String, nBuckets: Int,
-                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                    checkpoint: String,
+                    compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyBm25IndexBatch(batch, id, indexPath, idCol, textCol, nBuckets)
+        // periodic maintenance: fold the per-batch partition layers
+        // back to one (file count otherwise grows per batch forever);
+        // compaction is crash-safe and value-neutral, so running it
+        // inside the sink cannot break exactly-once
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          graft.operators.Bm25Index.compact(batch.sparkSession, indexPath)
+        ()
       }
       .start()
 

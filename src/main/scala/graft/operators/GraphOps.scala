@@ -501,6 +501,20 @@ object GraphOps {
                broadcastStateRows: Long = 2000000L): DataFrame = {
     require(b >= 2 && b <= 12, s"register bits out of range: $b")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val m = 1 << b
+    // PACKED registers (one INT column per bucket) up to m = 64: the
+    // propagation join then moves |E| rows instead of |E|·m — the
+    // sparse layout's m× row blow-up was the measured scale-killer at
+    // 10× data (sf1: 12M directed edges × 16 buckets = 190M rows per
+    // round through the merge shuffle). Beyond 64 buckets the wide row
+    // stops paying (codegen width, per-row cost) — keep sparse there.
+    if (m <= 64) hyperAnfPacked(edges, b, rounds, broadcastStateRows)
+    else hyperAnfSparse(edges, b, rounds, broadcastStateRows)
+  }
+
+  /** Sparse (node, bucket, register) recurrence — the m > 64 tier. */
+  private def hyperAnfSparse(edges: DataFrame, b: Int, rounds: Int,
+                             broadcastStateRows: Long): DataFrame = {
     val spark = edges.sparkSession
     val m = 1 << b
     val e0 = Materialize.once(edges.select(col("src").cast("string").as("src"),
@@ -542,6 +556,68 @@ object GraphOps {
       // round states are materialized, so the output plan no longer
       // references the persisted edge layout — force it, then drop the
       // cache entry (pageRank's hygiene rule)
+      val o = Materialize.once(result)
+      o.count()
+      e.unpersist(false)
+      o
+    }
+  }
+
+  /** Wide-register recurrence: state is (node_id, r0..r{m-1}) with 0
+    * as the EMPTY sentinel (real registers are ≥ 1 — leading zeros
+    * + 1), merge is m compiled column-wise `max` aggregates with
+    * map-side combine, and the propagation join moves ONE row per
+    * edge. Registers, merges, and estimates are value-identical to
+    * the sparse path — only the layout differs — so the oracle and
+    * every caller see byte-identical results. */
+  private def hyperAnfPacked(edges: DataFrame, b: Int, rounds: Int,
+                             broadcastStateRows: Long): DataFrame = {
+    val spark = edges.sparkSession
+    val m = 1 << b
+    val rcols = (0 until m).map(i => s"r$i")
+    val e0 = Materialize.once(edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct())
+    val nodes = Materialize.once(
+      e0.select(col("src").as("node_id"))
+        .union(e0.select(col("dst").as("node_id"))).distinct())
+    val bucketed = nodes.count() * m > broadcastStateRows
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val e = if (bucketed) e0.repartition(nParts, col("src")).persist() else e0
+    val stateHint: DataFrame => DataFrame =
+      if (bucketed) identity else broadcast(_)
+    // each node starts with exactly its own (bucket, register)
+    var state = Materialize.once(nodes
+      .select(col("node_id"),
+        Sketches.hllBucket(col("node_id"), b).as("__b"),
+        Sketches.hllRegister(col("node_id"), b).as("__r"))
+      .select(col("node_id") +:
+        (0 until m).map(i =>
+          when(col("__b") === i, col("__r")).otherwise(lit(0))
+            .as(s"r$i")): _*))
+    def totalReach(st: DataFrame, round: Int): DataFrame = {
+      val present = rcols.map(c => when(col(c) > 0, 1L).otherwise(0L))
+        .reduce(_ + _)
+      val zsum = rcols.map(c =>
+        when(col(c) > 0, pow(lit(2.0), -col(c))).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      st.select(Profile.estimate(m, present, zsum).as("__est"))
+        .select(lit(round.toLong).as("round"),
+          sum(col("__est")).as("total_reach_est"))
+    }
+    val out = scala.collection.mutable.ArrayBuffer(totalReach(state, 0))
+    for (round <- 1 to rounds) {
+      val prop = e.join(
+          stateHint(state.withColumnRenamed("node_id", "src")), Seq("src"))
+        .select(col("dst").as("node_id") +: rcols.map(col): _*)
+      state = Materialize.once(state.unionByName(prop)
+        .groupBy("node_id")
+        .agg(max(col(rcols.head)).as(rcols.head),
+          rcols.tail.map(c => max(col(c)).as(c)): _*))
+      out += totalReach(state, round)
+    }
+    val result = out.reduce(_.unionByName(_)).orderBy("round")
+    if (!bucketed) result
+    else {
       val o = Materialize.once(result)
       o.count()
       e.unpersist(false)

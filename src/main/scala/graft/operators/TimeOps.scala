@@ -497,6 +497,26 @@ object TimeOps {
     *
     * Output: one row `(t_break, n, score_q, mean_left_ppm,
     * mean_right_ppm)`; means are `floor(10⁶·S/t)` ppm. */
+  /** Smallest `minUnit·10^k` keeping [[changepoint]]'s long quotient
+    * bound `n·x_max² < 10¹⁸·unit` satisfied for THIS series — the
+    * scale-proof way to pick `scoreUnit`: a fixed unit that fits
+    * sf0.1 revenue overflows at 10× the data (measured: sf1 daily
+    * cents reach 2.3·10¹⁰ over 2405 days). One driver-side agg over
+    * the calendar-bounded series; callers render the CHOSEN unit into
+    * their oracle (the fitted-model literal pattern). */
+  def changepointAutoUnit(series: DataFrame, valCol: String,
+                          minUnit: Long = 1L): Long = {
+    require(minUnit >= 1)
+    val row = series.agg(count(lit(1)),
+      max(abs(col(valCol).cast("long")))).head()
+    val n = row.getLong(0)
+    val xmax = math.max(row.getLong(1), 1L)
+    var unit = minUnit
+    while (BigInt(n) * BigInt(xmax).pow(2) >= BigInt(10).pow(18) * unit)
+      unit *= 10
+    unit
+  }
+
   def changepoint(series: DataFrame, tCol: String, valCol: String,
                   scoreUnit: Long = 1L): DataFrame = {
     require(scoreUnit >= 1, s"scoreUnit must be >= 1: $scoreUnit")

@@ -408,12 +408,30 @@ object AnalyticsQueries {
     daily.withColumn("t", row_number().over(Window.orderBy("day")))
   }
 
+  /** Data-driven changepoint score unit (the fitted-model holder
+    * pattern): a fixed unit that fits sf0.1 overflows the score long
+    * at 10x the revenue — resolve the smallest safe unit per
+    * (JVM, dir) and render IT into the oracle. */
+  private[queries] object ChangepointUnit {
+    val MinUnit = 1000000L
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    @volatile private[queries] var last: Long = MinUnit
+    def getOrResolve(s: SparkSession, d: String): Long = {
+      val u = cache.computeIfAbsent(d, _ =>
+        graft.operators.TimeOps.changepointAutoUnit(
+          dailyRevenueSeries(s, d), "cents", MinUnit))
+      last = u
+      u
+    }
+  }
+
   /** Best single changepoint of the daily-revenue series by exact
-    * two-segment least squares (see
+    * two-segment least squares; the score unit auto-scales to the
+    * series so the exact-rational argmax survives any sf (see
     * [[graft.operators.TimeOps.changepoint]]). */
   val q168Changepoint: Q = (s, d) =>
     graft.operators.TimeOps.changepoint(dailyRevenueSeries(s, d), "t", "cents",
-      scoreUnit = 1000000L)
+      scoreUnit = ChangepointUnit.getOrResolve(s, d))
 
   /** Benford first-digit audit of order totals (in cents): observed
     * leading-digit distribution vs the Benford expectation, deviation
@@ -468,7 +486,11 @@ object AnalyticsQueries {
     "q141_rfm_segments" -> q141RfmSegments,
   )
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = staticOracles +
+    ("q168_changepoint" -> graft.operators.TimeOps.changepointOracleSql(
+      DailyRevenueSeriesSql, scoreUnit = ChangepointUnit.last))
+
+  private val staticOracles: Map[String, String] = Map(
     "q172_holt_chart" -> {
       val k = 1000000000000L
       // inlined level/trend recurrence, mirroring TimeOps.holtChart
@@ -499,8 +521,7 @@ object AnalyticsQueries {
          |       cents - forecast AS err
          |FROM rec ORDER BY nation, mon""".stripMargin
     },
-    "q168_changepoint" -> graft.operators.TimeOps.changepointOracleSql(
-      DailyRevenueSeriesSql, scoreUnit = 1000000L),
+
     "q169_benford" -> {
       val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
         66946L, 57991L, 51152L, 45757L)

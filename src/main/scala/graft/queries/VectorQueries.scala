@@ -566,6 +566,55 @@ object VectorQueries {
       PqModel.RefineCand, PqModel.TopK)
   }
 
+  /** MJPEG frame extraction + REAL per-frame decode, oracle-checked:
+    * every doc becomes a concatenated-JPEG stream of 1 + doc_id%3
+    * textured frames with closed-form dims; Spark must walk the
+    * marker structure (stuffed FFs in entropy data and all), split
+    * exact frame ranges, parse SOF dims, AND genuinely decode each
+    * frame through javax.imageio — the decoded dims ride in the
+    * output, so a decoder/walk divergence breaks the hash (see
+    * [[graft.multimodal.Mjpeg]]). */
+  val q205MjpegFrames: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables(s, d, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val f = 1 + (id % 3).toInt
+          val out = new java.io.ByteArrayOutputStream()
+          var j = 0
+          while (j < f) {
+            val w = 48 + ((id + j) % 4).toInt * 16
+            val h = 32 + ((id + j) % 3).toInt * 16
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (40L + (id * 31 + j * 17 + x * 7 + y * 13) % 160).toInt
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            javax.imageio.ImageIO.write(img, "jpg", out)
+            j += 1
+          }
+          (id, out.toByteArray)
+        }
+      }
+    graft.multimodal.Mjpeg.explodeFrames(media)
+      .as[(Long, Long, Long, Int, Int, Array[Byte])].map {
+        case (id, idx, n, w, h, frame) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(frame))
+          (id, idx, n, w, h, img.getWidth, img.getHeight)
+      }.toDF("doc_id", "frame_idx", "n_frames", "width", "height",
+        "dec_width", "dec_height")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   private def ivfPqOracle: Map[String, String] =
     (PqModel.last, PqModel.lastCells) match {
       case (Some(cb), Some(cells)) => Map(
@@ -603,6 +652,7 @@ object VectorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q205_mjpeg_frames" -> q205MjpegFrames,
     "q202_ann_refine" -> q202AnnRefine,
     "q203_refine_recall" -> q203RefineRecall,
     "q194_pq_search" -> q194PqSearch,
@@ -878,6 +928,15 @@ object VectorQueries {
     // closed-form dHash replay: block sums of the planted texture
     // (brightness shifts PROVABLY cancel — the oracle never models
     // them), then the same adjacent-block bits and cluster assembly
+    "q205_mjpeg_frames" ->
+      """SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_frames,
+        |  CAST(48 + ((doc_id + j) % 4) * 16 AS INTEGER) AS width,
+        |  CAST(32 + ((doc_id + j) % 3) * 16 AS INTEGER) AS height,
+        |  CAST(48 + ((doc_id + j) % 4) * 16 AS INTEGER) AS dec_width,
+        |  CAST(32 + ((doc_id + j) % 3) * 16 AS INTEGER) AS dec_height
+        |FROM documents, LATERAL (SELECT unnest(range(1 + doc_id % 3)) AS j) g
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q102_image_phash" ->
       """WITH docs AS (SELECT doc_id, doc_id // 10 AS grp FROM documents),
         |grps AS (SELECT DISTINCT grp FROM docs),

@@ -179,7 +179,48 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  /** Release-gate privacy audit (k-anonymity + l-diversity) over the
+    * customer dimension: QIDs = (nation, market segment, account
+    * balance banded to 1000); sensitive = the exact balance inside the
+    * band. Reports every equivalence class that is below k=5 rows or
+    * l=3 distinct balances — the re-identifiable / homogeneous
+    * classes a release must generalize or suppress. One hash-agg
+    * shuffle; output is class-sized at any SF. */
+  val q206KAnonymity: Q = (s, d) => {
+    val cust = graft.Tables(s, d, "customer")
+      .withColumn("acct_band", graft.operators.Privacy.band(col("c_acctbal"), 1000L))
+    graft.operators.Privacy.riskClasses(
+      cust, Seq("c_nationkey", "c_mktsegment", "acct_band"),
+      k = 5, sensitive = Some("c_acctbal"), l = 3)
+      .orderBy("c_nationkey", "c_mktsegment", "acct_band")
+  }
+
+  /** ROUGE-1/-2 eval over (candidate, reference) pairs of adjacent
+    * documents — exact clipped n-gram counts plus single-division
+    * precision/recall, all inside one compiled projection (the only
+    * exchange is the pairing join itself). */
+  val q207Rouge: Q = (s, d) => {
+    val dd = docs(s, d)
+    val pairs = dd.filter(col("doc_id") % 20 === 1)
+      .select(col("doc_id"), col("text").as("cand_text"))
+      .join(dd.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("ref_text")), Seq("doc_id"))
+    val r1 = graft.operators.Rouge.rougeN(pairs, "cand_text", "ref_text", 1)
+      .withColumnRenamed("overlap_n", "overlap_1")
+      .withColumnRenamed("precision_n", "precision_1")
+      .withColumnRenamed("recall_n", "recall_1")
+      .drop("cand_grams", "ref_grams")
+    graft.operators.Rouge.rougeN(r1, "cand_text", "ref_text", 2)
+      .withColumnRenamed("overlap_n", "overlap_2")
+      .withColumnRenamed("precision_n", "precision_2")
+      .withColumnRenamed("recall_n", "recall_2")
+      .drop("cand_grams", "ref_grams", "cand_text", "ref_text")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q206_k_anonymity" -> q206KAnonymity,
+    "q207_rouge" -> q207Rouge,
     "q65_unicode_clean" -> q65UnicodeClean,
     "q66_paragraph_dedup" -> q66ParagraphDedup,
     "q67_vocab_oov" -> q67VocabOov,
@@ -246,6 +287,52 @@ object HygieneQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q206_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acct_band,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) < 5 OR count(DISTINCT c_acctbal) < 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q207_rouge" ->
+      """WITH pairs AS (
+        |  SELECT c.doc_id, c.text AS ctext, r.text AS rtext
+        |  FROM documents c JOIN documents r ON r.doc_id = c.doc_id - 1
+        |  WHERE c.doc_id % 20 = 1),
+        |base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(ctext), '\s+') AS cts,
+        |    regexp_split_to_array(trim(rtext), '\s+') AS rts
+        |  FROM pairs),
+        |c1 AS (SELECT doc_id, g, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(cts) AS g FROM base) GROUP BY 1, 2),
+        |r1 AS (SELECT doc_id, g, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(rts) AS g FROM base) GROUP BY 1, 2),
+        |o1 AS (SELECT c1.doc_id, CAST(sum(least(c1.c, r1.c)) AS BIGINT) AS ov
+        |  FROM c1 JOIN r1 ON c1.doc_id = r1.doc_id AND c1.g = r1.g GROUP BY 1),
+        |cb AS (SELECT doc_id, unnest(
+        |  [array_to_string(cts[i:i+1], ' ') for i in range(1, len(cts))]) AS g FROM base),
+        |rb AS (SELECT doc_id, unnest(
+        |  [array_to_string(rts[i:i+1], ' ') for i in range(1, len(rts))]) AS g FROM base),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM cb GROUP BY 1, 2),
+        |r2 AS (SELECT doc_id, g, count(*) AS c FROM rb GROUP BY 1, 2),
+        |o2 AS (SELECT c2.doc_id, CAST(sum(least(c2.c, r2.c)) AS BIGINT) AS ov
+        |  FROM c2 JOIN r2 ON c2.doc_id = r2.doc_id AND c2.g = r2.g GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(o1.ov, 0) AS BIGINT) AS overlap_1,
+        |  CASE WHEN len(cts) > 0
+        |    THEN CAST(coalesce(o1.ov, 0) AS DOUBLE) / len(cts) END AS precision_1,
+        |  CASE WHEN len(rts) > 0
+        |    THEN CAST(coalesce(o1.ov, 0) AS DOUBLE) / len(rts) END AS recall_1,
+        |  CAST(coalesce(o2.ov, 0) AS BIGINT) AS overlap_2,
+        |  CASE WHEN len(cts) >= 2
+        |    THEN CAST(coalesce(o2.ov, 0) AS DOUBLE) / (len(cts) - 1) END AS precision_2,
+        |  CASE WHEN len(rts) >= 2
+        |    THEN CAST(coalesce(o2.ov, 0) AS DOUBLE) / (len(rts) - 1) END AS recall_2
+        |FROM base b LEFT JOIN o1 ON b.doc_id = o1.doc_id
+        |  LEFT JOIN o2 ON b.doc_id = o2.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q76_hygiene_pipeline" -> {
       val pageSql = s"${sqlLit(HtmlPrefix)} || text || ${sqlLit(HtmlSuffix)}"
       s"""WITH built AS (SELECT doc_id,

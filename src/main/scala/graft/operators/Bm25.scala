@@ -16,14 +16,17 @@ import graft.functions.TextFunctions
   *   idf(q) = ln(1 + (N - df(q) + 0.5) / (df(q) + 0.5))        (Lucene form, always > 0)
   * }}}
   *
-  * 100 TB shape: the query set is tiny and BROADCAST — the corpus
-  * token stream is semi-joined down to query terms BEFORE any
-  * aggregation, so the per-(doc,term) shuffle carries only matching
-  * postings (|docs with a hit| × |query terms|, not the corpus
-  * vocabulary). Corpus stats (N, Σdl) are a one-row aggregate
-  * broadcast-crossed into the plan; df is computed over the filtered
+  * 100 TB shape: the query set is tiny and DRIVER-KNOWN — per-term tf
+  * is a compiled in-array count per document (no corpus token explode,
+  * no per-(doc,term) shuffle at all); only matching (doc, term) hits
+  * ever become rows. Corpus stats (N, Σdl) are a one-row aggregate
+  * broadcast-crossed into the plan; df is computed over the hit
   * postings only (exactly the df of each query term). No global sort:
-  * top-k per query is a per-query window over candidates.
+  * top-k per query is a per-query window over candidates. The
+  * scan-side cost is O(|tokens| · |query terms|) comparisons inside
+  * whole-stage codegen — the right trade until the term set grows
+  * past a few hundred, where [[Bm25Index]]'s persistent postings
+  * take over.
   *
   * Determinism contract (cross-engine oracle): each per-term
   * contribution is quantized to `floor(x·10⁶)` as a LONG and the
@@ -52,14 +55,30 @@ object Bm25 {
       count(lit(1)).as("n"),
       sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("sumdl"))
 
-    // corpus postings, cut to query terms BEFORE the (doc, term) shuffle
-    val toks = docs.select(
-      col(idCol).as("doc_id"),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+    // the query terms are DRIVER-KNOWN and tiny, so per-term tf is a
+    // compiled projection — count each term inside the token array and
+    // emit only the hits. The corpus token stream is never exploded and
+    // the per-(doc, term) groupBy shuffle disappears entirely; the only
+    // remaining exchanges are term-sized (df) and candidate-sized
+    // (per-query totals). Driver-side tokenization mirrors
+    // TextFunctions.tokens (trim + \s+ split, blanks dropped).
+    val terms: Seq[String] = queries
+      .flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty).distinct
+    if (terms.isEmpty)
+      return scoreAndRank(
+        docs.select(col(idCol).as("doc_id"), lit(0L).as("dl"),
+          lit("").as("term"), lit(0L).as("tf")).limit(0),
+        qTerms, stats, k, k1, b)
 
-    val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val ts = TextFunctions.tokens(col(textCol))
+    val entries = array(terms.map(t =>
+      struct(lit(t).as("term"),
+        size(filter(ts, x => x === lit(t))).cast("long").as("tf"))): _*)
+    val tf = docs
+      .select(col(idCol).as("doc_id"), size(ts).cast("long").as("dl"),
+        explode(filter(entries, e => e.getField("tf") > 0)).as("e"))
+      .select(col("doc_id"), col("dl"),
+        col("e.term").as("term"), col("e.tf").as("tf"))
     scoreAndRank(tf, qTerms, stats, k, k1, b)
   }
 

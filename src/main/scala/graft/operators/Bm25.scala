@@ -38,6 +38,12 @@ import graft.functions.TextFunctions
   */
 object Bm25 {
 
+  /** CPU-heavy scans must not inherit the input's split count — a
+    * single small parquet file reads as one partition and serializes
+    * the tokenize pass on one core (the Dedup.fanOut discipline). */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Top-k docs per query by quantized BM25 score.
     *
     * @param queries (qid, query text) pairs; terms tokenized with the
@@ -49,19 +55,21 @@ object Bm25 {
            queries: Seq[(Int, String)], k: Int = 10,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = queryTerms(docs.sparkSession, queries)
+    val corpus = fanOut(docs)
 
     // one-row corpus stats (N docs, total token count) — broadcast-crossed
-    val stats = docs.agg(
+    val stats = corpus.agg(
       count(lit(1)).as("n"),
       sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("sumdl"))
 
-    // the query terms are DRIVER-KNOWN and tiny, so per-term tf is a
-    // compiled projection — count each term inside the token array and
-    // emit only the hits. The corpus token stream is never exploded and
-    // the per-(doc, term) groupBy shuffle disappears entirely; the only
-    // remaining exchanges are term-sized (df) and candidate-sized
-    // (per-query totals). Driver-side tokenization mirrors
-    // TextFunctions.tokens (trim + \s+ split, blanks dropped).
+    // the query terms are DRIVER-KNOWN and tiny, so per-term tf comes
+    // from ONE compiled pass per document (TokenTermCounts: tokenize
+    // once, bucket tokens through the constant term map). The corpus
+    // token stream is never exploded and the per-(doc, term) groupBy
+    // shuffle disappears entirely; the only remaining exchanges are
+    // term-sized (df) and candidate-sized (per-query totals).
+    // Driver-side tokenization mirrors TextFunctions.tokens (trim +
+    // \s+ split, blanks dropped).
     val terms: Seq[String] = queries
       .flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty).distinct
     if (terms.isEmpty)
@@ -70,15 +78,16 @@ object Bm25 {
           lit("").as("term"), lit(0L).as("tf")).limit(0),
         qTerms, stats, k, k1, b)
 
-    val ts = TextFunctions.tokens(col(textCol))
-    val entries = array(terms.map(t =>
-      struct(lit(t).as("term"),
-        size(filter(ts, x => x === lit(t))).cast("long").as("tf"))): _*)
-    val tf = docs
-      .select(col(idCol).as("doc_id"), size(ts).cast("long").as("dl"),
-        explode(filter(entries, e => e.getField("tf") > 0)).as("e"))
+    val termArr = array(terms.map(lit): _*)
+    val tf = corpus
+      .select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.TokenTermCounts(col(textCol), terms).as("__tc"))
+      .select(col("doc_id"),
+        element_at(col("__tc"), terms.length + 1).as("dl"),
+        posexplode(slice(col("__tc"), 1, terms.length)))
+      .filter(col("col") > 0)
       .select(col("doc_id"), col("dl"),
-        col("e.term").as("term"), col("e.tf").as("tf"))
+        element_at(termArr, col("pos") + 1).as("term"), col("col").as("tf"))
     scoreAndRank(tf, qTerms, stats, k, k1, b)
   }
 

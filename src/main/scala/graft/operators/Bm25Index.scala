@@ -48,14 +48,26 @@ object Bm25Index {
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
             nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1)
-    val toks = docs.select(
+    // tokenize must not inherit a small file's split count (the
+    // Dedup.fanOut discipline) — a one-file corpus would serialize the
+    // whole explode+aggregate on one or two cores
+    val corpus = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    val toks = corpus.select(
       col(idCol).as("doc_id"),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", TextFunctions.portableHash(col("term")) % nBuckets)
+      // align the write to the bucket layout: without this every
+      // shuffle partition opens a writer per bucket dir (partitions ×
+      // nBuckets small files — the probe then pays footer reads and
+      // task scheduling per file); keyed on bucket each dir gets ONE
+      // file, and the extra postings-sized exchange is far cheaper
+      // than the file-count tax it removes
+      .repartition(nBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    docs.agg(
+    corpus.agg(
       count(lit(1)).as("n"),
       sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("sumdl"))
       .withColumn("n_buckets", lit(nBuckets))

@@ -115,6 +115,24 @@ object Pq {
       lit(2L) * intDot(element_at(slices, s + lit(1)),
         element_at(element_at(cpq, s + lit(1)), ci + lit(1)))
 
+  /** Query-side ADC prep: (query_id, __aa, __tab) where __tab is the
+    * subspace-major m·k table of reduced distances to EVERY centroid —
+    * the classic ADC lookup table, built with (interpreted) HOFs on
+    * the probe-set-sized side only. Entries are exactly
+    * [[reducedDist]] longs, so distances assembled from the table are
+    * bit-identical to the per-candidate fold they replace. */
+  private def adcQuerySide(queries: DataFrame, idCol: String,
+                           vecCol: String, cb: Codebooks): DataFrame = {
+    val cpq = cbLit(cb); val bb = bbLit(cb)
+    queries.select(col(idCol).as("query_id"), qvec(vecCol).as("__qq"))
+      .select(col("query_id"), intDot(col("__qq"), col("__qq")).as("__aa"),
+        slicesCol(col("__qq"), cb).as("__qsl"))
+      .select(col("query_id"), col("__aa"),
+        flatten(transform(sequence(lit(0), lit(cb.m - 1)), s =>
+          transform(sequence(lit(0), lit(cb.k - 1)), c =>
+            reducedDist(col("__qsl"), s, c, cpq, bb)))).as("__tab"))
+  }
+
   /** PQ codes per row: (idCol, codes array<int> of length m) — a
     * zero-shuffle projection. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
@@ -127,10 +145,13 @@ object Pq {
     encodeQuantized(df.select(col(idCol), qvec(vecCol).as("__qv")),
       idCol, "__qv", cb)
 
-  /** PQ code array over pre-sliced subvectors: argmin = lexicographic
-    * `array_min` over (reduced dist, code) structs — ties to the
-    * lower code, ordering identical to the true distance. */
-  private def codesExpr(slices: Column, cb: Codebooks): Column = {
+  /** HOF reference formulation of the PQ code array: argmin =
+    * lexicographic `array_min` over (reduced dist, code) structs —
+    * ties to the lower code, ordering identical to the true distance.
+    * Kept for differential testing only; the hot path is the compiled
+    * [[org.apache.spark.sql.graft.PqCodes]] (HOF lambdas are
+    * interpreted per step — corpus-encode dominated the PQ tier). */
+  private[operators] def codesExprHof(slices: Column, cb: Codebooks): Column = {
     val cpq = cbLit(cb); val bb = bbLit(cb)
     transform(sequence(lit(0), lit(cb.m - 1)), s =>
       array_min(transform(sequence(lit(0), lit(cb.k - 1)), ci =>
@@ -138,11 +159,15 @@ object Pq {
         .getField("c"))
   }
 
-  /** [[encode]] over an ALREADY-quantized integer vector column. */
+  private[operators] def slicesColForTest(qv: Column, cb: Codebooks): Column =
+    slicesCol(qv, cb)
+
+  /** [[encode]] over an ALREADY-quantized integer vector column — one
+    * compiled O(m·k·dsub) pass per row. */
   private def encodeQuantized(df: DataFrame, idCol: String, qvCol: String,
                               cb: Codebooks): DataFrame =
-    df.select(col(idCol), slicesCol(col(qvCol), cb).as("__sl"))
-      .select(col(idCol), codesExpr(col("__sl"), cb).as("codes"))
+    df.select(col(idCol),
+      org.apache.spark.sql.graft.PqCodes(col(qvCol), cb.cents).as("codes"))
 
   /** ADC top-k: exact queries against coded candidates. Queries
     * broadcast; the scan touches ONLY the code table.
@@ -152,15 +177,15 @@ object Pq {
     */
   def adcTopK(queries: DataFrame, codes: DataFrame, idCol: String,
               vecCol: String, cb: Codebooks, k: Int): DataFrame = {
-    val cpq = cbLit(cb); val bb = bbLit(cb)
-    val q = queries.select(col(idCol).as("query_id"), qvec(vecCol).as("__qq"))
-      .select(col("query_id"), intDot(col("__qq"), col("__qq")).as("__aa"),
-        slicesCol(col("__qq"), cb).as("__qsl"))
+    // ADC table per query: the m·k reduced subspace distances
+    // precompute ONCE on the (tiny, broadcast) query side — HOFs are
+    // fine on 10 rows — and the corpus-sized scan pays m compiled
+    // table lookups per candidate (StridedIndexSum), not m interpreted
+    // subvector dots
+    val q = adcQuerySide(queries, idCol, vecCol, cb)
     val dists = codes.crossJoin(broadcast(q))
       .withColumn("dist", col("__aa") +
-        aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0L),
-          (acc, s) => acc + reducedDist(col("__qsl"), s,
-            element_at(col("codes"), s + lit(1)), cpq, bb)))
+        org.apache.spark.sql.graft.StridedIndexSum(col("codes"), col("__tab")))
     dists
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
@@ -206,14 +231,14 @@ object Pq {
         lit(2L) * intDot(qv, element_at(cc, ci + lit(1)))
     // argmin cell AND PQ codes in ONE zero-shuffle projection over the
     // pre-quantized vector (emitting them separately and re-joining on
-    // id would recompute the corpus pass twice and add a shuffle)
+    // id would recompute the corpus pass twice and add a shuffle);
+    // both argmins are compiled kernels with the same strict-less /
+    // lower-index tie rule as the HOF formulations they replace
     val codes = corpus.select(col(idCol), qvec(vecCol).as("__qv"))
-      .select(col(idCol), col("__qv"), slicesCol(col("__qv"), cb).as("__sl"))
       .select(col(idCol),
-        array_min(transform(sequence(lit(0), lit(nCells - 1)), ci =>
-          struct(cellRank(col("__qv"), ci).as("d"), ci.as("c"))))
-          .getField("c").as("cell"),
-        codesExpr(col("__sl"), cb).as("codes"))
+        org.apache.spark.sql.graft.LongNearestCentroid(col("__qv"), cellCents)
+          .as("cell"),
+        org.apache.spark.sql.graft.PqCodes(col("__qv"), cb.cents).as("codes"))
     // per query: the nProbe nearest cells by exact distance ordering
     val q = queries.select(col(idCol).as("query_id"), qvec(vecCol).as("__qq"))
     val probes = q
@@ -227,12 +252,16 @@ object Pq {
       .select(col("query_id"),
         intDot(col("__qq"), col("__qq")).as("__aa"),
         slicesCol(col("__qq"), cb).as("__qsl"), col("cell"))
+    // per-probe ADC table (HOFs on the probe-set-sized side only);
+    // the candidate scan pays m compiled lookups per row
     val cpq = cbLit(cb); val bb = bbLit(cb)
-    codes.join(broadcast(probes), Seq("cell"))
+    val probesTab = probes.select(col("query_id"), col("__aa"), col("cell"),
+      flatten(transform(sequence(lit(0), lit(cb.m - 1)), s =>
+        transform(sequence(lit(0), lit(cb.k - 1)), c =>
+          reducedDist(col("__qsl"), s, c, cpq, bb)))).as("__tab"))
+    codes.join(broadcast(probesTab), Seq("cell"))
       .withColumn("dist", col("__aa") +
-        aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0L),
-          (acc, s) => acc + reducedDist(col("__qsl"), s,
-            element_at(col("codes"), s + lit(1)), cpq, bb)))
+        org.apache.spark.sql.graft.StridedIndexSum(col("codes"), col("__tab")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("dist"), col(idCol))).cast("long"))

@@ -108,7 +108,10 @@ object Similarity {
     val base = if (n > maxTrainRows)
       corpus.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
     else corpus
-    val train = base.select(
+    // 10 Lloyd iterations must not inherit a small file's split count
+    // (fanOut discipline); round-robin is deterministic for a fixed
+    // input order, so the fit stays reproducible per layout
+    val train = fanOut(base).select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .fit(train).clusterCenters.map(_.toArray)

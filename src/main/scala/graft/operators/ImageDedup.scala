@@ -37,6 +37,9 @@ object ImageDedup {
     * signed-64 overflow on the top bit. Throws on undecodable bytes
     * (route non-images through Multimodal.AutoDecoder first). */
   def dHash64(content: Array[Byte]): (Long, Long) = {
+    // heap-only ImageIO: the default temp-FILE stream cache costs more
+    // than the decode itself on thumbnail-sized in-memory images
+    javax.imageio.ImageIO.setUseCache(false)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     require(img != null, "dHash64: undecodable image bytes")
     val (w, h) = (img.getWidth, img.getHeight)

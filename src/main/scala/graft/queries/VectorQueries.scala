@@ -221,6 +221,9 @@ object VectorQueries {
       // 1-2 splits (the Dedup.fanOut rule)
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
+        // ImageIO defaults to a temp-FILE-backed stream cache — a large
+        // constant cost per tiny in-memory image; decode/encode from heap
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           val w = 16 + (id % 32).toInt
           val h = 16 + (id % 24).toInt
@@ -271,6 +274,9 @@ object VectorQueries {
     Tables(s, d, "documents").select(col("doc_id")).as[Long]
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
+        // ImageIO defaults to a temp-FILE-backed stream cache — a large
+        // constant cost per tiny in-memory image; decode/encode from heap
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           val sr = 8000
           val nch = 1 + (id % 2).toInt
@@ -321,6 +327,9 @@ object VectorQueries {
     val media = Tables(s, d, "documents").select(col("doc_id")).as[Long]
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
+        // ImageIO defaults to a temp-FILE-backed stream cache — a large
+        // constant cost per tiny in-memory image; decode/encode from heap
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           val g = id / 10
           val shift = (id % 10).toInt
@@ -360,6 +369,9 @@ object VectorQueries {
     val media = Tables(s, d, "documents").select(col("doc_id")).as[Long]
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
+        // ImageIO defaults to a temp-FILE-backed stream cache — a large
+        // constant cost per tiny in-memory image; decode/encode from heap
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           val g = id / 10
           val j = (id % 10).toInt
@@ -579,6 +591,9 @@ object VectorQueries {
     val media = Tables(s, d, "documents").select(col("doc_id")).as[Long]
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
+        // ImageIO defaults to a temp-FILE-backed stream cache — a large
+        // constant cost per tiny in-memory image; decode/encode from heap
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           val f = 1 + (id % 3).toInt
           val out = new java.io.ByteArrayOutputStream()
@@ -607,6 +622,7 @@ object VectorQueries {
     graft.multimodal.Mjpeg.explodeFrames(media)
       .as[(Long, Long, Long, Int, Int, Array[Byte])].map {
         case (id, idx, n, w, h, frame) =>
+          javax.imageio.ImageIO.setUseCache(false) // heap-only streams
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(frame))
           (id, idx, n, w, h, img.getWidth, img.getHeight)

@@ -292,14 +292,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"$exchanges key shuffles (want 1):\n$p")
   }
 
-  test("q110: BM25 postings cut by a broadcast semi join; stats/df/query joins all broadcast") {
+  test("q110: BM25 tf is a compiled scan pass; stats/df/query joins all broadcast") {
     val p = finalPlan("q110_bm25")
-    // the corpus token stream must be filtered by BroadcastHashJoin
-    // (LeftSemi) BEFORE the tf shuffle, and every small side (df,
-    // stats, query terms) must broadcast — an SMJ anywhere means a
-    // corpus-sized shuffle snuck in
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      s"query-term semi join not broadcast:\n$p")
+    // per-term tf comes from ONE token_term_counts pass per document —
+    // no corpus token explode and no per-(doc, term) aggregation
+    // shuffle may reappear; every small side (df, stats, query terms)
+    // must broadcast — an SMJ anywhere means a corpus-sized shuffle
+    // snuck in
+    assert(p.contains("token_term_counts"),
+      s"compiled term-count pass missing:\n$p")
+    assert(!p.contains("HashAggregate(keys=[doc_id"),
+      s"per-(doc, term) aggregation shuffle reappeared:\n$p")
     assert(!p.contains("SortMergeJoin"), s"BM25 degraded to SMJ:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"one-row stats not broadcast:\n$p")

@@ -21,10 +21,22 @@ def norm(df):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: "i/k" shard selector (e.g. "0/4") to fan the
+    # oracle replay across parallel processes at big SFs, or a
+    # comma-separated name-prefix filter
+    shard = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if shard and "/" in shard:
+        i, k = map(int, shard.split("/"))
+        names = sorted(oracle)
+        oracle = {n: oracle[n] for j, n in enumerate(names) if j % k == i}
+    elif shard:
+        ps = shard.split(",")
+        oracle = {n: s for n, s in oracle.items()
+                  if any(n.startswith(p) for p in ps)}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{outdir}/{name}/*.parquet")

@@ -549,8 +549,14 @@ object TimeOps {
       .orderBy(col("score_q").desc, col("t").asc)
       .limit(1)
       .select(col("t").as("t_break"), lit(n).as("n"), col("score_q"),
-        expr("(1000000 * sl) div t").as("mean_left_ppm"),
-        expr(s"(1000000 * sr) div (${n}L - t)").as("mean_right_ppm"))
+        // ppm means in DECIMAL: 10^6 · Σx overflows the LONG once the
+        // series total passes ~9·10^12 (seen at sf1 revenue scale);
+        // the div quotient (10^6 · mean) still fits a long under the
+        // |x| < 10^15 family contract
+        expr(s"(CAST(1000000 AS $dec) * CAST(sl AS $dec)) div CAST(t AS $dec)")
+          .as("mean_left_ppm"),
+        expr(s"(CAST(1000000 AS $dec) * CAST(sr AS $dec)) div CAST(${n}L - t AS $dec)")
+          .as("mean_right_ppm"))
   }
 
   /** DuckDB replica of [[changepoint]] (HUGEINT). `seriesSql` must

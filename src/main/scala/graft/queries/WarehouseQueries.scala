@@ -518,10 +518,12 @@ object WarehouseQueries {
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
         |  FROM orders GROUP BY 1),
-        |st AS (SELECT count(*) AS n, sum(cents) AS s, sum(cents * cents) AS q
+        |st AS (SELECT count(*) AS n, sum(CAST(cents AS HUGEINT)) AS s,
+        |       sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS q
         |       FROM daily)
         |SELECT day, cents,
-        |       (cents * n - s) * (cents * n - s) > 9 * (n * q - s * s)
+        |       (CAST(cents AS HUGEINT) * n - s) * (CAST(cents AS HUGEINT) * n - s)
+        |         > 9 * (n * q - s * s)
         |         AS is_outlier
         |FROM daily, st ORDER BY day""".stripMargin,
   )

@@ -64,6 +64,31 @@ object Privacy {
     cls.filter(cond)
   }
 
+  /** Generalization ladder: for every candidate band width, the
+    * k-anonymity profile the release WOULD have if the numeric QID
+    * were banded at that width — class count, smallest class, and
+    * whether the target k is achieved. The "how much do I have to
+    * coarsen" question answered in ONE pass: widths explode against
+    * the row stream BEFORE the shuffle (|widths| is a handful by
+    * contract), one hash-agg to class sizes, one widths-sized
+    * roll-up. Monotone by construction (wider bands merge classes),
+    * so the first achieving row is the minimal generalization. */
+  def generalizationLadder(df: DataFrame, qids: Seq[String],
+                           numCol: String, widths: Seq[Long],
+                           k: Long): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0), "need positive widths")
+    val cls = df
+      .select((col(numCol) +: qids.map(col)) :+
+        explode(typedlit(widths)).as("width"): _*)
+      .withColumn("__band", floor(col(numCol) / col("width")).cast("long") * col("width"))
+      .groupBy((col("width") +: qids.map(col)) :+ col("__band"): _*)
+      .agg(count(lit(1)).as("__c"))
+    cls.groupBy("width").agg(
+      count(lit(1)).as("n_classes"),
+      min(col("__c")).as("min_class"),
+      (min(col("__c")) >= k).as("achieves_k"))
+  }
+
   /** Headline audit numbers for a release gate: the table-wide minimum
     * class size (the achieved k), minimum l (achieved diversity), the
     * number of risk classes and the number of ROWS they cover — the

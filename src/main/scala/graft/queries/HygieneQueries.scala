@@ -195,6 +195,17 @@ object HygieneQueries {
       .orderBy("c_nationkey", "c_mktsegment", "acct_band")
   }
 
+  /** The generalization ladder for q206's release gate: how wide must
+    * the account-balance bands be (with nation as the other QID)
+    * before every equivalence class reaches k=3 — the audit that
+    * turns a failed k-anonymity check into an actionable coarsening
+    * decision. One pass over customer regardless of ladder length. */
+  val q208GeneralizeLadder: Q = (s, d) =>
+    graft.operators.Privacy.generalizationLadder(
+      graft.Tables(s, d, "customer"), Seq("c_nationkey"), "c_acctbal",
+      widths = Seq(500L, 1000L, 2000L, 4000L, 8000L), k = 3)
+      .orderBy("width")
+
   /** ROUGE-1/-2 eval over (candidate, reference) pairs of adjacent
     * documents — exact clipped n-gram counts plus single-division
     * precision/recall, all inside one compiled projection (the only
@@ -221,6 +232,7 @@ object HygieneQueries {
   val queries: Map[String, Q] = Map(
     "q206_k_anonymity" -> q206KAnonymity,
     "q207_rouge" -> q207Rouge,
+    "q208_generalize_ladder" -> q208GeneralizeLadder,
     "q65_unicode_clean" -> q65UnicodeClean,
     "q66_paragraph_dedup" -> q66ParagraphDedup,
     "q67_vocab_oov" -> q67VocabOov,
@@ -287,6 +299,17 @@ object HygieneQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q208_generalize_ladder" ->
+      """WITH wl AS (SELECT unnest([500, 1000, 2000, 4000, 8000]) AS width),
+        |cls AS (SELECT width, c_nationkey,
+        |    CAST(floor(c_acctbal / width) * width AS BIGINT) AS b,
+        |    count(*) AS c
+        |  FROM customer, wl GROUP BY 1, 2, 3)
+        |SELECT CAST(width AS BIGINT) AS width,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(c) AS BIGINT) AS min_class,
+        |  min(c) >= 3 AS achieves_k
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     "q206_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acct_band,

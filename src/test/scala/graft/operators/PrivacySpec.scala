@@ -51,6 +51,16 @@ class PrivacySpec extends SparkSpec {
     assert(banded.toSeq == Seq(-1000L, -1000L, 0L, 0L, 1000L, 2000L))
   }
 
+  test("generalizationLadder: monotone min-class profile, first achieving width is minimal") {
+    // bal values 0..9: width 1 -> singletons; width 5 -> two classes
+    // of 5; width 10 -> one class of 10 (single nation)
+    val rows = (0 until 10).map(i => (1, i.toDouble)).toDF("nat", "bal")
+    val out = Privacy.generalizationLadder(rows, Seq("nat"), "bal",
+      widths = Seq(1L, 5L, 10L), k = 5).orderBy("width").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, 10L, 1L, false), (5L, 2L, 5L, true), (10L, 1L, 10L, true)))
+  }
+
   test("summary: headline gate numbers") {
     val s = Privacy.summary(rows, Seq("nat", "seg"), k = 5, "bal", l = 3).collect().head
     assert(s.getLong(0) == 1L) // achieved k = the singleton

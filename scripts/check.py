@@ -31,12 +31,16 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if shard and "/" in shard:
         i, k = map(int, shard.split("/"))
+        if k <= 0 or not (0 <= i < k):
+            sys.exit(f"bad shard selector '{shard}': need 0 <= i < k, k > 0")
         names = sorted(oracle)
         oracle = {n: oracle[n] for j, n in enumerate(names) if j % k == i}
     elif shard:
         ps = shard.split(",")
         oracle = {n: s for n, s in oracle.items()
                   if any(n.startswith(p) for p in ps)}
+    if shard and not oracle:
+        sys.exit(f"shard/filter '{shard}' selected zero queries — nothing to check")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{outdir}/{name}/*.parquet")

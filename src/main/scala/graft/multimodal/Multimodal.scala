@@ -90,7 +90,8 @@ object Multimodal {
 
     // by default ImageIO spills every ImageInputStream to a temp FILE —
     // a large constant cost per tiny in-memory image; decode from heap
-    ImageIO.setUseCache(false)
+    // (shared once-per-JVM switch)
+    ImageIoConfig.heapOnly()
 
     private def read(content: Array[Byte]): BufferedImage = {
       val img = ImageIO.read(new ByteArrayInputStream(content))

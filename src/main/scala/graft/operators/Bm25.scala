@@ -68,10 +68,12 @@ object Bm25 {
     // token stream is never exploded and the per-(doc, term) groupBy
     // shuffle disappears entirely; the only remaining exchanges are
     // term-sized (df) and candidate-sized (per-query totals).
-    // Driver-side tokenization mirrors TextFunctions.tokens (trim +
-    // \s+ split, blanks dropped).
-    val terms: Seq[String] = queries
-      .flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty).distinct
+    // Driver-side tokenization goes through THE corpus tokenizer
+    // contract (TextCodec.tokenize: U+0020-only trim, \s+ split with
+    // limit -1) — java.lang.String.trim would diverge on tab/newline
+    // -adjacent whitespace. Leading "" tokens (non-space leading
+    // whitespace) are dropped on BOTH sides: here and in queryTerms.
+    val terms: Seq[String] = driverTerms(queries)
     if (terms.isEmpty)
       return scoreAndRank(
         docs.select(col(idCol).as("doc_id"), lit(0L).as("dl"),
@@ -91,14 +93,29 @@ object Bm25 {
     scoreAndRank(tf, qTerms, stats, k, k1, b)
   }
 
+  /** The distinct driver-known term list, tokenized through THE corpus
+    * tokenizer contract (TextCodec.tokenize: U+0020-only trim, \s+
+    * split, limit -1) — java.lang.String.trim would diverge on
+    * tab/newline-adjacent whitespace. The "" token non-space leading
+    * whitespace produces is dropped, mirroring [[queryTerms]]. */
+  private[operators] def driverTerms(queries: Seq[(Int, String)]): Seq[String] =
+    queries.flatMap { case (_, q) =>
+      org.apache.spark.sql.graft.TextCodec.tokenize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(q))
+    }.filter(_.nonEmpty).distinct
+
   /** The query set as (qid, term) rows — tokenized with the corpus
-    * tokenizer, per-query duplicates dropped. */
+    * tokenizer, per-query duplicates dropped. The "" token a
+    * non-space-leading-whitespace query would produce is filtered here
+    * to mirror the driver-side term list (the tf scan never emits tf
+    * rows for ""). */
   private[operators] def queryTerms(spark: org.apache.spark.sql.SparkSession,
                                     queries: Seq[(Int, String)]): DataFrame = {
     import spark.implicits._
     queries.toDF("qid", "qtext")
       .select(col("qid"),
         explode(array_distinct(TextFunctions.tokens(col("qtext")))).as("term"))
+      .filter(col("term") =!= "")
   }
 
   /** The shared scoring tail: df from the (already query-filtered)

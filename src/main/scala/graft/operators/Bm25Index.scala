@@ -131,8 +131,9 @@ object Bm25Index {
         "predates the layout-pinning sidecar; rebuild it")
     val nBuckets = statsAll.select("n_buckets").head().getInt(0)
     // control-plane: the query set is small by contract — its terms'
-    // buckets resolve on the driver and prune the postings scan
-    val terms = queries.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty).distinct
+    // buckets resolve on the driver (via the corpus tokenizer
+    // contract, see Bm25.driverTerms) and prune the postings scan
+    val terms = Bm25.driverTerms(queries)
     val buckets = terms.map(t => portableHashJvm(t) % nBuckets).distinct
     val tf = spark.read.parquet(s"$indexPath/postings")
       .filter(col("bucket").isin(buckets: _*))

@@ -34,6 +34,19 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  /** Default hot-shingle document-frequency cap for the overlap-dedup
+    * family ([[ngramJaccardDuplicates]], [[containmentPairs]]). The
+    * postings self-join does Σ_shingle df² work, so ONE boilerplate
+    * shingle with df = 10⁶ emits ~5·10¹¹ candidate rows — the classic
+    * 100 TB killer. Capping df bounds per-shingle work at cap² while
+    * candidates are still verified EXACTLY against the full shingle
+    * sets, so every emitted pair carries its true score; the only
+    * semantic change is lost recall for pairs sharing NOTHING but
+    * hotter-than-cap shingles (the standard ssjoin trade). Callers who
+    * genuinely want the uncapped quadratic (brute-force oracle anchors)
+    * must say so explicitly with a negative value. */
+  val DefaultMaxDocFrequency: Long = 128L
+
   /** CPU-heavy per-row stages (shingling, hashing) must not inherit the
     * input's split count — a single small parquet file reads as one
     * partition and serializes the whole operator on one core. Fan out
@@ -185,20 +198,27 @@ object Dedup {
     * overlap, never O(n²) over the corpus; one shuffle on the shingle
     * key + one on the pair key.
     *
-    * For corpora with pathological hot shingles set `maxDocFrequency`:
-    * shingles appearing in more documents are excluded from CANDIDATE
-    * GENERATION (bounding the postings² blowup), and surviving
-    * candidate pairs are verified with the exact full-shingle-set
-    * Jaccard — so every emitted pair carries its true score, and the
-    * only semantic change is lost recall for pairs sharing nothing but
-    * hot shingles (the standard ssjoin trade). */
+    * Hot-shingle capping is ON BY DEFAULT ([[DefaultMaxDocFrequency]]):
+    * shingles appearing in more than `maxDocFrequency` documents are
+    * excluded from CANDIDATE GENERATION (bounding the postings² blowup),
+    * and surviving candidate pairs are verified with the exact
+    * full-shingle-set Jaccard — so every emitted pair carries its true
+    * score, and the only semantic change is lost recall for pairs
+    * sharing nothing but hot shingles (the standard ssjoin trade).
+    * Pass a NEGATIVE `maxDocFrequency` to explicitly run the uncapped
+    * quadratic (brute-force oracle anchor only — Σdf² work); 0, the old
+    * silent-uncapped sentinel, now fails loudly. */
   def ngramJaccardDuplicates(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double, shingleSize: Int = 3,
-                             maxDocFrequency: Long = 0L): DataFrame = {
+                             maxDocFrequency: Long = DefaultMaxDocFrequency): DataFrame = {
+    require(maxDocFrequency != 0L,
+      "maxDocFrequency = 0 (the old silent-uncapped sentinel) is a corpus² " +
+        "risk at scale; pass a positive cap, or a negative value to " +
+        "explicitly run uncapped")
     val docs = fanOut(df).select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
       .filter(size(col("sh")) > 0)
-    if (maxDocFrequency <= 0L) {
+    if (maxDocFrequency < 0L) {
       // exact path: |A∩B| falls straight out of the count join
       val postings = docs.select(col("id"), size(col("sh")).as("len"),
         explode(col("sh")).as("s"))
@@ -252,33 +272,71 @@ object Dedup {
     * exactly the target. All arithmetic is integer: containments are
     * emitted in ppm via `(shared·10⁶) div len` and the threshold is a
     * ppm long, so results are engine-exact with no float boundary.
-    * One shuffle on the shingle key, one on the pair key; work scales
-    * with true shingle overlap, never corpus². Hot-shingle corpora:
-    * pre-cap postings like the Jaccard path's `maxDocFrequency` before
-    * calling (candidates here are exact, not verified-after).
+    * One shuffle on the shingle key, one on the pair key.
+    *
+    * Hot-shingle capping is ON BY DEFAULT ([[DefaultMaxDocFrequency]]):
+    * candidate pairs come only from shingles with df ≤ cap (bounding
+    * per-shingle join work at cap²), then every candidate is verified
+    * EXACTLY against the two full distinct-shingle sets — shared,
+    * lengths and both ppm containments are computed over the UNCAPPED
+    * sets, so emitted rows are bit-identical to the uncapped join's;
+    * the only semantic change is lost recall for pairs sharing nothing
+    * but hotter-than-cap shingles. Pass a NEGATIVE `maxDocFrequency`
+    * for the explicit uncapped Σdf² join (oracle anchor only); 0 fails
+    * loudly.
     *
     * @return (id_a, id_b, shared, a_sh, b_sh, cont_a_q, cont_b_q) with
     *         id_a < id_b, kept when either direction ≥ thresholdPpm
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        thresholdPpm: Long = 800000L,
-                       shingleSize: Int = 3): DataFrame = {
+                       shingleSize: Int = 3,
+                       maxDocFrequency: Long = DefaultMaxDocFrequency): DataFrame = {
+    require(maxDocFrequency != 0L,
+      "maxDocFrequency = 0 is ambiguous; pass a positive cap, or a " +
+        "negative value to explicitly run the uncapped quadratic join")
     val docs = fanOut(df).select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val postings = docs.select(col("id"), size(col("sh")).cast("long").as("len"),
-      explode(col("sh")).as("s"))
-      .transform(Materialize.once) // both join sides read the shingling pass
-    postings.as("a")
-      .join(postings.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.len").as("a_sh"), col("b.len").as("b_sh"))
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("cont_a_q", expr("(shared * 1000000) div a_sh"))
-      .withColumn("cont_b_q", expr("(shared * 1000000) div b_sh"))
-      .filter(greatest(col("cont_a_q"), col("cont_b_q")) >= thresholdPpm)
-      .select(col("id_a"), col("id_b"), col("shared"), col("a_sh"),
-        col("b_sh"), col("cont_a_q"), col("cont_b_q"))
+    if (maxDocFrequency < 0L) {
+      val postings = docs.select(col("id"), size(col("sh")).cast("long").as("len"),
+        explode(col("sh")).as("s"))
+        .transform(Materialize.once) // both join sides read the shingling pass
+      postings.as("a")
+        .join(postings.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.len").as("a_sh"), col("b.len").as("b_sh"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("cont_a_q", expr("(shared * 1000000) div a_sh"))
+        .withColumn("cont_b_q", expr("(shared * 1000000) div b_sh"))
+        .filter(greatest(col("cont_a_q"), col("cont_b_q")) >= thresholdPpm)
+        .select(col("id_a"), col("id_b"), col("shared"), col("a_sh"),
+          col("b_sh"), col("cont_a_q"), col("cont_b_q"))
+    } else {
+      // capped candidates from cold postings, exact verify on full sets
+      val sh = Materialize.once(docs) // read by postings + 2 verify joins
+      val postings = sh.select(col("id"), explode(col("sh")).as("s"))
+      val cold = postings.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("s"))))
+        .filter(col("df") <= maxDocFrequency)
+        .transform(Materialize.once)
+      val cands = cold.as("a")
+        .join(cold.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      cands
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("shared",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("a_sh", size(col("sh_a")).cast("long"))
+        .withColumn("b_sh", size(col("sh_b")).cast("long"))
+        .withColumn("cont_a_q", expr("(shared * 1000000) div a_sh"))
+        .withColumn("cont_b_q", expr("(shared * 1000000) div b_sh"))
+        .filter(greatest(col("cont_a_q"), col("cont_b_q")) >= thresholdPpm)
+        .select(col("id_a"), col("id_b"), col("shared"), col("a_sh"),
+          col("b_sh"), col("cont_a_q"), col("cont_b_q"))
+    }
   }
 
   /** [[embeddingDuplicates]] over integer-quantized vectors: buckets

@@ -38,8 +38,9 @@ object ImageDedup {
     * (route non-images through Multimodal.AutoDecoder first). */
   def dHash64(content: Array[Byte]): (Long, Long) = {
     // heap-only ImageIO: the default temp-FILE stream cache costs more
-    // than the decode itself on thumbnail-sized in-memory images
-    javax.imageio.ImageIO.setUseCache(false)
+    // than the decode itself on thumbnail-sized in-memory images.
+    // Once-per-JVM (class-init), NOT a per-row global-state mutation.
+    graft.multimodal.ImageIoConfig.heapOnly()
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     require(img != null, "dHash64: undecodable image bytes")
     val (w, h) = (img.getWidth, img.getHeight)

@@ -71,8 +71,13 @@ object Privacy {
     * coarsen" question answered in ONE pass: widths explode against
     * the row stream BEFORE the shuffle (|widths| is a handful by
     * contract), one hash-agg to class sizes, one widths-sized
-    * roll-up. Monotone by construction (wider bands merge classes),
-    * so the first achieving row is the minimal generalization. */
+    * roll-up. The per-width profile is exact for ANY ladder; the
+    * "first achieving row is the minimal generalization" read-off
+    * additionally requires a NESTING ladder (each width divides the
+    * next, e.g. 500|1000|2000) — only then do wider bands strictly
+    * merge classes and make min_class monotone. Non-divisor ladders
+    * (300, 500, …) can interleave band boundaries and yield a
+    * non-monotone profile; read each row independently there. */
   def generalizationLadder(df: DataFrame, qids: Seq[String],
                            numCol: String, widths: Seq[Long],
                            k: Long): DataFrame = {

@@ -43,13 +43,18 @@ object Rouge {
     * reference) text pair; output adds exact integer counts
     * `overlap_n`, `cand_grams`, `ref_grams` and single-division
     * `precision_n` / `recall_n` doubles (NULL when the respective
-    * denominator is zero — an empty side has no defined score). */
+    * denominator is zero — an empty side has no defined score).
+    * NULL text is defined as ZERO grams (same as blank): without the
+    * guard a NULL side would poison the fold with SQL `least`'s
+    * null-skipping (least(c, NULL) = c), silently scoring overlap =
+    * the candidate's full gram count. */
   def rougeN(pairs: DataFrame, candCol: String, refCol: String,
              n: Int): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    def grams(c: Column): Column =
+    def grams(c: Column): Column = coalesce(
       if (n == 1) TextFunctions.tokens(c)
-      else TextFunctions.wordShingles(c, n)
+      else TextFunctions.wordShingles(c, n),
+      array().cast("array<string>"))
     val cg = grams(col(candCol))
     val rg = grams(col(refCol))
     pairs

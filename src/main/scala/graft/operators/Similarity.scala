@@ -123,7 +123,7 @@ object Similarity {
     * naive alternative — crossJoin(centroids) + window argmin —
     * materializes AND shuffles corpus×nCells rows, which at 100 TB is a
     * petabyte-class Exchange for what is per-row arithmetic. */
-  private def assignCells(df: DataFrame, vecCol: String,
+  private[operators] def assignCells(df: DataFrame, vecCol: String,
                           centroids: Array[Array[Double]]): DataFrame =
     df.withColumn("cell",
       org.apache.spark.sql.graft.NearestCentroids.nearestCell(col(vecCol), centroids))
@@ -231,12 +231,19 @@ object Similarity {
     fitCentroids(corpus, vecCol, nCells, seed, maxTrainRows)
       .map(_.map(x => math.floor(x * 1e6)))
 
+  /** `preFitted`: inject an already-fitted quantizer (from
+    * [[fitQuantizedCentroids]]) instead of training here — the
+    * freeze-the-quantizer discipline incremental maintenance needs
+    * (see [[VectorIndexOps]]): appends assign against the BUILD-time
+    * centroids, so a comparison build must share them exactly. */
   def buildIvfIndexQuantized(corpus: DataFrame, idCol: String, vecCol: String,
                              path: String, nCells: Int = 16, seed: Long = 42L,
-                             maxTrainRows: Long = 100000L): Array[Array[Long]] = {
+                             maxTrainRows: Long = 100000L,
+                             preFitted: Option[Array[Array[Double]]] = None)
+      : Array[Array[Long]] = {
     val spark = corpus.sparkSession
-    val qCentroids =
-      fitQuantizedCentroids(corpus, vecCol, nCells, seed, maxTrainRows)
+    val qCentroids = preFitted.getOrElse(
+      fitQuantizedCentroids(corpus, vecCol, nCells, seed, maxTrainRows))
     assignCells(
       fanOut(corpus).select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
       "cv", qCentroids)
@@ -272,7 +279,7 @@ object Similarity {
     rankCandidatesQuantized(data.join(broadcast(probes), Seq("cell")), k)
   }
 
-  private def rankCandidatesQuantized(cands: DataFrame, k: Int): DataFrame =
+  private[operators] def rankCandidatesQuantized(cands: DataFrame, k: Int): DataFrame =
     cands.filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", quantizedCosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(
@@ -346,7 +353,7 @@ object Similarity {
     * `posexplode` it into (t, bucket) rows so multi-table LSH costs ONE
     * pass over the source instead of a union of per-table scans. Bucket
     * bits are identical to calling [[srpBucketQuantized]] per table. */
-  private def srpBucketsAll(vec: org.apache.spark.sql.Column, planes: Int,
+  private[operators] def srpBucketsAll(vec: org.apache.spark.sql.Column, planes: Int,
                             tables: Int, dims: Int): org.apache.spark.sql.Column =
     array((0 until tables).map(t =>
       srpBucketQuantized(vec, planes, seed = t, dims)): _*)

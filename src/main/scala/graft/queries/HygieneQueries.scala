@@ -325,8 +325,10 @@ object HygieneQueries {
         |  FROM documents c JOIN documents r ON r.doc_id = c.doc_id - 1
         |  WHERE c.doc_id % 20 = 1),
         |base AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(ctext), '\s+') AS cts,
-        |    regexp_split_to_array(trim(rtext), '\s+') AS rts
+        |    CASE WHEN ctext IS NULL OR trim(ctext) = '' THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(ctext), '\s+') END AS cts,
+        |    CASE WHEN rtext IS NULL OR trim(rtext) = '' THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(rtext), '\s+') END AS rts
         |  FROM pairs),
         |c1 AS (SELECT doc_id, g, count(*) AS c FROM
         |  (SELECT doc_id, unnest(cts) AS g FROM base) GROUP BY 1, 2),

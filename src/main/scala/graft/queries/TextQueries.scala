@@ -101,11 +101,17 @@ object TextQueries {
       .orderBy("id_a", "id_b")
 
   /** Restricted to doc_id < 500 so the DuckDB brute-force oracle stays
-    * tractable; the Spark side runs the scalable prefix-filter join. */
+    * tractable; the Spark side runs the scalable prefix-filter join.
+    * EXPLICITLY uncapped (maxDocFrequency = -1): this query is the
+    * brute-force COMPLETENESS anchor for the capped production path
+    * (q209) — the oracle is an uncapped all-pairs Jaccard, so the
+    * Spark side must generate candidates from every shingle. The
+    * slice bound keeps the Σdf² work corpus-size-independent. */
   val q27NgramJaccard: Q = (s, d) =>
     Dedup.ngramJaccardDuplicates(
       corpusNear(s, d).filter(col("doc_id") % 1000000 < 500),
-      "doc_id", "text", threshold = 0.6, shingleSize = 3)
+      "doc_id", "text", threshold = 0.6, shingleSize = 3,
+      maxDocFrequency = -1)
       .orderBy("id_a", "id_b")
 
   /** Duplicate-cluster canonicalization over the q24 MinHash pair list:
@@ -272,11 +278,27 @@ object TextQueries {
     base.unionByName(synth)
   }
 
-  /** Asymmetric containment dedup at 80%: catches the planted
-    * partial-copy containers that symmetric Jaccard misses. */
+  /** Asymmetric containment dedup at 80% under the DEFAULT df-cap
+    * (128): catches the planted partial-copy containers that
+    * symmetric Jaccard misses. The oracle replays the SAME cap
+    * inline, so Spark-vs-oracle agreement is scale-independent — at
+    * the sf0.01 gate (max df 10) capped ≡ uncapped and the historical
+    * hash is unchanged; at sf1 (max df 320) the cap both bites
+    * (−136 of 384k pairs, the documented lost-recall trade) and cuts
+    * the candidate work Σdf² by 2.8×. */
   val q120Containment: Q = (s, d) =>
     Dedup.containmentPairs(corpusContain(s, d), "doc_id", "text",
       thresholdPpm = 800000L)
+      .orderBy("id_a", "id_b")
+
+  /** The CAPPED containment path with a cap tight enough to BITE on
+    * this corpus (df ≤ 24): candidates only from cold shingles, exact
+    * full-set verify. The oracle replays the same df-filter inline, so
+    * the capped semantics — not just the uncapped anchor — is
+    * cross-engine checked. */
+  val q209ContainmentCapped: Q = (s, d) =>
+    Dedup.containmentPairs(corpusContain(s, d), "doc_id", "text",
+      thresholdPpm = 800000L, shingleSize = 3, maxDocFrequency = 24L)
       .orderBy("id_a", "id_b")
 
   /** Corpus drift monitoring: per-bucket PSI between the even-id and
@@ -841,6 +863,7 @@ object TextQueries {
     "q117_tokenizer_stats" -> q117TokenizerStats,
     "q118_bm25_index" -> q118Bm25Index,
     "q120_containment" -> q120Containment,
+    "q209_containment_capped" -> q209ContainmentCapped,
     "q122_drift_psi" -> q122DriftPsi,
     "q123_weighted_sample" -> q123WeightedSample,
     "q127_epoch_shuffle" -> q127EpochShuffle,
@@ -1045,7 +1068,10 @@ object TextQueries {
          |    ln(((c_base + 1.0) / (tb + 256.0)) / ((c_cur + 1.0) / (tc + 256.0))) * 1000000000.0) AS BIGINT) AS psi_q
          |FROM cnt, tot ORDER BY bucket""".stripMargin,
     // asymmetric containment over distinct shingle sets — all-integer
-    // (ppm containments via //), planted containers by construction
+    // (ppm containments via //), planted containers by construction.
+    // Replays the operator's DEFAULT df-cap (128) inline so agreement
+    // is scale-independent: candidates from cold shingles only, exact
+    // full-set verify (same two-stage shape as q209's tighter cap)
     "q120_containment" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
          |  SELECT a.doc_id + 2000000, a.text || ' ' || b.text
@@ -1054,15 +1080,46 @@ object TextQueries {
          |tok AS (SELECT doc_id AS id, $tok AS ts FROM corpus),
          |shr AS (SELECT id, $shingles3 AS shr FROM tok),
          |sh AS (SELECT id, list_distinct(shr) AS sh FROM shr WHERE len(shr) > 0),
-         |p AS (SELECT id, CAST(len(sh) AS BIGINT) AS len, unnest(sh) AS s FROM sh),
-         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.len AS a_sh, b.len AS b_sh,
-         |  count(*) AS shared
-         |  FROM p a JOIN p b ON a.s = b.s AND a.id < b.id
-         |  GROUP BY a.id, b.id, a.len, b.len)
+         |p AS (SELECT id, unnest(sh) AS s FROM sh),
+         |dfc AS (SELECT s FROM p GROUP BY s HAVING count(*) <= 128),
+         |cold AS (SELECT p.id, p.s FROM p JOIN dfc USING (s)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM cold a JOIN cold b ON a.s = b.s AND a.id < b.id),
+         |v AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS shared,
+         |    CAST(len(sa.sh) AS BIGINT) AS a_sh, CAST(len(sb.sh) AS BIGINT) AS b_sh
+         |  FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b)
          |SELECT id_a, id_b, shared, a_sh, b_sh,
          |  (shared * 1000000) // a_sh AS cont_a_q,
          |  (shared * 1000000) // b_sh AS cont_b_q
-         |FROM pairs
+         |FROM v
+         |WHERE greatest((shared * 1000000) // a_sh, (shared * 1000000) // b_sh) >= 800000
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the CAPPED containment path: df-filtered candidate generation
+    // replayed inline (HAVING count(*) <= 24), then the exact full-set
+    // verify — checks the capped semantics end to end, not just that
+    // capping is a subset of q120
+    "q209_containment_capped" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
+         |  SELECT a.doc_id + 2000000, a.text || ' ' || b.text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 10 = 0),
+         |tok AS (SELECT doc_id AS id, $tok AS ts FROM corpus),
+         |shr AS (SELECT id, $shingles3 AS shr FROM tok),
+         |sh AS (SELECT id, list_distinct(shr) AS sh FROM shr WHERE len(shr) > 0),
+         |p AS (SELECT id, unnest(sh) AS s FROM sh),
+         |dfc AS (SELECT s FROM p GROUP BY s HAVING count(*) <= 24),
+         |cold AS (SELECT p.id, p.s FROM p JOIN dfc USING (s)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM cold a JOIN cold b ON a.s = b.s AND a.id < b.id),
+         |v AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS shared,
+         |    CAST(len(sa.sh) AS BIGINT) AS a_sh, CAST(len(sb.sh) AS BIGINT) AS b_sh
+         |  FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b)
+         |SELECT id_a, id_b, shared, a_sh, b_sh,
+         |  (shared * 1000000) // a_sh AS cont_a_q,
+         |  (shared * 1000000) // b_sh AS cont_b_q
+         |FROM v
          |WHERE greatest((shared * 1000000) // a_sh, (shared * 1000000) // b_sh) >= 800000
          |ORDER BY id_a, id_b""".stripMargin,
     // pairwise distinct-shingle-fingerprint overlap between sources;

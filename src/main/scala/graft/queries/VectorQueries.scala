@@ -222,8 +222,9 @@ object VectorQueries {
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         // ImageIO defaults to a temp-FILE-backed stream cache — a large
-        // constant cost per tiny in-memory image; decode/encode from heap
-        javax.imageio.ImageIO.setUseCache(false)
+        // constant cost per tiny in-memory image; decode/encode from
+        // heap (once-per-JVM switch, free after the first touch)
+        graft.multimodal.ImageIoConfig.heapOnly()
         it.map { id =>
           val w = 16 + (id % 32).toInt
           val h = 16 + (id % 24).toInt
@@ -275,8 +276,9 @@ object VectorQueries {
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         // ImageIO defaults to a temp-FILE-backed stream cache — a large
-        // constant cost per tiny in-memory image; decode/encode from heap
-        javax.imageio.ImageIO.setUseCache(false)
+        // constant cost per tiny in-memory image; decode/encode from
+        // heap (once-per-JVM switch, free after the first touch)
+        graft.multimodal.ImageIoConfig.heapOnly()
         it.map { id =>
           val sr = 8000
           val nch = 1 + (id % 2).toInt
@@ -328,8 +330,9 @@ object VectorQueries {
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         // ImageIO defaults to a temp-FILE-backed stream cache — a large
-        // constant cost per tiny in-memory image; decode/encode from heap
-        javax.imageio.ImageIO.setUseCache(false)
+        // constant cost per tiny in-memory image; decode/encode from
+        // heap (once-per-JVM switch, free after the first touch)
+        graft.multimodal.ImageIoConfig.heapOnly()
         it.map { id =>
           val g = id / 10
           val shift = (id % 10).toInt
@@ -370,8 +373,9 @@ object VectorQueries {
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         // ImageIO defaults to a temp-FILE-backed stream cache — a large
-        // constant cost per tiny in-memory image; decode/encode from heap
-        javax.imageio.ImageIO.setUseCache(false)
+        // constant cost per tiny in-memory image; decode/encode from
+        // heap (once-per-JVM switch, free after the first touch)
+        graft.multimodal.ImageIoConfig.heapOnly()
         it.map { id =>
           val g = id / 10
           val j = (id % 10).toInt
@@ -592,8 +596,9 @@ object VectorQueries {
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         // ImageIO defaults to a temp-FILE-backed stream cache — a large
-        // constant cost per tiny in-memory image; decode/encode from heap
-        javax.imageio.ImageIO.setUseCache(false)
+        // constant cost per tiny in-memory image; decode/encode from
+        // heap (once-per-JVM switch, free after the first touch)
+        graft.multimodal.ImageIoConfig.heapOnly()
         it.map { id =>
           val f = 1 + (id % 3).toInt
           val out = new java.io.ByteArrayOutputStream()
@@ -622,7 +627,7 @@ object VectorQueries {
     graft.multimodal.Mjpeg.explodeFrames(media)
       .as[(Long, Long, Long, Int, Int, Array[Byte])].map {
         case (id, idx, n, w, h, frame) =>
-          javax.imageio.ImageIO.setUseCache(false) // heap-only streams
+          graft.multimodal.ImageIoConfig.heapOnly() // once-per-JVM heap-only streams
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(frame))
           (id, idx, n, w, h, img.getWidth, img.getHeight)

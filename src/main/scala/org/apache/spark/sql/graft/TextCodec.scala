@@ -16,9 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    DuckDB oracle re-derives.
   *
   * Keeping both here means a semantics tweak cannot silently diverge
-  * one expression from the others (or from the oracles).
+  * one expression from the others (or from the oracles). Public so
+  * driver-side code (e.g. Bm25 query tokenization) can reuse the SAME
+  * contract instead of approximating it with java.lang.String.trim
+  * (which trims all chars ≤ U+0020, not just the space).
   */
-private[graft] object TextCodec {
+object TextCodec {
 
   private val whitespace = java.util.regex.Pattern.compile("\\s+")
 

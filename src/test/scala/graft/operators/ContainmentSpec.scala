@@ -39,4 +39,35 @@ class ContainmentSpec extends SparkSpec {
     val docs = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("id", "text")
     assert(Dedup.containmentPairs(docs, "id", "text").count() == 0)
   }
+
+  test("containmentPairs df-cap: capped ≡ uncapped when cold shingles survive, " +
+    "subset with exact scores when the cap bites") {
+    // 6 copies of a hot boilerplate tail + distinct heads; every pair
+    // shares the 4 boilerplate shingles (df = 6), copies of the same
+    // head additionally share cold head shingles (df = 2)
+    val boiler = "terms of service apply here"
+    val docs = (1 to 6).map { i =>
+      (i.toLong, s"head${(i - 1) / 2} alpha beta gamma $boiler")
+    }.toDF("id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val uncapped = asMap(
+      Dedup.containmentPairs(docs, "id", "text", thresholdPpm = 300000L,
+        maxDocFrequency = -1))
+    // generous cap: nothing excluded → bit-identical to uncapped
+    val generous = asMap(
+      Dedup.containmentPairs(docs, "id", "text", thresholdPpm = 300000L,
+        maxDocFrequency = 100))
+    assert(generous == uncapped)
+    // cap below the boilerplate df: only same-head pairs remain
+    // candidates, but their emitted scores are the TRUE full-set ones
+    val tight = asMap(
+      Dedup.containmentPairs(docs, "id", "text", thresholdPpm = 300000L,
+        maxDocFrequency = 2))
+    assert(tight.nonEmpty && tight.keySet.subsetOf(uncapped.keySet))
+    tight.foreach { case (pair, row) => assert(uncapped(pair) == row, s"$pair") }
+    assert(tight.keySet == Set((1L, 2L), (3L, 4L), (5L, 6L)),
+      "pairs sharing only hot boilerplate are the (documented) lost recall")
+  }
 }

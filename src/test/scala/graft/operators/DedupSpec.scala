@@ -70,7 +70,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ngramJaccard hot-shingle cutoff: subset of exact, true scores, finds dups") {
-    val exact = Dedup.ngramJaccardDuplicates(corpus, "id", "text", threshold = 0.6)
+    // explicit uncapped anchor (negative = the Σdf² brute join)
+    val exact = Dedup.ngramJaccardDuplicates(corpus, "id", "text", threshold = 0.6,
+      maxDocFrequency = -1)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // generous cutoff (no shingle is that hot) → identical to exact
     val capped = Dedup.ngramJaccardDuplicates(corpus, "id", "text",
@@ -83,6 +85,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     tight.foreach { case (pair, j) =>
       assert(exact.contains(pair) && exact(pair) == j, s"$pair")
+    }
+  }
+
+  test("maxDocFrequency = 0 (the old silent-uncapped sentinel) fails loudly") {
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardDuplicates(corpus, "id", "text", threshold = 0.6,
+        maxDocFrequency = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(corpus, "id", "text", maxDocFrequency = 0)
     }
   }
 

@@ -46,6 +46,22 @@ class RougeSpec extends SparkSpec {
     assert(b.isNullAt(b.fieldIndex("recall_n")))
   }
 
+  test("NULL text counts as zero grams (no least()-null poisoning)") {
+    // without the coalesce guard a NULL ref side scores overlap =
+    // |cand grams| because SQL least() SKIPS nulls
+    val pairs = Seq((Option("a b c"), Option.empty[String]),
+      (Option.empty[String], Option("a b c")),
+      (Option.empty[String], Option.empty[String])).toDF("c", "r")
+    val rows = Rouge.rougeN(pairs, "c", "r", 1).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overlap_n") == 0L, "NULL side must clip to 0")
+      assert(r.isNullAt(r.fieldIndex("recall_n")) ||
+        r.getAs[Double]("recall_n") == 0.0)
+    }
+    val candNull = rows.find(_.getAs[Long]("cand_grams") == 0L).get
+    assert(candNull.isNullAt(candNull.fieldIndex("precision_n")))
+  }
+
   test("matches a driver-side clipped-count replay on random-ish text") {
     val docs = Seq(
       ("q r s t q r", "q r q r s x"),

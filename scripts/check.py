@@ -21,26 +21,35 @@ def norm(df):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
-    # optional 3rd arg: "i/k" shard selector (e.g. "0/4") to fan the
-    # oracle replay across parallel processes at big SFs, or a
-    # comma-separated name-prefix filter
-    shard = sys.argv[3] if len(sys.argv) > 3 else None
+    # optional 3rd+ args: selectors applied in order. Each is either
+    #   "i/k"     — keep every k-th query (fan the replay across
+    #               parallel processes at big SFs),
+    #   "p1,p2"   — keep only names with one of these prefixes, or
+    #   "!p1,p2"  — DROP names with one of these prefixes (run heavy
+    #               stragglers in their own processes, keep them out
+    #               of the sharded fleet: `!q90,q130 0/8` ... `7/8`).
+    selectors = sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    if shard and "/" in shard:
-        i, k = map(int, shard.split("/"))
-        if k <= 0 or not (0 <= i < k):
-            sys.exit(f"bad shard selector '{shard}': need 0 <= i < k, k > 0")
-        names = sorted(oracle)
-        oracle = {n: oracle[n] for j, n in enumerate(names) if j % k == i}
-    elif shard:
-        ps = shard.split(",")
-        oracle = {n: s for n, s in oracle.items()
-                  if any(n.startswith(p) for p in ps)}
-    if shard and not oracle:
-        sys.exit(f"shard/filter '{shard}' selected zero queries — nothing to check")
+    for shard in selectors:
+        if "/" in shard:
+            i, k = map(int, shard.split("/"))
+            if k <= 0 or not (0 <= i < k):
+                sys.exit(f"bad shard selector '{shard}': need 0 <= i < k, k > 0")
+            names = sorted(oracle)
+            oracle = {n: oracle[n] for j, n in enumerate(names) if j % k == i}
+        elif shard.startswith("!"):
+            ps = shard[1:].split(",")
+            oracle = {n: s for n, s in oracle.items()
+                      if not any(n.startswith(p) for p in ps)}
+        else:
+            ps = shard.split(",")
+            oracle = {n: s for n, s in oracle.items()
+                      if any(n.startswith(p) for p in ps)}
+    if selectors and not oracle:
+        sys.exit(f"selectors {selectors} chose zero queries — nothing to check")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{outdir}/{name}/*.parquet")

@@ -45,7 +45,11 @@ object Bench {
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
 
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q120,q121 times just those
+    // queries (comma-separated name prefixes); unset = the full battery
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith)) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to runs) {
@@ -98,8 +102,17 @@ object Bench {
     // clean bench_full.json — it lands beside it as *.contended.json
     // (still committed, still auditable, never the canonical number).
     try {
+      // scale-aware default target: only a full-battery run at the
+      // canonical bench SF (sf0.1) may land on bench_full.json; other
+      // SFs and BENCH_ONLY subsets get their own names — an ad-hoc
+      // sf0.001 smoke must never clobber the committed sf0.1 numbers
+      val sfName = new java.io.File(sfDir).getName
+      val defaultTarget =
+        if (only.isDefined) s"bench_subset.$sfName.json"
+        else if (sfName == "sf0.1") "bench_full.json"
+        else s"bench_$sfName.json"
       val target = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", defaultTarget))
       val dest =
         if (contended && java.nio.file.Files.exists(target))
           target.resolveSibling(

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph scoring (PageRank) with DETERMINISTIC fixed-point
@@ -1037,6 +1038,145 @@ object GraphOps {
        |            // (4 * (SELECT m FROM mm) * (SELECT m FROM mm))
        |            - 2000000 AS BIGINT) AS modularity_ppm
        |FROM degs d LEFT JOIN intra i ON i.c = d.c""".stripMargin
+
+  /** ONE level of Louvain community detection (Blondel et al. 2008,
+    * arXiv:0803.0476) in the deterministic synchronous variant: every
+    * node simultaneously evaluates moving to each NEIGHBORING
+    * community (based on the previous round's assignment) and takes
+    * the modularity-maximizing one. The classic sequential sweep is
+    * order-dependent and unreplayable; the synchronous form is the
+    * standard distributed adaptation and every decision here is EXACT
+    * INTEGER arithmetic with a pinned tie-break, so an unrolled SQL
+    * oracle replays it bit-for-bit ([[louvainOracleSql]]).
+    *
+    * Per round, node i scores each candidate community c (its
+    * neighbors' communities plus its own) by the ΔQ numerator on the
+    * common denominator 2m²:
+    *
+    *   gain(i→c) = 2m·k_{i,c} − k_i·(Σtot(c) − [c = c_i]·k_i)
+    *
+    * (k_{i,c} = edges from i into c, k_i = degree, Σtot(c) = total
+    * degree of c; removing i's own degree when scoring its current
+    * community is the standard "gain of staying" correction). Winner =
+    * max gain, ties to the smallest label — the same
+    * one-aggregate `min(struct(−gain, label))` argmax as
+    * [[labelPropagation]], no per-node sort. DECIMAL(38,0) products:
+    * at 100 TB, 2m·k is ~10¹⁹ and overflows a LONG (the q168 lesson).
+    *
+    * Pure synchronous updates OSCILLATE on symmetric structure (two
+    * adjacent nodes each grab the other's community and swap forever —
+    * the known pathology of parallel Louvain). The standard
+    * distributed remedy is to let only an alternating node subset move
+    * per round; the subset here is pinned by the portable md5 hash —
+    * node i may move in round r iff (portableHash(i) + r) is even —
+    * so it is deterministic and replays in any engine (no RNG, no
+    * partition order).
+    *
+    * Input edges are symmetrized, deduped and self-loop-stripped here
+    * (undirected semantics; pass either direction or both). Returns
+    * (node_id, label, community_size), q128's shape — audit with
+    * [[modularity]], iterate coarsening by contracting communities to
+    * nodes and re-running (level 2+).
+    *
+    * Scale shape per round: one edge-keyed join stamping neighbor
+    * communities + one (i, c) count (both partial-aggregate map-side),
+    * one community-sized Σtot aggregate, one node-sized argmax — the
+    * edge table never re-shuffles (bucketed once, like [[pageRank]]).
+    * EAGER: materializes the canonical edge set at call time. */
+  def louvainLevel(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val norm = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"))
+    val und = Materialize.once(norm
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val m = und.count() // driver scalar: |E| undirected
+    val dir = Materialize.once(
+      und.select(col("a").as("i"), col("b").as("j"))
+        .unionByName(und.select(col("b").as("i"), col("a").as("j"))))
+    val deg = Materialize.once(
+      dir.groupBy(col("i").as("node_id")).agg(count(lit(1)).as("k")))
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    var assign = deg.select(col("node_id"), col("node_id").as("label"))
+    for (r <- 1 to rounds) {
+      val kic = dir
+        .join(assign.select(col("node_id").as("j"), col("label").as("c")), Seq("j"))
+        .groupBy(col("i"), col("c")).agg(count(lit(1)).as("kic"))
+      val tot = assign.join(deg, Seq("node_id"))
+        .groupBy(col("label").as("c")).agg(sum(col("k")).as("tot"))
+      // candidate set = neighbor communities ∪ own community (kic = 0
+      // when no neighbor shares it); max() only fills the absent case
+      val cands = kic
+        .unionByName(assign.select(col("node_id").as("i"),
+          col("label").as("c"), lit(0L).as("kic")))
+        .groupBy("i", "c").agg(max(col("kic")).as("kic"))
+      val best = cands
+        .join(tot, Seq("c"))
+        .join(assign.select(col("node_id").as("i"), col("label").as("cur")), Seq("i"))
+        .join(deg.select(col("node_id").as("i"), col("k")), Seq("i"))
+        .withColumn("gain", lit(2) * dec(lit(m)) * dec(col("kic")) -
+          dec(col("k")) * (dec(col("tot")) -
+            when(col("c") === col("cur"), dec(col("k"))).otherwise(dec(lit(0)))))
+        .groupBy(col("i").as("node_id"))
+        .agg(min(struct((-col("gain")).as("ng"), col("c").as("label"))).as("__w"),
+          first(col("cur")).as("__cur"))
+        .select(col("node_id"), col("__w.label").as("__new"), col("__cur"))
+      // alternating move gate (see scaladoc): only half the nodes,
+      // selected by hash parity, may move this round
+      val next = best.select(col("node_id"),
+        when((graft.functions.TextFunctions.portableHash(col("node_id"))
+          + lit(r)) % 2 === 0, col("__new")).otherwise(col("__cur")).as("label"))
+      assign = if (r < rounds) Materialize.once(next) else next
+    }
+    assign.withColumn("community_size",
+      count(lit(1)).over(Window.partitionBy(col("label"))))
+  }
+
+  /** The oracle for [[louvainLevel]]: unrolled rounds of the identical
+    * exact-integer gain arithmetic (HUGEINT — same overflow headroom
+    * as the DECIMAL(38,0) engine side). Lives here so the semantics
+    * and the oracle can never drift apart. */
+  def louvainOracleSql(edgesSql: String, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""kic$r AS MATERIALIZED (SELECT d.i, a.label AS c, CAST(count(*) AS HUGEINT) AS kic
+         |  FROM dir d JOIN a${r - 1} a ON a.node_id = d.j GROUP BY d.i, a.label),
+         |tot$r AS MATERIALIZED (SELECT a.label AS c, CAST(sum(deg.k) AS HUGEINT) AS tot
+         |  FROM a${r - 1} a JOIN deg ON deg.node_id = a.node_id GROUP BY a.label),
+         |cand$r AS MATERIALIZED (SELECT i, c, max(kic) AS kic FROM (
+         |  SELECT i, c, kic FROM kic$r UNION ALL
+         |  SELECT node_id AS i, label AS c, CAST(0 AS HUGEINT) FROM a${r - 1})
+         |  GROUP BY i, c),
+         |sc$r AS MATERIALIZED (SELECT cd.i, cd.c,
+         |    2 * (SELECT m FROM mm) * cd.kic
+         |      - deg.k * (t.tot - CASE WHEN cd.c = cur.label THEN deg.k ELSE 0 END) AS gain
+         |  FROM cand$r cd JOIN tot$r t ON t.c = cd.c
+         |  JOIN a${r - 1} cur ON cur.node_id = cd.i
+         |  JOIN deg ON deg.node_id = cd.i),
+         |w$r AS MATERIALIZED (SELECT i AS node_id, c AS label FROM (
+         |  SELECT i, c, row_number() OVER (PARTITION BY i
+         |    ORDER BY gain DESC, c) AS rn FROM sc$r) WHERE rn = 1),
+         |a$r AS MATERIALIZED (SELECT w.node_id,
+         |  CASE WHEN (CAST(CAST(('0x' || substr(md5(w.node_id), 1, 8)) AS UBIGINT) AS BIGINT)
+         |             + $r) % 2 = 0
+         |       THEN w.label ELSE p.label END AS label
+         |  FROM w$r w JOIN a${r - 1} p ON p.node_id = w.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eraw AS MATERIALIZED (SELECT CAST(src AS VARCHAR) AS src,
+       |  CAST(dst AS VARCHAR) AS dst FROM ($edgesSql)),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+       |  greatest(src, dst) AS b FROM eraw WHERE src <> dst),
+       |mm AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS m FROM und),
+       |dir AS MATERIALIZED (SELECT a AS i, b AS j FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |deg AS MATERIALIZED (SELECT i AS node_id, CAST(count(*) AS HUGEINT) AS k
+       |  FROM dir GROUP BY i),
+       |a0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM deg),
+       |$roundCtes
+       |SELECT node_id, label,
+       |  count(*) OVER (PARTITION BY label) AS community_size
+       |FROM a$rounds ORDER BY node_id""".stripMargin
+  }
 
   /** Weighted single-source(-set) shortest paths — [[bfsDepth]]'s
     * estimator upgrade from hop counts to NONNEGATIVE INTEGER edge

@@ -86,6 +86,14 @@ object WarehouseQueries {
       .orderBy("node_id")
   }
 
+  /** One Louvain level (2 synchronous exact-integer ΔQ rounds) on the
+    * same supplier↔part graph — the modularity-greedy upgrade over
+    * q128's frequency-greedy labels; the oracle unrolls the identical
+    * gain arithmetic per round. */
+  val q210Louvain: Q = (s, d) =>
+    GraphOps.louvainLevel(spEdges(s, d), rounds = 2)
+      .orderBy("node_id")
+
   /** Deterministic fixed-point PageRank (3 damped rounds) over the
     * symmetric supplier↔part graph from lineitem. Integer arithmetic
     * end-to-end, so the oracle replays it exactly — see
@@ -308,6 +316,7 @@ object WarehouseQueries {
     "q92_scd2" -> q92Scd2,
     "q93_pagerank" -> q93Pagerank,
     "q128_communities" -> q128Communities,
+    "q210_louvain" -> q210Louvain,
     "q94_incremental_agg" -> q94IncrementalAgg,
     "q95_debounce" -> q95Debounce,
     "q96_salted_join" -> q96SaltedJoin,
@@ -414,6 +423,7 @@ object WarehouseQueries {
         |  UNION ALL SELECT 'lineitem', 'fk_l_orderkey', n, v, v = 0 FROM fk)
         |ORDER BY table_name, check_name""".stripMargin,
     "q128_communities" -> GraphOps.labelPropagationOracleSql(pagerankEdgesSql, iterations = 3),
+    "q210_louvain" -> GraphOps.louvainOracleSql(pagerankEdgesSql, rounds = 2),
     "q94_incremental_agg" ->
       """SELECT CAST(o_orderdate AS DATE) AS day,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -496,4 +496,63 @@ class GraphOpsSpec extends SparkSpec {
       .as[(String, Option[Long])].collect().toMap
     assert(bc == bucketed, "bucketed branch must match broadcast branch")
   }
+
+  test("louvainLevel: two bridged triangles collapse to the two true communities") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+    val out = GraphOps.louvainLevel(edges.toDF("src", "dst"), rounds = 4)
+      .select("node_id", "label", "community_size")
+      .as[(String, String, Long)].collect()
+    val byNode = out.map(r => r._1 -> r._2).toMap
+    assert(byNode("a") == byNode("b") && byNode("b") == byNode("c"))
+    assert(byNode("x") == byNode("y") && byNode("y") == byNode("z"))
+    assert(byNode("a") != byNode("x"), "bridge must not merge the triangles")
+    assert(out.forall(_._3 == 3L))
+    // the found partition must score at least the ground-truth Q
+    val truth = Seq("a" -> "1", "b" -> "1", "c" -> "1",
+      "x" -> "2", "y" -> "2", "z" -> "2").toDF("node_id", "label")
+    def q(assign: org.apache.spark.sql.DataFrame) =
+      GraphOps.modularity(edges.toDF("src", "dst"), assign)
+        .select("modularity_ppm").as[Long].collect().head
+    assert(q(out.map(r => r._1 -> r._2).toSeq.toDF("node_id", "label")) == q(truth))
+  }
+
+  test("louvainLevel: gain arithmetic matches a driver-side replay on a random-ish graph") {
+    // deterministic pseudo-random graph, then replay the synchronous
+    // update rule in plain Scala and demand bit-identical labels
+    val nodes = (0 until 14).map(i => s"n$i")
+    val edges = (for {
+      i <- 0 until 14; j <- (i + 1) until 14
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (s"n$i", s"n$j")).toSeq
+    val rounds = 3
+    val got = GraphOps.louvainLevel(edges.toDF("src", "dst"), rounds)
+      .select("node_id", "label").as[(String, String)].collect().toMap
+    // reference replay, including the hash-parity move gate
+    val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    val m = und.size.toLong
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    var assign: Map[String, String] = adj.keys.map(k => k -> k).toMap
+    for (r <- 1 to rounds) {
+      val tot = assign.groupBy(_._2).map { case (c, ns) => c -> ns.keys.map(deg).sum }
+      val cur = assign
+      assign = cur.keys.map { i =>
+        val kic: Map[String, Long] = adj(i).groupBy(j => cur(j))
+          .map { case (c, js) => c -> js.size.toLong }
+        val cands: Seq[String] = (kic.keySet + cur(i)).toSeq.sorted
+        val gains: Seq[(String, BigInt)] = cands.map { c =>
+          val totx: Long = tot(c) - (if (c == cur(i)) deg(i) else 0L)
+          c -> (BigInt(2) * BigInt(m) * BigInt(kic.getOrElse(c, 0L)) -
+            BigInt(deg(i)) * BigInt(totx))
+        }
+        val mx: BigInt = gains.map(_._2).max
+        // max gain, ties to the smallest label — the operator's rule
+        val winner = gains.filter(_._2 == mx).map(_._1).min
+        val mayMove = (Bm25Index.portableHashJvm(i) + r) % 2 == 0
+        i -> (if (mayMove) winner else cur(i))
+      }.toMap
+    }
+    assert(got == assign)
+  }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
@@ -201,9 +200,10 @@ object Dedup {
     * Hot-shingle capping is ON BY DEFAULT ([[DefaultMaxDocFrequency]]):
     * shingles appearing in more than `maxDocFrequency` documents are
     * excluded from CANDIDATE GENERATION (bounding the postings² blowup),
-    * and surviving candidate pairs are verified with the exact
-    * full-shingle-set Jaccard — so every emitted pair carries its true
-    * score, and the only semantic change is lost recall for pairs
+    * and surviving candidate pairs carry the exact full-set Jaccard
+    * (reassembled from cold- and hot-shingle match counts) — so every
+    * emitted pair has its true score, and the only semantic change is
+    * lost recall for pairs
     * sharing nothing but hot shingles (the standard ssjoin trade).
     * Pass a NEGATIVE `maxDocFrequency` to explicitly run the uncapped
     * quadratic (brute-force oracle anchor only — Σdf² work); 0, the old
@@ -236,26 +236,49 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     } else {
-      // hot-shingle-capped path: candidates from cold postings only,
-      // then exact verify over the full shingle sets
-      val sh = Materialize.once(docs) // read by postings + 2 verify joins
+      // Capped path: cold-posting candidates (symmetric length
+      // prefilter intact), exact Jaccard REASSEMBLED from cold-match +
+      // hot-match counts — |A∩B| = |cold∩| + |hot∩| because the df cap
+      // partitions the shingle space. Shingle arrays never cross a
+      // join, df is a partial aggregate (map-side combine, not a
+      // windowed count that lands every hot posting in one task), and
+      // the over-cap list is a tiny broadcast.
+      // compact array form materialized once; postings re-derive from
+      // the cache per use instead of checkpointing every posting row
+      val sh = Materialize.once(docs)
       val postings = sh.select(col("id"), size(col("sh")).as("len"),
         explode(col("sh")).as("s"))
-      val cold = postings.withColumn("df",
-          count(lit(1)).over(Window.partitionBy(col("s"))))
-        .filter(col("df") <= maxDocFrequency)
-        .transform(Materialize.once)
-      val cands = cold.as("a")
+      val hots = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFrequency)
+        .select(col("s"))
+        .transform(Materialize.once) // anti-join + semi-join both read it
+      val cold = postings.join(broadcast(hots), Seq("s"), "left_anti")
+      // materialized: feeds both the hot-overlap build and the final
+      // assembly — the self-join must not recompute
+      val coldShared = Materialize.once(cold.as("a")
         .join(cold.as("b"),
           col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           col("a.len") >= col("b.len") * threshold &&
           col("b.len") >= col("a.len") * threshold)
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
-      cands
-        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.len").as("la"), col("b.len").as("lb"))
+        .agg(count(lit(1)).as("cold_shared")))
+      // per-candidate hot overlap by (id, s) matching — each pair fans
+      // out by ≤ |hots| rows, keyed on doc ids, no df-sized skew;
+      // materialized because both join sides below read it
+      val hotPost = Materialize.once(
+        postings.join(broadcast(hots), Seq("s"), "left_semi"))
+      val hotShared = coldShared.select(col("id_a"), col("id_b"))
+        .join(hotPost.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+        .join(hotPost.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("hot_shared"))
+      coldShared
+        .join(hotShared, Seq("id_a", "id_b"), "left")
+        .withColumn("shared",
+          col("cold_shared") + coalesce(col("hot_shared"), lit(0L)))
+        .withColumn("jaccard", col("shared").cast("double") /
+          (col("la") + col("lb") - col("shared")).cast("double"))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }
@@ -276,13 +299,13 @@ object Dedup {
     *
     * Hot-shingle capping is ON BY DEFAULT ([[DefaultMaxDocFrequency]]):
     * candidate pairs come only from shingles with df ≤ cap (bounding
-    * per-shingle join work at cap²), then every candidate is verified
-    * EXACTLY against the two full distinct-shingle sets — shared,
-    * lengths and both ppm containments are computed over the UNCAPPED
-    * sets, so emitted rows are bit-identical to the uncapped join's;
-    * the only semantic change is lost recall for pairs sharing nothing
-    * but hotter-than-cap shingles. Pass a NEGATIVE `maxDocFrequency`
-    * for the explicit uncapped Σdf² join (oracle anchor only); 0 fails
+    * per-shingle join work at cap²), then every candidate's shared /
+    * lengths / ppm containments are reassembled EXACTLY over the
+    * UNCAPPED sets (cold-match count + hot-match count), so emitted
+    * rows are bit-identical to the uncapped join's; the only semantic
+    * change is lost recall for pairs sharing nothing but
+    * hotter-than-cap shingles. Pass a NEGATIVE `maxDocFrequency` for
+    * the explicit uncapped Σdf² join (oracle anchor only); 0 fails
     * loudly.
     *
     * @return (id_a, id_b, shared, a_sh, b_sh, cont_a_q, cont_b_q) with
@@ -313,24 +336,50 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("shared"), col("a_sh"),
           col("b_sh"), col("cont_a_q"), col("cont_b_q"))
     } else {
-      // capped candidates from cold postings, exact verify on full sets
-      val sh = Materialize.once(docs) // read by postings + 2 verify joins
+      // Capped candidates from cold postings; the exact overlap is then
+      // REASSEMBLED as cold-match counts + hot-match counts instead of
+      // an array_intersect verify — |A∩B| = |cold(A)∩cold(B)| +
+      // |hot(A)∩hot(B)| because the df cap partitions the shingle
+      // space. Shingle arrays never cross a join, df is a partial
+      // aggregate (map-side combine, no single-task hot-key window),
+      // and the over-cap list is a tiny broadcast — the two 100 TB
+      // liabilities of the windowed-df + full-set-verify plan.
+      // materialize the COMPACT array form once (shingling is the
+      // expensive stage); the exploded postings re-derive from it per
+      // use — a cheap cached scan, vs checkpointing every posting row
+      val sh = Materialize.once(docs)
       val postings = sh.select(col("id"), explode(col("sh")).as("s"))
-      val cold = postings.withColumn("df",
-          count(lit(1)).over(Window.partitionBy(col("s"))))
-        .filter(col("df") <= maxDocFrequency)
-        .transform(Materialize.once)
-      val cands = cold.as("a")
+      val hots = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFrequency)
+        .select(col("s"))
+        .transform(Materialize.once) // anti-join + semi-join both read it
+      val cold = postings.join(broadcast(hots), Seq("s"), "left_anti")
+      // candidate pairs carry their exact cold overlap out of one agg —
+      // per-shingle join work is bounded by cap² by construction.
+      // Materialized: it feeds BOTH the hot-overlap build and the
+      // final assembly (recomputing the self-join twice dominated the
+      // plan before)
+      val coldShared = Materialize.once(cold.as("a")
         .join(cold.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
-      cands
-        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("cold_shared")))
+      // per-candidate hot overlap by (id, s) matching: each pair fans
+      // out by ≤ |hots| rows, keyed on doc ids — no df-sized skew;
+      // materialized because both join sides below read it
+      val hotPost = Materialize.once(
+        postings.join(broadcast(hots), Seq("s"), "left_semi"))
+      val hotShared = coldShared.select(col("id_a"), col("id_b"))
+        .join(hotPost.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+        .join(hotPost.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("hot_shared"))
+      val lens = sh.select(col("id"), size(col("sh")).cast("long").as("len"))
+      coldShared
+        .join(hotShared, Seq("id_a", "id_b"), "left")
+        .join(lens.select(col("id").as("id_a"), col("len").as("a_sh")), Seq("id_a"))
+        .join(lens.select(col("id").as("id_b"), col("len").as("b_sh")), Seq("id_b"))
         .withColumn("shared",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .withColumn("a_sh", size(col("sh_a")).cast("long"))
-        .withColumn("b_sh", size(col("sh_b")).cast("long"))
+          col("cold_shared") + coalesce(col("hot_shared"), lit(0L)))
         .withColumn("cont_a_q", expr("(shared * 1000000) div a_sh"))
         .withColumn("cont_b_q", expr("(shared * 1000000) div b_sh"))
         .filter(greatest(col("cont_a_q"), col("cont_b_q")) >= thresholdPpm)

@@ -1058,9 +1058,11 @@ object GraphOps {
     * (k_{i,c} = edges from i into c, k_i = degree, Σtot(c) = total
     * degree of c; removing i's own degree when scoring its current
     * community is the standard "gain of staying" correction). Winner =
-    * max gain, ties to the smallest label — the same
-    * one-aggregate `min(struct(−gain, label))` argmax as
-    * [[labelPropagation]], no per-node sort. DECIMAL(38,0) products:
+    * max gain, ties to the smallest label — a single hash-aggregated
+    * min over the integer code −gain·|V| + rank(label), where ranks
+    * come from a one-time dense string-order ranking of the node ids
+    * (the whole loop then runs on LONG keys; the candidate frame never
+    * sort-aggregates). DECIMAL(38,0) products:
     * at 100 TB, 2m·k is ~10¹⁹ and overflows a LONG (the q168 lesson).
     *
     * Pure synchronous updates OSCILLATE on symmetric structure (two
@@ -1085,6 +1087,7 @@ object GraphOps {
     * EAGER: materializes the canonical edge set at call time. */
   def louvainLevel(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1)
+    val spark = edges.sparkSession
     val norm = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"))
     val und = Materialize.once(norm
@@ -1092,45 +1095,88 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct())
     val m = und.count() // driver scalar: |E| undirected
-    val dir = Materialize.once(
-      und.select(col("a").as("i"), col("b").as("j"))
-        .unionByName(und.select(col("b").as("i"), col("a").as("j"))))
+    val dirS = und.select(col("a").as("i"), col("b").as("j"))
+      .unionByName(und.select(col("b").as("i"), col("a").as("j")))
+    // One-time dense rank of node ids in string-sort order: a
+    // range-partitioned sort + per-partition zipWithIndex (the one
+    // legitimate RDD hop — a row_number window would collapse to a
+    // single partition). Ranks turn every loop key into a LONG
+    // (smaller, faster shuffles than the id strings) and make the
+    // argmax key integer-encodable below; the move-gate hash parity
+    // is precomputed here so the loop never touches the id strings.
+    val nodeRows = dirS.select(col("i").as("node_id")).distinct()
+      .orderBy("node_id")
+      .withColumn("hp",
+        graft.functions.TextFunctions.portableHash(col("node_id")) % 2)
+      .rdd.zipWithIndex()
+      .map { case (row, rk) =>
+        org.apache.spark.sql.Row(row.getString(0), row.getLong(1), rk) }
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rank = Materialize.once(spark.createDataFrame(nodeRows,
+      StructType(Seq(StructField("node_id", StringType),
+        StructField("hp", LongType), StructField("rk", LongType)))))
+    val n = rank.count() // driver scalar: |V|, the argmax-code modulus
+    val dir = Materialize.once(dirS
+      .join(rank.select(col("node_id").as("i"), col("rk").as("__ri")), Seq("i"))
+      .join(rank.select(col("node_id").as("j"), col("rk").as("__rj")), Seq("j"))
+      .select(col("__ri").as("i"), col("__rj").as("j")))
     val deg = Materialize.once(
-      dir.groupBy(col("i").as("node_id")).agg(count(lit(1)).as("k")))
+      dir.groupBy(col("i")).agg(count(lit(1)).as("k"))
+        .join(rank.select(col("rk").as("i"), col("hp")), Seq("i")))
     val dec: Column => Column = _.cast("decimal(38,0)")
-    var assign = deg.select(col("node_id"), col("node_id").as("label"))
+    var assign = deg.select(col("i"), col("i").as("label")) // rank-keyed
     for (r <- 1 to rounds) {
-      val kic = dir
-        .join(assign.select(col("node_id").as("j"), col("label").as("c")), Seq("j"))
-        .groupBy(col("i"), col("c")).agg(count(lit(1)).as("kic"))
-      val tot = assign.join(deg, Seq("node_id"))
+      val tot = assign.join(deg, Seq("i"))
         .groupBy(col("label").as("c")).agg(sum(col("k")).as("tot"))
-      // candidate set = neighbor communities ∪ own community (kic = 0
-      // when no neighbor shares it); max() only fills the absent case
-      val cands = kic
-        .unionByName(assign.select(col("node_id").as("i"),
-          col("label").as("c"), lit(0L).as("kic")))
-        .groupBy("i", "c").agg(max(col("kic")).as("kic"))
+      // candidate set = neighbor communities ∪ own community, with
+      // k_{i,c} in the SAME aggregate: edge rows weigh 1, the own-
+      // community inject weighs 0 — one (i,c) shuffle, not a kic
+      // groupBy followed by a second union+groupBy over its output
+      val cands = dir
+        .join(assign.select(col("i").as("j"), col("label").as("c")), Seq("j"))
+        .select(col("i"), col("c"), lit(1L).as("w"))
+        .unionByName(assign.select(col("i"), col("label").as("c"),
+          lit(0L).as("w")))
+        .groupBy("i", "c").agg(sum(col("w")).as("kic"))
+      // Single-aggregate argmax on a mutable (DECIMAL) buffer: the
+      // winner key packs (−gain, label rank) into one integer,
+      // code = −gain·|V| + rank(c) with rank ∈ [0,|V|), so min(code)
+      // IS the lexicographic (max gain, smallest label) argmax — and
+      // it compiles to HashAggregate, where a struct-typed key would
+      // sort-aggregate the full candidate frame twice per round.
+      // Headroom: |gain| ≤ 4m², so |code| ≤ 4m²·|V| ~ 4·10³⁶ at
+      // 100 TB (m~10¹³, |V|~10¹⁰) — inside DECIMAL(38,0).
       val best = cands
         .join(tot, Seq("c"))
-        .join(assign.select(col("node_id").as("i"), col("label").as("cur")), Seq("i"))
-        .join(deg.select(col("node_id").as("i"), col("k")), Seq("i"))
+        .join(assign.select(col("i"), col("label").as("cur")), Seq("i"))
+        .join(deg, Seq("i"))
         .withColumn("gain", lit(2) * dec(lit(m)) * dec(col("kic")) -
           dec(col("k")) * (dec(col("tot")) -
             when(col("c") === col("cur"), dec(col("k"))).otherwise(dec(lit(0)))))
-        .groupBy(col("i").as("node_id"))
-        .agg(min(struct((-col("gain")).as("ng"), col("c").as("label"))).as("__w"),
-          first(col("cur")).as("__cur"))
-        .select(col("node_id"), col("__w.label").as("__new"), col("__cur"))
+        .groupBy(col("i"))
+        .agg(min(-col("gain") * dec(lit(n)) + dec(col("c"))).as("__code"),
+          min(col("cur")).as("__cur"), min(col("hp")).as("__hp"))
       // alternating move gate (see scaladoc): only half the nodes,
-      // selected by hash parity, may move this round
-      val next = best.select(col("node_id"),
-        when((graft.functions.TextFunctions.portableHash(col("node_id"))
-          + lit(r)) % 2 === 0, col("__new")).otherwise(col("__cur")).as("label"))
-      assign = if (r < rounds) Materialize.once(next) else next
+      // selected by hash parity, may move this round; pmod decodes the
+      // winning label rank back out of the argmax code
+      val next = best.select(col("i"),
+        when((col("__hp") + lit(r)) % 2 === 0,
+          pmod(col("__code"), dec(lit(n))).cast("long"))
+          .otherwise(col("__cur")).as("label"))
+      // every round lands a checkpoint — the last one is read twice
+      // below (sizes + decode), so it must not recompute the round
+      assign = Materialize.once(next)
     }
-    assign.withColumn("community_size",
-      count(lit(1)).over(Window.partitionBy(col("label"))))
+    // community sizes via partial-agg groupBy + join, not a window
+    // over the label — a mega-community must not become one window
+    // partition (AQE splits a skewed label join; a window can't) —
+    // then decode ranks back to id strings
+    assign.join(assign.groupBy(col("label"))
+        .agg(count(lit(1)).as("community_size")), Seq("label"))
+      .join(rank.select(col("rk").as("i"), col("node_id")), Seq("i"))
+      .join(rank.select(col("rk").as("label"), col("node_id").as("__lb")),
+        Seq("label"))
+      .select(col("node_id"), col("__lb").as("label"), col("community_size"))
   }
 
   /** The oracle for [[louvainLevel]]: unrolled rounds of the identical

@@ -29,7 +29,11 @@ import graft.functions.VectorFunctions._
   * Contract (same as the BM25 streaming sink): appends are
   * APPEND-ONLY — delta ids must be new. Updating a vector in place
   * means delete+rebuild of its cell (or a full rebuild); parquet has
-  * no sub-file delete and silently doubled ids would both rank.
+  * no sub-file delete and silently doubled ids would both rank. The
+  * contract is ENFORCED by default ([[requireAppendOnly]]): a
+  * duplicate id — within the delta or vs the live index — fails the
+  * append loudly before any byte is written; `requireNewIds = false`
+  * is the documented off-switch for bulk loads.
   *
   * PQ completes the family without needing its own maintenance: its
   * codebooks are driver-side literals (compiled into the ADC kernels,
@@ -45,14 +49,42 @@ import graft.functions.VectorFunctions._
   */
 object VectorIndexOps {
 
+  /** Enforces the append-only contract: fails loudly when the delta
+    * repeats an id internally or carries one already in the index —
+    * a silent violation would let both rows rank in probes. Costs one
+    * column-pruned scan of the index's id column per guarded append;
+    * callers that own id discipline (bulk loads) pass
+    * `requireNewIds = false` to skip it. */
+  private def requireAppendOnly(ids: DataFrame, indexPath: String): Unit = {
+    val spark = ids.sparkSession
+    val dupes = ids.groupBy(col("neighbor_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(5).collect()
+    require(dupes.isEmpty, s"append-only contract violated: delta repeats " +
+      s"id(s) ${dupes.map(_.get(0)).mkString(", ")} … — duplicated ids would " +
+      "both rank in probes; dedup the delta or pass requireNewIds = false")
+    val dataPath = new Path(s"$indexPath/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dataPath)) {
+      val clash = ids.join(spark.read.parquet(dataPath.toString)
+          .select(col("neighbor_id")), Seq("neighbor_id"), "left_semi")
+        .limit(5).collect()
+      require(clash.isEmpty, s"append-only contract violated: id(s) " +
+        s"${clash.map(_.get(0)).mkString(", ")} … already in $indexPath — " +
+        "updates need delete+rebuild of the cell (see scaladoc); " +
+        "pass requireNewIds = false only if the caller owns id discipline")
+    }
+  }
+
   /** Append `delta` to a [[Similarity.buildIvfIndexQuantized]] index:
     * rows are quantized and assigned against the INDEX's centroids
     * (read from `centroids/` — never re-fitted), then appended
     * one-file-per-touched-cell. EAGER: runs the write now.
     *
+    * @param requireNewIds verify the append-only contract (default on;
+    *                      see [[requireAppendOnly]])
     * @return number of rows appended */
   def appendIvfQuantized(delta: DataFrame, idCol: String, vecCol: String,
-                         indexPath: String): Long = {
+                         indexPath: String, requireNewIds: Boolean = true): Long = {
     val spark = delta.sparkSession
     val qCentroids = spark.read.parquet(s"$indexPath/centroids")
       .orderBy("cell").select("centroid")
@@ -62,7 +94,8 @@ object VectorIndexOps {
       delta.repartition(spark.sparkContext.defaultParallelism)
         .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
       "cv", qCentroids)
-      .transform(Materialize.once) // counted + written
+      .transform(Materialize.once) // counted + written (+ guarded)
+    if (requireNewIds) requireAppendOnly(assigned.select("neighbor_id"), indexPath)
     val n = assigned.count()
     assigned
       .repartition(col("cell")) // one new file per touched cell dir
@@ -74,16 +107,19 @@ object VectorIndexOps {
     * keys come from the index's pinned `meta/` (planes, tables, dims) —
     * the same lockstep rule as probing. EAGER.
     *
+    * @param requireNewIds verify the append-only contract (default on;
+    *                      see [[requireAppendOnly]])
     * @return number of rows appended (before the ×tables fan-out) */
   def appendSrp(delta: DataFrame, idCol: String, vecCol: String,
-                indexPath: String): Long = {
+                indexPath: String, requireNewIds: Boolean = true): Long = {
     val spark = delta.sparkSession
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val (planes, tables, dims) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"), meta.getAs[Int]("dims"))
     val rows = delta.repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
-      .transform(Materialize.once) // counted + written
+      .transform(Materialize.once) // counted + written (+ guarded)
+    if (requireNewIds) requireAppendOnly(rows.select("neighbor_id"), indexPath)
     val n = rows.count()
     rows
       .select(col("neighbor_id"), col("cv"),

@@ -114,6 +114,16 @@ object TextQueries {
       maxDocFrequency = -1)
       .orderBy("id_a", "id_b")
 
+  /** The CAPPED Jaccard production path with a cap that bites at scale
+    * (df ≤ 24) over the FULL near-dup corpus — q27 anchors uncapped
+    * completeness on a slice; this one cross-engine-checks the capped
+    * candidate generation + cold/hot exact-score reassembly end to
+    * end (the Jaccard twin of q209). */
+  val q211JaccardCapped: Q = (s, d) =>
+    Dedup.ngramJaccardDuplicates(corpusNear(s, d), "doc_id", "text",
+      threshold = 0.6, shingleSize = 3, maxDocFrequency = 24L)
+      .orderBy("id_a", "id_b")
+
   /** Duplicate-cluster canonicalization over the q24 MinHash pair list:
     * every member of a connected component maps to the component's
     * minimum id — the "keep one copy" step after any pair-finding
@@ -848,6 +858,7 @@ object TextQueries {
     "q25_simhash" -> q25Simhash,
     "q26_simhash_dedup" -> q26SimhashDedup,
     "q27_ngram_jaccard" -> q27NgramJaccard,
+    "q211_jaccard_capped" -> q211JaccardCapped,
     "q42_canonicalize" -> q42Canonicalize,
     "q43_heavy_hitters" -> q43HeavyHitters,
     "q97_minhash_clusters" -> q97MinhashClusters,
@@ -1736,6 +1747,30 @@ object TextQueries {
          |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
          |FROM sig a JOIN sig b ON a.id < b.id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // capped-Jaccard production path: df-filtered candidates replayed
+    // inline (HAVING count(*) <= 24), exact full-set Jaccard on the
+    // survivors — the Jaccard twin of the q209 capped-semantics check.
+    // (The symmetric length prefilter needs no replay: any pair it
+    // drops is provably below threshold, and the verify is exact.)
+    "q211_jaccard_capped" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |tok AS (SELECT doc_id AS id, $tok AS ts FROM corpus),
+         |shr AS (SELECT id, $shingles3 AS shr FROM tok),
+         |sh AS (SELECT id, list_distinct(shr) AS sh FROM shr WHERE len(shr) > 0),
+         |p AS (SELECT id, unnest(sh) AS s FROM sh),
+         |dfc AS (SELECT s FROM p GROUP BY s HAVING count(*) <= 24),
+         |cold AS (SELECT p.id, p.s FROM p JOIN dfc USING (s)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM cold a JOIN cold b ON a.s = b.s AND a.id < b.id),
+         |v AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS shared,
+         |    CAST(len(sa.sh) AS BIGINT) AS la, CAST(len(sb.sh) AS BIGINT) AS lb
+         |  FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b)
+         |SELECT id_a, id_b,
+         |  CAST(shared AS DOUBLE) / CAST(la + lb - shared AS DOUBLE) AS jaccard
+         |FROM v
+         |WHERE CAST(shared AS DOUBLE) / CAST(la + lb - shared AS DOUBLE) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
     "q27_ngram_jaccard" ->
       s"""WITH corpus AS (SELECT * FROM ($corpusNearSql) WHERE doc_id % 1000000 < 500),
          |tok AS (SELECT doc_id AS id, $tok AS ts FROM corpus),

@@ -482,4 +482,28 @@ class PlanAuditSpec extends SparkSpec {
     // AQE may reuse exchanges but never plan a nested loop here
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"group join degraded:\n$p")
   }
+
+  test("q120/q209/q211: capped overlap dedup — no array verify, no windowed df") {
+    // the capped family reassembles exact scores from cold+hot match
+    // COUNTS: a full-set array_intersect (triple-evaluated in a join
+    // condition, r11 regression) or a count-over-window df (hot-key
+    // one-task straggler) must never resurface in these plans
+    Seq("q120_containment", "q209_containment_capped",
+      "q211_jaccard_capped").foreach { q =>
+      val p = finalPlan(q)
+      assert(!p.contains("array_intersect"),
+        s"$q: full-set array verify resurfaced:\n$p")
+      assert(!p.contains("Window"),
+        s"$q: windowed df (one-task hot key) resurfaced:\n$p")
+    }
+  }
+
+  test("q210: louvain output stage hash-aggregates — no sort-agg, no label window") {
+    // the per-round argmax is an integer-coded min (HashAggregate) and
+    // community sizes are groupBy+join; a struct-keyed SortAggregate
+    // or a count-over-label Window would be the r11 plan regressions
+    val p = finalPlan("q210_louvain")
+    assert(!p.contains("SortAggregate"), s"struct-buffer argmax resurfaced:\n$p")
+    assert(!p.contains("Window"), s"label window (mega-community skew) resurfaced:\n$p")
+  }
 }

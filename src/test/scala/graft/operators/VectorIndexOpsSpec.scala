@@ -91,4 +91,39 @@ class VectorIndexOpsSpec extends SparkSpec {
   test("compact: absent index is None, not an error") {
     assert(VectorIndexOps.compact(spark, tmp("no-index") + "/nope").isEmpty)
   }
+
+  test("append-only contract: a duplicate-id append fails loudly, not silently") {
+    val cents = Similarity.fitQuantizedCentroids(corpus(0 until 20), "vec", nCells = 4)
+    val ivfPath = tmp("ivf-guard")
+    Similarity.buildIvfIndexQuantized(corpus(0 until 20), "vec_id", "vec",
+      ivfPath, nCells = 4, preFitted = Some(cents))
+    // id 10 is already in the index → loud failure, nothing written
+    val before = dataFiles(ivfPath).size
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndexOps.appendIvfQuantized(
+        corpus(10 until 25), "vec_id", "vec", ivfPath)
+    }
+    assert(e1.getMessage.contains("append-only"))
+    assert(dataFiles(ivfPath).size == before, "failed append must not write")
+    // a delta that repeats an id internally fails too
+    val dupDelta = corpus(20 until 25).unionByName(corpus(22 until 23))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndexOps.appendIvfQuantized(dupDelta, "vec_id", "vec", ivfPath)
+    }
+    assert(e2.getMessage.contains("append-only"))
+    // documented off-switch: caller owns id discipline
+    assert(VectorIndexOps.appendIvfQuantized(corpus(10 until 25), "vec_id",
+      "vec", ivfPath, requireNewIds = false) == 15L)
+    // same guard on the SRP family
+    val srpPath = tmp("srp-guard")
+    Similarity.buildSrpIndex(corpus(0 until 20), "vec_id", "vec", srpPath,
+      planes = 4, tables = 2, dims = 8)
+    val e3 = intercept[IllegalArgumentException] {
+      VectorIndexOps.appendSrp(corpus(15 until 30), "vec_id", "vec", srpPath)
+    }
+    assert(e3.getMessage.contains("append-only"))
+    // and a clean append still passes the guard
+    assert(VectorIndexOps.appendSrp(
+      corpus(20 until 30), "vec_id", "vec", srpPath) == 10L)
+  }
 }

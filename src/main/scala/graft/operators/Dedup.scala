@@ -253,8 +253,7 @@ object Dedup {
         .select(col("s"))
         .transform(Materialize.once) // anti-join + semi-join both read it
       val cold = postings.join(broadcast(hots), Seq("s"), "left_anti")
-      // materialized: feeds both the hot-overlap build and the final
-      // assembly — the self-join must not recompute
+      // materialized: read twice (bound prune + verify assembly)
       val coldShared = Materialize.once(cold.as("a")
         .join(cold.as("b"),
           col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
@@ -263,20 +262,31 @@ object Dedup {
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
           col("a.len").as("la"), col("b.len").as("lb"))
         .agg(count(lit(1)).as("cold_shared")))
-      // per-candidate hot overlap by (id, s) matching — each pair fans
-      // out by ≤ |hots| rows, keyed on doc ids, no df-sized skew;
-      // materialized because both join sides below read it
-      val hotPost = Materialize.once(
-        postings.join(broadcast(hots), Seq("s"), "left_semi"))
-      val hotShared = coldShared.select(col("id_a"), col("id_b"))
-        .join(hotPost.select(col("id").as("id_a"), col("s")), Seq("id_a"))
-        .join(hotPost.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("hot_shared"))
-      coldShared
-        .join(hotShared, Seq("id_a", "id_b"), "left")
-        .withColumn("shared",
-          col("cold_shared") + coalesce(col("hot_shared"), lit(0L)))
+      // Same bound-then-verify shape as containmentPairs (see the
+      // comment there): scalar hot counts give the lossless prune
+      // J ≤ smax/(la+lb−smax) with smax = cold + min(|hotA|,|hotB|)
+      // (x/(C−x) and IEEE rounding are monotone, so no pair at or
+      // above threshold is pruned); only survivors touch the per-doc
+      // hot arrays, once, behind a materialization barrier.
+      val hotArr = Materialize.once(
+        postings.join(broadcast(hots), Seq("s"), "left_semi")
+          .groupBy(col("id")).agg(collect_list(col("s")).as("hsh")))
+      val hotCnt = hotArr.select(col("id"), size(col("hsh")).cast("long").as("hc"))
+      val pruned = coldShared
+        .join(hotCnt.select(col("id").as("id_a"), col("hc").as("hc_a")), Seq("id_a"), "left")
+        .join(hotCnt.select(col("id").as("id_b"), col("hc").as("hc_b")), Seq("id_b"), "left")
+        .withColumn("__smax", col("cold_shared") +
+          least(coalesce(col("hc_a"), lit(0L)), coalesce(col("hc_b"), lit(0L))))
+        .filter(col("__smax").cast("double") /
+          (col("la") + col("lb") - col("__smax")).cast("double") >= threshold)
+      val verified = Materialize.once(pruned
+        .join(hotArr.select(col("id").as("id_a"), col("hsh").as("__ha")), Seq("id_a"), "left")
+        .join(hotArr.select(col("id").as("id_b"), col("hsh").as("__hb")), Seq("id_b"), "left")
+        .withColumn("shared", col("cold_shared") +
+          when(col("__ha").isNull || col("__hb").isNull, lit(0L))
+            .otherwise(size(array_intersect(col("__ha"), col("__hb"))).cast("long")))
+        .select(col("id_a"), col("id_b"), col("la"), col("lb"), col("shared")))
+      verified
         .withColumn("jaccard", col("shared").cast("double") /
           (col("la") + col("lb") - col("shared")).cast("double"))
         .filter(col("jaccard") >= threshold)
@@ -356,30 +366,42 @@ object Dedup {
       val cold = postings.join(broadcast(hots), Seq("s"), "left_anti")
       // candidate pairs carry their exact cold overlap out of one agg —
       // per-shingle join work is bounded by cap² by construction.
-      // Materialized: it feeds BOTH the hot-overlap build and the
-      // final assembly (recomputing the self-join twice dominated the
-      // plan before)
+      // Materialized: read twice (bound prune + verify assembly)
       val coldShared = Materialize.once(cold.as("a")
         .join(cold.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .agg(count(lit(1)).as("cold_shared")))
-      // per-candidate hot overlap by (id, s) matching: each pair fans
-      // out by ≤ |hots| rows, keyed on doc ids — no df-sized skew;
-      // materialized because both join sides below read it
-      val hotPost = Materialize.once(
-        postings.join(broadcast(hots), Seq("s"), "left_semi"))
-      val hotShared = coldShared.select(col("id_a"), col("id_b"))
-        .join(hotPost.select(col("id").as("id_a"), col("s")), Seq("id_a"))
-        .join(hotPost.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("hot_shared"))
+      // Per-doc HOT slices as compact arrays (≤ |hots| entries, doc-id
+      // keyed — no df-sized skew). The candidate frame is orders of
+      // magnitude bigger than the output (cap²-bounded, but every
+      // co-occurrence), so hot overlap must NOT be computed per
+      // candidate: first a lossless upper-bound prune using only the
+      // SCALAR hot counts — shared ≤ cold_shared + min(|hotA|,|hotB|),
+      // and integer div is monotone, so no pair at or above the ppm
+      // threshold can be pruned — then the exact array overlap runs
+      // once per SURVIVOR behind a materialization barrier (a fan-out
+      // join of candidates × hot postings measured 45× this plan).
+      val hotArr = Materialize.once(
+        postings.join(broadcast(hots), Seq("s"), "left_semi")
+          .groupBy(col("id")).agg(collect_list(col("s")).as("hsh")))
+      val hotCnt = hotArr.select(col("id"), size(col("hsh")).cast("long").as("hc"))
       val lens = sh.select(col("id"), size(col("sh")).cast("long").as("len"))
-      coldShared
-        .join(hotShared, Seq("id_a", "id_b"), "left")
+      val pruned = coldShared
         .join(lens.select(col("id").as("id_a"), col("len").as("a_sh")), Seq("id_a"))
         .join(lens.select(col("id").as("id_b"), col("len").as("b_sh")), Seq("id_b"))
-        .withColumn("shared",
-          col("cold_shared") + coalesce(col("hot_shared"), lit(0L)))
+        .join(hotCnt.select(col("id").as("id_a"), col("hc").as("hc_a")), Seq("id_a"), "left")
+        .join(hotCnt.select(col("id").as("id_b"), col("hc").as("hc_b")), Seq("id_b"), "left")
+        .withColumn("__smax", col("cold_shared") +
+          least(coalesce(col("hc_a"), lit(0L)), coalesce(col("hc_b"), lit(0L))))
+        .filter(expr("(__smax * 1000000) div least(a_sh, b_sh)") >= thresholdPpm)
+      val verified = Materialize.once(pruned
+        .join(hotArr.select(col("id").as("id_a"), col("hsh").as("__ha")), Seq("id_a"), "left")
+        .join(hotArr.select(col("id").as("id_b"), col("hsh").as("__hb")), Seq("id_b"), "left")
+        .withColumn("shared", col("cold_shared") +
+          when(col("__ha").isNull || col("__hb").isNull, lit(0L))
+            .otherwise(size(array_intersect(col("__ha"), col("__hb"))).cast("long")))
+        .select(col("id_a"), col("id_b"), col("shared"), col("a_sh"), col("b_sh")))
+      verified
         .withColumn("cont_a_q", expr("(shared * 1000000) div a_sh"))
         .withColumn("cont_b_q", expr("(shared * 1000000) div b_sh"))
         .filter(greatest(col("cont_a_q"), col("cont_b_q")) >= thresholdPpm)

@@ -483,16 +483,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"group join degraded:\n$p")
   }
 
-  test("q120/q209/q211: capped overlap dedup — no array verify, no windowed df") {
-    // the capped family reassembles exact scores from cold+hot match
-    // COUNTS: a full-set array_intersect (triple-evaluated in a join
-    // condition, r11 regression) or a count-over-window df (hot-key
-    // one-task straggler) must never resurface in these plans
+  test("q120/q209/q211: capped overlap dedup — array verify only behind the barrier, no windowed df") {
+    // the capped family prunes candidates with a lossless scalar bound
+    // (cold_shared + min hot counts), then runs the exact hot-array
+    // intersect ONCE per bound-survivor behind a materialization
+    // barrier. The final (post-barrier) plan is count arithmetic only:
+    // a full-set array_intersect here would mean the verify escaped the
+    // barrier back into the candidate join (triple-evaluated in a join
+    // condition, the r11 regression), and a count-over-window df (the
+    // hot-key one-task straggler) must never resurface in any stage
     Seq("q120_containment", "q209_containment_capped",
       "q211_jaccard_capped").foreach { q =>
       val p = finalPlan(q)
       assert(!p.contains("array_intersect"),
-        s"$q: full-set array verify resurfaced:\n$p")
+        s"$q: array verify escaped the barrier into the final plan:\n$p")
       assert(!p.contains("Window"),
         s"$q: windowed df (one-task hot key) resurfaced:\n$p")
     }

@@ -684,50 +684,85 @@ object GraphOps {
     * join. EAGER like [[pageRank]] (edge materialization + node
     * count at call time). */
   def labelPropagation(edges: DataFrame, iterations: Int,
-                       checkpointEvery: Int = 4,
                        assumeDistinct: Boolean = false,
                        broadcastCutoff: Long = 1000000L): DataFrame = {
-    require(iterations >= 1 && checkpointEvery >= 1)
+    require(iterations >= 1)
     val normalized = edges
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
     val e = Materialize.once(
       if (assumeDistinct) normalized else normalized.distinct())
-    val nodes = Materialize.once(
-      e.select(col("src").as("node_id"))
-        .union(e.select(col("dst").as("node_id"))).distinct())
-    val nNodes = nodes.count()
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id"))).distinct()
+    // dense string-order ranking (the louvain trick): the loop runs on
+    // LONG keys and the per-round argmax packs (−count, label rank)
+    // into ONE integer code, so it hash-aggregates — a struct-typed
+    // min buffer would SortAggregate the (node, label) frame twice per
+    // round (the r11 louvain plan bug, same shape here)
+    val rank = Materialize.once(rankNodes(nodes))
+    val nNodes = rank.count()
+    // checkpointed frames carry NO size stats (LogicalRDD defaults to
+    // "huge"), so the node-sized rank frame must be broadcast
+    // EXPLICITLY below the cutoff or every rank join plans as a full
+    // sort-merge of the edge table
+    val rankHint: DataFrame => DataFrame =
+      if (nNodes > broadcastCutoff) identity else broadcast(_)
+    val eR = e
+      .join(rankHint(rank.select(col("node_id").as("src"), col("rk").as("si"))),
+        Seq("src"))
+      .join(rankHint(rank.select(col("node_id").as("dst"), col("rk").as("di"))),
+        Seq("dst"))
+      .select(col("si"), col("di"))
     // pageRank's two-branch join layout: small graphs broadcast the
     // label frame (shuffle-free round); big graphs pre-bucket the
     // persisted edge table by src ONCE so per round only the
     // node-sized label side exchanges — edges never re-shuffle
     val bucketed = nNodes > broadcastCutoff
     val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val eJ = if (bucketed) e.repartition(nParts, col("src")).persist() else e
+    val eJ = if (bucketed) eR.repartition(nParts, col("si")).persist()
+      else Materialize.once(eR)
     val labelHint: DataFrame => DataFrame =
       if (bucketed) identity else broadcast(_)
-    var labels = nodes.withColumn("label", col("node_id"))
+    // |code| ≤ n² + n: primitive LONG arithmetic (codegen'd hash-agg
+    // buffer) whenever it fits — i.e. up to ~3.03e9 nodes — with the
+    // exact-same-valued DECIMAL(38,0) path above that (10¹⁰-node
+    // graphs at 100 TB overflow LONG); both are exact integers, so
+    // the result is bit-identical either way
+    val dec: Column => Column =
+      if (BigInt(nNodes) * BigInt(nNodes) + BigInt(nNodes) <
+          BigInt(Long.MaxValue)) _.cast("long")
+      else _.cast("decimal(38,0)")
+    var labels = rank.select(col("rk").as("i"), col("rk").as("label"))
     for (round <- 1 to iterations) {
-      // argmax-by-(count desc, label asc) as ONE aggregate — min of
-      // struct(-c, label) — instead of a window: both (node, label)
-      // and (node) phases partial-aggregate map-side, and there is no
-      // per-node sort
+      // argmax-by-(count desc, label asc) as ONE hash aggregate over
+      // the packed code −c·n + label (label ∈ [0,n) ⇒ min(code) is
+      // the lex argmax); pmod decodes the winner back out
       val winner = eJ
-        .join(labelHint(labels), eJ("src") === labels("node_id"))
-        .groupBy(col("dst").as("node_id"), col("label"))
+        .join(labelHint(labels.select(col("i").as("si"), col("label"))), Seq("si"))
+        .groupBy(col("di").as("i"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .groupBy("node_id")
-        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("__w"))
-        .select(col("node_id"), col("__w.label").as("__new"))
-      val next = labels.join(winner, Seq("node_id"), "left")
-        .select(col("node_id"),
-          coalesce(col("__new"), col("label")).as("label"))
-      labels = if (round % checkpointEvery == 0 && round < iterations)
-        Materialize.once(next)
-      else next
+        .groupBy("i")
+        .agg(min(-dec(col("c")) * dec(lit(nNodes)) + dec(col("label")))
+          .as("__code"))
+        .select(col("i"),
+          pmod(col("__code"), dec(lit(nNodes))).cast("long").as("__new"))
+      // every round lands a checkpoint (the louvain discipline): the
+      // label frame is referenced TWICE per round (winner + fallback
+      // join) and twice more by the sizes/decode stage, so an
+      // unmaterialized chain recomputes early rounds exponentially —
+      // the checkpoint is one node-sized local write per round
+      val next = labels.join(winner, Seq("i"), "left")
+        .select(col("i"), coalesce(col("__new"), col("label")).as("label"))
+      labels = Materialize.once(next)
     }
-    val out = labels.withColumn("community_size",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("label"))))
+    // sizes via groupBy + join (a label window would make one
+    // mega-community one partition), then decode ranks to id strings
+    val out = labels
+      .join(labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("community_size")), Seq("label"))
+      .join(rankHint(rank.select(col("rk").as("i"), col("node_id"))), Seq("i"))
+      .join(rankHint(rank.select(col("rk").as("label"),
+        col("node_id").as("__lb"))), Seq("label"))
+      .select(col("node_id"), col("__lb").as("label"), col("community_size"))
     if (!bucketed) out
     else {
       // force the result off the persisted edge layout, then drop the
@@ -737,6 +772,22 @@ object GraphOps {
       eJ.unpersist(false)
       o
     }
+  }
+
+  /** One-time dense rank of a (node_id) frame in string-sort order: a
+    * range-partitioned sort + per-partition zipWithIndex (the one
+    * legitimate RDD hop — a row_number window would collapse to a
+    * single partition). Rank order ≡ string order, so smallest-label
+    * tie-breaks transfer exactly to rank space. */
+  private def rankNodes(nodes: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows = nodes.select(col("node_id")).distinct().orderBy("node_id")
+      .rdd.zipWithIndex()
+      .map { case (row, rk) => org.apache.spark.sql.Row(row.getString(0), rk) }
+    spark.createDataFrame(rows,
+      StructType(Seq(StructField("node_id", StringType),
+        StructField("rk", LongType))))
   }
 
   /** The q128 oracle for [[labelPropagation]]: unrolled rounds of the
@@ -1087,6 +1138,24 @@ object GraphOps {
     * EAGER: materializes the canonical edge set at call time. */
   def louvainLevel(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1)
+    val p = louvainPrep(edges)
+    val assign =
+      louvainGainRounds(p.dir.withColumn("w", lit(1L)), p.deg, p.m, p.n,
+        rounds, p.hint)
+    louvainDecode(assign, p.rank, p.hint)
+  }
+
+  /** Rank-keyed shared state for the Louvain levels: the canonical
+    * edge set, the dense node ranking, and the per-node degree frame —
+    * built once and read by every level (see [[louvainLevel]]'s
+    * scaladoc for why ranks). `hint` broadcasts node-sized frames into
+    * edge-sized joins below the cutoff — checkpointed frames carry no
+    * size stats, so without the explicit hint every such join plans as
+    * a full sort-merge of the edge table. */
+  private case class LouvainPrep(m: Long, n: Long, rank: DataFrame,
+      dir: DataFrame, deg: DataFrame, hint: DataFrame => DataFrame)
+
+  private def louvainPrep(edges: DataFrame): LouvainPrep = {
     val spark = edges.sparkSession
     val norm = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"))
@@ -1116,25 +1185,55 @@ object GraphOps {
       StructType(Seq(StructField("node_id", StringType),
         StructField("hp", LongType), StructField("rk", LongType)))))
     val n = rank.count() // driver scalar: |V|, the argmax-code modulus
+    val hint: DataFrame => DataFrame =
+      if (n > 1000000L) identity else broadcast(_)
     val dir = Materialize.once(dirS
-      .join(rank.select(col("node_id").as("i"), col("rk").as("__ri")), Seq("i"))
-      .join(rank.select(col("node_id").as("j"), col("rk").as("__rj")), Seq("j"))
+      .join(hint(rank.select(col("node_id").as("i"), col("rk").as("__ri"))),
+        Seq("i"))
+      .join(hint(rank.select(col("node_id").as("j"), col("rk").as("__rj"))),
+        Seq("j"))
       .select(col("__ri").as("i"), col("__rj").as("j")))
     val deg = Materialize.once(
       dir.groupBy(col("i")).agg(count(lit(1)).as("k"))
-        .join(rank.select(col("rk").as("i"), col("hp")), Seq("i")))
-    val dec: Column => Column = _.cast("decimal(38,0)")
+        .join(hint(rank.select(col("rk").as("i"), col("hp"))), Seq("i")))
+    LouvainPrep(m, n, rank, dir, deg, hint)
+  }
+
+  /** The synchronous gain loop shared by every Louvain level, over a
+    * rank-keyed WEIGHTED directed edge frame `dirW` (i, j, w) with no
+    * self-loops and a degree frame `deg` (i, k, hp) that already folds
+    * self-loop weight in (k = Σ_j w(i,j) + 2·w(i,i)). Level 1 is the
+    * w = 1 special case; contracted levels carry the inter-community
+    * edge multiplicities. Arithmetic, tie-break and move gate are
+    * exactly [[louvainLevel]]'s scaladoc: gain(i→c) = 2m·k_{i,c} −
+    * k_i·(Σtot(c) − [c = c_i]·k_i) in exact integers, argmax by
+    * min(−gain·n + c), hash-parity gate on (hp + r). Returns the
+    * rank-keyed assignment (i, label).
+    *
+    * Integer width is gated on the true bound |code| ≤ 4m²·n + n:
+    * primitive LONG (codegen'd multiplies, mutable hash-agg buffer)
+    * whenever that fits, the same-valued DECIMAL(38,0) above it —
+    * 100 TB graphs (m~10¹³, n~10¹⁰ ⇒ |code|~4·10³⁶) take the decimal
+    * path; both are exact, so results are bit-identical. */
+  private def louvainGainRounds(dirW: DataFrame, deg: DataFrame,
+      m: Long, n: Long, rounds: Int,
+      hint: DataFrame => DataFrame): DataFrame = {
+    val dec: Column => Column =
+      if (BigInt(4) * BigInt(m) * BigInt(m) * BigInt(n) + BigInt(n) <
+          BigInt(Long.MaxValue)) _.cast("long")
+      else _.cast("decimal(38,0)")
     var assign = deg.select(col("i"), col("i").as("label")) // rank-keyed
     for (r <- 1 to rounds) {
       val tot = assign.join(deg, Seq("i"))
         .groupBy(col("label").as("c")).agg(sum(col("k")).as("tot"))
       // candidate set = neighbor communities ∪ own community, with
-      // k_{i,c} in the SAME aggregate: edge rows weigh 1, the own-
-      // community inject weighs 0 — one (i,c) shuffle, not a kic
-      // groupBy followed by a second union+groupBy over its output
-      val cands = dir
-        .join(assign.select(col("i").as("j"), col("label").as("c")), Seq("j"))
-        .select(col("i"), col("c"), lit(1L).as("w"))
+      // k_{i,c} in the SAME aggregate: edge rows carry their weight,
+      // the own-community inject weighs 0 — one (i,c) shuffle, not a
+      // kic groupBy followed by a second union+groupBy over its output
+      val cands = dirW
+        .join(hint(assign.select(col("i").as("j"), col("label").as("c"))),
+          Seq("j"))
+        .select(col("i"), col("c"), col("w"))
         .unionByName(assign.select(col("i"), col("label").as("c"),
           lit(0L).as("w")))
         .groupBy("i", "c").agg(sum(col("w")).as("kic"))
@@ -1147,9 +1246,9 @@ object GraphOps {
       // Headroom: |gain| ≤ 4m², so |code| ≤ 4m²·|V| ~ 4·10³⁶ at
       // 100 TB (m~10¹³, |V|~10¹⁰) — inside DECIMAL(38,0).
       val best = cands
-        .join(tot, Seq("c"))
-        .join(assign.select(col("i"), col("label").as("cur")), Seq("i"))
-        .join(deg, Seq("i"))
+        .join(hint(tot), Seq("c"))
+        .join(hint(assign.select(col("i"), col("label").as("cur"))), Seq("i"))
+        .join(hint(deg), Seq("i"))
         .withColumn("gain", lit(2) * dec(lit(m)) * dec(col("kic")) -
           dec(col("k")) * (dec(col("tot")) -
             when(col("c") === col("cur"), dec(col("k"))).otherwise(dec(lit(0)))))
@@ -1164,64 +1263,166 @@ object GraphOps {
           pmod(col("__code"), dec(lit(n))).cast("long"))
           .otherwise(col("__cur")).as("label"))
       // every round lands a checkpoint — the last one is read twice
-      // below (sizes + decode), so it must not recompute the round
+      // downstream (sizes + decode), so it must not recompute the round
       assign = Materialize.once(next)
     }
-    // community sizes via partial-agg groupBy + join, not a window
-    // over the label — a mega-community must not become one window
-    // partition (AQE splits a skewed label join; a window can't) —
-    // then decode ranks back to id strings
-    assign.join(assign.groupBy(col("label"))
-        .agg(count(lit(1)).as("community_size")), Seq("label"))
-      .join(rank.select(col("rk").as("i"), col("node_id")), Seq("i"))
-      .join(rank.select(col("rk").as("label"), col("node_id").as("__lb")),
+    assign
+  }
+
+  /** Community sizes via partial-agg groupBy + join, not a window over
+    * the label — a mega-community must not become one window partition
+    * (AQE splits a skewed label join; a window can't) — then decode
+    * ranks back to id strings. */
+  private def louvainDecode(assign: DataFrame, rank: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame =
+    assign.join(hint(assign.groupBy(col("label"))
+        .agg(count(lit(1)).as("community_size"))), Seq("label"))
+      .join(hint(rank.select(col("rk").as("i"), col("node_id"))), Seq("i"))
+      .join(hint(rank.select(col("rk").as("label"), col("node_id").as("__lb"))),
         Seq("label"))
       .select(col("node_id"), col("__lb").as("label"), col("community_size"))
+
+  /** TWO levels of Louvain (Blondel et al. 2008 §2): run
+    * [[louvainLevel]]'s synchronous sweep for `rounds1` rounds, then
+    * CONTRACT each community to a super-node — inter-community edge
+    * multiplicities become edge weights, intra-community edges become
+    * self-loop weight folded into the super-node degree — and run the
+    * identical weighted sweep for `rounds2` rounds on the condensed
+    * graph. m (total edge weight) is INVARIANT under contraction, so
+    * every level-2 gain is on the same 2m² denominator and stays exact
+    * integer arithmetic; [[louvainTwoLevelOracleSql]] replays the whole
+    * pipeline bit-for-bit. Output is [[louvainLevel]]'s shape with
+    * labels from the coarse partition and sizes in ORIGINAL nodes.
+    *
+    * Scale shape: level 1 as [[louvainLevel]]; the contraction is one
+    * community-stamping join pair over the (already rank-keyed,
+    * checkpointed) edge set plus one (ca, cb) aggregate, and every
+    * level-2 frame is community-sized — strictly smaller than level
+    * 1's. The move gate and tie-break reuse the LEVEL-1 node ranking
+    * (labels are member node ids), so no second global sort happens. */
+  def louvainTwoLevel(edges: DataFrame, rounds1: Int, rounds2: Int): DataFrame = {
+    require(rounds1 >= 1 && rounds2 >= 1)
+    val p = louvainPrep(edges)
+    val a1 = louvainGainRounds(p.dir.withColumn("w", lit(1L)), p.deg,
+      p.m, p.n, rounds1, p.hint)
+    // contract in rank space: one direction per undirected edge, both
+    // endpoints stamped with their community, multiplicity = weight
+    val wund = Materialize.once(p.dir.filter(col("i") < col("j"))
+      .join(p.hint(a1.select(col("i"), col("label").as("la"))), Seq("i"))
+      .join(p.hint(a1.select(col("i").as("j"), col("label").as("lb"))),
+        Seq("j"))
+      .groupBy(least(col("la"), col("lb")).as("ca"),
+        greatest(col("la"), col("lb")).as("cb"))
+      .agg(count(lit(1)).as("w")))
+    val ext = wund.filter(col("ca") =!= col("cb"))
+    val sdir = ext.select(col("ca").as("i"), col("cb").as("j"), col("w"))
+      .unionByName(ext.select(col("cb").as("i"), col("ca").as("j"), col("w")))
+    // super-node degree k = external weighted degree + 2·self-loop
+    // weight; communities with ONLY intra edges still need rows, hence
+    // the left joins from the distinct label set
+    val deg2 = Materialize.once(a1.select(col("label").as("i")).distinct()
+      .join(sdir.groupBy("i").agg(sum(col("w")).as("__ke")), Seq("i"), "left")
+      .join(wund.filter(col("ca") === col("cb"))
+        .select(col("ca").as("i"), col("w").as("__sw")), Seq("i"), "left")
+      .select(col("i"), (coalesce(col("__ke"), lit(0L)) +
+        lit(2) * coalesce(col("__sw"), lit(0L))).as("k"))
+      .join(p.hint(p.rank.select(col("rk").as("i"), col("hp"))), Seq("i")))
+    val a2 = louvainGainRounds(Materialize.once(sdir), deg2, p.m, p.n,
+      rounds2, p.hint)
+    // node → level-1 community → level-2 community, then decode; sizes
+    // count original nodes (groupBy + join, never a label window)
+    val fin = Materialize.once(a1.select(col("i"), col("label").as("l1"))
+      .join(p.hint(a2.select(col("i").as("l1"), col("label"))), Seq("l1"))
+      .select(col("i"), col("label")))
+    louvainDecode(fin, p.rank, p.hint)
   }
 
   /** The oracle for [[louvainLevel]]: unrolled rounds of the identical
     * exact-integer gain arithmetic (HUGEINT — same overflow headroom
     * as the DECIMAL(38,0) engine side). Lives here so the semantics
     * and the oracle can never drift apart. */
-  def louvainOracleSql(edgesSql: String, rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      s"""kic$r AS MATERIALIZED (SELECT d.i, a.label AS c, CAST(count(*) AS HUGEINT) AS kic
-         |  FROM dir d JOIN a${r - 1} a ON a.node_id = d.j GROUP BY d.i, a.label),
-         |tot$r AS MATERIALIZED (SELECT a.label AS c, CAST(sum(deg.k) AS HUGEINT) AS tot
-         |  FROM a${r - 1} a JOIN deg ON deg.node_id = a.node_id GROUP BY a.label),
-         |cand$r AS MATERIALIZED (SELECT i, c, max(kic) AS kic FROM (
-         |  SELECT i, c, kic FROM kic$r UNION ALL
-         |  SELECT node_id AS i, label AS c, CAST(0 AS HUGEINT) FROM a${r - 1})
-         |  GROUP BY i, c),
-         |sc$r AS MATERIALIZED (SELECT cd.i, cd.c,
-         |    2 * (SELECT m FROM mm) * cd.kic
-         |      - deg.k * (t.tot - CASE WHEN cd.c = cur.label THEN deg.k ELSE 0 END) AS gain
-         |  FROM cand$r cd JOIN tot$r t ON t.c = cd.c
-         |  JOIN a${r - 1} cur ON cur.node_id = cd.i
-         |  JOIN deg ON deg.node_id = cd.i),
-         |w$r AS MATERIALIZED (SELECT i AS node_id, c AS label FROM (
-         |  SELECT i, c, row_number() OVER (PARTITION BY i
-         |    ORDER BY gain DESC, c) AS rn FROM sc$r) WHERE rn = 1),
-         |a$r AS MATERIALIZED (SELECT w.node_id,
-         |  CASE WHEN (CAST(CAST(('0x' || substr(md5(w.node_id), 1, 8)) AS UBIGINT) AS BIGINT)
-         |             + $r) % 2 = 0
-         |       THEN w.label ELSE p.label END AS label
-         |  FROM w$r w JOIN a${r - 1} p ON p.node_id = w.node_id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH eraw AS MATERIALIZED (SELECT CAST(src AS VARCHAR) AS src,
+  def louvainOracleSql(edgesSql: String, rounds: Int): String =
+    s"""WITH ${louvainL1Ctes(edgesSql, rounds)}
+       |SELECT node_id, label,
+       |  count(*) OVER (PARTITION BY label) AS community_size
+       |FROM a$rounds ORDER BY node_id""".stripMargin
+
+  /** One unrolled synchronous round over weighted state CTEs — the
+    * shared generator behind both oracle levels. `st` names the
+    * assignment CTE family (`a0..aR` level 1, `b0..bR` level 2), `ed`
+    * the directed edge CTE (w column), `dg` the degree CTE. */
+  private def louvainRoundCte(st: String, ed: String, dg: String,
+      r: Int): String =
+    s"""${st}kic$r AS MATERIALIZED (SELECT d.i, a.label AS c, CAST(sum(d.w) AS HUGEINT) AS kic
+       |  FROM $ed d JOIN $st${r - 1} a ON a.node_id = d.j GROUP BY d.i, a.label),
+       |${st}tot$r AS MATERIALIZED (SELECT a.label AS c, CAST(sum($dg.k) AS HUGEINT) AS tot
+       |  FROM $st${r - 1} a JOIN $dg ON $dg.node_id = a.node_id GROUP BY a.label),
+       |${st}cand$r AS MATERIALIZED (SELECT i, c, max(kic) AS kic FROM (
+       |  SELECT i, c, kic FROM ${st}kic$r UNION ALL
+       |  SELECT node_id AS i, label AS c, CAST(0 AS HUGEINT) FROM $st${r - 1})
+       |  GROUP BY i, c),
+       |${st}sc$r AS MATERIALIZED (SELECT cd.i, cd.c,
+       |    2 * (SELECT m FROM mm) * cd.kic
+       |      - $dg.k * (t.tot - CASE WHEN cd.c = cur.label THEN $dg.k ELSE 0 END) AS gain
+       |  FROM ${st}cand$r cd JOIN ${st}tot$r t ON t.c = cd.c
+       |  JOIN $st${r - 1} cur ON cur.node_id = cd.i
+       |  JOIN $dg ON $dg.node_id = cd.i),
+       |${st}w$r AS MATERIALIZED (SELECT i AS node_id, c AS label FROM (
+       |  SELECT i, c, row_number() OVER (PARTITION BY i
+       |    ORDER BY gain DESC, c) AS rn FROM ${st}sc$r) WHERE rn = 1),
+       |$st$r AS MATERIALIZED (SELECT w.node_id,
+       |  CASE WHEN (CAST(CAST(('0x' || substr(md5(w.node_id), 1, 8)) AS UBIGINT) AS BIGINT)
+       |             + $r) % 2 = 0
+       |       THEN w.label ELSE p.label END AS label
+       |  FROM ${st}w$r w JOIN $st${r - 1} p ON p.node_id = w.node_id)""".stripMargin
+
+  /** Level-1 CTE chain (`eraw` through `a$rounds`), WITHOUT the `WITH`
+    * keyword or a final SELECT — shared by [[louvainOracleSql]] and
+    * [[louvainTwoLevelOracleSql]]. */
+  private def louvainL1Ctes(edgesSql: String, rounds: Int): String = {
+    val roundCtes =
+      (1 to rounds).map(louvainRoundCte("a", "dir", "deg", _)).mkString(",\n")
+    s"""eraw AS MATERIALIZED (SELECT CAST(src AS VARCHAR) AS src,
        |  CAST(dst AS VARCHAR) AS dst FROM ($edgesSql)),
        |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
        |  greatest(src, dst) AS b FROM eraw WHERE src <> dst),
        |mm AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS m FROM und),
-       |dir AS MATERIALIZED (SELECT a AS i, b AS j FROM und
-       |  UNION ALL SELECT b, a FROM und),
+       |dir AS MATERIALIZED (SELECT a AS i, b AS j, CAST(1 AS HUGEINT) AS w FROM und
+       |  UNION ALL SELECT b, a, CAST(1 AS HUGEINT) FROM und),
        |deg AS MATERIALIZED (SELECT i AS node_id, CAST(count(*) AS HUGEINT) AS k
        |  FROM dir GROUP BY i),
-       |a0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM deg),
-       |$roundCtes
+       |a0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM deg)""".stripMargin +
+      ",\n" + roundCtes
+  }
+
+  /** DuckDB replay of [[louvainTwoLevel]]: the level-1 chain, then the
+    * contraction (inter-community multiplicities as weights, intra
+    * weight folded twice into the super-node degree) and the identical
+    * weighted rounds on `b0..b$rounds2` — bit-for-bit, HUGEINT
+    * arithmetic throughout. */
+  def louvainTwoLevelOracleSql(edgesSql: String, rounds1: Int,
+      rounds2: Int): String = {
+    val l2Rounds =
+      (1 to rounds2).map(louvainRoundCte("b", "sd2", "deg2", _)).mkString(",\n")
+    s"""WITH ${louvainL1Ctes(edgesSql, rounds1)},
+       |u2 AS MATERIALIZED (SELECT least(x.label, y.label) AS ca,
+       |    greatest(x.label, y.label) AS cb, CAST(count(*) AS HUGEINT) AS w
+       |  FROM und u JOIN a$rounds1 x ON x.node_id = u.a
+       |  JOIN a$rounds1 y ON y.node_id = u.b GROUP BY 1, 2),
+       |sd2 AS MATERIALIZED (SELECT ca AS i, cb AS j, w FROM u2 WHERE ca <> cb
+       |  UNION ALL SELECT cb, ca, w FROM u2 WHERE ca <> cb),
+       |deg2 AS MATERIALIZED (SELECT l.label AS node_id,
+       |    CAST(COALESCE(e.ke, 0) + 2 * COALESCE(s.w, 0) AS HUGEINT) AS k
+       |  FROM (SELECT DISTINCT label FROM a$rounds1) l
+       |  LEFT JOIN (SELECT i, sum(w) AS ke FROM sd2 GROUP BY i) e ON e.i = l.label
+       |  LEFT JOIN (SELECT ca, w FROM u2 WHERE ca = cb) s ON s.ca = l.label),
+       |b0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM deg2),
+       |$l2Rounds,
+       |fin AS MATERIALIZED (SELECT n.node_id, b.label
+       |  FROM a$rounds1 n JOIN b$rounds2 b ON b.node_id = n.label)
        |SELECT node_id, label,
        |  count(*) OVER (PARTITION BY label) AS community_size
-       |FROM a$rounds ORDER BY node_id""".stripMargin
+       |FROM fin ORDER BY node_id""".stripMargin
   }
 
   /** Weighted single-source(-set) shortest paths — [[bfsDepth]]'s

@@ -94,6 +94,16 @@ object WarehouseQueries {
     GraphOps.louvainLevel(spEdges(s, d), rounds = 2)
       .orderBy("node_id")
 
+  /** Two Louvain levels on the same graph: q210's sweep, then
+    * community contraction (inter-community multiplicities as edge
+    * weights, intra edges as self-loop degree) and the identical
+    * weighted sweep on the condensed graph — the multi-level step that
+    * makes Louvain Louvain; the oracle unrolls both levels including
+    * the contraction. */
+  val q212LouvainCoarse: Q = (s, d) =>
+    GraphOps.louvainTwoLevel(spEdges(s, d), rounds1 = 2, rounds2 = 2)
+      .orderBy("node_id")
+
   /** Deterministic fixed-point PageRank (3 damped rounds) over the
     * symmetric supplier↔part graph from lineitem. Integer arithmetic
     * end-to-end, so the oracle replays it exactly — see
@@ -317,6 +327,7 @@ object WarehouseQueries {
     "q93_pagerank" -> q93Pagerank,
     "q128_communities" -> q128Communities,
     "q210_louvain" -> q210Louvain,
+    "q212_louvain_coarse" -> q212LouvainCoarse,
     "q94_incremental_agg" -> q94IncrementalAgg,
     "q95_debounce" -> q95Debounce,
     "q96_salted_join" -> q96SaltedJoin,
@@ -424,6 +435,8 @@ object WarehouseQueries {
         |ORDER BY table_name, check_name""".stripMargin,
     "q128_communities" -> GraphOps.labelPropagationOracleSql(pagerankEdgesSql, iterations = 3),
     "q210_louvain" -> GraphOps.louvainOracleSql(pagerankEdgesSql, rounds = 2),
+    "q212_louvain_coarse" -> GraphOps.louvainTwoLevelOracleSql(pagerankEdgesSql,
+      rounds1 = 2, rounds2 = 2),
     "q94_incremental_agg" ->
       """SELECT CAST(o_orderdate AS DATE) AS day,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -502,12 +502,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q210: louvain output stage hash-aggregates — no sort-agg, no label window") {
+  test("q128/q210/q212: rank-keyed loops hash-aggregate — no sort-agg, no label window") {
     // the per-round argmax is an integer-coded min (HashAggregate) and
     // community sizes are groupBy+join; a struct-keyed SortAggregate
-    // or a count-over-label Window would be the r11 plan regressions
-    val p = finalPlan("q210_louvain")
-    assert(!p.contains("SortAggregate"), s"struct-buffer argmax resurfaced:\n$p")
-    assert(!p.contains("Window"), s"label window (mega-community skew) resurfaced:\n$p")
+    // or a count-over-label Window would be the r11 plan regressions.
+    // q128 shares the surgery (label propagation runs the same packed
+    // argmax), q212 runs the louvain loop twice (weighted at level 2)
+    // — all three must stay pinned
+    Seq("q128_communities", "q210_louvain", "q212_louvain_coarse").foreach { q =>
+      val p = finalPlan(q)
+      assert(!p.contains("SortAggregate"), s"$q: struct-buffer argmax resurfaced:\n$p")
+      assert(!p.contains("Window"), s"$q: label window (mega-community skew) resurfaced:\n$p")
+    }
   }
 }

@@ -555,4 +555,82 @@ class GraphOpsSpec extends SparkSpec {
     }
     assert(got == assign)
   }
+
+  test("louvainTwoLevel: coarsens level 1 — every community maps whole") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+    val l1 = GraphOps.louvainLevel(edges.toDF("src", "dst"), rounds = 4)
+      .select("node_id", "label").as[(String, String)].collect().toMap
+    val l2 = GraphOps.louvainTwoLevel(edges.toDF("src", "dst"),
+      rounds1 = 4, rounds2 = 2)
+      .select("node_id", "label", "community_size")
+      .as[(String, String, Long)].collect()
+    // a partition of all nodes, sizes counted in original nodes
+    assert(l2.map(_._1).sorted.toSeq == Seq("a", "b", "c", "x", "y", "z"))
+    val bySize = l2.groupBy(_._2)
+    l2.foreach { case (_, lb, sz) => assert(bySize(lb).length.toLong == sz) }
+    // coarsening: two nodes sharing a level-1 community never split
+    for (Seq(p, q) <- l2.toSeq.combinations(2))
+      if (l1(p._1) == l1(q._1)) assert(p._2 == q._2,
+        s"${p._1} and ${q._1} share a level-1 community but split at level 2")
+    // the bridge must still not merge the triangles (ΔQ of the merge
+    // is 2m·1 − 7·7 < 0 on the contracted 2-node graph)
+    val byNode = l2.map(r => r._1 -> r._2).toMap
+    assert(byNode("a") != byNode("x"))
+  }
+
+  test("louvainTwoLevel: bit-identical to a driver replay incl. contraction") {
+    val nodes = (0 until 14).map(i => s"n$i")
+    val edges = (for {
+      i <- 0 until 14; j <- (i + 1) until 14
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (s"n$i", s"n$j")).toSeq
+    val (r1, r2) = (2, 2)
+    val got = GraphOps.louvainTwoLevel(edges.toDF("src", "dst"), r1, r2)
+      .select("node_id", "label").as[(String, String)].collect().toMap
+    val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    val m = und.size.toLong
+    // the shared synchronous weighted sweep, replayed in plain Scala
+    def sweep(adjW: Map[String, Seq[(String, Long)]], deg: Map[String, Long],
+        rounds: Int): Map[String, String] = {
+      var assign: Map[String, String] = deg.keys.map(k => k -> k).toMap
+      for (r <- 1 to rounds) {
+        val tot = assign.groupBy(_._2).map { case (c, ns) => c -> ns.keys.map(deg).sum }
+        val cur = assign
+        assign = cur.keys.map { i =>
+          val kic: Map[String, Long] = adjW.getOrElse(i, Seq.empty)
+            .groupBy { case (j, _) => cur(j) }
+            .map { case (c, js) => c -> js.map(_._2).sum }
+          val cands: Seq[String] = (kic.keySet + cur(i)).toSeq.sorted
+          val gains: Seq[(String, BigInt)] = cands.map { c =>
+            val totx: Long = tot(c) - (if (c == cur(i)) deg(i) else 0L)
+            c -> (BigInt(2) * BigInt(m) * BigInt(kic.getOrElse(c, 0L)) -
+              BigInt(deg(i)) * BigInt(totx))
+          }
+          val mx: BigInt = gains.map(_._2).max
+          val winner = gains.filter(_._2 == mx).map(_._1).min
+          val mayMove = (Bm25Index.portableHashJvm(i) + r) % 2 == 0
+          i -> (if (mayMove) winner else cur(i))
+        }.toMap
+      }
+      assign
+    }
+    val adj1 = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(j => (j._2, 1L)) }
+    val a1 = sweep(adj1, adj1.map { case (k, v) => k -> v.size.toLong }, r1)
+    // contraction: inter-community multiplicities, self-loop degree
+    val wund = und.map { case (a, b) =>
+      val (la, lb) = (a1(a), a1(b))
+      (if (la < lb) la else lb, if (la < lb) lb else la)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val adj2 = wund.toSeq.filter { case ((ca, cb), _) => ca != cb }
+      .flatMap { case ((ca, cb), w) => Seq(ca -> (cb, w), cb -> (ca, w)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val deg2 = a1.values.toSeq.distinct.map { c =>
+      c -> (adj2.getOrElse(c, Seq.empty).map(_._2).sum +
+        2L * wund.getOrElse((c, c), 0L))
+    }.toMap
+    val a2 = sweep(adj2, deg2, r2)
+    assert(got == a1.map { case (nd, l1) => nd -> a2(l1) })
+  }
 }

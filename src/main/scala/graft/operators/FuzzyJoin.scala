@@ -66,28 +66,85 @@ object FuzzyJoin {
     * `lev <= d` (each edit touches at most one character per side), at
     * `O(length^d)` keys per row — the SymSpell trade: key fan-out grows
     * a factor of ~length per extra distance unit, the join stays a hash
-    * equi-join, and `levenshtein` verification stays exact. */
+    * equi-join, and `levenshtein` verification stays exact.
+    *
+    * The candidate join runs at DISTINCT-STRING cardinality: identical
+    * strings collapse to one representative before keying, so a
+    * duplicate-heavy corpus cannot square the key join — the sf1skew
+    * corpus (5% of rows sharing ONE literal name) put ~5·10¹⁰ rows
+    * through the old id-keyed join (~19 shared deletion keys ×
+    * (75k)² id pairs each) before `distinct` saw any of it. Verified
+    * string pairs then expand back to id pairs through two string-keyed
+    * equi-joins (AQE skew-split-able; output-sized), and identical
+    * strings pair within their group at dist 0 directly — no
+    * levenshtein, no blocking keys.
+    *
+    * `maxFrequency` guards the one remaining data-dependent blowup:
+    * a string shared by f rows contributes f·(f−1)/2 output pairs all
+    * by itself, so a boilerplate value (empty name, "UNKNOWN", a
+    * placeholder SKU) makes the OUTPUT quadratic while carrying no
+    * linkage signal. Strings shared by more than `maxFrequency` rows
+    * are excluded from pairing entirely (the block-size cap every
+    * production linkage engine applies). The default (1024 ⇒ ≤ ~524k
+    * pairs per group) never binds on corpora whose join strings are
+    * near-unique — the q90/q130/q174 oracles prove completeness with
+    * the cap at its default; pass `Long.MaxValue` to disable. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int): DataFrame = {
+                        maxDist: Int,
+                        maxFrequency: Long = 1024L): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2, s"maxDist=$maxDist must be 1 or 2")
+    require(maxFrequency >= 1, s"maxFrequency=$maxFrequency must be >= 1")
     val rows = Materialize.once(
       df.select(col(idCol).as("id"), col(strCol).as("s"))
         .filter(col("id").isNotNull && col("s").isNotNull))
-    val keyed = rows.select(col("id"),
+    // distinct strings with their multiplicities (one partial-agg
+    // shuffle); hot strings past the cap drop out of linkage here.
+    // h is a 64-bit surrogate so the multi-key candidate dedup
+    // shuffles narrow (long, long) pairs, not string pairs — the
+    // string-keyed variant measured 2.5× slower on its distinct alone
+    val strs = Materialize.once(
+      rows.groupBy(col("s")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxFrequency)
+        .withColumn("h", xxhash64(col("s"))))
+    val keyed = strs.select(col("h"),
       explode(deletionKeys(col("s"), maxDist)).as("k"))
-    // candidate ids only: the multi-key overlap dedup shuffles narrow
-    // (id, id) pairs, not the strings; strings re-attach afterwards via
-    // two joins against the (small, known-size) row side
-    val cand = keyed.select(col("k"), col("id").as("id_a"))
-      .join(keyed.select(col("k"), col("id").as("id_b")), Seq("k"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // ha <= hb (not <): a 64-bit collision between two DIFFERENT
+    // strings lands on ha == hb, and dropping it would lose a true
+    // pair — completeness here is oracle-proved, not probabilistic.
+    // The collision guard below keeps exactly one orientation of such
+    // pairs and drops the self-pairs the equal-hash cross-attach makes
+    val candH = keyed.select(col("k"), col("h").as("ha"))
+      .join(keyed.select(col("k"), col("h").as("hb")), Seq("k"))
+      .filter(col("ha") <= col("hb"))
+      .select("ha", "hb")
       .distinct()
-    cand
-      .join(rows.select(col("id").as("id_a"), col("s").as("str_a")), Seq("id_a"))
-      .join(rows.select(col("id").as("id_b"), col("s").as("str_b")), Seq("id_b"))
+    val candS = candH
+      .join(strs.select(col("h").as("ha"), col("s").as("sa")), Seq("ha"))
+      .join(strs.select(col("h").as("hb"), col("s").as("sb")), Seq("hb"))
+      .filter(col("ha") < col("hb") || col("sa") < col("sb"))
+      .select(least(col("sa"), col("sb")).as("str_a"),
+        greatest(col("sa"), col("sb")).as("str_b"))
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
       .filter(col("dist") <= maxDist)
-      .select("id_a", "str_a", "id_b", "str_b", "dist")
+    // expand verified string pairs to id pairs, re-orienting so that
+    // id_a < id_b with each id keeping ITS string
+    val sw = col("ia") < col("ib")
+    val cross = candS
+      .join(rows.select(col("s").as("str_a"), col("id").as("ia")), Seq("str_a"))
+      .join(rows.select(col("s").as("str_b"), col("id").as("ib")), Seq("str_b"))
+      .select(when(sw, col("ia")).otherwise(col("ib")).as("id_a"),
+        when(sw, col("str_a")).otherwise(col("str_b")).as("str_a"),
+        when(sw, col("ib")).otherwise(col("ia")).as("id_b"),
+        when(sw, col("str_b")).otherwise(col("str_a")).as("str_b"),
+        col("dist"))
+    // identical strings: all within-group pairs at dist 0, directly
+    val dup = rows.join(strs.filter(col("__n") >= 2).select("s"),
+      Seq("s"), "leftsemi")
+    val within = dup.select(col("s"), col("id").as("id_a"))
+      .join(dup.select(col("s"), col("id").as("id_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("s").as("str_a"), col("id_b"),
+        col("s").as("str_b"), lit(0).as("dist"))
+    cross.unionByName(within)
   }
 }

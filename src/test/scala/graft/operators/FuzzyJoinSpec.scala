@@ -102,4 +102,36 @@ class FuzzyJoinSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 3L)))
   }
+
+  test("duplicate-heavy corpus stays brute-exact; strings keep their ids on swap") {
+    // 40 copies of one string + near neighbors: the string-level
+    // candidate join must still produce exactly the brute-force pair
+    // set, with each pair oriented id_a < id_b and str_a = id_a's string
+    val rows = (1L to 40L).map(_ -> "aaaa") ++
+      Seq(100L -> "aaab", 101L -> "aab", 50L -> "zzzz")
+    val got = FuzzyJoin.editDistance1Pairs(rows.toDF("id", "s"), "id", "s")
+    val tuples = got.select($"id_a", $"id_b", $"dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(tuples == brute(rows))
+    val byId = rows.toMap
+    for ((ia, sa, ib, sb) <- got.select($"id_a", $"str_a", $"id_b", $"str_b")
+        .as[(Long, String, Long, String)].collect()) {
+      assert(ia < ib)
+      assert(sa == byId(ia) && sb == byId(ib))
+    }
+  }
+
+  test("maxFrequency cap drops hot-string blocks from pairing entirely") {
+    // 5 copies of the hot string: over the cap it contributes NOTHING
+    // (no within-group pairs, no cross pairs to its neighbor)
+    val rows = (1L to 5L).map(_ -> "hot") ++ Seq(10L -> "hob", 11L -> "cold")
+    val capped = FuzzyJoin.editDistancePairs(rows.toDF("id", "s"), "id", "s",
+      maxDist = 1, maxFrequency = 4L)
+    assert(capped.count() == 0)
+    // at/below the cap the full brute-force set is back
+    val uncapped = FuzzyJoin.editDistancePairs(rows.toDF("id", "s"), "id", "s",
+      maxDist = 1, maxFrequency = 5L)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)].collect().toSet
+    assert(uncapped == brute(rows))
+  }
 }

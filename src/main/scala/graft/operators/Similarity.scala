@@ -170,6 +170,16 @@ object Similarity {
     * partitions — at 100 TB with nCells=4096, nProbe=8, a query touches
     * ~0.2% of the bytes. Returns the centroids for immediate reuse.
     *
+    * Hot-cell skew (measured on the sf1skew corpus: 10% of vectors
+    * collapsed into one cell inflated probe cost ~8×) is a CANDIDATE
+    * problem, not a shuffle problem — AQE splits the cell join fine;
+    * the cost is ranking the hot cell's whole membership for every
+    * probe that fans into it. The mitigation at scale is quantizer
+    * capacity, not salting: grow `nCells` with the corpus (FAISS
+    * practice: ~√n to 16·√n) and re-split any cell past a size bound
+    * by k-means on its members (the IMI/two-level path), which
+    * [[VectorIndexOps.compact]]'s rewrite discipline accommodates.
+    *
     * EAGER: runs Spark jobs at call time (the k-means training sample,
     * then the partitioned write — index construction IS the work). */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
@@ -230,6 +240,64 @@ object Similarity {
                             maxTrainRows: Long = 100000L): Array[Array[Double]] =
     fitCentroids(corpus, vecCol, nCells, seed, maxTrainRows)
       .map(_.map(x => math.floor(x * 1e6)))
+
+  /** [[fitQuantizedCentroids]] + hot-cell RE-SPLIT (the FAISS
+    * IMI/rebalance practice): any cell holding more than
+    * `maxCellFraction` of the corpus is re-fit with its own k-means
+    * (k = ⌈size/bound⌉) over just its members, and its centroid is
+    * replaced by the sub-centroids. Repeats until every cell is under
+    * the bound or `maxRounds` is hit — cold cells can only SHRINK
+    * under a refined list (new centroids only attract members away),
+    * so only fresh sub-cells ever need another round.
+    *
+    * The result is a plain flat centroid list: build, probe, and the
+    * q31-family oracle replay apply unchanged. This is the mitigation
+    * for the sf1skew finding (one collapsed cell made every probe
+    * rank 10% of the corpus, ~8×): probe cost is bounded by
+    * nProbe·bound instead of the hottest cell's mass.
+    *
+    * Driver loop is control-plane only: per round one cell-size
+    * aggregate (≤ |cells| rows collected) and one bounded k-means per
+    * hot cell (sampled at `maxTrainRows`, like the base fit).
+    * Deterministic: sub-fit seeds derive from (round, cell); ordering
+    * is cold-cells-in-place then sub-centroids by (cell, sub-index). */
+  def fitBalancedQuantizedCentroids(corpus: DataFrame, vecCol: String,
+                                    nCells: Int, seed: Long = 42L,
+                                    maxTrainRows: Long = 100000L,
+                                    maxCellFraction: Double = 0.10,
+                                    maxRounds: Int = 4): Array[Array[Double]] = {
+    require(maxCellFraction > 0.0 && maxCellFraction <= 1.0,
+      s"maxCellFraction=$maxCellFraction must be in (0, 1]")
+    require(maxRounds >= 1)
+    val rows = Materialize.once(fanOut(corpus)
+      .select(col(vecCol).as("__v"), quantize(col(vecCol)).as("__qv")))
+    val n = rows.count()
+    val bound = math.max(1L, math.ceil(n * maxCellFraction).toLong)
+    var cents = fitQuantizedCentroids(corpus, vecCol, nCells, seed, maxTrainRows)
+    var round = 0
+    var balanced = false
+    while (!balanced && round < maxRounds) {
+      val asn = assignCells(rows, "__qv", cents)
+      val sizes = asn.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val hotCells = sizes.filter(_._2 > bound).keys.toSeq.sorted
+      if (hotCells.isEmpty) balanced = true
+      else {
+        val hotSet = hotCells.toSet
+        val subs = hotCells.flatMap { c =>
+          val k = math.max(2, math.ceil(sizes(c).toDouble / bound).toInt)
+          fitCentroids(asn.filter(col("cell") === c).select(col("__v").as(vecCol)),
+            vecCol, k, seed + 7919L * (round.toLong * 65536L + c), maxTrainRows)
+            .map(_.map(x => math.floor(x * 1e6)))
+        }
+        cents = cents.zipWithIndex.collect {
+          case (cv, i) if !hotSet.contains(i) => cv
+        } ++ subs
+        round += 1
+      }
+    }
+    cents
+  }
 
   /** `preFitted`: inject an already-fitted quantizer (from
     * [[fitQuantizedCentroids]]) instead of training here — the

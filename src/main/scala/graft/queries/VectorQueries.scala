@@ -102,6 +102,41 @@ object VectorQueries {
     }
   }
 
+  /** The q213 twin of [[IvfIndex]]: same corpus, same probe spec, but
+    * the quantizer is the BALANCED fit — hot cells past 10% of the
+    * corpus re-split by a member-local k-means
+    * ([[Similarity.fitBalancedQuantizedCentroids]], the sf1skew
+    * collapsed-cell mitigation). The flattened centroid list feeds the
+    * unchanged build/probe/oracle machinery. */
+  private[queries] object IvfIndexBalanced {
+    val NCells = 16
+    val NProbe = 4
+    val MaxCellFraction = 0.10
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Long]])]()
+    @volatile private[queries] var lastCentroids: Option[Array[Array[Long]]] = None
+
+    def getOrBuild(s: SparkSession, sfDir: String): String = {
+      val entry = cache.computeIfAbsent(sfDir, { _ =>
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val base = sys.props.getOrElse("graft.ivf.dir",
+          s"${sys.props("java.io.tmpdir")}/graft-ivf")
+        val path = s"$base/$tag-bal"
+        val corpus = Tables(s, sfDir, "embeddings")
+        val balanced = Similarity.fitBalancedQuantizedCentroids(corpus,
+          "embedding", nCells = NCells, seed = 42L,
+          maxCellFraction = MaxCellFraction)
+        val cents = Similarity.buildIvfIndexQuantized(corpus, "vec_id",
+          "embedding", path, nCells = NCells, seed = 42L,
+          preFitted = Some(balanced))
+        (path, cents)
+      })
+      lastCentroids = Some(entry._2)
+      entry._1
+    }
+  }
+
   /** IVF ANN through the persistent index (k-means coarse quantizer,
     * nProbe cells, quantized arithmetic): build-once [[IvfIndex]] +
     * partition-pruned probe. Oracle replays the fitted quantized
@@ -112,6 +147,20 @@ object VectorQueries {
     val idx = IvfIndex.getOrBuild(s, d)
     Similarity.ivfProbeQuantized(e.filter(col("vec_id") < 10), idx,
       "vec_id", "embedding", k = 5, nProbe = IvfIndex.NProbe)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q31 through the BALANCED quantizer ([[IvfIndexBalanced]]): the
+    * probe pipeline and oracle shape are identical — only the centroid
+    * list differs (hot cells re-split, so probe candidate volume is
+    * bounded by nProbe·(maxCellFraction·n) whatever the data's skew).
+    * The oracle replays the balanced centroids as literals, proving
+    * the re-split list is served exactly, not approximately. */
+  val q213AnnIvfBalanced: Q = (s, d) => {
+    val e = emb(s, d)
+    val idx = IvfIndexBalanced.getOrBuild(s, d)
+    Similarity.ivfProbeQuantized(e.filter(col("vec_id") < 10), idx,
+      "vec_id", "embedding", k = 5, nProbe = IvfIndexBalanced.NProbe)
       .orderBy("query_id", "rank")
   }
 
@@ -692,6 +741,7 @@ object VectorQueries {
     "q29_embedding_pairs" -> q29EmbeddingPairs,
     "q30_label_centroids" -> q30LabelCentroids,
     "q31_ann_ivf" -> q31AnnIvf,
+    "q213_ann_ivf_balanced" -> q213AnnIvfBalanced,
     "q32_ann_srp" -> q32AnnSrp,
     "q33_multimodal" -> q33Multimodal,
     "q86_semdedup" -> q86SemDedup,
@@ -745,7 +795,8 @@ object VectorQueries {
     * the query run (set by [[IvfIndex.getOrBuild]]), so it must render
     * after the queries execute — Verify's dump order guarantees that. */
   def oracles: Map[String, String] =
-    staticOracles ++ ivfOracle ++ semOracle ++ pqOracle ++ ivfPqOracle
+    staticOracles ++ ivfOracle ++ balancedIvfOracle ++ semOracle ++
+      pqOracle ++ ivfPqOracle
 
   private def sqdist(a: String, b: String) =
     s"CAST(list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, len($a) + 1)]) AS BIGINT)"
@@ -758,35 +809,52 @@ object VectorQueries {
   private def ivfOracle: Map[String, String] = IvfIndex.lastCentroids match {
     case None => Map.empty
     case Some(cents) =>
-      val rows = cents.zipWithIndex
-        .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")}::BIGINT[])" }
-        .mkString(",\n")
-      Map("q31_ann_ivf" ->
-        s"""WITH e AS (SELECT vec_id, $qv AS qv FROM embeddings),
-           |cent(cell, cv) AS (VALUES
-           |$rows),
-           |asn AS (SELECT vec_id, cell FROM (
-           |  SELECT e.vec_id, cent.cell,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${sqdist("e.qv", "cent.cv")}, cent.cell) AS rn
-           |  FROM e, cent) WHERE rn = 1),
-           |probes AS (SELECT query_id, cell FROM (
-           |  SELECT e.vec_id AS query_id, cent.cell,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${sqdist("e.qv", "cent.cv")}, cent.cell) AS rn
-           |  FROM e, cent WHERE e.vec_id < 10) WHERE rn <= ${IvfIndex.NProbe}),
-           |cands AS (SELECT p.query_id, a.vec_id AS neighbor_id
-           |  FROM probes p JOIN asn a ON a.cell = p.cell
-           |  WHERE p.query_id <> a.vec_id),
-           |scored AS (SELECT cands.query_id, cands.neighbor_id,
-           |  CAST(${dot("qe.qv", "ce.qv")} AS DOUBLE) /
-           |  (sqrt(CAST(${dot("qe.qv", "qe.qv")} AS DOUBLE)) * sqrt(CAST(${dot("ce.qv", "ce.qv")} AS DOUBLE))) AS cosine
-           |  FROM cands JOIN e qe ON qe.vec_id = cands.query_id
-           |  JOIN e ce ON ce.vec_id = cands.neighbor_id),
-           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-           |  ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-           |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
-           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+      Map("q31_ann_ivf" -> ivfOracleSqlFor(cents, IvfIndex.NProbe))
+  }
+
+  /** q213's oracle: the identical replay over the BALANCED centroid
+    * list — the literals are the only difference from q31's. */
+  private def balancedIvfOracle: Map[String, String] =
+    IvfIndexBalanced.lastCentroids match {
+      case None => Map.empty
+      case Some(cents) =>
+        Map("q213_ann_ivf_balanced" ->
+          ivfOracleSqlFor(cents, IvfIndexBalanced.NProbe))
+    }
+
+  /** Shared q31/q213 oracle body: fitted quantized centroids as a
+    * VALUES CTE, assignment (argmin squared-L2, ties → lower cell —
+    * the NearestCentroids tie-break), probe fan-out, quantized-cosine
+    * ranking — exact integer arithmetic end to end. */
+  private def ivfOracleSqlFor(cents: Array[Array[Long]], nProbe: Int): String = {
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")}::BIGINT[])" }
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, $qv AS qv FROM embeddings),
+       |cent(cell, cv) AS (VALUES
+       |$rows),
+       |asn AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, cent.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqdist("e.qv", "cent.cv")}, cent.cell) AS rn
+       |  FROM e, cent) WHERE rn = 1),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT e.vec_id AS query_id, cent.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqdist("e.qv", "cent.cv")}, cent.cell) AS rn
+       |  FROM e, cent WHERE e.vec_id < 10) WHERE rn <= $nProbe),
+       |cands AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN asn a ON a.cell = p.cell
+       |  WHERE p.query_id <> a.vec_id),
+       |scored AS (SELECT cands.query_id, cands.neighbor_id,
+       |  CAST(${dot("qe.qv", "ce.qv")} AS DOUBLE) /
+       |  (sqrt(CAST(${dot("qe.qv", "qe.qv")} AS DOUBLE)) * sqrt(CAST(${dot("ce.qv", "ce.qv")} AS DOUBLE))) AS cosine
+       |  FROM cands JOIN e qe ON qe.vec_id = cands.query_id
+       |  JOIN e ce ON ce.vec_id = cands.neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** q86's oracle: the fitted quantized centroids as a VALUES CTE →

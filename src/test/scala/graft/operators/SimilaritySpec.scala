@@ -204,4 +204,42 @@ class SimilaritySpec extends SparkSpec {
     assert(out.groupBy("query_id").count()
       .select("count").as[Long].collect().forall(_ <= 5))
   }
+
+  test("fitBalancedQuantizedCentroids: hot cell re-splits under the bound") {
+    // 60% of the corpus in one tight (but jittered, so splittable)
+    // blob, the rest spread — with nCells=4 the blob lands in one
+    // cell far over a 0.2 bound; the balanced fit must break it up
+    val rnd = new scala.util.Random(7)
+    val hot = (0 until 300).map { i =>
+      (i.toLong, Seq.tabulate(8)(d =>
+        5.0f + (rnd.nextGaussian() * 0.3).toFloat + d * 0.01f))
+    }
+    val cold = (300 until 500).map { i =>
+      (i.toLong, Seq.fill(8)((rnd.nextGaussian() * 4).toFloat))
+    }
+    val corpus = (hot ++ cold).toDF("id", "vec").cache()
+    val bound = math.ceil(500 * 0.2).toLong
+    val plain = Similarity.fitQuantizedCentroids(corpus, "vec", nCells = 4)
+    def sizes(cents: Array[Array[Double]]): Map[Int, Long] = {
+      import org.apache.spark.sql.functions._
+      corpus.select(org.apache.spark.sql.graft.NearestCentroids
+          .nearestCell(VectorFunctions.quantize(col("vec")), cents).as("cell"))
+        .groupBy("cell").count()
+        .as[(Int, Long)].collect().toMap
+    }
+    assert(sizes(plain).values.max > bound, "setup: the blob must overflow")
+    val bal = Similarity.fitBalancedQuantizedCentroids(corpus, "vec",
+      nCells = 4, maxCellFraction = 0.2)
+    assert(bal.length > plain.length, "hot cell must have been re-split")
+    assert(sizes(bal).values.max <= bound,
+      s"balanced sizes ${sizes(bal)} must all be under $bound")
+    // deterministic: the re-fit is seeded per (round, cell)
+    val bal2 = Similarity.fitBalancedQuantizedCentroids(corpus, "vec",
+      nCells = 4, maxCellFraction = 0.2)
+    assert(bal.map(_.toSeq).toSeq == bal2.map(_.toSeq).toSeq)
+    // no hot cell -> identical to the plain fit (zero-cost cold path)
+    val loose = Similarity.fitBalancedQuantizedCentroids(corpus, "vec",
+      nCells = 4, maxCellFraction = 1.0)
+    assert(loose.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
 }

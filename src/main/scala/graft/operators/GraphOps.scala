@@ -883,6 +883,87 @@ object GraphOps {
           .as("clustering_ppm"))
   }
 
+  /** Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg,
+    * CIKM 2003): for every NON-adjacent node pair that shares at least
+    * one common neighbor, the common-neighbor count and the
+    * Adamic–Adar score AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) —
+    * the "which links are missing" signal used for recommendation
+    * backfill and for graph-based data augmentation (propose item
+    * pairs the co-occurrence graph ALMOST contains).
+    *
+    * Determinism: the per-apex weight floor(10⁹/ln(deg z)) is an
+    * integer computed ONCE per node from its integer degree (one float
+    * boundary per NODE, the q93 quantize-then-sum rule); pair scores
+    * are then pure integer sums — partitioning-stable and replayed
+    * exactly by [[linkPredictionOracleSql]].
+    *
+    * Scale shape: the wedge join fans each apex to deg²/2 pairs, so
+    * apexes above `maxApexDegree` are EXCLUDED (the standard hub cut:
+    * a node connected to everything certifies nothing about a specific
+    * pair — its 1/ln(deg) weight is asymptotically noise, and its
+    * wedge fan-out is the whole quadratic cost). Within the cap the
+    * shape is q134's: one apex-keyed equi-join, one (a,b) hash-agg,
+    * one anti-join against the edge set, one bounded TakeOrdered.
+    * `cn`/`aa_nano` count qualifying apexes only — a pair whose every
+    * witness is a super-hub scores 0 by design.
+    *
+    * @param edges undirected edge list; duplicates and self-loops
+    *              tolerated (normalized like [[triangleStats]])
+    * @return top-`topK` rows (a, b, cn, aa_nano), aa_nano DESC with
+    *         (a, b) tie-break; a < b canonical */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     topK: Int, maxApexDegree: Long = 10000L): DataFrame = {
+    require(topK >= 1 && maxApexDegree >= 2,
+      s"need topK >= 1 and maxApexDegree >= 2: $topK, $maxApexDegree")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .transform(Materialize.once)
+    val adj = e.select(col("u").as("z"), col("v").as("n"))
+      .union(e.select(col("v").as("z"), col("u").as("n")))
+    val apexW = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= 2 && col("deg") <= maxApexDegree)
+      .select(col("z"),
+        floor(lit(1e9) / log(col("deg").cast("double"))).cast("long").as("w"))
+    val adjW = adj.join(apexW, Seq("z"))
+    val wedges = adjW.select(col("z"), col("n").as("a"), col("w"))
+      .join(adjW.select(col("z"), col("n").as("b")), Seq("z"))
+      .where(col("a") < col("b"))
+    wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa_nano"))
+      .join(e, col("a") === col("u") && col("b") === col("v"), "left_anti")
+      .orderBy(col("aa_nano").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** DuckDB replica of [[linkPrediction]]: `edgesSql` must yield the
+    * RAW edge rows as (u, v) — normalization happens here, like the
+    * operator. */
+  def linkPredictionOracleSql(edgesSql: String, topK: Int,
+                              maxApexDegree: Long = 10000L): String =
+    s"""WITH raw AS ($edgesSql),
+       |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+       |      FROM raw WHERE u IS NOT NULL AND v IS NOT NULL AND u <> v),
+       |adj AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e),
+       |apx AS (SELECT z,
+       |    CAST(floor(1000000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT)
+       |      AS w
+       |  FROM adj GROUP BY z
+       |  HAVING count(*) >= 2 AND count(*) <= $maxApexDegree),
+       |aw AS (SELECT adj.z, adj.n, apx.w FROM adj JOIN apx USING (z)),
+       |sc AS (SELECT a1.n AS a, a2.n AS b,
+       |    CAST(count(*) AS BIGINT) AS cn,
+       |    CAST(sum(a1.w) AS BIGINT) AS aa_nano
+       |  FROM aw a1 JOIN aw a2 ON a1.z = a2.z AND a1.n < a2.n
+       |  GROUP BY 1, 2)
+       |SELECT sc.a, sc.b, sc.cn, sc.aa_nano
+       |FROM sc LEFT JOIN e ON e.u = sc.a AND e.v = sc.b
+       |WHERE e.u IS NULL
+       |ORDER BY sc.aa_nano DESC, sc.a, sc.b
+       |LIMIT $topK""".stripMargin
+
   /** HITS hubs-and-authorities (Kleinberg, JSODA'98) over a directed
     * edge list — the bipartite-flavored complement of [[pageRank]]:
     * a node is a good HUB when it points at good authorities and a

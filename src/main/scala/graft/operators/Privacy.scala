@@ -94,6 +94,102 @@ object Privacy {
       (min(col("__c")) >= k).as("achieves_k"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) for an
+    * ORDERED sensitive attribute — the distribution-shape check that
+    * k-anonymity and l-diversity both miss: a class can be large and
+    * diverse yet still concentrate on one end of the sensitive range
+    * (every salary in the class "high" leaks as much as one value).
+    * t-closeness bounds, per equivalence class, the Earth Mover's
+    * Distance between the class's sensitive distribution and the
+    * table-wide one under the ordered-distance ground metric:
+    *   EMD = Σ_i |Σ_{j≤i} (p_j − q_j)| / (m − 1)
+    * over the m ordered sensitive values. All math is exact integer —
+    * with global counts G_j (N total) and class counts C_j (n_c), the
+    * cumulative term Σ_{j≤i}(C_j·N − G_j·n_c) is the common-denominator
+    * numerator of Σ(p−q), accumulated in DECIMAL(38,0); the emitted
+    * `emd_ppm` is floor(10⁶·Σ|prefix| / (N·n_c·(m−1))). Classes over a
+    * single-valued table (m = 1) score 0. NULL sensitive values are
+    * EXCLUDED (an ordered ground metric has no position for NULL) —
+    * run [[riskClasses]] for the NULL-class exposure first.
+    *
+    * 100 TB shape: one hash-agg to the (class × value) counts, the
+    * value grid completed by a broadcast of the value-grid-sized
+    * global distribution, prefix sums under a CLASS-keyed window whose
+    * partitions are m rows each — nothing row-sized is windowed,
+    * nothing collects. Banding the sensitive column first
+    * (see [[band]]) keeps m value-grid-sized by construction. */
+  def tCloseness(df: DataFrame, qids: Seq[String],
+                 sensitive: String): DataFrame = {
+    require(qids.nonEmpty, "need at least one quasi-identifier column")
+    val rows = df.filter(col(sensitive).isNotNull)
+    val dec = "decimal(38,0)"
+    val vals = rows.groupBy(col(sensitive).as("__v"))
+      .agg(count(lit(1)).cast(dec).as("__g"))
+    val tot = vals.agg(sum("__g").cast(dec).as("__n_total"),
+      count(lit(1)).cast(dec).as("__m"))
+    val classCounts = rows
+      .groupBy(qids.map(col) :+ col(sensitive).as("__v"): _*)
+      .agg(count(lit(1)).cast(dec).as("__c"))
+    val classSizes = classCounts.groupBy(qids.map(col): _*)
+      .agg(sum("__c").cast(dec).as("__nc"))
+    val grid = classSizes
+      .crossJoin(broadcast(vals))
+      .join(classCounts, qids :+ "__v", "left")
+      .na.fill(0, Seq("__c"))
+      .crossJoin(broadcast(tot))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qids.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid
+      .withColumn("__pref",
+        sum(col("__c") * col("__n_total") - col("__g") * col("__nc")).over(w))
+      .groupBy(qids.map(col): _*)
+      .agg(first(col("__nc")).as("__nc2"),
+        first(col("__m")).as("__m2"),
+        first(col("__n_total")).as("__nt2"),
+        sum(abs(col("__pref"))).as("__sabs"))
+      .select(qids.map(col) ++ Seq(
+        col("__nc2").cast("long").as("class_size"),
+        when(col("__m2") <= 1, lit(0L))
+          // integral div, not decimal /: exact floor, no scale rounding
+          .otherwise(expr(
+            "(__sabs * 1000000) div (__nt2 * __nc2 * (__m2 - 1))"))
+          .as("emd_ppm")): _*)
+  }
+
+  /** DuckDB replica of [[tCloseness]]: `srcSql` yields the filtered
+    * row stream with the QID columns and the sensitive column named as
+    * passed; output is (qids..., class_size, emd_ppm) ordered by the
+    * QIDs. */
+  def tClosenessOracleSql(srcSql: String, qids: Seq[String],
+                          sensitive: String): String = {
+    val q = qids.mkString(", ")
+    s"""WITH src AS (SELECT * FROM ($srcSql) WHERE $sensitive IS NOT NULL),
+       |vals AS (SELECT $sensitive AS v, CAST(count(*) AS HUGEINT) AS g
+       |         FROM src GROUP BY 1),
+       |tot AS (SELECT CAST(sum(g) AS HUGEINT) AS n_total,
+       |               CAST(count(*) AS HUGEINT) AS m FROM vals),
+       |cc AS (SELECT $q, $sensitive AS v, CAST(count(*) AS HUGEINT) AS c
+       |       FROM src GROUP BY ALL),
+       |cs AS (SELECT $q, CAST(sum(c) AS HUGEINT) AS nc FROM cc GROUP BY ALL),
+       |grid AS (SELECT cs.*, vals.v, vals.g, COALESCE(cc.c, 0) AS c
+       |  FROM cs CROSS JOIN vals
+       |  LEFT JOIN cc ON ${qids.map(k => s"cc.$k = cs.$k").mkString(" AND ")}
+       |    AND cc.v = vals.v),
+       |pref AS (SELECT $q, nc, v, g,
+       |    sum(c * (SELECT n_total FROM tot) - g * nc)
+       |      OVER (PARTITION BY $q ORDER BY v
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+       |  FROM grid)
+       |SELECT $q, CAST(any_value(nc) AS BIGINT) AS class_size,
+       |  CAST(CASE WHEN (SELECT m FROM tot) <= 1 THEN 0
+       |    ELSE (sum(abs(p)) * 1000000) //
+       |      (any_value(nc) * (SELECT n_total FROM tot) *
+       |       ((SELECT m FROM tot) - 1)) END AS BIGINT) AS emd_ppm
+       |FROM pref GROUP BY $q
+       |ORDER BY $q""".stripMargin
+  }
+
   /** Headline audit numbers for a release gate: the table-wide minimum
     * class size (the achieved k), minimum l (achieved diversity), the
     * number of risk classes and the number of ROWS they cover — the

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * distribution actually shift" screens an experimentation or
   * curation pipeline runs before trusting a mean delta: the
   * Mann–Whitney rank-sum statistic (Mann & Whitney, AoMS 1947) and
-  * the two-sample Kolmogorov–Smirnov distance. Both are EXACT
+  * the two-sample Kolmogorov–Smirnov distance — plus the one-vs-rest
+  * generalization [[aucOneVsRest]] (per-group ROC-AUC against the
+  * rest of the corpus in a single pass). All are EXACT
   * integer computations here — midranks are carried doubled
   * (2·midrank is always an integer) and ECDF differences are carried
   * cross-multiplied on the common denominator n_a·n_b — so every
@@ -109,6 +111,92 @@ object RankTests {
        |  CAST((sum(ca * (2 * lt + t + 1)) - sum(ca) * (sum(ca) + 1)) * 1000000
        |    // (2 * sum(ca) * sum(cb)) AS BIGINT) AS cles_ppm
        |FROM cum""".stripMargin
+
+  /** One-vs-rest Mann–Whitney per group — [[mannWhitney]] generalized
+    * to ANY number of groups in one pass: for every group g, the
+    * doubled U statistic of g's values against ALL other rows and the
+    * common-language effect size AUC = P(x_g > x_rest) + ½P(=) —
+    * identically the ROC-AUC of the value as a classifier for the
+    * group, the "which source scores systematically high" screen run
+    * across a whole corpus mix at once (q185 answers it for one pair).
+    *
+    * Same exactness discipline: per distinct value the doubled
+    * rank-sum contribution of group g is `a_g·(2·lt + t + 1)`
+    * (a_g = g's rows at the value, lt/t global strictly-below/tie
+    * counts), accumulated in DECIMAL(38,0);
+    * `auc_ppm = u2·10⁶ div (2·n_g·n_rest)`, NULL for a single-group
+    * table (no rest to compare).
+    *
+    * Scale shape: one (group × value) hash-agg, one value hash-agg,
+    * the same two-phase bucket prefix as [[ksTwoSample]] (no global
+    * single-partition window), and one value-keyed equi-join of the
+    * group counts onto the value grid. Output is group-sized.
+    *
+    * @return (group, n_g, n_rest, u2, auc_ppm) ordered by group */
+  def aucOneVsRest(df: DataFrame, grpCol: String, valCol: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val v = col(valCol).cast("long")
+    val g = col(grpCol).cast("string")
+    val rows = df.filter(v.isNotNull && g.isNotNull)
+      .select(g.as("group"), v.as("__v"))
+    val cnt = Materialize.once(rows
+      .groupBy("__v").agg(count(lit(1)).as("__t"))
+      .withColumn("__bk", expr(s"__v div $bucketWidth")))
+    val offsets = cnt.groupBy("__bk").agg(sum(col("__t")).as("__c"))
+      .withColumn("__pc", coalesce(sum(col("__c")).over(
+        Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__bk"), col("__pc"))
+    val grid = cnt.join(broadcast(offsets), Seq("__bk"))
+      .withColumn("__lt", col("__pc") + coalesce(
+        sum(col("__t")).over(Window.partitionBy("__bk").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__v"), col("__t"), col("__lt"))
+    val gc = rows.groupBy("group", "__v").agg(count(lit(1)).as("__a"))
+    val total = rows.agg(count(lit(1)).as("__n"))
+    gc.join(grid, Seq("__v"))
+      .groupBy("group")
+      .agg(sum(col("__a")).as("n_g"),
+        sum(col("__a").cast("decimal(38,0)")
+          * (lit(2) * col("__lt") + col("__t") + 1)).as("__r2"))
+      .crossJoin(broadcast(total))
+      .select(col("group"), col("n_g"),
+        (col("__n") - col("n_g")).as("n_rest"),
+        (col("__r2") - col("n_g").cast("decimal(38,0)") * (col("n_g") + 1))
+          .cast("long").as("u2"))
+      .withColumn("auc_ppm", when(col("n_rest") === 0, lit(null)
+        .cast("long")).otherwise(expr(
+        """CAST(CAST(u2 AS DECIMAL(38,0)) * 1000000
+          |  div (2 * CAST(n_g AS DECIMAL(38,0)) * n_rest) AS BIGINT)"""
+          .stripMargin)))
+      .orderBy("group")
+  }
+
+  /** DuckDB replay of [[aucOneVsRest]] over `relSql` projecting
+    * (g, v). */
+  def aucOneVsRestOracleSql(relSql: String): String =
+    s"""WITH rel AS (SELECT CAST(g AS VARCHAR) AS g, CAST(v AS BIGINT) AS v
+       |             FROM ($relSql) WHERE g IS NOT NULL AND v IS NOT NULL),
+       |cnt AS (SELECT v, CAST(count(*) AS HUGEINT) AS t FROM rel GROUP BY v),
+       |grid AS (SELECT v, t, COALESCE(sum(t) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+       |  FROM cnt),
+       |gc AS (SELECT g, v, CAST(count(*) AS HUGEINT) AS a
+       |       FROM rel GROUP BY 1, 2),
+       |pg AS (SELECT g, CAST(sum(a) AS HUGEINT) AS ng,
+       |    CAST(sum(a * (2 * grid.lt + grid.t + 1)) AS HUGEINT) AS r2
+       |  FROM gc JOIN grid USING (v) GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM rel)
+       |SELECT g AS "group",
+       |  CAST(ng AS BIGINT) AS n_g,
+       |  CAST(n - ng AS BIGINT) AS n_rest,
+       |  CAST(r2 - ng * (ng + 1) AS BIGINT) AS u2,
+       |  CAST(CASE WHEN n - ng = 0 THEN NULL
+       |    ELSE (r2 - ng * (ng + 1)) * 1000000 // (2 * ng * (n - ng))
+       |    END AS BIGINT) AS auc_ppm
+       |FROM pg, tot
+       |ORDER BY "group"""".stripMargin
 
   /** Two-sample Kolmogorov–Smirnov distance for the two groups of
     * `grpCol`: D = max over values of |F_a(v) − F_b(v)|, carried

@@ -77,8 +77,11 @@ object AnalyticsQueries {
     * out-degrees bounded O(√m), so hub parts cannot blow up the wedge
     * join. One summary row with the exact global clustering
     * coefficient in ppm. */
-  val q134Triangles: Q = (s, d) => {
-    val pairs = t(s, d, "lineitem")
+  /** Support-≥2 co-purchase part graph (array-side pair generation,
+    * one shuffle) — shared by q134's triangle census and q218's link
+    * prediction. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
       .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
@@ -88,8 +91,20 @@ object AnalyticsQueries {
       .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
-    graft.operators.GraphOps.triangleStats(pairs, "u", "v")
-  }
+
+  val q134Triangles: Q = (s, d) =>
+    graft.operators.GraphOps.triangleStats(coPurchaseEdges(s, d), "u", "v")
+
+  /** Adamic–Adar link prediction on the co-purchase graph: the top-50
+    * NON-adjacent part pairs by summed 1/ln(deg) over their common
+    * neighbors — "which co-purchase edge is the graph about to grow"
+    * (recommendation backfill / augmentation candidates). Per-apex
+    * weights are integers fixed from integer degrees; everything after
+    * is exact integer sums (see
+    * [[graft.operators.GraphOps.linkPrediction]]). */
+  val q218LinkPrediction: Q = (s, d) =>
+    graft.operators.GraphOps.linkPrediction(coPurchaseEdges(s, d),
+      "u", "v", topK = 50, maxApexDegree = 1000L)
 
   private val HllBits = 10
   private val SlideDays = 7
@@ -477,6 +492,7 @@ object AnalyticsQueries {
     "q132_basket_rules" -> q132BasketRules,
     "q133_overlap_pairs" -> q133OverlapPairs,
     "q134_triangles" -> q134Triangles,
+    "q218_link_prediction" -> q218LinkPrediction,
     "q135_sliding_distinct" -> q135SlidingDistinct,
     "q136_revenue_trend" -> q136RevenueTrend,
     "q137_power_iteration" -> q137PowerIteration,
@@ -650,6 +666,13 @@ object AnalyticsQueries {
         |  AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
         |  AND a.s < b.e AND b.s < a.e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q218_link_prediction" -> graft.operators.GraphOps.linkPredictionOracleSql(
+      """SELECT a.pk AS u, b.pk AS v
+        |FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) a
+        |JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) b
+        |  ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+      topK = 50, maxApexDegree = 1000L),
     // triangles enumerated canonically as a<b<c over u<v edges — the
     // orientation-invariant count triangleStats produces
     "q134_triangles" ->

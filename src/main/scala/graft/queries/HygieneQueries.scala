@@ -229,9 +229,56 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  /** t-closeness audit over customer rows: per nation (the QID), the
+    * exact Earth-Mover's Distance between the class's banded
+    * account-balance distribution and the table-wide one — the
+    * distribution-shape leak that q206's k/l checks can't see (see
+    * [[graft.operators.Privacy.tCloseness]]). All-integer EMD in
+    * DECIMAL(38,0) prefix sums. */
+  val q216TCloseness: Q = (s, d) => {
+    val cust = graft.Tables(s, d, "customer")
+      .withColumn("acct_band",
+        graft.operators.Privacy.band(col("c_acctbal"), 2000L))
+    graft.operators.Privacy.tCloseness(cust, Seq("c_nationkey"), "acct_band")
+      .orderBy("c_nationkey")
+  }
+
+  /** Sentence-level BLEU-4 over (candidate, reference) pairs: the
+    * candidate is the document with its first two tokens dropped, the
+    * reference the full text — a deterministic truncation that
+    * exercises clipping AND the brevity penalty (c < r on every pair).
+    * Exact integer counts; ln/exp quantized per the BM25 discipline
+    * (see [[graft.operators.Bleu]]). */
+  val q215Bleu: Q = (s, d) => {
+    val pairs = docs(s, d).filter(col("doc_id") % 20 === 4)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(
+          graft.functions.TextFunctions.tokens(col("text")), 3, 1 << 30))
+          .as("cand_text"),
+        col("text").as("ref_text"))
+    graft.operators.Bleu.bleuReport(pairs, "cand_text", "ref_text", maxN = 4)
+      .drop("cand_text", "ref_text")
+      .orderBy("doc_id")
+  }
+
+  /** One-vs-rest Mann–Whitney AUC of the per-doc token count by
+    * source: for each source, the exact probability a random doc of
+    * that source out-lengths a random doc from the rest (tie-corrected
+    * doubled ranks, DECIMAL(38,0)) — the distribution-free "is this
+    * source systematically different" gate a mean-based check gets
+    * wrong on skewed lengths (see [[graft.operators.RankTests]]). */
+  val q217RankAuc: Q = (s, d) =>
+    graft.operators.RankTests.aucOneVsRest(
+      docs(s, d).select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("ntok")),
+      "source", "ntok", bucketWidth = 64L)
+
   val queries: Map[String, Q] = Map(
+    "q217_rank_auc" -> q217RankAuc,
     "q206_k_anonymity" -> q206KAnonymity,
     "q207_rouge" -> q207Rouge,
+    "q215_bleu" -> q215Bleu,
+    "q216_t_closeness" -> q216TCloseness,
     "q208_generalize_ladder" -> q208GeneralizeLadder,
     "q65_unicode_clean" -> q65UnicodeClean,
     "q66_paragraph_dedup" -> q66ParagraphDedup,
@@ -299,6 +346,23 @@ object HygieneQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q217_rank_auc" -> graft.operators.RankTests.aucOneVsRestOracleSql(
+      """SELECT source AS g,
+        |  CASE WHEN text IS NULL THEN NULL
+        |    WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS v
+        |FROM documents""".stripMargin),
+    "q216_t_closeness" -> graft.operators.Privacy.tClosenessOracleSql(
+      "SELECT c_nationkey, CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT)" +
+        " AS acct_band FROM customer",
+      Seq("c_nationkey"), "acct_band"),
+    "q215_bleu" -> graft.operators.Bleu.bleuOracleSql(
+      """SELECT doc_id,
+        |  array_to_string(regexp_split_to_array(trim(text), '\s+')[3:], ' ')
+        |    AS cand_text,
+        |  text AS ref_text
+        |FROM documents WHERE doc_id % 20 = 4""".stripMargin,
+      maxN = 4),
     "q208_generalize_ladder" ->
       """WITH wl AS (SELECT unnest([500, 1000, 2000, 4000, 8000]) AS width),
         |cls AS (SELECT width, c_nationkey,

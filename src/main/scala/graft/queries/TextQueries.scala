@@ -785,6 +785,25 @@ object TextQueries {
       "doc_id", relevance, "qid", "doc_id", k = 10)
   }
 
+  /** nDCG@10 of the q110 BM25 ranking against GRADED relevance (docs
+    * of source `src{qid}` graded 1..3 by a deterministic doc_id rule) —
+    * the graded companion to q171's binary MRR/P/R. The log₂ rank
+    * discounts are driver-computed integer literals shared with the
+    * oracle, so both engines do pure integer math (see
+    * [[graft.operators.RetrievalEval.ndcgAtK]]). */
+  val q214NdcgEval: Q = (s, d) => {
+    val ranking = graft.operators.Bm25.topK(docs(s, d), "doc_id", "text",
+      bm25Queries, k = 10)
+    val qids = { import s.implicits._; bm25Queries.map(_._1).toDF("qid") }
+      .withColumn("rsrc", concat(lit("src"), col("qid")))
+    val graded = docs(s, d).select(col("doc_id"), col("source"))
+      .join(broadcast(qids), col("source") === col("rsrc"))
+      .select(col("qid"), col("doc_id"),
+        (lit(1L) + col("doc_id") % 3).as("grade"))
+    graft.operators.RetrievalEval.ndcgAtK(ranking, "qid", "rank",
+      "doc_id", graded, "qid", "doc_id", "grade", k = 10)
+  }
+
   private val RepeatGram = 5
 
   /** Exact corpus-wide repeated-substring discovery (the Lee et al.
@@ -827,6 +846,7 @@ object TextQueries {
     "q204_unigram_encode" -> q204UnigramEncode,
     "q201_repeat_spans" -> q201RepeatSpans,
     "q171_retrieval_eval" -> q171RetrievalEval,
+    "q214_ndcg_eval" -> q214NdcgEval,
     "q165_dup_spans" -> q165DupSpans,
     "q162_kneser_ney" -> q162KneserNey,
     "q158_chi2_tokens" -> q158Chi2Tokens,
@@ -999,6 +1019,14 @@ object TextQueries {
   def oracles: Map[String, String] = staticOracles ++ unigramOracle
 
   private val staticOracles: Map[String, String] = Map(
+    "q214_ndcg_eval" -> graft.operators.RetrievalEval.ndcgOracleSql(
+      s"""WITH ${bm25OracleCtes(bm25Queries)}
+         |SELECT qid, rank, doc_id FROM r WHERE rank <= 10""".stripMargin,
+      bm25Queries.map(_._1)
+        .map(q => s"SELECT $q AS qid, doc_id, 1 + doc_id % 3 AS grade " +
+          s"FROM documents WHERE source = 'src$q'")
+        .mkString("\nUNION ALL\n"),
+      k = 10),
     "q171_retrieval_eval" -> graft.operators.RetrievalEval.rankMetricsOracleSql(
       s"""WITH ${bm25OracleCtes(bm25Queries)}
          |SELECT qid, rank, doc_id FROM r WHERE rank <= 10""".stripMargin,

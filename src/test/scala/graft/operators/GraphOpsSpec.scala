@@ -497,6 +497,58 @@ class GraphOpsSpec extends SparkSpec {
     assert(bc == bucketed, "bucketed branch must match broadcast branch")
   }
 
+  test("linkPrediction: hand graphs — path, square, adjacency exclusion") {
+    val wDeg2 = math.floor(1e9 / math.log(2.0)).toLong
+    // path a-b-c: only (a,c) is predictable, via apex b (deg 2)
+    val p = GraphOps.linkPrediction(path, "src", "dst", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(p.toSeq == Seq(("a", "c", 1L, wDeg2)))
+    // square a-b-c-d-a: (a,c) via {b,d}, (b,d) via {a,c}; all deg 2
+    val sq = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val out = GraphOps.linkPrediction(sq, "src", "dst", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(("a", "c", 2L, 2 * wDeg2), ("b", "d", 2L, 2 * wDeg2)))
+  }
+
+  test("linkPrediction: hub cap excludes super-hub witnesses") {
+    // star: hub h with 5 leaves — every leaf pair's only witness is h
+    val star = (1 to 5).map(i => ("h", s"x$i")).toDF("src", "dst")
+    val capped = GraphOps.linkPrediction(star, "src", "dst",
+      topK = 100, maxApexDegree = 4)
+    assert(capped.count() == 0)
+    val uncapped = GraphOps.linkPrediction(star, "src", "dst",
+      topK = 100, maxApexDegree = 100)
+    assert(uncapped.count() == 10) // C(5,2) leaf pairs
+    val w5 = math.floor(1e9 / math.log(5.0)).toLong
+    assert(uncapped.collect().forall(r =>
+      r.getLong(2) == 1L && r.getLong(3) == w5))
+  }
+
+  test("linkPrediction: brute-force differential on a random-ish graph") {
+    val edges = (0 until 60).map { i =>
+      (s"n${(i * 7) % 12}", s"n${(i * i + 3) % 12}")
+    }.filter { case (a, b) => a != b }
+    val got = GraphOps.linkPrediction(edges.toDF("src", "dst"),
+      "src", "dst", topK = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // driver replay
+    val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (z, xs) => z -> xs.map(_._2).toSet }
+    val expected = (for {
+      (z, ns) <- nbrs.toSeq; if ns.size >= 2
+      w = math.floor(1e9 / math.log(ns.size.toDouble)).toLong
+      a <- ns; b <- ns; if a < b; if !und.contains((a, b))
+    } yield ((a, b), w))
+      .groupBy(_._1)
+      .map { case (k, xs) => k -> (xs.size.toLong, xs.map(_._2).sum) }
+    assert(got == expected)
+  }
+
   test("louvainLevel: two bridged triangles collapse to the two true communities") {
     val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
       ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))

@@ -68,4 +68,48 @@ class PrivacySpec extends SparkSpec {
     assert(s.getLong(2) == 2L) // risk classes
     assert(s.getLong(3) == 5L) // rows they cover (4 + 1)
   }
+
+  test("tCloseness: hand-computed EMD — concentrated classes score 1/2, matching class 0") {
+    // global values {1, 2} at 50/50; class A all-1s, class B all-2s:
+    // EMD = (|0.5| + |0|) / (m-1) = 0.5 -> 500000 ppm for both.
+    val polar = Seq((1, 1L), (1, 1L), (2, 2L), (2, 2L)).toDF("nat", "v")
+    val outP = Privacy.tCloseness(polar, Seq("nat"), "v")
+      .orderBy("nat").collect()
+    assert(outP.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1, 2L, 500000L), (2, 2L, 500000L)))
+    // a class whose distribution equals the global one scores exactly 0
+    val mixed = Seq((1, 1L), (1, 2L), (2, 1L), (2, 2L)).toDF("nat", "v")
+    assert(Privacy.tCloseness(mixed, Seq("nat"), "v")
+      .collect().forall(_.getLong(2) == 0L))
+  }
+
+  test("tCloseness: three-value skew, single-valued table, NULL exclusion") {
+    // global (1/3, 1/3, 1/3); end classes (1,0,0)/(0,0,1): cum diffs
+    // 2/3, 1/3, 0 -> 1 -> /2 = 0.5. The MIDDLE class (0,1,0) is
+    // genuinely closer under the ordered metric: 1/3, 2/3... no —
+    // cum diffs -1/3, +1/3, 0 -> 2/3 -> /2 = 1/3 -> 333333 ppm.
+    val tri = Seq((1, 10L), (2, 20L), (3, 30L)).toDF("nat", "v")
+    val a = Privacy.tCloseness(tri, Seq("nat"), "v")
+      .orderBy("nat").collect()
+    assert(a.map(_.getLong(2)).toSeq == Seq(500000L, 333333L, 500000L))
+    // m = 1: every class scores 0 by definition
+    val mono = Seq((1, 5L), (2, 5L)).toDF("nat", "v")
+    assert(Privacy.tCloseness(mono, Seq("nat"), "v")
+      .collect().forall(_.getLong(2) == 0L))
+    // NULL sensitive rows are excluded, not a phantom value
+    val withNull = Seq((1, Some(1L)), (1, None), (2, Some(2L)))
+      .toDF("nat", "v")
+    val n = Privacy.tCloseness(withNull, Seq("nat"), "v")
+      .orderBy("nat").collect()
+    assert(n.map(_.getLong(1)).toSeq == Seq(1L, 1L)) // class sizes exclude NULL
+  }
+
+  test("tCloseness: emd is invariant to input partitioning") {
+    val rows = (0 until 64).map(i => (i % 4, (i * 7) % 5L)).toDF("nat", "v")
+    val one = Privacy.tCloseness(rows.repartition(1), Seq("nat"), "v")
+      .orderBy("nat").collect().toSeq
+    val many = Privacy.tCloseness(rows.repartition(13), Seq("nat"), "v")
+      .orderBy("nat").collect().toSeq
+    assert(one == many)
+  }
 }

@@ -24,6 +24,48 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(out(3) == ((0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("ndcgAtK: hand-computed DCG/IDCG; perfect ranking scores ndcg 1") {
+    val d = RetrievalEval.ndcgDiscountsNano(5)
+    assert(d.head == 1000000000L) // log2(2) = 1
+    assert(d == d.sorted.reverse) // monotone decreasing
+    // q1: grades — doc 10 -> 3, doc 30 -> 1; ranking: 10 at rank 2, 30 at 5.
+    // q2: graded doc never retrieved -> dcg 0, idcg > 0, ndcg 0.
+    // q3: no graded docs -> all zero.
+    val ranking = Seq(
+      (1, 1L, 11L), (1, 2L, 10L), (1, 3L, 12L), (1, 4L, 13L), (1, 5L, 30L),
+      (2, 1L, 11L),
+      (3, 1L, 11L)).toDF("qid", "rank", "doc_id")
+    val rel = Seq((1, 10L, 3L), (1, 30L, 1L), (2, 99L, 2L))
+      .toDF("qid", "doc_id", "grade")
+    val out = RetrievalEval.ndcgAtK(ranking, "qid", "rank", "doc_id",
+      rel, "qid", "doc_id", "grade", k = 5)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val dcg1 = 3L * d(1) + 1L * d(4)        // hits at ranks 2 and 5
+    val idcg1 = 3L * d(0) + 1L * d(1)       // ideal: 3 then 1
+    assert(out(1) == ((2L, dcg1, idcg1, dcg1 * 1000000L / idcg1)))
+    assert(out(2) == ((1L, 0L, 2L * d(0), 0L)))
+    assert(out(3) == ((0L, 0L, 0L, 0L)))
+    // perfect ordering of all graded docs -> ndcg exactly 10^6
+    val perfect = Seq((9, 1L, 10L), (9, 2L, 30L)).toDF("qid", "rank", "doc_id")
+    val rel9 = Seq((9, 10L, 3L), (9, 30L, 1L)).toDF("qid", "doc_id", "grade")
+    val p = RetrievalEval.ndcgAtK(perfect, "qid", "rank", "doc_id",
+      rel9, "qid", "doc_id", "grade", k = 5).collect().head
+    assert(p.getLong(4) == 1000000L)
+  }
+
+  test("ndcgAtK: ideal side caps at k — extra graded docs beyond k don't inflate idcg") {
+    val d = RetrievalEval.ndcgDiscountsNano(2)
+    val ranking = Seq((1, 1L, 1L), (1, 2L, 2L)).toDF("qid", "rank", "doc_id")
+    val rel = Seq((1, 1L, 2L), (1, 2L, 2L), (1, 3L, 2L))
+      .toDF("qid", "doc_id", "grade") // 3 graded docs, k = 2
+    val out = RetrievalEval.ndcgAtK(ranking, "qid", "rank", "doc_id",
+      rel, "qid", "doc_id", "grade", k = 2).collect().head
+    assert(out.getLong(1) == 3L)                       // n_graded uncapped
+    assert(out.getLong(3) == 2L * d(0) + 2L * d(1))    // idcg capped at k
+    assert(out.getLong(4) == 1000000L)                 // retrieved 2 of the 3 equals ideal
+  }
+
   test("rankMetrics: rows past k are ignored; perfect ranking scores unit metrics") {
     val ranking = Seq(
       (7, 1L, 1L), (7, 2L, 2L), (7, 3L, 99L)).toDF("qid", "rank", "doc_id")

@@ -390,6 +390,39 @@ object TextQueries {
   private[queries] val bpeVocab: Seq[String] = graft.operators.Bpe.vocabulary(
     bpeMerges, (('a' to 'z') ++ ('0' to '9')).map(_.toString))
 
+  /** The q219 WordPiece vocabulary: a FIXED literal (identical on both
+    * sides, the q104 discipline) — bare + `##` continuation singles
+    * for lowercase letters/digits plus multi-char pieces that exercise
+    * greedy longest-match precedence ("the" beats "th" beats "t") and
+    * continuation chains; capitals and punctuation are absent, so any
+    * word carrying one lands on the whole-word [UNK] path. Training
+    * itself is pinned by WordpieceSpec's hand-replayed likelihood
+    * example. */
+  private[queries] val wordpieceVocab: Seq[String] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    singles ++ singles.map("##" + _) ++ Seq(
+      "th", "the", "in", "re", "an", "or", "un", "ov",
+      "##ing", "##ed", "##er", "##es", "##at", "##ion", "##nd",
+      "##ent", "##ly", "##ther")
+  }
+
+  /** WordPiece subword statistics over the corpus with the fixed
+    * vocabulary: whitespace words vs greedy longest-match pieces and
+    * whole-word UNK counts per doc — the third tokenizer of the
+    * BPE (q104) / Unigram (q204) family. The encode is a compiled
+    * shuffle-free projection; the oracle re-implements the greedy
+    * loop as a recursive CTE over the distinct words (see
+    * [[graft.operators.Wordpiece]]). */
+  val q219WordpieceEncode: Q = (s, d) => {
+    val enc = graft.operators.Wordpiece.encode(col("text"), wordpieceVocab)
+    docs(s, d).select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_words"),
+      size(enc).cast("long").as("n_subwords"),
+      size(filter(enc, x => x === lit(graft.operators.Wordpiece.Unk)))
+        .cast("long").as("n_unk"))
+      .orderBy("doc_id")
+  }
+
   /** BPE subword statistics over the corpus with the fixed merge
     * table: whitespace words vs learned-subword counts per doc — the
     * "how many tokens is this corpus" question every training-data
@@ -883,6 +916,7 @@ object TextQueries {
     "q43_heavy_hitters" -> q43HeavyHitters,
     "q97_minhash_clusters" -> q97MinhashClusters,
     "q104_bpe_encode" -> q104BpeEncode,
+    "q219_wordpiece_encode" -> q219WordpieceEncode,
     "q106_bpe_ids" -> q106BpeIds,
     "q107_pack_ids" -> q107PackIds,
     "q108_manifest" -> q108Manifest,
@@ -1448,6 +1482,8 @@ object TextQueries {
     // returns 0 for absent, nullif-ed to "no merge"), then word
     // instances join back for per-doc sums. A foreign replay of the
     // compiled expression's loop — not generated from shared code.
+    "q219_wordpiece_encode" -> graft.operators.Wordpiece.encodeStatsOracleSql(
+      "SELECT doc_id, text FROM documents", wordpieceVocab),
     "q104_bpe_encode" ->
       s"""WITH RECURSIVE
          |$bpeEncodeCtes,

@@ -454,6 +454,65 @@ object Similarity {
     rankCandidatesQuantized(cands, k)
   }
 
+  /** Margin-based pair mining (Artetxe & Schwenk, ACL 2019 — the
+    * LASER/CCMatrix bitext-mining criterion): for every LEFT vector x,
+    * the best RIGHT partner y scored not by raw cosine but by the
+    * MARGIN — cosine relative to the average of both sides' k-nearest
+    * cosines:
+    *   margin(x,y) = cos(x,y) / ((avgₖ cos(x,·) + avgₖ cos(·,y)) / 2)
+    * A pair is aligned when it stands out from BOTH neighborhoods;
+    * raw-cosine thresholds can't separate "genuinely aligned" from
+    * "x is close to everything" (hubness). This is the standard miner
+    * for parallel-corpus extraction and any cross-source pairing
+    * (caption↔image, question↔answer) a training pipeline runs.
+    *
+    * Exactness: per-pair cosine floor-quantizes to ppm LONGs (rule-6
+    * quantize-then-sum), so the k-nearest sums are exact integers and
+    * `margin_ppm = cos_ppm·2k·10⁶ div (sumₖ(x) + sumₖ(y))` is a pure
+    * integer — the mined set replays on any engine. Pairs with a
+    * non-positive quantized cosine or denominator are dropped (a
+    * margin against negative neighborhoods is meaningless — miners
+    * operate in the high-similarity regime).
+    *
+    * 100 TB shape: the exactness anchor is the [[bruteForceTopK]]
+    * layout — LEFT side broadcast, RIGHT side never shuffles, the
+    * scored frame materialized ONCE and read by both direction
+    * rankings and the final join. For corpus-scale sides, swap the
+    * candidate generator for the IVF/SRP paths (the margin tail is
+    * unchanged) — the same swap [[hardNegativesQuantized]] documents.
+    *
+    * @return per LEFT id: (x, y, cos_ppm, margin_ppm), the
+    *         best-margin partner, margin ≥ `minMarginPpm`, ordered
+    *         by x */
+  def marginMineQuantized(left: DataFrame, right: DataFrame, idCol: String,
+                          vecCol: String, k: Int,
+                          minMarginPpm: Long = 0L): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    val l = left.select(col(idCol).as("x"), quantize(col(vecCol)).as("xv"))
+    val r = fanOut(right)
+      .select(col(idCol).as("y"), quantize(col(vecCol)).as("yv"))
+    val scored = Materialize.once(r.crossJoin(broadcast(l))
+      .withColumn("cos_ppm",
+        floor(quantizedCosine(col("xv"), col("yv")) * 1e6).cast("long"))
+      .select(col("x"), col("y"), col("cos_ppm")))
+    def kSum(key: String, other: String) = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(key).orderBy(col("cos_ppm").desc, col(other))))
+      .filter(col("rk") <= k)
+      .groupBy(key).agg(sum(col("cos_ppm")).as(s"s_$key"))
+    scored
+      .join(kSum("x", "y"), Seq("x"))
+      .join(kSum("y", "x"), Seq("y"))
+      .filter(col("cos_ppm") > 0 && col("s_x") + col("s_y") > 0)
+      .withColumn("margin_ppm",
+        expr(s"(cos_ppm * ${2L * k} * 1000000L) div (s_x + s_y)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("x").orderBy(col("margin_ppm").desc, col("y"))))
+      .filter(col("rk") === 1 && col("margin_ppm") >= minMarginPpm)
+      .select(col("x"), col("y"), col("cos_ppm"), col("margin_ppm"))
+      .orderBy("x")
+  }
+
   /** Multi-table SRP-LSH top-k: union candidates from `tables`
     * independent bucketings, then exact re-rank. */
   def srpTopK(queries: DataFrame, corpus: DataFrame, idCol: String,

@@ -466,6 +466,21 @@ object VectorQueries {
 
   /** Hard negatives: top-5 nearest different-label vectors for each
     * query (vec_id < 10) — exact quantized-cosine ranking. */
+  /** Margin-based cross-source pair mining: the even-id half of the
+    * embedding table mined against the odd-id half with the
+    * Artetxe–Schwenk margin criterion (k = 4 neighborhood) — per even
+    * vector, its best odd partner scored RELATIVE to both sides'
+    * nearest-neighbor cosines, the hubness-robust alignment signal a
+    * raw cosine threshold can't give (see
+    * [[graft.operators.Similarity.marginMineQuantized]]). Integer ppm
+    * margins, engine-exact. */
+  val q220MarginMine: Q = (s, d) => {
+    val e = emb(s, d)
+    Similarity.marginMineQuantized(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", k = 4)
+  }
+
   val q116HardNegatives: Q = (s, d) =>
     Similarity.hardNegativesQuantized(
       emb(s, d).repartition(s.sparkContext.defaultParallelism),
@@ -747,6 +762,7 @@ object VectorQueries {
     "q86_semdedup" -> q86SemDedup,
     "q115_kmeans" -> q115Kmeans,
     "q116_hard_negatives" -> q116HardNegatives,
+    "q220_margin_mine" -> q220MarginMine,
     "q119_hybrid_rrf" -> q119HybridRrf,
   )
 
@@ -900,6 +916,39 @@ object VectorQueries {
        |       FROM ex GROUP BY dim)""".stripMargin
 
   private val staticOracles: Map[String, String] = Map(
+    // margin = cos relative to both sides' k-NN cosines; cosines
+    // floor-quantized to ppm BEFORE the neighborhood sums (rule 6),
+    // margin a pure integer division — full replay of q220
+    "q220_margin_mine" -> {
+      def cosPpm(a: String, b: String) =
+        s"""CAST(floor(CASE WHEN sqrt(CAST(${dot(a, a)} AS DOUBLE)) *
+           |    sqrt(CAST(${dot(b, b)} AS DOUBLE)) = 0.0 THEN 0.0
+           |  ELSE CAST(${dot(a, b)} AS DOUBLE) /
+           |    (sqrt(CAST(${dot(a, a)} AS DOUBLE)) *
+           |     sqrt(CAST(${dot(b, b)} AS DOUBLE))) END * 1000000.0)
+           |  AS BIGINT)""".stripMargin
+      s"""WITH l AS (SELECT vec_id AS x, $qv AS xv FROM embeddings
+         |           WHERE vec_id % 2 = 0),
+         |r AS (SELECT vec_id AS y, $qv AS yv FROM embeddings
+         |      WHERE vec_id % 2 = 1),
+         |sc AS (SELECT x, y, ${cosPpm("xv", "yv")} AS cos_ppm FROM l, r),
+         |sx AS (SELECT x, CAST(sum(cos_ppm) AS BIGINT) AS s_x FROM (
+         |    SELECT x, cos_ppm, row_number() OVER (PARTITION BY x
+         |      ORDER BY cos_ppm DESC, y) AS rk FROM sc)
+         |  WHERE rk <= 4 GROUP BY x),
+         |sy AS (SELECT y, CAST(sum(cos_ppm) AS BIGINT) AS s_y FROM (
+         |    SELECT y, cos_ppm, row_number() OVER (PARTITION BY y
+         |      ORDER BY cos_ppm DESC, x) AS rk FROM sc)
+         |  WHERE rk <= 4 GROUP BY y),
+         |mg AS (SELECT sc.x, sc.y, sc.cos_ppm,
+         |    (sc.cos_ppm * 8 * 1000000) // (s_x + s_y) AS margin_ppm
+         |  FROM sc JOIN sx USING (x) JOIN sy USING (y)
+         |  WHERE sc.cos_ppm > 0 AND s_x + s_y > 0),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY x
+         |    ORDER BY margin_ppm DESC, y) AS rk FROM mg)
+         |SELECT x, y, cos_ppm, CAST(margin_ppm AS BIGINT) AS margin_ppm
+         |FROM best WHERE rk = 1 ORDER BY x""".stripMargin
+    },
     "q156_int8_recon" ->
       s"""WITH $int8CbSql,
          |codes AS (SELECT ex.vec_id, ex.dim, ex.x, cb.min_q, cb.max_q, cb.rng,

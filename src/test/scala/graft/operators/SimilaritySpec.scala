@@ -32,6 +32,62 @@ class SimilaritySpec extends SparkSpec {
     assert(r0.toSeq == r0.sortBy(-_).toSeq) // descending
   }
 
+  test("marginMineQuantized: bit-identical to a driver replay; hub demotion") {
+    val rnd = new scala.util.Random(41)
+    val dims = 6
+    val rows = (0 until 24).map(i =>
+      (i.toLong, Seq.fill(dims)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("id", "vec")
+    val k = 3
+    val got = Similarity.marginMineQuantized(
+      df.filter($"id" % 2 === 0), df.filter($"id" % 2 === 1),
+      "id", "vec", k = k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+
+    // driver replay of the exact pipeline
+    def q(v: Seq[Double]) = v.map(x => math.floor(x * 1e6).toLong)
+    def cosPpm(a: Seq[Long], b: Seq[Long]): Long = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val n = math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble)
+      if (n == 0.0) 0L else math.floor(d / n * 1e6).toLong
+    }
+    val lhs = rows.filter(_._1 % 2 == 0).map { case (i, v) => i -> q(v) }
+    val rhs = rows.filter(_._1 % 2 == 1).map { case (i, v) => i -> q(v) }
+    val sc = for ((x, xv) <- lhs; (y, yv) <- rhs)
+      yield (x, y, cosPpm(xv, yv))
+    val sx = sc.groupBy(_._1).map { case (x, xs) =>
+      x -> xs.sortBy(t => (-t._3, t._2)).take(k).map(_._3).sum }
+    val sy = sc.groupBy(_._2).map { case (y, ys) =>
+      y -> ys.sortBy(t => (-t._3, t._1)).take(k).map(_._3).sum }
+    val expected = sc
+      .filter(t => t._3 > 0 && sx(t._1) + sy(t._2) > 0)
+      .map { case (x, y, c) =>
+        (x, y, c, c * 2 * k * 1000000L / (sx(x) + sy(y))) }
+      .groupBy(_._1).map { case (x, ps) =>
+        val best = ps.minBy(p => (-p._4, p._2))
+        x -> (best._2, best._3, best._4)
+      }
+    assert(got == expected)
+  }
+
+  test("marginMineQuantized: margin separates an aligned pair from a hub") {
+    // y0 is a hub (equal cosine to every x); y1 aligns only with x2.
+    // Raw cosine would pair every x with the hub; the margin pairs x2
+    // with its exclusive partner.
+    val base = Seq(1.0, 0.0, 0.0)
+    val lhs = Seq(
+      (0L, Seq(1.0, 0.2, 0.0)), (2L, Seq(1.0, 0.0, 0.9)), (4L, Seq(1.0, -0.2, 0.0)))
+    val rhs = Seq(
+      (1L, base),                    // hub: high cos to all lhs
+      (3L, Seq(1.0, 0.0, 1.1)))      // exclusive partner of x=2
+    val out = Similarity.marginMineQuantized(
+      lhs.toDF("id", "vec"), rhs.toDF("id", "vec"), "id", "vec", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) == 3L) // the aligned pair wins over the hub
+  }
+
   test("ivfTopK: good recall vs brute force") {
     val queries = vecs.filter($"id" < 10)
     val brute = Similarity.bruteForceTopK(queries, vecs, "id", "vec", k = 5)

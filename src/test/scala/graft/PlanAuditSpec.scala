@@ -515,4 +515,34 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Window"), s"$q: label window (mega-community skew) resurfaced:\n$p")
     }
   }
+
+  test("q215/q219: BLEU and WordPiece are pure projections over the scan") {
+    // both metrics are compiled per-row work; a join, window, or
+    // generate here would mean the zero-shuffle contract broke
+    Seq("q215_bleu", "q219_wordpiece_encode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: join appeared in a projection metric:\n$p")
+      assert(!p.contains("Window"), s"$q: window appeared:\n$p")
+      assert(!p.contains("Generate"), s"$q: explode appeared:\n$p")
+    }
+  }
+
+  test("q218: link prediction joins are equi-joins with a bounded TakeOrdered tail") {
+    val p = finalPlan("q218_link_prediction")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q218: wedge/anti joins degraded to a cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q218: top-k lost its bounded TakeOrdered tail:\n$p")
+  }
+
+  test("q220: margin mining broadcasts the query side; rest is hash work") {
+    // the deliberate cross product carries a broadcast side (the q28
+    // exactness-anchor layout); a non-broadcast cartesian would shuffle
+    // corpus x corpus
+    val p = finalPlan("q220_margin_mine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q220: query side no longer broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q220: non-broadcast cartesian appeared:\n$p")
+  }
 }

@@ -920,18 +920,22 @@ object VectorQueries {
     // floor-quantized to ppm BEFORE the neighborhood sums (rule 6),
     // margin a pure integer division — full replay of q220
     "q220_margin_mine" -> {
-      def cosPpm(a: String, b: String) =
-        s"""CAST(floor(CASE WHEN sqrt(CAST(${dot(a, a)} AS DOUBLE)) *
-           |    sqrt(CAST(${dot(b, b)} AS DOUBLE)) = 0.0 THEN 0.0
-           |  ELSE CAST(${dot(a, b)} AS DOUBLE) /
-           |    (sqrt(CAST(${dot(a, a)} AS DOUBLE)) *
-           |     sqrt(CAST(${dot(b, b)} AS DOUBLE))) END * 1000000.0)
-           |  AS BIGINT)""".stripMargin
-      s"""WITH l AS (SELECT vec_id AS x, $qv AS xv FROM embeddings
-         |           WHERE vec_id % 2 = 0),
-         |r AS (SELECT vec_id AS y, $qv AS yv FROM embeddings
-         |      WHERE vec_id % 2 = 1),
-         |sc AS (SELECT x, y, ${cosPpm("xv", "yv")} AS cos_ppm FROM l, r),
+      // per-vector norms hoisted out of the pair loop: sqrt(dot(v,v))
+      // is bit-identical whether computed per vector or per pair, and
+      // the pair stage then costs ONE dot instead of five
+      s"""WITH l0 AS (SELECT vec_id AS x, $qv AS xv FROM embeddings
+         |            WHERE vec_id % 2 = 0),
+         |l AS (SELECT x, xv,
+         |      sqrt(CAST(${dot("xv", "xv")} AS DOUBLE)) AS xn FROM l0),
+         |r0 AS (SELECT vec_id AS y, $qv AS yv FROM embeddings
+         |       WHERE vec_id % 2 = 1),
+         |r AS (SELECT y, yv,
+         |      sqrt(CAST(${dot("yv", "yv")} AS DOUBLE)) AS yn FROM r0),
+         |sc AS (SELECT x, y,
+         |    CAST(floor(CASE WHEN xn * yn = 0.0 THEN 0.0
+         |      ELSE CAST(${dot("xv", "yv")} AS DOUBLE) / (xn * yn) END
+         |      * 1000000.0) AS BIGINT) AS cos_ppm
+         |  FROM l, r),
          |sx AS (SELECT x, CAST(sum(cos_ppm) AS BIGINT) AS s_x FROM (
          |    SELECT x, cos_ppm, row_number() OVER (PARTITION BY x
          |      ORDER BY cos_ppm DESC, y) AS rk FROM sc)

@@ -21,7 +21,7 @@ object ZOrder {
 
   /** Quantize a value into [0, 2^bits): rank within [lo, hi), clamped
     * at the edges (same contract as [[Histogram.binOf]]). */
-  private def quantize(x: Column, lo: Double, hi: Double, bits: Int): Column = {
+  private[operators] def quantize(x: Column, lo: Double, hi: Double, bits: Int): Column = {
     val cells = 1L << bits
     val w = (hi - lo) / cells
     least(greatest(floor((x.cast("double") - lit(lo)) / lit(w)).cast("long"),

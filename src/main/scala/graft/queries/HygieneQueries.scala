@@ -261,6 +261,25 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  /** chrF2 over (candidate, reference) pairs: the candidate is the
+    * document with its first 20 CHARACTERS dropped — a sub-token edit
+    * that word-level BLEU/ROUGE mis-credit but the character metric
+    * scores smoothly (short docs degenerate to empty candidates,
+    * exercising the NULL-average path). Every quantity integer
+    * end-to-end — per-order ppm by integer division, integer-mean,
+    * integer harmonic combine; zero float boundary (see
+    * [[graft.operators.Chrf]]). */
+  val q221Chrf: Q = (s, d) => {
+    val pairs = docs(s, d).filter(col("doc_id") % 20 === 9)
+      .select(col("doc_id"),
+        substring(col("text"), 21, 1 << 30).as("cand_text"),
+        col("text").as("ref_text"))
+    graft.operators.Chrf.chrfReport(pairs, "cand_text", "ref_text",
+      maxN = 6, beta = 2)
+      .drop("cand_text", "ref_text")
+      .orderBy("doc_id")
+  }
+
   /** One-vs-rest Mann–Whitney AUC of the per-doc token count by
     * source: for each source, the exact probability a random doc of
     * that source out-lengths a random doc from the rest (tie-corrected
@@ -274,6 +293,7 @@ object HygieneQueries {
       "source", "ntok", bucketWidth = 64L)
 
   val queries: Map[String, Q] = Map(
+    "q221_chrf" -> q221Chrf,
     "q217_rank_auc" -> q217RankAuc,
     "q206_k_anonymity" -> q206KAnonymity,
     "q207_rouge" -> q207Rouge,
@@ -346,6 +366,10 @@ object HygieneQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q221_chrf" -> graft.operators.Chrf.chrfOracleSql(
+      """SELECT doc_id, substr(text, 21) AS cand_text, text AS ref_text
+        |FROM documents WHERE doc_id % 20 = 9""".stripMargin,
+      maxN = 6, beta = 2),
     "q217_rank_auc" -> graft.operators.RankTests.aucOneVsRestOracleSql(
       """SELECT source AS g,
         |  CASE WHEN text IS NULL THEN NULL

@@ -129,6 +129,19 @@ object SketchQueries {
           (col("l_extendedprice"), HistLo, HistHi)), ZBits).as("z"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Hilbert-curve key over the SAME dims/quantization as q84 — the
+    * locality-preserving layout upgrade: every consecutive Hilbert
+    * index is a unit grid step, so query boxes cover in fewer
+    * contiguous key runs than Morton (fewer files at 100 TB; see
+    * [[graft.operators.Hilbert]]). Compiled integer quadrant walk,
+    * replayed round-for-round by the oracle's CTE chain. */
+  val q222Hilbert: Q = (s, d) =>
+    Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Hilbert.hValue(
+          (col("l_quantity"), 0.0, 64.0),
+          (col("l_extendedprice"), HistLo, HistHi), ZBits).as("h"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** Build-once state for q87 (the q31 index pattern): lineitem
     * Z-order-clustered on (ship time, price) and written with
     * file-level min/max stats, once per (JVM, sf dir). */
@@ -215,6 +228,7 @@ object SketchQueries {
     "q87_data_skipping" -> q87DataSkipping,
     "q85_kmv_sets" -> q85KmvSets,
     "q84_zorder" -> q84ZOrder,
+    "q222_hilbert" -> q222Hilbert,
     "q83_histogram" -> q83Histogram,
     "q82_profile" -> q82Profile,
     "q77_cms_freq" -> q77CmsFreq,
@@ -320,6 +334,23 @@ object SketchQueries {
          |  CAST(count(*) AS BIGINT) AS cnt
          |FROM lineitem WHERE l_extendedprice IS NOT NULL
          |GROUP BY 1 ORDER BY bin""".stripMargin,
+    // Hilbert replay: same quantize as q84, then the ZBits quadrant
+    // rounds unrolled as a CTE chain (values, not expressions — no
+    // expression blow-up)
+    "q222_hilbert" -> {
+      def quant(expr: String, lo: Double, hi: Double): String = {
+        val cells = 1L << ZBits
+        val w = (hi - lo) / cells
+        s"least(greatest(CAST(floor((CAST($expr AS DOUBLE) - $lo) / $w) AS BIGINT), 0), ${cells - 1})"
+      }
+      val rows = s"SELECT l_orderkey, l_linenumber, " +
+        s"${quant("l_quantity", 0.0, 64.0)} AS hx, " +
+        s"${quant("l_extendedprice", HistLo, HistHi)} AS hy FROM lineitem"
+      s"""WITH ${graft.operators.Hilbert.hilbertRoundCtes(rows,
+            Seq("l_orderkey", "l_linenumber"), ZBits)}
+         |SELECT l_orderkey, l_linenumber, d AS h
+         |FROM h$ZBits ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     // Morton interleave replay: bit b of dim i lands at 2^(b*d+i)
     "q84_zorder" -> {
       def dim(expr: String, lo: Double, hi: Double, i: Int): String = {

@@ -700,6 +700,17 @@ object VectorQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Greedy k-center coreset (Gonzalez farthest-point traversal) over
+    * the embedding corpus: 8 maximal-spread exemplars + the coverage
+    * radius each pick certifies — the pure-coverage data-selection
+    * pass (see [[graft.operators.Coreset]]). Exact integer squared-L2
+    * on the KMeansInt quantization; every round one corpus scan with a
+    * scalar struct-min argmax (no Window, no per-row state). */
+  val q223Coreset: Q = (s, d) =>
+    graft.operators.Coreset.kCenterGreedy(emb(s, d), "vec_id", "embedding",
+        k = 8)
+      .orderBy("round")
+
   private def ivfPqOracle: Map[String, String] =
     (PqModel.last, PqModel.lastCells) match {
       case (Some(cb), Some(cells)) => Map(
@@ -737,6 +748,7 @@ object VectorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q223_coreset" -> q223Coreset,
     "q205_mjpeg_frames" -> q205MjpegFrames,
     "q202_ann_refine" -> q202AnnRefine,
     "q203_refine_recall" -> q203RefineRecall,
@@ -916,6 +928,12 @@ object VectorQueries {
        |       FROM ex GROUP BY dim)""".stripMargin
 
   private val staticOracles: Map[String, String] = Map(
+    // k-center greedy: every round unrolled (min-dist update vs the
+    // previous pick, ORDER BY mind DESC, id LIMIT 1 argmax) on the
+    // same floor(x*1000)+10000 integer grid
+    "q223_coreset" -> graft.operators.Coreset.kCenterOracleSql(
+      "SELECT vec_id AS id, embedding AS vec FROM embeddings", k = 8,
+      idOut = "vec_id"),
     // margin = cos relative to both sides' k-NN cosines; cosines
     // floor-quantized to ppm BEFORE the neighborhood sums (rule 6),
     // margin a pure integer division — full replay of q220

@@ -280,6 +280,30 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  /** The shared tail planted by q224 (apostrophe-free — embeds in the
+    * oracle as a plain literal) and the per-doc shift prefix. Different
+    * docs carry different-length prefixes, so the tail sits at
+    * DIFFERENT offsets everywhere — only content-defined boundaries
+    * can line its chunks up. */
+  private val CdcTail =
+    "the quick brown fox jumps over the lazy dog while content defined " +
+      "chunking resynchronizes shared suffixes across shifted documents " +
+      "so the storage layer stores the common bytes once"
+
+  /** Content-defined chunking + corpus chunk dedup: every document is
+    * shifted by a doc_id-dependent prefix and suffixed with a shared
+    * tail; the CDC boundaries resynchronize so the tail's chunks hash
+    * identically across all docs (n_docs = corpus size) despite the
+    * shifts — the storage-dedup win fixed blocks cannot deliver (see
+    * [[graft.operators.Cdc]]). */
+  val q224CdcDedup: Q = (s, d) =>
+    graft.operators.Cdc.chunkDedup(
+      docs(s, d).select(col("doc_id"),
+        concat(expr("repeat('>', CAST(doc_id % 11 AS INT))"),
+          col("text"), lit(" "), lit(CdcTail)).as("text")),
+      "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+
   /** One-vs-rest Mann–Whitney AUC of the per-doc token count by
     * source: for each source, the exact probability a random doc of
     * that source out-lengths a random doc from the rest (tie-corrected
@@ -293,6 +317,7 @@ object HygieneQueries {
       "source", "ntok", bucketWidth = 64L)
 
   val queries: Map[String, Q] = Map(
+    "q224_cdc_dedup" -> q224CdcDedup,
     "q221_chrf" -> q221Chrf,
     "q217_rank_auc" -> q217RankAuc,
     "q206_k_anonymity" -> q206KAnonymity,
@@ -366,6 +391,10 @@ object HygieneQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q224_cdc_dedup" -> graft.operators.Cdc.chunkDedupOracleSql(
+      s"SELECT doc_id AS id, repeat('>', CAST(doc_id % 11 AS INT)) || " +
+        s"text || ' ' || '$CdcTail' AS s FROM documents",
+      idOut = "doc_id"),
     "q221_chrf" -> graft.operators.Chrf.chrfOracleSql(
       """SELECT doc_id, substr(text, 21) AS cand_text, text AS ref_text
         |FROM documents WHERE doc_id % 20 = 9""".stripMargin,

@@ -82,6 +82,38 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Equi-join cardinality estimate from two count-min sketches — the
+    * AMS-style inner product (Alon–Matias–Szegedy '96; CM-sketch form
+    * in Cormode & Muthukrishnan '05): |A ⋈ B| = Σ_k f_A(k)·f_B(k), and
+    * the per-row counter inner product Σ_b cmsA[r][b]·cmsB[r][b] is an
+    * OVERESTIMATE of it (collisions only add), so min over rows gives
+    * the classic one-sided bound — the planner-style join-size probe
+    * that costs two counter tables instead of the join.
+    *
+    * 100 TB shape: each side folds to ≤ depth·width counters with
+    * map-side partial aggregation; the product/min run on those tiny
+    * tables (broadcast join, scalar agg). Nothing data-sized moves.
+    *
+    * @return one row per hash row: (row, inner_product, cms_join_est)
+    *         with the min-estimate repeated (exact integers). */
+  def cmsJoinEstimate(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+                      depth: Int, width: Int): DataFrame = {
+    val sa = countMin(a, aKey, depth, width)
+    val sb = countMin(b, bKey, depth, width)
+      .withColumnRenamed("cnt", "cnt_b")
+    val overlap = sa.join(broadcast(sb), Seq("row", "bucket"))
+      .groupBy("row")
+      .agg(sum(col("cnt") * col("cnt_b")).as("p"))
+    // complete row spine: a hash row whose buckets never overlap has
+    // inner product 0 (and correctly drives the min-bound to 0)
+    val spine = a.sparkSession.range(depth.toLong)
+      .select(col("id").as("row"))
+    val prod = spine.join(broadcast(overlap), Seq("row"), "left")
+      .select(col("row"), coalesce(col("p"), lit(0L)).as("inner_product"))
+    prod.crossJoin(broadcast(
+      prod.agg(min("inner_product").as("cms_join_est"))))
+  }
+
   /** HyperLogLog register table over a key column with `2^b` buckets:
     * (bucket, register) where register = 1 + leading-zero count of the
     * hash remainder — the full mergeable HLL state (merge = max per

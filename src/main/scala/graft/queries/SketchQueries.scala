@@ -42,6 +42,25 @@ object SketchQueries {
       .orderBy("probe_key")
   }
 
+  /** CMS join-size estimation (the AMS inner product): how many rows
+    * would `lineitem ⋈ returned-lineitem ON l_suppkey` produce — a
+    * genuinely many-to-many join — estimated from two counter tables
+    * without running the join, next to the exact answer. Per hash row
+    * the counter inner product over-counts only via collisions, so
+    * `min(inner_product) >= exact` holds in the output row-by-row (see
+    * [[graft.operators.Sketches.cmsJoinEstimate]]). */
+  val q225CmsJoinSize: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem")
+    val ret = li.filter(col("l_returnflag") === "R")
+    val est = Sketches.cmsJoinEstimate(li, "l_suppkey", ret, "l_suppkey",
+      CmsDepth, CmsWidth)
+    val exact = li.groupBy("l_suppkey").agg(count(lit(1)).as("ca"))
+      .join(ret.groupBy("l_suppkey").agg(count(lit(1)).as("cb")),
+        Seq("l_suppkey"))
+      .agg(sum(col("ca") * col("cb")).as("exact_join_rows"))
+    est.crossJoin(broadcast(exact)).orderBy("row")
+  }
+
   /** HyperLogLog state over `orders.o_custkey` with 2^10 buckets: the
     * full mergeable (bucket, register) table — integer state that
     * compares hash-exact across engines. The float cardinality
@@ -232,6 +251,7 @@ object SketchQueries {
     "q83_histogram" -> q83Histogram,
     "q82_profile" -> q82Profile,
     "q77_cms_freq" -> q77CmsFreq,
+    "q225_cms_join_size" -> q225CmsJoinSize,
     "q78_hll_registers" -> q78HllRegisters,
     "q79_bloom_prefilter" -> q79BloomPrefilter,
   )
@@ -253,6 +273,35 @@ object SketchQueries {
         |  AND l_shipdate <= TIMESTAMP '1995-05-31'
         |  AND l_extendedprice >= 30000.0 AND l_extendedprice <= 60000.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // AMS inner product of the two counter tables; min over rows is
+    // the one-sided join-size bound, exact from the key-count join
+    "q225_cms_join_size" -> {
+      def hcte(name: String, src: String) =
+        s"""$name AS (SELECT
+           |  CAST(CAST(('0x' || substr(md5('cms:' || k), 1, 15)) AS UBIGINT) AS BIGINT) % $CmsWidth AS h1,
+           |  (CAST(CAST(('0x' || substr(md5('cms:' || k), 16, 15)) AS UBIGINT) AS BIGINT) % $CmsWidth) | 1 AS h2
+           |  FROM (SELECT CAST(l_suppkey AS VARCHAR) AS k FROM $src) t)""".stripMargin
+      s"""WITH ${hcte("ha", "lineitem")},
+         |${hcte("hb", "lineitem WHERE l_returnflag = 'R'")},
+         |rr AS (SELECT unnest(range(0, $CmsDepth)) AS r),
+         |sa AS (SELECT rr.r AS row, (h1 + rr.r * h2) % $CmsWidth AS bucket,
+         |    count(*) AS cnt FROM ha CROSS JOIN rr GROUP BY 1, 2),
+         |sb AS (SELECT rr.r AS row, (h1 + rr.r * h2) % $CmsWidth AS bucket,
+         |    count(*) AS cnt FROM hb CROSS JOIN rr GROUP BY 1, 2),
+         |pr0 AS (SELECT sa.row, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS p
+         |  FROM sa JOIN sb ON sa.row = sb.row AND sa.bucket = sb.bucket
+         |  GROUP BY 1),
+         |pr AS (SELECT rr.r AS row, CAST(coalesce(pr0.p, 0) AS BIGINT) AS inner_product
+         |  FROM rr LEFT JOIN pr0 ON pr0.row = rr.r),
+         |mn AS (SELECT CAST(min(inner_product) AS BIGINT) AS cms_join_est FROM pr),
+         |ex AS (SELECT CAST(sum(a.c * b.c) AS BIGINT) AS exact_join_rows FROM
+         |    (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1) a
+         |  JOIN (SELECT l_suppkey, count(*) AS c FROM lineitem
+         |        WHERE l_returnflag = 'R' GROUP BY 1) b USING (l_suppkey))
+         |SELECT CAST(pr.row AS BIGINT) AS row, pr.inner_product,
+         |  mn.cms_join_est, ex.exact_join_rows
+         |FROM pr, mn, ex ORDER BY pr.row""".stripMargin
+    },
     // counter table: bucket_r(k) = (h1%w + r*((h2%w)|1)) % w, all
     // nonnegative so % == pmod; estimate = min over rows, absent
     // counters are 0 (unseen key estimates 0)

@@ -184,6 +184,35 @@ class SketchesSpec extends SparkSpec {
       direct.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("CMS join-size estimate: one-sided bound, exact without collisions") {
+    // a: keys k0..k19 with freq i+1; b: even keys with freq 2
+    val a = (0 until 20).flatMap(i => Seq.fill(i + 1)(s"k$i")).toDF("k")
+    val b = (0 until 20 by 2).flatMap(i => Seq.fill(2)(s"k$i")).toDF("k")
+    val exact = (0 until 20 by 2).map(i => (i + 1) * 2L).sum
+    // wide sketch: every row is an upper bound; with 30 keys in 4096
+    // buckets at least one of the 4 rows is collision-free, so the
+    // min-estimate is EXACT
+    val wide = Sketches.cmsJoinEstimate(a, "k", b, "k", depth = 4, width = 4096)
+      .collect()
+    assert(wide.length == 4)
+    assert(wide.forall(_.getAs[Long]("inner_product") >= exact))
+    assert(wide.forall(_.getAs[Long]("cms_join_est") == exact))
+    // tiny sketch: collisions can only ADD — bound holds per row
+    val tiny = Sketches.cmsJoinEstimate(a, "k", b, "k", depth = 4, width = 4)
+      .collect()
+    assert(tiny.forall(_.getAs[Long]("inner_product") >= exact))
+    assert(tiny.forall(_.getAs[Long]("cms_join_est") >= exact))
+  }
+
+  test("CMS join-size estimate: disjoint key sets without collisions give 0") {
+    val a = (0 until 50).map(i => s"a$i").toDF("k")
+    val b = (0 until 50).map(i => s"b$i").toDF("k")
+    val est = Sketches.cmsJoinEstimate(a, "k", b, "k", depth = 4, width = 8192)
+      .collect()
+    assert(est.length == 4)
+    assert(est.forall(_.getAs[Long]("cms_join_est") == 0L))
+  }
+
   test("HLL registers are within range and deterministic") {
     val df = (1 to 1000).map(i => s"v$i").toDF("k")
     val regs = Sketches.hllRegisters(df.repartition(7), "k", 10).collect()

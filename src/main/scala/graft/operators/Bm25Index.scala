@@ -93,26 +93,9 @@ object Bm25Index {
     * @return number of batch layers folded, or None when the index is
     *         absent, batch-built (no `__batch` level), or already a
     *         single layer (no-op — pointless rewrites churn I/O) */
-  def compact(spark: SparkSession, indexPath: String): Option[Long] = {
-    val postingsPath = s"$indexPath/postings"
-    val p = new org.apache.hadoop.fs.Path(postingsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val postings = spark.read.parquet(postingsPath)
-    if (!postings.columns.contains("__batch")) return None
-    val layers = postings.select(col("__batch").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    if (layers.length <= 1) return None
-    // one task per bucket value -> one file per bucket dir; __batch
-    // collapses to the newest id so a later fold's replay guard
-    // comparison semantics are unchanged
-    val consolidated = postings.drop("__batch")
-      .withColumn("__batch", lit(layers.last))
-      .repartition(col("bucket"))
-    graft.sources.AtomicTableWriter.overwrite(
-      consolidated, postingsPath, partitionBy = Seq("__batch", "bucket"))
-    Some(layers.length.toLong)
-  }
+  def compact(spark: SparkSession, indexPath: String): Option[Long] =
+    graft.sources.IndexMaintenance
+      .compactBatchLayers(spark, s"$indexPath/postings")
 
   /** Search the index; same contract and numbers as [[Bm25.topK]].
     * The bucket count comes from the stats sidecar written at build

@@ -29,8 +29,21 @@ object Cdc {
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  window: Int = 8, divisor: Int = 16, minLen: Int = 8,
                  maxLen: Int = 64): DataFrame = {
+    val chunkRows = chunks(docs, idCol, textCol, window, divisor, minLen, maxLen)
+    val sharing = chunkRows.groupBy("chunk_md5")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    chunkRows.join(sharing, Seq("chunk_md5"))
+      .select(col(idCol), col("chunk_idx"), col("start"), col("chunk_len"),
+        col("chunk_md5"), col("n_docs"))
+  }
+
+  /** The per-document chunk rows alone (the compiled projection stage
+    * of [[chunkDedup]], shared with [[CdcIndex.build]]). */
+  private[graft] def chunks(docs: DataFrame, idCol: String,
+                            textCol: String, window: Int, divisor: Int,
+                            minLen: Int, maxLen: Int): DataFrame = {
     val ends = CdcCuts(col(textCol), window, divisor, minLen, maxLen)
-    val chunks = docs
+    docs
       .select(col(idCol), col(textCol).as("__s"), ends.as("__ends"))
       .withColumn("__starts",
         when(size(col("__ends")) === 0, array().cast("array<int>"))
@@ -43,11 +56,6 @@ object Cdc {
         col("__c.s").cast("long").as("start"),
         (col("__c.e") - col("__c.s")).cast("long").as("chunk_len"),
         md5(expr("substring(__s, __c.s + 1, __c.e - __c.s)")).as("chunk_md5"))
-    val sharing = chunks.groupBy("chunk_md5")
-      .agg(countDistinct(col(idCol)).as("n_docs"))
-    chunks.join(sharing, Seq("chunk_md5"))
-      .select(col(idCol), col("chunk_idx"), col("start"), col("chunk_len"),
-        col("chunk_md5"), col("n_docs"))
   }
 
   /** DuckDB replay of [[chunkDedup]]: `docsSql` must yield (id, s).

@@ -296,12 +296,40 @@ object HygieneQueries {
     * identically across all docs (n_docs = corpus size) despite the
     * shifts — the storage-dedup win fixed blocks cannot deliver (see
     * [[graft.operators.Cdc]]). */
+  private def cdcDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      concat(expr("repeat('>', CAST(doc_id % 11 AS INT))"),
+        col("text"), lit(" "), lit(CdcTail)).as("text"))
+
   val q224CdcDedup: Q = (s, d) =>
-    graft.operators.Cdc.chunkDedup(
-      docs(s, d).select(col("doc_id"),
-        concat(expr("repeat('>', CAST(doc_id % 11 AS INT))"),
-          col("text"), lit(" "), lit(CdcTail)).as("text")),
-      "doc_id", "text")
+    graft.operators.Cdc.chunkDedup(cdcDocs(s, d), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Build-once state for q226: the persistent CDC chunk store over
+    * q224's planted corpus, once per (JVM, sf dir) — the q118/q31
+    * resident-index pattern. */
+  private[graft] object CdcIndexCache {
+    val NBuckets = 32
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def getOrBuild(s: SparkSession, sfDir: String): String =
+      cache.computeIfAbsent(sfDir, { _ =>
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val base = sys.props.getOrElse("graft.cdcidx.dir",
+          s"${sys.props("java.io.tmpdir")}/graft-cdcidx")
+        val path = s"$base/$tag"
+        graft.operators.CdcIndex.build(cdcDocs(s, sfDir), "doc_id", "text",
+          path, nBuckets = NBuckets)
+        path
+      })
+  }
+
+  /** The q224 sharing report served FROM the persistent chunk store:
+    * build once, then answer from postings — the resident-index twin
+    * (see [[graft.operators.CdcIndex]]). Must return EXACTLY what the
+    * direct path returns, so it shares q224's oracle replay. */
+  val q226CdcIndex: Q = (s, d) =>
+    graft.operators.CdcIndex.sharing(s, CdcIndexCache.getOrBuild(s, d))
       .orderBy("doc_id", "chunk_idx")
 
   /** One-vs-rest Mann–Whitney AUC of the per-doc token count by
@@ -317,6 +345,7 @@ object HygieneQueries {
       "source", "ntok", bucketWidth = 64L)
 
   val queries: Map[String, Q] = Map(
+    "q226_cdc_index" -> q226CdcIndex,
     "q224_cdc_dedup" -> q224CdcDedup,
     "q221_chrf" -> q221Chrf,
     "q217_rank_auc" -> q217RankAuc,
@@ -390,11 +419,16 @@ object HygieneQueries {
        |  FROM ${prefix}sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS band) b)""".stripMargin
   }
 
+  /** Shared by q224 (direct) and q226 (index-served): same corpus,
+    * same chunks, same sharing counts. */
+  private val cdcOracle = graft.operators.Cdc.chunkDedupOracleSql(
+    s"SELECT doc_id AS id, repeat('>', CAST(doc_id % 11 AS INT)) || " +
+      s"text || ' ' || '$CdcTail' AS s FROM documents",
+    idOut = "doc_id")
+
   val oracles: Map[String, String] = Map(
-    "q224_cdc_dedup" -> graft.operators.Cdc.chunkDedupOracleSql(
-      s"SELECT doc_id AS id, repeat('>', CAST(doc_id % 11 AS INT)) || " +
-        s"text || ' ' || '$CdcTail' AS s FROM documents",
-      idOut = "doc_id"),
+    "q226_cdc_index" -> cdcOracle,
+    "q224_cdc_dedup" -> cdcOracle,
     "q221_chrf" -> graft.operators.Chrf.chrfOracleSql(
       """SELECT doc_id, substr(text, 21) AS cand_text, text AS ref_text
         |FROM documents WHERE doc_id % 20 = 9""".stripMargin,

@@ -328,6 +328,77 @@ object IncrementalStream {
       }
       .start()
 
+  /** Fold one micro-batch of new documents into the persistent CDC
+    * chunk store ([[graft.operators.CdcIndex]]): chunk the batch with
+    * the SAME content-defined boundaries as the batch build, land one
+    * `__batch=<id>/bucket=N/` partition tree, and advance the stats
+    * sidecar under the `__batch_id` replay guard. The sidecar pins
+    * ALL chunking parameters plus the bucket modulus — folding a
+    * delta chunked differently would store incomparable boundaries
+    * and silently destroy dedup hits, so a mismatch refuses loudly. */
+  def applyCdcIndexBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                         idCol: String, textCol: String, nBuckets: Int,
+                         window: Int = 8, divisor: Int = 16,
+                         minLen: Int = 8, maxLen: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val prior = AtomicTableWriter.read(spark, s"$indexPath/stats")
+    if (prior.flatMap(maxBatchId).exists(_ >= batchId)) return // replay
+    prior.filter(_.columns.contains("n_buckets")).foreach { st =>
+      val r = st.select("n_buckets", "window", "divisor", "min_len",
+        "max_len").head()
+      val pinned = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))
+      require(pinned == ((nBuckets, window, divisor, minLen, maxLen)),
+        s"applyCdcIndexBatch: index at $indexPath pinned " +
+          s"(n_buckets, window, divisor, min_len, max_len)=$pinned; " +
+          s"refusing to fold a batch at " +
+          s"(${(nBuckets, window, divisor, minLen, maxLen)})")
+    }
+    graft.operators.Cdc.chunks(
+        batch.select(col(idCol).as("doc_id"), col(textCol)),
+        "doc_id", textCol, window, divisor, minLen, maxLen)
+      .withColumn("bucket",
+        graft.functions.TextFunctions.portableHash(col("chunk_md5")) % nBuckets)
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch", "bucket")
+      .parquet(s"$indexPath/postings")
+    val delta = batch.agg(count(lit(1)).as("n"))
+    val next = prior match {
+      case Some(st) => delta.unionByName(st.select("n"))
+        .agg(sum("n").as("n"))
+      case None => delta
+    }
+    AtomicTableWriter.overwrite(
+      next.withColumn("__batch_id", lit(batchId))
+        .withColumn("n_buckets", lit(nBuckets))
+        .withColumn("window", lit(window))
+        .withColumn("divisor", lit(divisor))
+        .withColumn("min_len", lit(minLen))
+        .withColumn("max_len", lit(maxLen)), s"$indexPath/stats")
+  }
+
+  /** Streaming CDC chunk-store maintenance: AvailableNow micro-batches
+    * of new documents fold via [[applyCdcIndexBatch]]; periodic layer
+    * compaction as in [[bm25IndexSink]] (crash-safe, value-neutral). */
+  def cdcIndexSink(docs: DataFrame, idCol: String, textCol: String,
+                   indexPath: String, nBuckets: Int, checkpoint: String,
+                   window: Int = 8, divisor: Int = 16, minLen: Int = 8,
+                   maxLen: Int = 64,
+                   compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyCdcIndexBatch(batch, id, indexPath, idCol, textCol, nBuckets,
+          window, divisor, minLen, maxLen)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          graft.operators.CdcIndex.compact(batch.sparkSession, indexPath)
+        ()
+      }
+      .start()
+
   /** Log one micro-batch's PSI drift against a PINNED reference
     * snapshot — the streaming twin of q122: each arriving batch is
     * scored with the same [[graft.operators.Drift.psiByBucket]] as the

@@ -68,6 +68,37 @@ class CdcSpec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("n_docs") == 2L))
   }
 
+  test("CdcIndex: sharing served from the store == direct chunkDedup; probe prunes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcidx").toString
+    val rng = new scala.util.Random(21)
+    val tail =
+      "shared storage tail that should dedup across documents fully " * 3
+    val rows = (1L to 30L).map { i =>
+      (i, (1 to 60 + rng.nextInt(120)).map(_ =>
+        ('a' + rng.nextInt(26)).toChar).mkString + " " + tail)
+    }
+    val df = rows.toDF("doc_id", "text")
+    CdcIndex.build(df, "doc_id", "text", s"$root/idx", nBuckets = 8)
+    val served = CdcIndex.sharing(spark, s"$root/idx")
+      .collect().map(_.toString).sorted.toSeq
+    val direct = Cdc.chunkDedup(df, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == direct)
+    // probe: pick one shared chunk hash; pruned read returns exactly
+    // its postings
+    val someHash = CdcIndex.sharing(spark, s"$root/idx")
+      .filter($"n_docs" === 30L).select("chunk_md5").head().getString(0)
+    val hits = CdcIndex.probe(spark, s"$root/idx", Seq(someHash)).collect()
+    // the periodic tail repeats the chunk WITHIN documents too, so
+    // postings >= docs; the probe must return every posting of the
+    // hash and nothing else, covering all 30 documents
+    assert(hits.forall(_.getAs[String]("chunk_md5") == someHash))
+    assert(hits.map(_.getAs[Long]("doc_id")).distinct.length == 30)
+    val direct2 = Cdc.chunkDedup(df, "doc_id", "text")
+      .filter($"chunk_md5" === someHash).count()
+    assert(hits.length.toLong == direct2)
+  }
+
   test("chunking stage is a projection; the only exchange is the hash group") {
     val df = Cdc.chunkDedup(Seq((1L, "abc " * 50)).toDF("doc_id", "text"),
       "doc_id", "text")

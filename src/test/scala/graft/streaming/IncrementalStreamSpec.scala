@@ -470,6 +470,57 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("n_buckets=8"), ex.getMessage)
   }
 
+  test("streaming CDC chunk store: maintained batches + compact ≡ batch build; params pinned") {
+    import graft.operators.{Cdc, CdcIndex}
+    val root = Files.createTempDirectory("graft-cdcs").toString
+    val idx = s"$root/idx"
+    val tail = " common suffix bytes that deduplicate across the corpus " * 3
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta" + tail),
+      (2L, "one two three four five six seven" + tail)).toDF("id", "text")
+    val b2 = Seq((3L, "lorem ipsum dolor sit amet consectetur" + tail),
+      (4L, "pack my box with five dozen liquor jugs" + tail)).toDF("id", "text")
+
+    IncrementalStream.applyCdcIndexBatch(b1, 0L, idx, "id", "text", nBuckets = 8)
+    IncrementalStream.applyCdcIndexBatch(b2, 1L, idx, "id", "text", nBuckets = 8)
+    val streamed = CdcIndex.sharing(spark, idx)
+      .collect().map(_.toString).sorted.toSeq
+
+    // direct batch path over the SAME corpus must agree exactly
+    val direct = Cdc.chunkDedup(
+      b1.unionByName(b2).withColumnRenamed("id", "doc_id"), "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == direct, s"streamed=$streamed direct=$direct")
+
+    // crash-replay of batch 1 is a no-op (stats guard)
+    IncrementalStream.applyCdcIndexBatch(b2, 1L, idx, "id", "text", nBuckets = 8)
+    assert(CdcIndex.sharing(spark, idx)
+      .collect().map(_.toString).sorted.toSeq == streamed)
+    assert(spark.read.parquet(s"$idx/stats").head().getAs[Long]("n") == 4L)
+
+    // compaction folds the two __batch layers; sharing byte-identical
+    assert(CdcIndex.compact(spark, idx).contains(2L))
+    assert(CdcIndex.sharing(spark, idx)
+      .collect().map(_.toString).sorted.toSeq == streamed)
+
+    // chunking parameters are pinned: a divisor change refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalStream.applyCdcIndexBatch(
+        Seq((9L, "late doc")).toDF("id", "text"), 2L, idx, "id", "text",
+        nBuckets = 8, divisor = 32)
+    }
+    assert(ex.getMessage.contains("pinned"), ex.getMessage)
+
+    // the sink wrapper drains a MemoryStream through the same fold
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String)](spark)
+    docs.addData((10L, "first streamed doc" + tail), (11L, "second" + tail))
+    val idx2 = s"$root/idx2"
+    val q = IncrementalStream.cdcIndexSink(docs.toDF().toDF("id", "text"),
+      "id", "text", idx2, nBuckets = 8, s"$root/cp")
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$idx2/stats").head().getAs[Long]("n") == 2L)
+  }
+
   test("streaming drift log: per-batch PSI equals the batch twin; replay no-op") {
     val root = Files.createTempDirectory("graft-drift").toString
     val b = 64

@@ -344,7 +344,60 @@ object HygieneQueries {
         graft.functions.TextFunctions.tokenCount(col("text")).as("ntok")),
       "source", "ntok", bucketWidth = 64L)
 
+  /** Character-level Shannon entropy per document — the cheap
+    * gibberish/boilerplate detector (≈0 for one repeated character,
+    * high for base64-ish noise). The doc's own text is suffixed with a
+    * deterministic low-entropy pad on mod-9 docs so the metric's
+    * discriminating range is exercised, not just natural prose. One
+    * compiled projection, zero shuffle at any corpus size; ln is
+    * floor-quantized to micro-nats before any arithmetic (see
+    * [[org.apache.spark.sql.graft.CharEntropy]]). */
+  val q227CharEntropy: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), expr("repeat('z', 120)")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.CharEntropy(col("text")).as("e"))
+      .select(col("doc_id"), col("e.n_chars").as("n_chars"),
+        col("e.distinct_chars").as("distinct_chars"),
+        col("e.entropy_unano").as("entropy_unano"))
+      .orderBy("doc_id")
+
+  /** Corpus diversity per source: distinct-1 / distinct-2 ratios (Li et
+    * al., NAACL 2016) — the standard "is this slice degenerate /
+    * template-generated" signal; a source whose bigram ratio collapses
+    * is near-duplicate boilerplate even when unigram counts look
+    * healthy. Two-stage aggregation (exact distinct via
+    * groupBy(source, gram) partial-agg, then per-source fold) — no
+    * count_distinct expand, no skew cliff on a hot gram. */
+  val q228DistinctNgrams: Q = (s, d) => {
+    import graft.functions.TextFunctions.{tokens, wordShingles}
+    val base = docs(s, d).filter(length(trim(col("text"))) > 0)
+    def ratio(gramCol: DataFrame => org.apache.spark.sql.Column, tag: String) = {
+      val grams = base.select(col("source"), explode(gramCol(base)).as("g"))
+      grams.groupBy(col("source"), col("g")).count()
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as(s"distinct_$tag"),
+          sum(col("count")).as(s"total_$tag"))
+        .withColumn(s"ratio_${tag}_ppm",
+          expr(s"(distinct_$tag * 1000000) div total_$tag"))
+    }
+    val uni = ratio(df => tokens(df("text")), "1")
+    val bi = ratio(df => wordShingles(df("text"), 2), "2")
+    uni.join(bi, Seq("source"), "left")
+      .select(col("source"),
+        col("distinct_1"), col("total_1"), col("ratio_1_ppm"),
+        coalesce(col("distinct_2"), lit(0L)).as("distinct_2"),
+        coalesce(col("total_2"), lit(0L)).as("total_2"),
+        col("ratio_2_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q227_char_entropy" -> q227CharEntropy,
+    "q228_distinct_ngrams" -> q228DistinctNgrams,
     "q226_cdc_index" -> q226CdcIndex,
     "q224_cdc_dedup" -> q224CdcDedup,
     "q221_chrf" -> q221Chrf,
@@ -427,6 +480,48 @@ object HygieneQueries {
     idOut = "doc_id")
 
   val oracles: Map[String, String] = Map(
+    // chars = code points (string_split '' ≡ codePointAt on data with
+    // no combining sequences); ln floor-quantized to micro-nats BEFORE
+    // the integer assembly on both engines — the CharEntropy contract
+    "q227_char_entropy" ->
+      """WITH src AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN text || repeat('z', 120)
+        |         ELSE text END AS text FROM documents),
+        |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |       FROM src WHERE text IS NOT NULL AND text <> ''),
+        |cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+        |        FROM ch GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(k) AS n, count(*) AS dch,
+        |    sum(k * CAST(floor(ln(k) * 1000000) AS BIGINT)) AS s
+        |  FROM cnt GROUP BY 1)
+        |SELECT sr.doc_id,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(a.dch, 0) AS BIGINT) AS distinct_chars,
+        |  CAST(CASE WHEN a.n IS NULL THEN 0
+        |    ELSE greatest(a.n * CAST(floor(ln(a.n) * 1000000) AS BIGINT)
+        |                    - a.s, 0) // a.n END AS BIGINT) AS entropy_unano
+        |FROM src sr LEFT JOIN agg a USING (doc_id)
+        |ORDER BY sr.doc_id""".stripMargin,
+    "q228_distinct_ngrams" ->
+      s"""WITH base AS (SELECT source, $tok AS ts FROM documents
+         |             WHERE length(trim(text)) > 0),
+         |u AS (SELECT source, g, count(*) AS c FROM
+         |  (SELECT source, unnest(ts) AS g FROM base) GROUP BY 1, 2),
+         |b AS (SELECT source, g, count(*) AS c FROM
+         |  (SELECT source, unnest(
+         |     [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS g
+         |   FROM base) GROUP BY 1, 2),
+         |ua AS (SELECT source, CAST(count(*) AS BIGINT) AS distinct_1,
+         |         CAST(sum(c) AS BIGINT) AS total_1 FROM u GROUP BY 1),
+         |ba AS (SELECT source, CAST(count(*) AS BIGINT) AS distinct_2,
+         |         CAST(sum(c) AS BIGINT) AS total_2 FROM b GROUP BY 1)
+         |SELECT ua.source, ua.distinct_1, ua.total_1,
+         |  CAST((ua.distinct_1 * 1000000) // ua.total_1 AS BIGINT) AS ratio_1_ppm,
+         |  CAST(coalesce(ba.distinct_2, 0) AS BIGINT) AS distinct_2,
+         |  CAST(coalesce(ba.total_2, 0) AS BIGINT) AS total_2,
+         |  CAST((ba.distinct_2 * 1000000) // ba.total_2 AS BIGINT) AS ratio_2_ppm
+         |FROM ua LEFT JOIN ba USING (source)
+         |ORDER BY ua.source""".stripMargin,
     "q226_cdc_index" -> cdcOracle,
     "q224_cdc_dedup" -> cdcOracle,
     "q221_chrf" -> graft.operators.Chrf.chrfOracleSql(

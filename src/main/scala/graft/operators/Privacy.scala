@@ -204,4 +204,125 @@ object Privacy {
         .otherwise(lit(0))).as("risk_classes"),
       sum(when(col("class_size") < k || col("l_distinct") < l,
         col("class_size")).otherwise(lit(0))).as("risk_rows"))
+
+  /** portableHash range: 2³². */
+  private val HashBound = 4294967296L
+
+  /** k-ary randomized response (Warner 1965; the LOCAL-differential-
+    * privacy collection mechanism behind RAPPOR): each row reports its
+    * true category with probability p and a uniform draw over all k
+    * categories otherwise, then the collector INVERTS the known noise
+    * to an unbiased frequency estimate —
+    *   t̂_v = (c_v − n·(1−p)/k) / p
+    * — so per-row category data is plausibly deniable (ε = ln(1 +
+    * k·p/(1−p)) per report) while aggregate counts survive. This is
+    * the DISTRIBUTIONAL privacy tool the syntactic tier (k-anonymity /
+    * l-diversity / t-closeness) can't provide: those audit a table you
+    * still ship; randomized response never ships true rows at all.
+    *
+    * Exactness discipline: the coin is the portable md5 hash of the
+    * row id — keep iff h₁ < keepNum (p = keepNum/2³² exactly), the
+    * replacement is category[h₂ mod k] over the SORTED distinct
+    * categories — so both engines replay the mechanism bit-for-bit;
+    * the estimator is assembled in DECIMAL(38,0) with the exact
+    * integer form of the inversion,
+    *   est_milli = max(0, c_v·2³²·k − n·(2³²−keepNum)) · 1000
+    *               div (keepNum · k)
+    * (clamped at 0 BEFORE the division — a true count cannot be
+    * negative, and clamping the numerator keeps floor-division
+    * semantics engine-identical).
+    *
+    * 100 TB shape: the category list is a collected control-plane
+    * constant (distinct categories of an attribute column — bounded by
+    * contract, like Sketches.bloomBitmap's pattern table; guarded at
+    * [[MaxRrCategories]]); the mechanism is a compiled per-row
+    * projection, and the report is one hash-agg to k rows joined
+    * against the k-row true spine. NULL categories are excluded.
+    *
+    * @return (category, n_true, n_reported, est_milli) — one row per
+    *         category, est_milli the estimated true count ×1000 */
+  def randomizedResponse(df: DataFrame, catCol: String, idCol: String,
+                         keepNum: Long = 3221225472L, // p = 0.75 exactly
+                         seed: Int = 91): DataFrame = {
+    require(keepNum > 0 && keepNum <= HashBound,
+      s"keepNum must be in (0, 2^32], got $keepNum")
+    import graft.functions.TextFunctions.portableHash
+    val rows = df.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("__cat"),
+        col(idCol).cast("string").as("__id"))
+    val cats = rows.select("__cat").distinct()
+      .orderBy("__cat").limit(MaxRrCategories + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(cats.size <= MaxRrCategories,
+      s"randomizedResponse: > $MaxRrCategories categories — the " +
+        "category spine is control-plane by contract; band/bucket the " +
+        "attribute first")
+    require(cats.nonEmpty, "randomizedResponse: no non-null categories")
+    val k = cats.size
+    val catArr = array(cats.map(lit): _*)
+    val reported = rows.select(
+      when(portableHash(col("__id"), seed) < keepNum, col("__cat"))
+        .otherwise(element_at(catArr,
+          (portableHash(col("__id"), seed + 1) % k).cast("int") + 1))
+        .as("__rep"))
+      .groupBy(col("__rep").as("category"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__nrep"))
+    val trues = rows.groupBy(col("__cat").as("category"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__ntrue"))
+    val n = rows.agg(count(lit(1)).cast("decimal(38,0)").as("__n"))
+    val spine = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(cats.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("category",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    spine
+      .join(trues, Seq("category"), "left")
+      .join(reported, Seq("category"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("__ntrue",
+        coalesce(col("__ntrue"), lit(0).cast("decimal(38,0)")))
+      .withColumn("__nrep",
+        coalesce(col("__nrep"), lit(0).cast("decimal(38,0)")))
+      .select(col("category"),
+        col("__ntrue").cast("long").as("n_true"),
+        col("__nrep").cast("long").as("n_reported"),
+        expr(s"(greatest(__nrep * $HashBound * $k - __n * " +
+          s"(${HashBound - keepNum}), 0) * 1000) div (${keepNum}L * $k)")
+          .cast("long").as("est_milli"))
+  }
+
+  /** Category-spine cap for [[randomizedResponse]] (see doc). */
+  val MaxRrCategories = 10000
+
+  /** DuckDB replica of [[randomizedResponse]]: `srcSql` yields
+    * (id, cat); output is (category, n_true, n_reported, est_milli)
+    * ordered by category. Same md5 coin, same sorted spine, same
+    * clamped DECIMAL estimator. */
+  def randomizedResponseOracleSql(srcSql: String,
+                                  keepNum: Long = 3221225472L,
+                                  seed: Int = 91): String = {
+    def hx(e: String) =
+      s"CAST(CAST(('0x' || substr(md5($e), 1, 8)) AS UBIGINT) AS BIGINT)"
+    s"""WITH src AS (SELECT CAST(id AS VARCHAR) AS id, CAST(cat AS VARCHAR) AS cat
+       |             FROM ($srcSql) WHERE cat IS NOT NULL),
+       |cats AS (SELECT cat, CAST(row_number() OVER (ORDER BY cat) - 1 AS BIGINT) AS idx
+       |         FROM (SELECT DISTINCT cat FROM src)),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cats),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM src),
+       |rep AS (SELECT CASE WHEN ${hx(s"'$seed:' || s.id")} < $keepNum
+       |               THEN s.cat ELSE c.cat END AS cat
+       |        FROM src s CROSS JOIN kk
+       |        LEFT JOIN cats c ON c.idx = ${hx(s"'${seed + 1}:' || s.id")} % kk.k),
+       |rc AS (SELECT cat, CAST(count(*) AS HUGEINT) AS nrep FROM rep GROUP BY 1),
+       |tc AS (SELECT cat, CAST(count(*) AS HUGEINT) AS ntrue FROM src GROUP BY 1)
+       |SELECT c.cat AS category,
+       |  CAST(coalesce(tc.ntrue, 0) AS BIGINT) AS n_true,
+       |  CAST(coalesce(rc.nrep, 0) AS BIGINT) AS n_reported,
+       |  CAST(greatest(coalesce(rc.nrep, 0) * $HashBound * kk.k
+       |                  - nn.n * ${HashBound - keepNum}, 0) * 1000
+       |       // ($keepNum * kk.k) AS BIGINT) AS est_milli
+       |FROM cats c CROSS JOIN kk CROSS JOIN nn
+       |LEFT JOIN tc ON tc.cat = c.cat LEFT JOIN rc ON rc.cat = c.cat
+       |ORDER BY category""".stripMargin
+  }
 }

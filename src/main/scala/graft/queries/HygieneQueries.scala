@@ -395,7 +395,21 @@ object HygieneQueries {
       .orderBy("source")
   }
 
+  /** k-ary randomized response over the language attribute: every doc
+    * reports its true lang with p = 0.75 (md5 coin on doc_id), else a
+    * uniform hash-drawn lang; the collector inverts the known noise to
+    * an unbiased count estimate — local differential privacy's
+    * collect-without-shipping-rows mechanism, next to the syntactic
+    * k/l/t audit tier (see [[graft.operators.Privacy.randomizedResponse]]).
+    * Deterministic coins → both engines replay mechanism AND estimator
+    * bit-for-bit. */
+  val q229RandomizedResponse: Q = (s, d) =>
+    graft.operators.Privacy.randomizedResponse(
+      docs(s, d), catCol = "lang", idCol = "doc_id")
+      .orderBy("category")
+
   val queries: Map[String, Q] = Map(
+    "q229_randomized_response" -> q229RandomizedResponse,
     "q227_char_entropy" -> q227CharEntropy,
     "q228_distinct_ngrams" -> q228DistinctNgrams,
     "q226_cdc_index" -> q226CdcIndex,
@@ -480,6 +494,9 @@ object HygieneQueries {
     idOut = "doc_id")
 
   val oracles: Map[String, String] = Map(
+    "q229_randomized_response" ->
+      graft.operators.Privacy.randomizedResponseOracleSql(
+        "SELECT doc_id AS id, lang AS cat FROM documents"),
     // chars = code points (string_split '' ≡ codePointAt on data with
     // no combining sequences); ln floor-quantized to micro-nats BEFORE
     // the integer assembly on both engines — the CharEntropy contract

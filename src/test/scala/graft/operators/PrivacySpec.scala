@@ -112,4 +112,68 @@ class PrivacySpec extends SparkSpec {
       .orderBy("nat").collect().toSeq
     assert(one == many)
   }
+
+  // ------------------------------------------------- randomized response
+
+  /** Scala replica of the portable md5 coin. */
+  private def h32(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+      16)
+
+  test("randomizedResponse: keep-all coin recovers exact counts") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "c"))
+      .toDF("id", "cat")
+    // keepNum = 2^32: every row keeps its true category and the
+    // estimator collapses to c·1000 exactly
+    val out = Privacy.randomizedResponse(df, "cat", "id",
+      keepNum = 4294967296L).orderBy("category").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq(("a", 3L, 3L, 3000L), ("b", 1L, 1L, 1000L), ("c", 1L, 1L, 1000L)))
+  }
+
+  test("randomizedResponse: mechanism replays the md5 coin bit-for-bit") {
+    val ids = (1L to 40L).toSeq
+    val df = ids.map(i => (i, if (i % 3 == 0) "x" else "y")).toDF("id", "cat")
+    val keepNum = 2000000000L
+    val cats = Seq("x", "y")
+    // driver-side replay of the exact mechanism
+    val reported = ids.map { i =>
+      val trueCat = if (i % 3 == 0) "x" else "y"
+      if (h32(s"91:$i") < keepNum) trueCat
+      else cats((h32(s"92:$i") % 2).toInt)
+    }
+    val expRep = reported.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = Privacy.randomizedResponse(df, "cat", "id", keepNum = keepNum)
+      .orderBy("category").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      cats.map(c => (c, expRep.getOrElse(c, 0L))))
+    // estimator replay: max(0, c·B·k − n·(B−T))·1000 div (T·k)
+    val B = BigInt(4294967296L)
+    out.foreach { r =>
+      val c = BigInt(r.getLong(2))
+      val exp = ((c * B * 2 - BigInt(40) * (B - BigInt(keepNum)))
+        .max(BigInt(0)) * 1000) / (BigInt(keepNum) * 2)
+      assert(r.getLong(3) == exp.toLong, s"estimator mismatch on ${r.getString(0)}")
+    }
+  }
+
+  test("randomizedResponse: nulls excluded, absent categories read zero spine rows") {
+    val df = Seq((1L, "a"), (2L, null), (3L, "b")).toDF("id", "cat")
+    val out = Privacy.randomizedResponse(df, "cat", "id",
+      keepNum = 4294967296L).collect()
+    assert(out.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    assert(out.map(_.getLong(1)).sum == 2L) // null row never counted
+  }
+
+  test("randomizedResponse: category-spine cap fails loudly") {
+    val big = (1L to (Privacy.MaxRrCategories + 1).toLong)
+      .map(i => (i, s"cat$i")).toDF("id", "cat")
+    val e = intercept[IllegalArgumentException] {
+      Privacy.randomizedResponse(big, "cat", "id")
+    }
+    assert(e.getMessage.contains("control-plane"))
+  }
 }

@@ -86,6 +86,22 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Signed feature hashing (the hashing trick): every doc's unbounded
+    * token bag folded into a fixed 64-wide signed integer vector in one
+    * compiled projection — the bounded-state featurizer for linear
+    * models / cheap similarity at corpus scale (see
+    * [[org.apache.spark.sql.graft.FeatureHash]]). nnz and the L1 mass
+    * ride along so the vector is audit-able without unpacking. */
+  val q230FeatureHash: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.FeatureHash(col("text"),
+          dim = 64, bucketSeed = 7, signSeed = 8).as("features"))
+      .select(col("doc_id"), col("features"),
+        size(filter(col("features"), v => v =!= 0L)).cast("long").as("nnz"),
+        aggregate(col("features"), lit(0L), (acc, v) => acc + abs(v)).as("l1"))
+      .orderBy("doc_id")
+
   val q24MinhashDedup: Q = (s, d) =>
     Dedup.minhashDuplicates(corpusNear(s, d), "doc_id", "text",
       threshold = 0.5, shingleSize = 3, bands = 8, rowsPerBand = 2)
@@ -907,6 +923,7 @@ object TextQueries {
     "q21_dedup_exact" -> q21DedupExact,
     "q22_fingerprints" -> q22Fingerprints,
     "q23_minhash_sig" -> q23MinhashSig,
+    "q230_feature_hash" -> q230FeatureHash,
     "q24_minhash_dedup" -> q24MinhashDedup,
     "q25_simhash" -> q25Simhash,
     "q26_simhash_dedup" -> q26SimhashDedup,
@@ -1616,6 +1633,24 @@ object TextQueries {
          | ${minhashMinSql("hs", 0)} AS m0, ${minhashMinSql("hs", 1)} AS m1,
          | ${minhashMinSql("hs", 2)} AS m2, ${minhashMinSql("hs", 3)} AS m3
          |FROM base ORDER BY doc_id""".stripMargin,
+    // same md5 bucket/sign hashes, zero spine completed per doc so the
+    // emitted vector is always the full 64 buckets in order
+    "q230_feature_hash" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+         |         ELSE $tok END AS ts FROM documents),
+         |t AS (SELECT doc_id, unnest(ts) AS tk FROM base),
+         |f AS (SELECT doc_id, ${hx("'7:' || tk")} % 64 AS b,
+         |  CASE WHEN ${hx("'8:' || tk")} % 2 = 0 THEN 1 ELSE -1 END AS sg FROM t),
+         |g AS (SELECT doc_id, b, CAST(sum(sg) AS BIGINT) AS v FROM f GROUP BY 1, 2),
+         |spine AS (SELECT doc_id, unnest(range(64)) AS b FROM base),
+         |vec AS (SELECT s.doc_id,
+         |    list(coalesce(g.v, 0) ORDER BY s.b) AS features,
+         |    CAST(sum(CASE WHEN coalesce(g.v, 0) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+         |    CAST(sum(abs(coalesce(g.v, 0))) AS BIGINT) AS l1
+         |  FROM spine s LEFT JOIN g ON g.doc_id = s.doc_id AND g.b = s.b
+         |  GROUP BY s.doc_id)
+         |SELECT doc_id, features, nnz, l1 FROM vec ORDER BY doc_id""".stripMargin,
     "q24_minhash_dedup" ->
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,

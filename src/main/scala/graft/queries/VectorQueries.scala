@@ -711,6 +711,27 @@ object VectorQueries {
         k = 8)
       .orderBy("round")
 
+  private val DbscanEps = 150L
+  private val DbscanMinPts = 5
+
+  /** Exact grid-blocked DBSCAN over the first two embedding dims
+    * quantized to an integer plane (×10⁴ floor — float32→double is
+    * exact, so both engines hold identical coords): density clusters
+    * of any shape + explicit noise, no k chosen up front — the
+    * density complement of k-means/coreset (see
+    * [[graft.operators.Dbscan]]). The ε-join is 3×3 grid-blocked on
+    * the Spark side; the oracle proves it equals the brute-force
+    * all-pairs definition. */
+  val q231Dbscan: Q = (s, d) =>
+    graft.operators.Dbscan.cluster(
+      emb(s, d).select(col("vec_id").as("id"),
+        floor(element_at(col("embedding"), 1).cast("double") * 10000)
+          .cast("long").as("x"),
+        floor(element_at(col("embedding"), 2).cast("double") * 10000)
+          .cast("long").as("y")),
+      "id", "x", "y", eps = DbscanEps, minPts = DbscanMinPts)
+      .orderBy("id")
+
   private def ivfPqOracle: Map[String, String] =
     (PqModel.last, PqModel.lastCells) match {
       case (Some(cb), Some(cells)) => Map(
@@ -748,6 +769,7 @@ object VectorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q231_dbscan" -> q231Dbscan,
     "q223_coreset" -> q223Coreset,
     "q205_mjpeg_frames" -> q205MjpegFrames,
     "q202_ann_refine" -> q202AnnRefine,
@@ -928,6 +950,14 @@ object VectorQueries {
        |       FROM ex GROUP BY dim)""".stripMargin
 
   private val staticOracles: Map[String, String] = Map(
+    // brute-force all-pairs eps-join + recursive min-label components:
+    // proves the 3x3 grid-blocked plan IS the textbook definition
+    "q231_dbscan" -> graft.operators.Dbscan.dbscanOracleSql(
+      """SELECT vec_id AS id,
+        |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS x,
+        |  CAST(floor(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) AS y
+        |FROM embeddings""".stripMargin,
+      eps = DbscanEps, minPts = DbscanMinPts),
     // k-center greedy: every round unrolled (min-dist update vs the
     // previous pick, ORDER BY mind DESC, id LIMIT 1 argmax) on the
     // same floor(x*1000)+10000 integer grid

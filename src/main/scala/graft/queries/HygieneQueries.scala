@@ -408,7 +408,28 @@ object HygieneQueries {
       docs(s, d), catCol = "lang", idCol = "doc_id")
       .orderBy("category")
 
+  /** Split-leakage audit — the contamination check a pipeline must run
+    * on ITS OWN splits before eval numbers mean anything: assign the
+    * reproducible hash split, then surface every (train, test) pair
+    * whose shingle Jaccard clears the near-dup bar. The planted
+    * near-copies in the corpus hash into different splits ~18% of the
+    * time, so the leak list is non-empty by construction. Pure
+    * composition of [[graft.operators.Sampling.assignSplit]] +
+    * [[graft.operators.Decontaminate.nearDuplicateReport]]: LSH-banded
+    * candidates only, the corpus never goes all-pairs. */
+  val q232SplitLeakage: Q = (s, d) => {
+    val split = graft.operators.Sampling.assignSplit(
+      TextQueries.corpusNear(s, d), "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1), seed = 17)
+    val train = split.filter(col("split") === "train").select("doc_id", "text")
+    val test = split.filter(col("split") === "test").select("doc_id", "text")
+    Decontaminate.nearDuplicateReport(train, test, "doc_id", "text",
+      threshold = 0.5)
+      .orderBy("train_id", "test_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q232_split_leakage" -> q232SplitLeakage,
     "q229_randomized_response" -> q229RandomizedResponse,
     "q227_char_entropy" -> q227CharEntropy,
     "q228_distinct_ngrams" -> q228DistinctNgrams,
@@ -494,6 +515,27 @@ object HygieneQueries {
     idOut = "doc_id")
 
   val oracles: Map[String, String] = Map(
+    "q232_split_leakage" -> {
+      import TextQueries.hx
+      val splitCase = graft.operators.Sampling.assignSplitCaseSql(
+        hx("'17:' || CAST(doc_id AS VARCHAR)"),
+        Seq("train" -> 0.9, "test" -> 0.1))
+      s"""WITH corpus AS (${TextQueries.corpusNearSql}),
+         |lab AS (SELECT doc_id, text, $splitCase AS split FROM corpus),
+         |train AS (SELECT doc_id, text FROM lab WHERE split = 'train'),
+         |test AS (SELECT doc_id, text FROM lab WHERE split = 'test'),
+         |${minhashSigCtes("tr", "train")},
+         |${minhashSigCtes("te", "test")},
+         |cands AS (SELECT DISTINCT tr.id AS train_id, te.id AS test_id
+         |  FROM trband tr JOIN teband te ON tr.band = te.band AND tr.key = te.key),
+         |pairs AS (SELECT train_id, test_id,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+         |  FROM cands JOIN trsig sa ON cands.train_id = sa.id
+         |  JOIN tesig sb ON cands.test_id = sb.id)
+         |SELECT train_id, test_id, jaccard FROM pairs WHERE jaccard >= 0.5
+         |ORDER BY train_id, test_id""".stripMargin
+    },
     "q229_randomized_response" ->
       graft.operators.Privacy.randomizedResponseOracleSql(
         "SELECT doc_id AS id, lang AS cat FROM documents"),

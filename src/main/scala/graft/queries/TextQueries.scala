@@ -29,7 +29,7 @@ object TextQueries {
   }
 
   /** documents ∪ near-copies (first token dropped) of every 10th doc. */
-  private def corpusNear(s: SparkSession, d: String): DataFrame = {
+  private[queries] def corpusNear(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("text"))
     base.unionByName(base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
@@ -1023,7 +1023,7 @@ object TextQueries {
   /** 3-token shingles from a token array `ts`. */
   private[queries] val shingles3 =
     """[array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]"""
-  private val corpusNearSql =
+  private[queries] val corpusNearSql =
     """SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '') FROM documents WHERE doc_id % 10 = 0"""
   private val corpusExactSql =
     """SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0"""

@@ -84,6 +84,51 @@ object Similarity {
         col("neg_label"), col("cosine"))
   }
 
+  /** Reciprocal-nearest-neighbor gate (the mutual-kNN filter of
+    * bitext-mining and SemDeDup-style pipelines): keep pair (a, b)
+    * only when b is in a's top-k AND a is in b's top-k. Hubness
+    * control — a hub vector sits in everyone's neighbor list, but its
+    * own list holds only its true peers, so one-directional "near"
+    * claims die here. Generator-AGNOSTIC: takes any
+    * (query_id, neighbor_id, cosine, rank) kNN frame (brute, IVF, SRP,
+    * PQ-refined — they all emit this shape), joins it against itself
+    * on the reversed pair, and emits each mutual pair once with both
+    * ranks. One shuffle keyed on the (n·k)-sized kNN frame — never on
+    * the corpus.
+    *
+    * @return (id_a, id_b, cosine, rank_ab, rank_ba) with id_a < id_b */
+  def mutualPairs(knn: DataFrame): DataFrame =
+    knn.as("f").join(knn.as("r"),
+        col("f.query_id") === col("r.neighbor_id") &&
+          col("f.neighbor_id") === col("r.query_id") &&
+          col("f.query_id") < col("f.neighbor_id"))
+      .select(col("f.query_id").as("id_a"), col("f.neighbor_id").as("id_b"),
+        col("f.cosine"), col("f.rank").as("rank_ab"), col("r.rank").as("rank_ba"))
+
+  /** Self-kNN (quantized cosine, engine-exact ranking) + the
+    * [[mutualPairs]] gate. The candidate generator here is the brute
+    * path — both sides are the corpus, so this wrapper is for
+    * bounded/sampled sets and oracle anchoring; at corpus scale
+    * generate the kNN frame with [[srpTopKQuantized]] /
+    * [[ivfProbeQuantized]] and pipe it through [[mutualPairs]]
+    * unchanged. */
+  def mutualTopKQuantized(emb: DataFrame, idCol: String, vecCol: String,
+                          k: Int): DataFrame = {
+    val base = Materialize.once(fanOut(emb)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv")))
+    val knn = base.select(col("id").as("neighbor_id"), col("qv").as("cv"))
+      .crossJoin(broadcast(
+        base.select(col("id").as("query_id"), col("qv").as("qq"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", quantizedCosine(col("qq"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    mutualPairs(knn)
+  }
+
   /** Exact all-pairs above a cosine threshold (small corpora / testing). */
   def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double): DataFrame = {

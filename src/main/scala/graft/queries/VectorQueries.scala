@@ -711,6 +711,16 @@ object VectorQueries {
         k = 8)
       .orderBy("round")
 
+  /** Reciprocal-nearest-neighbor pairs over the corpus (mutual top-10
+    * by quantized cosine): b must rank in a's list AND a in b's — the
+    * hubness-robust near-dup/alignment gate (see
+    * [[graft.operators.Similarity.mutualPairs]]); generator swaps to
+    * IVF/SRP at corpus scale, the gate is unchanged. */
+  val q233MutualKnn: Q = (s, d) =>
+    graft.operators.Similarity.mutualTopKQuantized(
+      emb(s, d), "vec_id", "embedding", k = 10)
+      .orderBy("id_a", "id_b")
+
   private val DbscanEps = 150L
   private val DbscanMinPts = 5
 
@@ -769,6 +779,7 @@ object VectorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q233_mutual_knn" -> q233MutualKnn,
     "q231_dbscan" -> q231Dbscan,
     "q223_coreset" -> q223Coreset,
     "q205_mjpeg_frames" -> q205MjpegFrames,
@@ -950,6 +961,23 @@ object VectorQueries {
        |       FROM ex GROUP BY dim)""".stripMargin
 
   private val staticOracles: Map[String, String] = Map(
+    // self-kNN both directions via one ranked CTE, then the mutual
+    // join on the reversed pair — same quantized-integer cosine
+    "q233_mutual_knn" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  CAST(${dot("q.v", "c.v")} AS DOUBLE) /
+         |  (sqrt(CAST(${dot("q.v", "q.v")} AS DOUBLE)) *
+         |   sqrt(CAST(${dot("c.v", "c.v")} AS DOUBLE))) AS cosine
+         |  FROM e q, e c WHERE q.vec_id <> c.vec_id),
+         |knn AS (SELECT * FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 10)
+         |SELECT f.query_id AS id_a, f.neighbor_id AS id_b, f.cosine,
+         |  CAST(f.rank AS INTEGER) AS rank_ab, CAST(r.rank AS INTEGER) AS rank_ba
+         |FROM knn f JOIN knn r ON f.query_id = r.neighbor_id
+         |  AND f.neighbor_id = r.query_id AND f.query_id < f.neighbor_id
+         |ORDER BY id_a, id_b""".stripMargin,
     // brute-force all-pairs eps-join + recursive min-label components:
     // proves the 3x3 grid-blocked plan IS the textbook definition
     "q231_dbscan" -> graft.operators.Dbscan.dbscanOracleSql(

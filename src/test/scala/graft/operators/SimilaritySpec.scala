@@ -298,4 +298,33 @@ class SimilaritySpec extends SparkSpec {
       nCells = 4, maxCellFraction = 1.0)
     assert(loose.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
+
+  test("mutualPairs keeps only reciprocal neighbors, once, with both ranks") {
+    import spark.implicits._
+    // a<->b mutual; c->a one-directional (a's list doesn't contain c)
+    val knn = Seq(
+      (1L, 2L, 0.9, 1), (1L, 4L, 0.5, 2),
+      (2L, 1L, 0.8, 2), (2L, 4L, 0.85, 1),
+      (3L, 1L, 0.7, 1), (3L, 2L, 0.6, 2),
+      (4L, 2L, 0.85, 1), (4L, 1L, 0.5, 2)
+    ).toDF("query_id", "neighbor_id", "cosine", "rank")
+    val out = Similarity.mutualPairs(knn).orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getInt(4))).toSeq
+    // mutual: (1,2) ranks (1,2); (1,4) ranks (2,2); (2,4) ranks (1,1);
+    // 3's claims are one-directional -> dropped
+    assert(out == Seq((1L, 2L, 1, 2), (1L, 4L, 2, 2), (2L, 4L, 1, 1)))
+  }
+
+  test("mutualTopKQuantized: a hub in everyone's list survives only toward its true peers") {
+    import spark.implicits._
+    // hub at the origin-ish center, two tight satellite pairs far apart:
+    // with k=1 each satellite's list holds its twin, so hub pairs die
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.1f)),   // pair A
+      (3L, Seq(-1.0f, 0.05f)), (4L, Seq(-0.99f, 0.0f)) // pair B
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mutualTopKQuantized(emb, "vec_id", "embedding", k = 1)
+      .orderBy("id_a").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L), (3L, 4L)))
+  }
 }

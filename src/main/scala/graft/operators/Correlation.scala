@@ -50,6 +50,13 @@ object Correlation {
       s"screen: n=$n breaks the n < 10^12 magnitude contract")
     require(mx < 1000000000000L,
       s"screen: max |value| $mx breaks the |x| < 10^12 magnitude contract")
+    // the emitted n²-scaled moments are BIGINT: |cov_n2| ≤ (n·mx)², so
+    // n·mx must stay under 3·10⁹ — fail loudly instead of overflowing
+    // at the output cast. The ppm score is invariant under column
+    // scaling, so re-unit oversized measures (cents → $k) upstream.
+    require(mx == 0L || n <= 3000000000L / mx,
+      s"screen: n·max|x| = ${BigInt(n) * mx} breaks the 3·10^9 output " +
+        "contract (n²-scaled moments must fit BIGINT); rescale the measure")
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
@@ -116,6 +123,127 @@ object Correlation {
     s"""WITH moments_src AS (
        |  SELECT ${cols.map(c => s"CAST($c AS BIGINT) AS $c").mkString(", ")}
        |  FROM ($relSql) WHERE $notNull)
-       |${pairSelects.mkString("UNION ALL\n")}""".stripMargin
+       |SELECT * FROM (${pairSelects.mkString("\nUNION ALL\n")})
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** Kendall τ-b rank agreement per group — the tie-corrected
+    * concordance test between two per-row measures (do two quality
+    * scorers ORDER the corpus the same way?), robust where Pearson is
+    * hostage to outliers and nonlinearity. Exact integer counts over
+    * the standard quantities:
+    *   C, D          concordant / discordant pairs
+    *   T_x, T_y      pairs tied in x (resp. y), both-tied included
+    *   T_xy          pairs tied in both
+    *   τ-b           (C−D)/√((N0−T_x)(N0−T_y)),  N0 = n(n−1)/2
+    * Following [[screen]]'s no-sqrt discipline the emitted score is
+    * the SIGNED SQUARED τ in ppm — sign(C−D)·10⁶·(C−D)² div
+    * ((N0−T_x)(N0−T_y)) — every operand an exact integer in
+    * DECIMAL(38,0); NULL when a side is constant (denominator 0).
+    *
+    * Scale shape: rows collapse to the (x, y) VALUE-CELL grid first
+    * (one hash-agg, map-side combined), and every pair statistic is a
+    * conditional sum over ordered CELL pairs — work is Σ_group m²
+    * for m distinct value cells, never n². Like
+    * [[RankTests.mannWhitney]], band/quantize continuous measures
+    * first to keep m grid-sized; the magnitude contract (n < 10¹² per
+    * group) keeps (C−D)² inside DECIMAL(38).
+    *
+    * @return (groupCols…, n, concordant, discordant, t_x, t_y, t_xy,
+    *         tau2_ppm) — one row per group
+    */
+  def kendallTau(df: DataFrame, groupCols: Seq[String],
+                 xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val dec = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(g :+ col(xCol).cast("long").as("__x")
+        :+ col(yCol).cast("long").as("__y"): _*)
+      .agg(count(lit(1)).cast(dec).as("__c"))
+      .transform(Materialize.once) // both sides of the cell join + the
+                                   // within-cell fold read this
+    val a = cells.select(g ++ Seq(col("__x").as("__xa"),
+      col("__y").as("__ya"), col("__c").as("__ca")): _*)
+    val b = cells.select(g ++ Seq(col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__c").as("__cb")): _*)
+    // every unordered cell pair once: lexicographic (x, y) order
+    val lexLess = col("__xa") < col("__xb") ||
+      (col("__xa") === col("__xb") && col("__ya") < col("__yb"))
+    val zero = lit(0).cast(dec)
+    val cross = a.join(b, groupCols).filter(lexLess)
+      .groupBy(g: _*)
+      .agg(
+        sum(when(col("__xa") < col("__xb") && col("__ya") < col("__yb"),
+          col("__ca") * col("__cb")).otherwise(zero)).as("__cc"),
+        sum(when(col("__xa") < col("__xb") && col("__ya") > col("__yb"),
+          col("__ca") * col("__cb")).otherwise(zero)).as("__dd"),
+        sum(when(col("__xa") === col("__xb"),
+          col("__ca") * col("__cb")).otherwise(zero)).as("__txc"),
+        sum(when(col("__xa") < col("__xb") && col("__ya") === col("__yb"),
+          col("__ca") * col("__cb")).otherwise(zero)).as("__tyc"))
+    val within = cells.groupBy(g: _*)
+      .agg(sum(col("__c")).as("__n"),
+        sum(expr("(__c * (__c - 1)) div 2")).as("__txy"))
+    within.join(cross, groupCols, "left")
+      .select(g ++ Seq(
+        col("__n").cast("long").as("n"),
+        coalesce(col("__cc"), zero).cast("long").as("concordant"),
+        coalesce(col("__dd"), zero).cast("long").as("discordant"),
+        (coalesce(col("__txc"), zero) + col("__txy")).cast("long").as("t_x"),
+        (coalesce(col("__tyc"), zero) + col("__txy")).cast("long").as("t_y"),
+        col("__txy").cast("long").as("t_xy"),
+        expr(s"""CASE WHEN ((__n * (__n - 1)) div 2 - (coalesce(__txc, 0) + __txy)) <= 0
+                 |  OR ((__n * (__n - 1)) div 2 - (coalesce(__tyc, 0) + __txy)) <= 0
+                 |THEN CAST(NULL AS BIGINT)
+                 |ELSE CAST((CASE WHEN coalesce(__cc, 0) < coalesce(__dd, 0)
+                 |             THEN -1 ELSE 1 END
+                 |  * (((coalesce(__cc, 0) - coalesce(__dd, 0))
+                 |      * (coalesce(__cc, 0) - coalesce(__dd, 0)) * 1000000)
+                 |     div (((__n * (__n - 1)) div 2 - (coalesce(__txc, 0) + __txy))
+                 |          * ((__n * (__n - 1)) div 2 - (coalesce(__tyc, 0) + __txy)))))
+                 |  AS BIGINT) END""".stripMargin).as("tau2_ppm")): _*)
+  }
+
+  /** DuckDB replica of [[kendallTau]]: brute-force ROW pairs (proving
+    * the cell-grid decomposition), HUGEINT counts, same signed-squared
+    * emission. `srcSql` yields (groupCols…, x, y). */
+  def kendallTauOracleSql(srcSql: String, groupCols: Seq[String],
+                          xCol: String, yCol: String): String = {
+    val gl = groupCols.mkString(", ")
+    val ga = groupCols.map(c => s"a.$c = b.$c").mkString(" AND ")
+    s"""WITH src AS (SELECT $gl, CAST($xCol AS BIGINT) AS x, CAST($yCol AS BIGINT) AS y,
+       |    row_number() OVER (PARTITION BY $gl ORDER BY $xCol, $yCol) AS rn
+       |  FROM ($srcSql) WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL),
+       |p AS (SELECT ${groupCols.map(c => s"a.$c").mkString(", ")},
+       |    a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+       |  FROM src a JOIN src b ON $ga AND a.rn < b.rn),
+       |agg AS (SELECT $gl,
+       |    CAST(sum(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+       |      THEN 1 ELSE 0 END) AS HUGEINT) AS cc,
+       |    CAST(sum(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+       |      THEN 1 ELSE 0 END) AS HUGEINT) AS dd,
+       |    CAST(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS HUGEINT) AS tx,
+       |    CAST(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS HUGEINT) AS ty,
+       |    CAST(sum(CASE WHEN xa = xb AND ya = yb THEN 1 ELSE 0 END) AS HUGEINT) AS txy
+       |  FROM p GROUP BY $gl),
+       |cnt AS (SELECT $gl, CAST(count(*) AS HUGEINT) AS n FROM src GROUP BY $gl)
+       |SELECT $gl, CAST(n AS BIGINT) AS n,
+       |  CAST(coalesce(cc, 0) AS BIGINT) AS concordant,
+       |  CAST(coalesce(dd, 0) AS BIGINT) AS discordant,
+       |  CAST(coalesce(tx, 0) AS BIGINT) AS t_x,
+       |  CAST(coalesce(ty, 0) AS BIGINT) AS t_y,
+       |  CAST(coalesce(txy, 0) AS BIGINT) AS t_xy,
+       |  CASE WHEN (n * (n - 1)) // 2 - coalesce(tx, 0) <= 0
+       |         OR (n * (n - 1)) // 2 - coalesce(ty, 0) <= 0
+       |  THEN CAST(NULL AS BIGINT)
+       |  ELSE CAST((CASE WHEN coalesce(cc, 0) < coalesce(dd, 0) THEN -1 ELSE 1 END)
+       |    * (((coalesce(cc, 0) - coalesce(dd, 0))
+       |        * (coalesce(cc, 0) - coalesce(dd, 0)) * 1000000)
+       |       // (((n * (n - 1)) // 2 - coalesce(tx, 0))
+       |          * ((n * (n - 1)) // 2 - coalesce(ty, 0)))) AS BIGINT) END AS tau2_ppm
+       |FROM cnt LEFT JOIN agg USING ($gl)
+       |ORDER BY $gl""".stripMargin
   }
 }

@@ -203,6 +203,39 @@ object MiningQueries {
     * the order-value distribution? Exact doubled-midrank U and
     * common-language effect size in ppm; see
     * [[graft.operators.RankTests.mannWhitney]]. */
+  /** Kendall τ-b per source between the two cheapest quality signals
+    * (token count vs distinct-token count): do they ORDER the slice
+    * the same way, i.e. is the second signal redundant? Exact integer
+    * concordant/discordant/tie counts over the (x, y) value-cell grid
+    * — never row pairs — with the signed-squared τ in ppm (see
+    * [[graft.operators.Correlation.kendallTau]]). The oracle is the
+    * brute-force ROW-pair definition, proving the grid decomposition. */
+  val q234KendallTau: Q = (s, d) =>
+    graft.operators.Correlation.kendallTau(
+      t(s, d, "documents").select(col("source"),
+        tokens(col("text")).as("__t"))
+        .select(col("source"), size(col("__t")).cast("long").as("ntok"),
+          size(array_distinct(col("__t"))).cast("long").as("ndis")),
+      Seq("source"), "ntok", "ndis")
+      .orderBy("source")
+
+  /** Pearson correlation screen over the lineitem measures (quantity,
+    * price cents, discount bp): every pair's exact n²-scaled moments
+    * from ONE map-side-combined scan, signed r² in ppm with no square
+    * root anywhere (see [[graft.operators.Correlation.screen]]). */
+  val q235CorrScreen: Q = (s, d) =>
+    graft.operators.Correlation.screen(
+      t(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("quantity"),
+        // $k units keep n·max|x| inside screen's BIGINT output contract
+        // (ppm score is invariant under column scaling)
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " div 100000").as("price_kusd"),
+        (col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+          .as("discount_bp")),
+      Seq("quantity", "price_kusd", "discount_bp"))
+      .orderBy("col_a", "col_b")
+
   val q185MannWhitney: Q = (s, d) =>
     RankTests.mannWhitney(
       t(s, d, "orders")
@@ -493,6 +526,8 @@ object MiningQueries {
     "q183_simpson" -> q183Simpson,
     "q184_sssp" -> q184Sssp,
     "q185_mann_whitney" -> q185MannWhitney,
+    "q234_kendall_tau" -> q234KendallTau,
+    "q235_corr_screen" -> q235CorrScreen,
     "q186_ks" -> q186Ks,
     "q187_isotonic" -> q187Isotonic,
     "q188_video_meta" -> q188VideoMeta,
@@ -612,6 +647,21 @@ object MiningQueries {
         |  FROM lineitem GROUP BY 1, 2)""".stripMargin,
       "SELECT 's' || s_suppkey AS node_id FROM supplier WHERE s_suppkey % 25 = 0",
       rounds = SsspRounds),
+    "q234_kendall_tau" -> graft.operators.Correlation.kendallTauOracleSql(
+      """SELECT source,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS ndis
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+      Seq("source"), "ntok", "ndis"),
+    "q235_corr_screen" -> graft.operators.Correlation.screenOracleSql(
+      """SELECT CAST(l_quantity AS BIGINT) AS quantity,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+        |    AS price_kusd,
+        |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS discount_bp
+        |FROM lineitem""".stripMargin,
+      Seq("quantity", "price_kusd", "discount_bp")),
     "q185_mann_whitney" -> RankTests.mannWhitneyOracleSql(
       """SELECT o_orderpriority AS g,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact pairwise correlation screen over long-valued columns — the
@@ -204,6 +205,135 @@ object Correlation {
                  |     div (((__n * (__n - 1)) div 2 - (coalesce(__txc, 0) + __txy))
                  |          * ((__n * (__n - 1)) div 2 - (coalesce(__tyc, 0) + __txy)))))
                  |  AS BIGINT) END""".stripMargin).as("tau2_ppm")): _*)
+  }
+
+  private val MilliRank = 1000L
+
+  /** Spearman ρ per group — rank correlation with tie midranks, the
+    * monotone-association screen that survives outliers and nonlinear
+    * but order-preserving transforms. Ranks are DOUBLED midranks
+    * (2·|{x' < x}| + |{x' = x}| + 1 — integers even under ties), then
+    * quantized to MILLIRANKS `(r2·500) div n` ∈ [1, 1000] so every
+    * downstream moment stays inside the [[screen]] magnitude contract
+    * whatever the group size; ρ on milliranks equals ρ on ranks up to
+    * the documented 10⁻³ rank quantization (both engines compute the
+    * identical integers, so the oracle hash-matches exactly).
+    *
+    * No-sqrt discipline: emits the signed squared ρ in ppm via the
+    * staged division `((cov² div varx)·10⁶) div vary` — staging keeps
+    * the intermediate ≤ 10⁶·vary instead of cov²·10⁶ (which can
+    * overflow DECIMAL(38) at large n). NULL when either side is
+    * constant.
+    *
+    * Scale shape: rows collapse to (x, y) VALUE CELLS (one map-side
+    * combined agg); milliranks come from cumulative sums over the
+    * per-group x- (resp. y-) MARGINALS — windows over distinct-value
+    * marginals, m rows per group, never row-sized; band/quantize
+    * continuous measures upstream to keep m grid-sized (the
+    * [[kendallTau]] contract). Two broadcast-sized joins put the
+    * milliranks back on the cells; one final agg per group.
+    *
+    * @return (groupCols…, n, cov_n2, varx_n2, vary_n2, rho2_ppm)
+    */
+  def spearman(df: DataFrame, groupCols: Seq[String],
+               xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val dec = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(g :+ col(xCol).cast("long").as("__x")
+        :+ col(yCol).cast("long").as("__y"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .transform(Materialize.once) // marginals ×2 + the final join read it
+    // per-group totals; n ≤ 3·10⁹ keeps n·Σ(c·px·py) ≤ n²·10⁶ < 10²⁵
+    // in DECIMAL(38) and the emitted n²-scaled moments inside BIGINT
+    // only when n·millirank ≤ 3·10⁹ — enforce loudly like screen does
+    val totals = cells.groupBy(g: _*).agg(sum(col("__c")).as("__n"))
+    val maxNRow = totals.agg(max(col("__n"))).head()
+    val maxN = if (maxNRow.isNullAt(0)) 0L else maxNRow.getLong(0)
+    require(maxN <= 3000000L,
+      s"spearman: largest group n=$maxN breaks the n ≤ 3·10^6 contract " +
+        "(n·millirank must keep n²-scaled moments inside BIGINT); " +
+        "pre-aggregate or sample the group upstream")
+    def milliranks(vc: String, out: String): DataFrame = {
+      val marginal = cells.groupBy(g :+ col(vc): _*)
+        .agg(sum(col("__c")).as("__cv"))
+      val w = Window.partitionBy(g: _*).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      marginal
+        .withColumn("__cum", sum(col("__cv")).over(w))
+        .join(totals, groupCols)
+        // doubled midrank 2·less + cv + 1 = 2·cum − cv + 1, milli-quantized
+        .select(g ++ Seq(col(vc),
+          expr(s"((2 * __cum - __cv + 1) * ${MilliRank / 2}) div __n")
+            .as(out)): _*)
+    }
+    val withRanks = cells
+      .join(milliranks("__x", "__px"), groupCols :+ "__x")
+      .join(milliranks("__y", "__py"), groupCols :+ "__y")
+    val m = withRanks.groupBy(g: _*).agg(
+      sum(col("__c")).cast(dec).as("__n"),
+      sum((col("__c") * col("__px")).cast(dec)).as("__sx"),
+      sum((col("__c") * col("__py")).cast(dec)).as("__sy"),
+      sum((col("__c") * col("__px") * col("__px")).cast(dec)).as("__qx"),
+      sum((col("__c") * col("__py") * col("__py")).cast(dec)).as("__qy"),
+      sum((col("__c") * col("__px") * col("__py")).cast(dec)).as("__pxy"))
+    m.select(g ++ Seq(
+      col("__n").cast("long").as("n"),
+      (col("__n") * col("__pxy") - col("__sx") * col("__sy"))
+        .cast("long").as("cov_n2"),
+      (col("__n") * col("__qx") - col("__sx") * col("__sx"))
+        .cast("long").as("varx_n2"),
+      (col("__n") * col("__qy") - col("__sy") * col("__sy"))
+        .cast("long").as("vary_n2"),
+      expr("""CASE WHEN (__n * __qx - __sx * __sx) <= 0
+             |       OR (__n * __qy - __sy * __sy) <= 0
+             |THEN CAST(NULL AS BIGINT)
+             |ELSE CAST((CASE WHEN (__n * __pxy - __sx * __sy) < 0
+             |             THEN -1 ELSE 1 END)
+             |  * ((((__n * __pxy - __sx * __sy) * (__n * __pxy - __sx * __sy)
+             |       div (__n * __qx - __sx * __sx)) * 1000000)
+             |     div (__n * __qy - __sy * __sy)) AS BIGINT) END"""
+        .stripMargin).as("rho2_ppm")): _*)
+  }
+
+  /** DuckDB replica of [[spearman]]: brute-force per-ROW doubled
+    * midranks via `rank()`/partition counts (proving the marginal-cell
+    * decomposition), HUGEINT moments, the identical staged division.
+    * `srcSql` yields (groupCols…, x, y). */
+  def spearmanOracleSql(srcSql: String, groupCols: Seq[String],
+                        xCol: String, yCol: String): String = {
+    val gl = groupCols.mkString(", ")
+    val half = MilliRank / 2
+    s"""WITH src AS (SELECT $gl, CAST($xCol AS BIGINT) AS x, CAST($yCol AS BIGINT) AS y
+       |  FROM ($srcSql) WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL),
+       |r AS (SELECT $gl,
+       |    ((2 * rank() OVER (PARTITION BY $gl ORDER BY x)
+       |      + count(*) OVER (PARTITION BY $gl, x) - 1) * $half)
+       |      // count(*) OVER (PARTITION BY $gl) AS px,
+       |    ((2 * rank() OVER (PARTITION BY $gl ORDER BY y)
+       |      + count(*) OVER (PARTITION BY $gl, y) - 1) * $half)
+       |      // count(*) OVER (PARTITION BY $gl) AS py
+       |  FROM src),
+       |m AS (SELECT $gl, CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(px AS HUGEINT)) AS sx, sum(CAST(py AS HUGEINT)) AS sy,
+       |    sum(CAST(px AS HUGEINT) * px) AS qx,
+       |    sum(CAST(py AS HUGEINT) * py) AS qy,
+       |    sum(CAST(px AS HUGEINT) * py) AS pxy
+       |  FROM r GROUP BY $gl)
+       |SELECT $gl, CAST(n AS BIGINT) AS n,
+       |  CAST(n * pxy - sx * sy AS BIGINT) AS cov_n2,
+       |  CAST(n * qx - sx * sx AS BIGINT) AS varx_n2,
+       |  CAST(n * qy - sy * sy AS BIGINT) AS vary_n2,
+       |  CASE WHEN n * qx - sx * sx <= 0 OR n * qy - sy * sy <= 0
+       |  THEN CAST(NULL AS BIGINT)
+       |  ELSE CAST((CASE WHEN n * pxy - sx * sy < 0 THEN -1 ELSE 1 END)
+       |    * ((((n * pxy - sx * sy) * (n * pxy - sx * sy)
+       |         // (n * qx - sx * sx)) * 1000000)
+       |       // (n * qy - sy * sy)) AS BIGINT) END AS rho2_ppm
+       |FROM m
+       |ORDER BY $gl""".stripMargin
   }
 
   /** DuckDB replica of [[kendallTau]]: brute-force ROW pairs (proving

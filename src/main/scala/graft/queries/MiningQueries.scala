@@ -236,6 +236,34 @@ object MiningQueries {
       Seq("quantity", "price_kusd", "discount_bp"))
       .orderBy("col_a", "col_b")
 
+  /** Spearman ρ per source between token count and character count:
+    * is raw byte length a monotone proxy for token length, per slice?
+    * Tie-midranked, milli-quantized ranks and a staged no-sqrt ppm
+    * emission — exact integers against a brute-force per-row-rank
+    * oracle (see [[graft.operators.Correlation.spearman]]). */
+  val q236Spearman: Q = (s, d) =>
+    graft.operators.Correlation.spearman(
+      t(s, d, "documents").select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("ntok"),
+        col("n_chars").cast("long").as("nchars")),
+      Seq("source"), "ntok", "nchars")
+      .orderBy("source")
+
+  /** Theil–Sen robust trend of daily order revenue (whole dollars per
+    * day): the median pairwise slope survives corrupt ingest days
+    * that would wreck an OLS fit. Broadcast pair join, exact
+    * histogram-refined median, floor-identity micro slopes — see
+    * [[graft.operators.RobustTrend.theilSen]]. */
+  val q237TheilSen: Q = (s, d) =>
+    graft.operators.RobustTrend.theilSen(
+      t(s, d, "orders")
+        .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("t"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("__cents"))
+        .select(col("t"), expr("__cents div 100").as("v")),
+      "t", "v")
+
   val q185MannWhitney: Q = (s, d) =>
     RankTests.mannWhitney(
       t(s, d, "orders")
@@ -528,6 +556,8 @@ object MiningQueries {
     "q185_mann_whitney" -> q185MannWhitney,
     "q234_kendall_tau" -> q234KendallTau,
     "q235_corr_screen" -> q235CorrScreen,
+    "q236_spearman" -> q236Spearman,
+    "q237_theil_sen" -> q237TheilSen,
     "q186_ks" -> q186Ks,
     "q187_isotonic" -> q187Isotonic,
     "q188_video_meta" -> q188VideoMeta,
@@ -655,6 +685,18 @@ object MiningQueries {
         |    ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS ndis
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
       Seq("source"), "ntok", "ndis"),
+    "q236_spearman" -> graft.operators.Correlation.spearmanOracleSql(
+      """SELECT source,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |  n_chars AS nchars
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+      Seq("source"), "ntok", "nchars"),
+    "q237_theil_sen" -> graft.operators.RobustTrend.theilSenOracleSql(
+      """SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS t,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) // 100
+        |    AS v
+        |FROM orders GROUP BY 1""".stripMargin),
     "q235_corr_screen" -> graft.operators.Correlation.screenOracleSql(
       """SELECT CAST(l_quantity AS BIGINT) AS quantity,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000

@@ -100,4 +100,56 @@ class CorrelationSpec extends SparkSpec {
         if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSeq
     assert(one == many)
   }
+
+  // --------------------------------------------------------- spearman
+
+  private def rho(rows: Seq[(String, Long, Long)]) =
+    Correlation.spearman(rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toSeq
+
+  test("spearman: monotone nonlinear map is exactly +10^6 (rank invariance)") {
+    // y = x² — Pearson would be < 1, Spearman sees identical rank order
+    val out = rho(Seq(("a", 1L, 1L), ("a", 2L, 4L), ("a", 3L, 9L)))
+    // milliranks 333/666/1000 both sides: cov = vx = vy = 667334
+    assert(out == Seq(("a", 3L, 667334L, 667334L, 667334L, Some(1000000L))))
+  }
+
+  test("spearman: anti-monotone is -10^6 up to rank quantization; constant side NULL") {
+    // reversed milliranks (1000,666,333) are not the exact mirror of
+    // (333,666,1000) — the floor in (r2·500) div n costs 1 unit on the
+    // middle rank — so cov is −667333 against vx = vy = 667334 and the
+    // score lands 3 ppm shy of −10⁶: the documented 10⁻³ quantization
+    val out = rho(Seq(("a", 1L, 9L), ("a", 2L, 4L), ("a", 3L, 1L),
+      ("b", 1L, 5L), ("b", 2L, 5L), ("b", 3L, 5L)))
+    assert(out.head == ("a", 3L, -667333L, 667334L, 667334L, Some(-999997L)))
+    assert(out(1)._1 == "b" && out(1)._6.isEmpty)
+  }
+
+  test("spearman: tie midranks are hand-exact") {
+    // x = (1,1,2): doubled midranks (3,3,6) → milliranks (500,500,1000)
+    // y = (1,2,3): milliranks (333,666,1000)
+    val out = rho(Seq(("a", 1L, 1L), ("a", 1L, 2L), ("a", 2L, 3L)))
+    val (_, n, cov, vx, vy, _) = out.head
+    assert((n, cov, vx, vy) == (3L, 500500L, 500000L, 667334L))
+  }
+
+  test("spearman: partitioning invariance and group independence") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 150).map(i =>
+      (s"g${i % 3}", rnd.nextInt(8).toLong, rnd.nextInt(8).toLong))
+    val one = rho(rows)
+    val many = Correlation.spearman(
+      rows.toDF("g", "x", "y").repartition(13), Seq("g"), "x", "y")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toSeq
+    assert(one == many)
+    // each group must equal its standalone computation
+    for (g <- Seq("g0", "g1", "g2"))
+      assert(rho(rows.filter(_._1 == g)) == one.filter(_._1 == g))
+  }
 }

@@ -167,4 +167,87 @@ object QualityOps {
             acc, s, lit("<CARD>"))))
       .drop("__valid")
   }
+
+  /** Readability statistics per group — the Flesch–Kincaid ingredient
+    * pass: words, vowel-group syllables (the standard deterministic
+    * syllable heuristic: maximal `[aeiouy]+` runs of the lowercased
+    * token) and "complex" words (≥ 3 syllable groups, the Gunning-fog
+    * numerator). Emits the exact integer components plus two
+    * quantized rates and an FKGL-style grade in milli-units, each
+    * term floor-divided independently so both engines assemble the
+    * identical integer:
+    *   fkgl_milli = (390·words) div units + (11800·syllables) div
+    *                words − 15590
+    * `units` is the count of text units handed in — pass one row per
+    * SENTENCE for true FKGL; over unsegmented corpora (like the
+    * synthetic documents) a row is a document and the grade is a
+    * per-document-length proxy, still monotone in the two ratios.
+    *
+    * One explode + map-side-combined agg on the group key; the
+    * per-token syllable count is a codegen'd regexp over the token —
+    * zero extra shuffle at any corpus size.
+    */
+  def readabilityStats(df: DataFrame, groupCols: Seq[String],
+                       textCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val units = df.groupBy(g: _*).agg(count(lit(1)).as("n_units"))
+    val w = df.select(g :+ explode(
+      graft.functions.TextFunctions.tokens(lower(col(textCol)))).as("__w"): _*)
+      .withColumn("__syl",
+        size(regexp_extract_all(col("__w"), lit("[aeiouy]+"), lit(0)))
+          .cast("long"))
+    val agg = w.groupBy(g: _*).agg(
+      count(lit(1)).as("n_words"),
+      sum(col("__syl")).as("n_syllables"),
+      sum(when(col("__syl") >= 3, 1L).otherwise(0L)).as("n_complex"))
+    units.join(agg, groupCols, "left")
+      .select(g ++ Seq(
+        col("n_units"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_syllables"), lit(0L)).as("n_syllables"),
+        coalesce(col("n_complex"), lit(0L)).as("n_complex"),
+        when(coalesce(col("n_words"), lit(0L)) === 0L, lit(null).cast("long"))
+          .otherwise(expr("(n_syllables * 1000000) div n_words"))
+          .as("syl_per_word_micro"),
+        when(coalesce(col("n_words"), lit(0L)) === 0L, lit(null).cast("long"))
+          .otherwise(expr("(n_complex * 1000000) div n_words"))
+          .as("complex_ppm"),
+        when(coalesce(col("n_words"), lit(0L)) === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "(390 * n_words) div n_units + (11800 * n_syllables) div n_words" +
+              " - 15590")).as("fkgl_milli")): _*)
+  }
+
+  /** DuckDB replay of [[readabilityStats]] over `docsSql` →
+    * (groupCols…, text). */
+  def readabilityStatsOracleSql(docsSql: String,
+                                groupCols: Seq[String]): String = {
+    val gl = groupCols.mkString(", ")
+    s"""WITH d AS (SELECT $gl, text FROM ($docsSql)),
+       |u AS (SELECT $gl, CAST(count(*) AS BIGINT) AS n_units FROM d GROUP BY $gl),
+       |w AS (SELECT $gl,
+       |    CAST(len(regexp_extract_all(tok, '[aeiouy]+')) AS BIGINT) AS syl
+       |  FROM (SELECT $gl, unnest(
+       |      CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS tok
+       |    FROM d)),
+       |a AS (SELECT $gl, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(syl) AS BIGINT) AS n_syllables,
+       |    CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_complex
+       |  FROM w GROUP BY $gl)
+       |SELECT $gl, n_units,
+       |  coalesce(n_words, 0) AS n_words,
+       |  coalesce(n_syllables, 0) AS n_syllables,
+       |  coalesce(n_complex, 0) AS n_complex,
+       |  CASE WHEN coalesce(n_words, 0) = 0 THEN CAST(NULL AS BIGINT)
+       |    ELSE n_syllables * 1000000 // n_words END AS syl_per_word_micro,
+       |  CASE WHEN coalesce(n_words, 0) = 0 THEN CAST(NULL AS BIGINT)
+       |    ELSE n_complex * 1000000 // n_words END AS complex_ppm,
+       |  CASE WHEN coalesce(n_words, 0) = 0 THEN CAST(NULL AS BIGINT)
+       |    ELSE (390 * n_words) // n_units + (11800 * n_syllables) // n_words
+       |      - 15590 END AS fkgl_milli
+       |FROM u LEFT JOIN a USING ($gl)
+       |ORDER BY $gl""".stripMargin
+  }
 }

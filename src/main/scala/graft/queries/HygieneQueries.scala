@@ -428,7 +428,49 @@ object HygieneQueries {
       .orderBy("train_id", "test_id")
   }
 
+  /** The planted per-source template banner (9 words → five 5-grams,
+    * on every 3rd doc — mod 3 is coprime to the mod-20 source cycle,
+    * so ~⅓ of EVERY source carries it, safely over the 30% gate) and
+    * a rare footer (every 25th doc, ~4% — under the gate AND under
+    * minDf: proves the threshold excludes infrequent repeats). */
+  private val TemplateBanner =
+    "subscribe to our newsletter follow us for updates today"
+  private val RareFooter =
+    "this page is licensed under creative commons attribution"
+
+  /** Group-frequency boilerplate detection (the CCNet line-frequency
+    * move on word 5-grams): per-source document frequencies flag the
+    * planted banner's shingles while the rare footer stays content —
+    * per-doc occurrence counts and boiler ppm hash-match the full
+    * DuckDB replay; see
+    * [[graft.operators.Boilerplate.frequentNgramStats]]. */
+  val q238Boilerplate: Q = (s, d) =>
+    graft.operators.Boilerplate.frequentNgramStats(
+      docs(s, d).select(col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit(TemplateBanner + " "))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 25 === 0, lit(" " + RareFooter))
+            .otherwise(lit(""))).as("text")),
+      "doc_id", "text", "source", n = 5,
+      minFracPpm = 300000L, minDf = 5L)
+      .orderBy("doc_id")
+
+  /** Readability ingredients per source: words, vowel-group syllables,
+    * complex words (≥ 3 syllable groups) and the independently
+    * floor-divided FKGL-style grade in milli-units (documents stand in
+    * for sentences — the corpus has no punctuation); see
+    * [[graft.operators.QualityOps.readabilityStats]]. */
+  val q239Readability: Q = (s, d) =>
+    graft.operators.QualityOps.readabilityStats(
+      docs(s, d).select(col("source"), col("text")),
+      Seq("source"), "text")
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "q238_boilerplate" -> q238Boilerplate,
+    "q239_readability" -> q239Readability,
     "q232_split_leakage" -> q232SplitLeakage,
     "q229_randomized_response" -> q229RandomizedResponse,
     "q227_char_entropy" -> q227CharEntropy,
@@ -515,6 +557,15 @@ object HygieneQueries {
     idOut = "doc_id")
 
   val oracles: Map[String, String] = Map(
+    "q238_boilerplate" -> graft.operators.Boilerplate.frequentNgramStatsOracleSql(
+      s"""SELECT doc_id AS id, source AS grp,
+         |  (CASE WHEN doc_id % 3 = 0 THEN '$TemplateBanner ' ELSE '' END) ||
+         |  text ||
+         |  (CASE WHEN doc_id % 25 = 0 THEN ' $RareFooter' ELSE '' END) AS text
+         |FROM documents""".stripMargin,
+      "doc_id", "source", minFracPpm = 300000L, minDf = 5L),
+    "q239_readability" -> graft.operators.QualityOps.readabilityStatsOracleSql(
+      "SELECT source, text FROM documents", Seq("source")),
     "q232_split_leakage" -> {
       import TextQueries.hx
       val splitCase = graft.operators.Sampling.assignSplitCaseSql(

@@ -107,4 +107,30 @@ class QualityOpsSpec extends SparkSpec {
     assert(out(3L)._2 == 1 && out(3L)._3 == 0) // 16 nines fails Luhn
     assert(out(3L)._1.contains("9999999999999999")) // left intact
   }
+
+  test("readabilityStats: syllable groups, complex words and FKGL are hand-exact") {
+    import spark.implicits._
+    // "strength" = 1 group (e); "audio" = 2 (au, io); "mississippi" = 4
+    val df = Seq(("a", "Strength AUDIO mississippi"), ("a", "go"))
+      .toDF("g", "text")
+    val r = QualityOps.readabilityStats(df, Seq("g"), "text").collect().head
+    // words 4, syllables 1+2+4+1 = 8, complex only mississippi
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (2L, 4L, 8L, 1L))
+    assert(r.getLong(5) == 2000000L)  // 8·10⁶ div 4
+    assert(r.getLong(6) == 250000L)   // 1·10⁶ div 4
+    // fkgl_milli = (390·4) div 2 + (11800·8) div 4 − 15590 = 780+23600−15590
+    assert(r.getLong(7) == 8790L)
+  }
+
+  test("readabilityStats: vowel-less and empty groups are NULL-safe") {
+    import spark.implicits._
+    val out = QualityOps.readabilityStats(
+      Seq(("v", "zzz bcd"), ("e", "   ")).toDF("g", "text"),
+      Seq("g"), "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("v").getLong(3) == 0L)        // zero syllables is fine
+    assert(out("e").getLong(2) == 0L && out("e").isNullAt(5) &&
+      out("e").isNullAt(7))                  // no words → NULL rates
+  }
 }

@@ -891,7 +891,26 @@ object TextQueries {
     graft.operators.Unigram.segmentWords(
       docs(s, d), "text", UnigramModel.getOrTrain(s, d))
 
+  /** The q240 dictionary: two-word phrases over the synthetic
+    * vocabulary (substring semantics — tags fire wherever the phrase
+    * occurs), including one pair ("scan slow" / "slow query") that can
+    * overlap inside "scan slow query". */
+  private[queries] val TagDictionary = Seq(
+    "table scan", "hash join", "sort merge", "fast scan", "slow query",
+    "scan slow", "window agg", "stream batch", "big data", "key value")
+
+  /** Multi-keyword dictionary tagging: every document × matched
+    * keyword with overlapping occurrence counts, from ONE compiled
+    * Rabin–Karp pass per distinct pattern length (never a per-keyword
+    * scan); the oracle expands every start position per (doc, kw)
+    * candidate; see [[graft.operators.DictTag.tagCounts]]. */
+  val q240DictTag: Q = (s, d) =>
+    graft.operators.DictTag.tagCounts(docs(s, d), "doc_id", "text",
+      TagDictionary)
+      .orderBy("doc_id", "keyword")
+
   val queries: Map[String, Q] = Map(
+    "q240_dict_tag" -> q240DictTag,
     "q204_unigram_encode" -> q204UnigramEncode,
     "q201_repeat_spans" -> q201RepeatSpans,
     "q171_retrieval_eval" -> q171RetrievalEval,
@@ -1070,6 +1089,8 @@ object TextQueries {
   def oracles: Map[String, String] = staticOracles ++ unigramOracle
 
   private val staticOracles: Map[String, String] = Map(
+    "q240_dict_tag" -> graft.operators.DictTag.tagCountsOracleSql(
+      "SELECT doc_id AS id, text FROM documents", "doc_id", TagDictionary),
     "q214_ndcg_eval" -> graft.operators.RetrievalEval.ndcgOracleSql(
       s"""WITH ${bm25OracleCtes(bm25Queries)}
          |SELECT qid, rank, doc_id FROM r WHERE rank <= 10""".stripMargin,

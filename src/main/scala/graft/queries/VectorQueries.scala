@@ -778,7 +778,19 @@ object VectorQueries {
           PqModel.TopK))
   }
 
+  /** Simplified (centroid) silhouette of the ground-truth labels over
+    * quantized embeddings — the cluster-quality audit: a = squared L2
+    * to the own-label centroid, b = min to any other, s in ppm, all
+    * exact integers on floor-quantized integer means; see
+    * [[graft.operators.ClusterEval.simplifiedSilhouette]]. */
+  val q241Silhouette: Q = (s, d) =>
+    graft.operators.ClusterEval.simplifiedSilhouette(
+      emb(s, d).select(col("label"), quantize(col("embedding")).as("qv")),
+      "label", "qv")
+      .orderBy("label")
+
   val queries: Map[String, Q] = Map(
+    "q241_silhouette" -> q241Silhouette,
     "q233_mutual_knn" -> q233MutualKnn,
     "q231_dbscan" -> q231Dbscan,
     "q223_coreset" -> q223Coreset,
@@ -961,6 +973,10 @@ object VectorQueries {
        |       FROM ex GROUP BY dim)""".stripMargin
 
   private val staticOracles: Map[String, String] = Map(
+    "q241_silhouette" ->
+      graft.operators.ClusterEval.simplifiedSilhouetteOracleSql(
+        s"SELECT vec_id AS id, label, $qv AS qv FROM embeddings",
+        "label", dim = 64),
     // self-kNN both directions via one ranked CTE, then the mutual
     // join on the reversed pair — same quantized-integer cosine
     "q233_mutual_knn" ->

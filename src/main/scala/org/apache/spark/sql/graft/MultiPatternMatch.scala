@@ -124,3 +124,94 @@ object MultiPatternMatch {
     ExpressionUtils.column(
       new MultiPatternMatch(ExpressionUtils.expression(text), patterns))
 }
+
+/** [[MultiPatternMatch]]'s counting sibling: how many times each of N
+  * fixed patterns occurs in the input, at EVERY start position
+  * (overlapping occurrences count — the multi-keyword tagging /
+  * topic-scoring semantics, where frequency weights matter and
+  * "aaa" contains "aa" twice). Same Rabin–Karp structure: one pass
+  * per distinct pattern LENGTH with exact verification on hash hits,
+  * O(|text| · distinct-lengths + matches) per row, zero shuffle.
+  * Returns a long array aligned with the pattern list (all zeros when
+  * nothing matches; null input → null).
+  */
+case class MultiPatternCount(child: Expression, patterns: Seq[String])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(patterns.nonEmpty, "need at least one pattern")
+  require(patterns.forall(_.nonEmpty), "empty pattern would match everywhere")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "multi_pattern_count"
+
+  private val Base = 257L
+
+  @transient private lazy val byLength: Array[(Int, Long, java.util.HashMap[Long, Array[(Int, String)]])] =
+    patterns.zipWithIndex.groupBy(_._1.length).toArray.sortBy(_._1).map {
+      case (len, ps) =>
+        var pow = 1L
+        var i = 1
+        while (i < len) { pow *= Base; i += 1 }
+        val m = new java.util.HashMap[Long, Array[(Int, String)]]()
+        ps.foreach { case (p, idx) =>
+          var h = 0L
+          var j = 0
+          while (j < p.length) { h = h * Base + p.charAt(j); j += 1 }
+          val prev = m.getOrDefault(h, Array.empty)
+          m.put(h, prev :+ (idx -> p))
+        }
+        (len, pow, m)
+    }
+
+  def compute(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val counts = new Array[Long](patterns.length)
+    var g = 0
+    while (g < byLength.length) {
+      val (len, pow, m) = byLength(g)
+      if (len <= n) {
+        var h = 0L
+        var i = 0
+        while (i < len) { h = h * Base + str.charAt(i); i += 1 }
+        var start = 0
+        var continue = true
+        while (continue) {
+          val hits = m.get(h)
+          if (hits != null) {
+            var j = 0
+            while (j < hits.length) {
+              val (idx, p) = hits(j)
+              if (str.regionMatches(start, p, 0, len)) counts(idx) += 1L
+              j += 1
+            }
+          }
+          if (start + len < n) {
+            h = (h - str.charAt(start) * pow) * Base + str.charAt(start + len)
+            start += 1
+          } else continue = false
+        }
+      }
+      g += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiPatternCount", this,
+      classOf[MultiPatternCount].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiPatternCount =
+    copy(child = newChild)
+}
+
+object MultiPatternCount {
+  def apply(text: Column, patterns: Seq[String]): Column =
+    ExpressionUtils.column(
+      new MultiPatternCount(ExpressionUtils.expression(text), patterns))
+}

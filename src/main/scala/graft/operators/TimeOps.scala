@@ -674,4 +674,100 @@ object TimeOps {
        |  CASE WHEN t = pd THEN 1 ELSE 0 END AS is_obs
        |FROM pts ORDER BY $ks, t""".stripMargin
   }
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * core of STL without loess): v = trend + seasonal + residual.
+    * Trend is the centered `period`-point moving average (odd period
+    * required — no half-weights), FLOOR-quantized so it is one
+    * well-defined integer per day; seasonal is the floor-mean of the
+    * detrended values per phase (t mod period); residual closes the
+    * identity exactly. Interior points only (the first/last
+    * ⌊period/2⌋ rows have no centered window) — NULL trend/seasonal/
+    * residual there, like every stats package.
+    *
+    * Determinism: all arithmetic is the engine-portable floor
+    * identity (values may be negative); the input must be a
+    * CONTIGUOUS series (one row per consecutive t — join a date
+    * spine + zero-fill upstream; enforced loudly, because a silent
+    * gap would shift every phase after it).
+    *
+    * Scale shape: the trend is an explode of each row to its
+    * `period` covering windows + one sum-agg on the window key —
+    * partial-agg friendly, NO row-ordered window over the series;
+    * phase means are a `period`-row broadcast join back. The series
+    * is a metric grain (days/hours), not a corpus.
+    *
+    * @return (t, v, trend, seasonal, resid) — one row per input row
+    */
+  def seasonalDecompose(series: DataFrame, tCol: String, vCol: String,
+                        period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3 (centered window), got $period")
+    val half = period / 2
+    val pts = Materialize.once(series
+      .filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v")))
+    val st = pts.agg(count(lit(1)), countDistinct(col("t")),
+      min(col("t")), max(col("t"))).head()
+    val n = st.getLong(0)
+    require(n >= period, s"seasonalDecompose: need >= $period points, got $n")
+    require(st.getLong(1) == n && st.getLong(3) - st.getLong(2) + 1 == n,
+      "seasonalDecompose: series must be contiguous with distinct t " +
+        "(join a date spine and zero-fill upstream); a silent gap would " +
+        "shift every phase after it")
+    val lo = st.getLong(2)
+    val hi = st.getLong(3)
+    def fdiv(a: String, b: String) =
+      s"($a - ((($a) % ($b)) + ($b)) % ($b)) div ($b)"
+    // each point contributes to the `period` centered windows that
+    // cover it; window key = center day
+    val trend = pts
+      .select(explode(sequence(col("t") - half, col("t") + half))
+        .as("ct"), col("v"))
+      .filter(col("ct") >= lo + half && col("ct") <= hi - half)
+      .groupBy(col("ct")).agg(sum(col("v")).as("__ts"))
+      .select(col("ct").as("t"),
+        expr(fdiv("__ts", period.toString)).as("trend"))
+    val detr = pts.join(trend, Seq("t"), "left")
+      .withColumn("__phase", pmod(col("t"), lit(period.toLong)))
+    val seasonal = detr.filter(col("trend").isNotNull)
+      .groupBy(col("__phase"))
+      .agg(sum(col("v") - col("trend")).as("__ds"),
+        count(lit(1)).as("__dn"))
+      .select(col("__phase"),
+        expr(fdiv("__ds", "__dn")).as("seasonal"))
+    detr.join(broadcast(seasonal), Seq("__phase"), "left")
+      .select(col("t"), col("v"), col("trend"),
+        when(col("trend").isNull, lit(null).cast("long"))
+          .otherwise(col("seasonal")).as("seasonal"),
+        when(col("trend").isNull, lit(null).cast("long"))
+          .otherwise(col("v") - col("trend") - col("seasonal")).as("resid"))
+  }
+
+  /** DuckDB replay of [[seasonalDecompose]] — the oracle USES ordered
+    * windows (fine engine-side; determinism only needs the integer
+    * identities to match). `seriesSql` yields a contiguous (t, v). */
+  def seasonalDecomposeOracleSql(seriesSql: String, period: Int): String = {
+    val half = period / 2
+    def fd(a: String, b: String) =
+      s"(($a) - ((($a) % ($b)) + ($b)) % ($b)) // ($b)"
+    s"""WITH s AS (SELECT CAST(t AS BIGINT) AS t, CAST(v AS BIGINT) AS v
+       |  FROM ($seriesSql) WHERE t IS NOT NULL AND v IS NOT NULL),
+       |tr AS (SELECT t, v,
+       |    CASE WHEN count(*) OVER w = $period
+       |      THEN CAST(${fd("sum(v) OVER w", period.toString)} AS BIGINT)
+       |    END AS trend
+       |  FROM s WINDOW w AS (ORDER BY t
+       |    ROWS BETWEEN $half PRECEDING AND $half FOLLOWING)),
+       |ph AS (SELECT ((t % $period) + $period) % $period AS phase,
+       |    CAST(${fd("sum(v - trend)", "count(*)")} AS BIGINT) AS seasonal
+       |  FROM tr WHERE trend IS NOT NULL GROUP BY 1)
+       |SELECT t, v, trend,
+       |  CASE WHEN trend IS NULL THEN NULL ELSE seasonal END AS seasonal,
+       |  CASE WHEN trend IS NULL THEN NULL
+       |    ELSE v - trend - seasonal END AS resid
+       |FROM tr LEFT JOIN ph
+       |  ON ((t % $period) + $period) % $period = phase
+       |ORDER BY t""".stripMargin
+  }
 }

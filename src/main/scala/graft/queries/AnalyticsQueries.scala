@@ -473,7 +473,54 @@ object AnalyticsQueries {
       .orderBy("digit")
   }
 
+  private val ConformalSplits = Seq("cal" -> 0.5, "test" -> 0.5)
+  private val ConformalSeed = 23
+  private val ConformalAlphaPct = 10
+
+  /** Split-conformal prediction-interval audit per order priority:
+    * predictor = the calibration slice's exact median order value,
+    * q̂ = the ceil((n+1)·0.9)-th smallest |y − ŷ| on calibration,
+    * realized test coverage in ppm (should sit near 900 000) — the
+    * distribution-free reliability check; see
+    * [[graft.operators.Conformal.splitConformal]]. */
+  val q242Conformal: Q = (s, d) => {
+    val base = t(s, d, "orders").select(
+      col("o_orderpriority").as("grp"), col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
+    val sp = graft.operators.Sampling.assignSplit(
+      base, "o_orderkey", ConformalSplits, ConformalSeed)
+    val med = graft.operators.Quantiles.exactPercentiles(
+      sp.filter(col("split") === "cal"), Seq("grp"), "y", Seq(50))
+      .select(col("grp"), col("pct_value").as("yhat"))
+    graft.operators.Conformal.splitConformal(
+      sp.join(med, Seq("grp")).select(col("grp"), col("y"), col("yhat"),
+        (col("split") === "cal").as("cal")),
+      Seq("grp"), "y", "yhat", "cal", ConformalAlphaPct)
+      .orderBy("grp")
+  }
+
+  /** Additive seasonal decomposition (period 7) of zero-filled daily
+    * 1995 order revenue: centered moving-average trend, phase-mean
+    * seasonal, exact residual closure — all floor-quantized integers;
+    * see [[graft.operators.TimeOps.seasonalDecompose]]. */
+  val q243Seasonal: Q = (s, d) => {
+    val daily = t(s, d, "orders")
+      .filter(year(to_date(col("o_orderdate"))) === 1995)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("t"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+    val span = daily.agg(min(col("t")), max(col("t"))).head()
+    val spine = daily.sparkSession.range(span.getLong(0), span.getLong(1) + 1)
+      .select(col("id").as("t"))
+    val filled = spine.join(daily, Seq("t"), "left")
+      .select(col("t"), coalesce(col("v"), lit(0L)).as("v"))
+    graft.operators.TimeOps.seasonalDecompose(filled, "t", "v", period = 7)
+      .orderBy("t")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q242_conformal" -> q242Conformal,
+    "q243_seasonal" -> q243Seasonal,
     "q172_holt_chart" -> q172HoltChart,
     "q168_changepoint" -> q168Changepoint,
     "q169_benford" -> q169Benford,
@@ -507,6 +554,34 @@ object AnalyticsQueries {
       DailyRevenueSeriesSql, scoreUnit = ChangepointUnit.last))
 
   private val staticOracles: Map[String, String] = Map(
+    "q242_conformal" -> {
+      val splitCase = graft.operators.Sampling.assignSplitCaseSql(
+        TextQueries.hx(s"'$ConformalSeed:' || CAST(o_orderkey AS VARCHAR)"),
+        ConformalSplits)
+      graft.operators.Conformal.splitConformalOracleSql(
+        s"""WITH base AS (SELECT o_orderpriority AS grp, o_orderkey,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           |  FROM orders),
+           |sp AS (SELECT grp, y, $splitCase AS split FROM base),
+           |med AS (SELECT grp, y AS yhat FROM (
+           |    SELECT grp, y, row_number() OVER (PARTITION BY grp ORDER BY y) AS rn,
+           |      count(*) OVER (PARTITION BY grp) AS n
+           |    FROM sp WHERE split = 'cal')
+           |  WHERE rn = greatest(1, (n * 50 + 99) // 100))
+           |SELECT grp, y, yhat, split = 'cal' AS cal
+           |FROM sp JOIN med USING (grp)""".stripMargin,
+        Seq("grp"), ConformalAlphaPct)
+    },
+    "q243_seasonal" -> graft.operators.TimeOps.seasonalDecomposeOracleSql(
+      """WITH daily AS (SELECT
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS t,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(
+        |    (SELECT min(t) FROM daily), (SELECT max(t) FROM daily))) AS t)
+        |SELECT spine.t, coalesce(v, 0) AS v
+        |FROM spine LEFT JOIN daily USING (t)""".stripMargin,
+      period = 7),
     "q172_holt_chart" -> {
       val k = 1000000000000L
       // inlined level/trend recurrence, mirroring TimeOps.holtChart

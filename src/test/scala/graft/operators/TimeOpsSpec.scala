@@ -366,4 +366,74 @@ class TimeOpsSpec extends SparkSpec {
         assert(kGot.find(_._1 == t).get._2 == v, s"key=$k obs at $t must pass through")
     }
   }
+
+  private def decomp(pts: Seq[(Long, Long)], period: Int = 3) = {
+    import spark.implicits._
+    TimeOps.seasonalDecompose(pts.toDF("t", "v"), "t", "v", period)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+  }
+
+  test("seasonalDecompose: pure seasonal signal is recovered exactly") {
+    // v cycles 0, 30, 60 (period 3, mean 30): trend = 30 everywhere
+    // interior, seasonal = phase − mean, residual = 0
+    val pts = (0L until 9L).map(t => t -> (t % 3) * 30L)
+    val out = decomp(pts)
+    assert(out(0L)._2.isEmpty && out(8L)._2.isEmpty) // edges have no window
+    for (t <- 1L to 7L) {
+      val (v, tr, se, re) = out(t)
+      assert(tr.contains(30L) && se.contains(v - 30L) && re.contains(0L), s"t=$t")
+    }
+  }
+
+  test("seasonalDecompose: linear trend + seasonal decomposes additively") {
+    // v = 10·t + [0, 21, 0] cycle: the centered 3-window mean of the
+    // linear part is exact; seasonal mean of [−7, 14, −7] phases
+    val pts = (0L until 12L).map(t => t -> (10L * t + (if (t % 3 == 1) 21L else 0L)))
+    val out = decomp(pts)
+    for (t <- 1L to 10L) {
+      val (v, tr, se, re) = out(t)
+      assert(tr.contains(10L * t + 7L), s"t=$t trend") // 21/3 cycle lift
+      assert(se.contains(if (t % 3 == 1) 14L else -7L), s"t=$t seasonal")
+      assert(re.contains(v - tr.get - se.get), s"t=$t residual closure")
+    }
+  }
+
+  test("seasonalDecompose: gaps and duplicate t fail loudly; even period rejected") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      decomp(Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 5L))) // hole at 2
+    }
+    intercept[IllegalArgumentException] {
+      decomp(Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 4L)))
+    }
+    intercept[IllegalArgumentException] {
+      TimeOps.seasonalDecompose(
+        (0L to 9L).map(t => (t, t)).toDF("t", "v"), "t", "v", 4)
+    }
+  }
+
+  test("seasonalDecompose: negative values floor toward -inf consistently") {
+    // all-negative constant series: trend = v exactly, seasonal 0
+    val pts = (0L until 6L).map(t => t -> -7L)
+    val out = decomp(pts)
+    assert(out(2L) == ((-7L, Some(-7L), Some(0L), Some(0L))))
+  }
+
+  test("seasonalDecompose: partitioning invariance") {
+    import spark.implicits._
+    val pts = (0L until 60L).map(t => t -> (t * 13 % 97 - 40L))
+    val one = decomp(pts, period = 7)
+    val many = TimeOps.seasonalDecompose(
+      pts.toDF("t", "v").repartition(11), "t", "v", 7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(one == many)
+  }
 }

@@ -545,4 +545,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"q220: non-broadcast cartesian appeared:\n$p")
   }
+
+  test("q236/q238: rank marginals and boiler dfs are aggs, not row windows") {
+    // spearman's milliranks come from cumulative sums over DISTINCT-
+    // value marginals — a Window is expected there, but never a
+    // cartesian; boilerplate's document frequencies must stay a
+    // groupBy (a Window over postings would single-task a hot shingle)
+    val sp = finalPlan("q236_spearman")
+    assert(!sp.contains("CartesianProduct"), s"q236 cartesian:\n$sp")
+    val bp = finalPlan("q238_boilerplate")
+    assert(!bp.contains("Window"),
+      s"q238: df computation regressed to a window over postings:\n$bp")
+    assert(!bp.contains("CartesianProduct"), s"q238 cartesian:\n$bp")
+  }
+
+  test("q240: dictionary tagging is a compiled projection — no join, " +
+    "one exchange (the output sort)") {
+    val p = finalPlan("q240_dict_tag")
+    assert(!p.contains("Join"), s"q240: a join appeared:\n$p")
+    assert(p.contains("multi_pattern_count") || p.contains("MultiPatternCount"),
+      s"q240: compiled matcher missing:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // AQE may print the sort exchange + its read
+      s"q240: tagging should shuffle only for the output sort, got " +
+        s"$exchanges exchanges:\n$p")
+  }
+
+  test("q241: silhouette scoring is join-free compiled integer dots") {
+    val p = finalPlan("q241_silhouette")
+    assert(!p.contains("Join"), s"q241: scoring pass gained a join:\n$p")
+    assert(p.contains("long_array_dot"),
+      s"q241: compiled dot products missing:\n$p")
+  }
+
+  test("q242/q243: the per-group model tables broadcast back") {
+    val cf = finalPlan("q242_conformal")
+    assert(cf.contains("BroadcastHashJoin"), s"q242: q-hat join not broadcast:\n$cf")
+    assert(!cf.contains("CartesianProduct"), s"q242 cartesian:\n$cf")
+    val se = finalPlan("q243_seasonal")
+    assert(se.contains("BroadcastHashJoin"), s"q243: phase join not broadcast:\n$se")
+    assert(!se.contains("Window"),
+      s"q243: trend regressed to a row-ordered series window:\n$se")
+    assert(!se.contains("CartesianProduct"), s"q243 cartesian:\n$se")
+  }
 }

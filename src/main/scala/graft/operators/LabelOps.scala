@@ -159,6 +159,88 @@ object LabelOps {
             div (D1 * T - D1 * B) - 2000000 AS BIGINT) END""").as("kappa_ppm"))
   }
 
+  /** Krippendorff's α (nominal) — the agreement coefficient that,
+    * unlike [[fleissKappa]], tolerates MISSING ratings: units keep
+    * whatever raters they got, only units with ≥ 2 ratings are
+    * pairable. Standard quantities (Krippendorff, Content Analysis):
+    * per pairable unit u with m_u ratings and n_uc category counts,
+    *   A_u = Σ_c n_uc·(m_u − n_uc)     (disagreeing ordered pairs)
+    *   S   = Σ_u A_u/(m_u − 1)        (observed disagreement mass)
+    *   D_e ∝ (n² − Σ_c n_c²)          (chance mass from margins)
+    *   α   = 1 − (n−1)·S / (n² − Σ_c n_c²),  n = Σ_u m_u
+    * The per-unit fraction S is the one non-integer — it
+    * quantize-then-sums: d_u = (A_u·10⁶) div (m_u−1) floors BEFORE the
+    * sum (the BM25/BLEU discipline), so Σ d_u is an exact integer on
+    * every engine and α_ppm = 10⁶ − ((n−1)·Σd_u) div (10⁶-scaled
+    * chance mass) is engine-exact. NULL when every rating is one
+    * category (chance mass 0).
+    *
+    * 100 TB shape: one (unit, label) count shuffle, then unit-keyed
+    * and label-keyed aggregates over the counts — nothing after the
+    * first aggregate is data-sized; output is ONE row.
+    *
+    * @return one row (n_units — pairable — n_ratings, s_micro,
+    *         chance_mass, alpha_ppm)
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+                        labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cnt = df
+      .select(col(unitCol).as("__u"), col(labelCol).cast("string").as("__l"))
+      .where(col("__u").isNotNull && col("__l").isNotNull)
+      .groupBy("__u", "__l")
+      .agg(count(lit(1)).cast(dec).as("__n"))
+      .transform(Materialize.once) // unit- and label-keyed aggs read it
+    val perUnit = cnt.groupBy("__u")
+      .agg(sum(col("__n")).as("__m"), sum(expr("__n * __n")).as("__sq"))
+      .filter(col("__m") >= 2) // pairable units only
+      .transform(Materialize.once) // margins must see the same filter
+    val sMass = perUnit.agg(
+      count(lit(1)).cast(dec).as("n_units"),
+      sum(col("__m")).as("n"),
+      sum(expr("((__m * __m - __sq) * 1000000) div (__m - 1)")).as("s_micro"))
+    // category margins over PAIRABLE units only (join back on __u)
+    val catMass = cnt.join(perUnit.select("__u"), Seq("__u"), "left_semi")
+      .groupBy("__l").agg(sum(col("__n")).as("__c"))
+      .agg(sum(expr("__c * __c")).as("B"))
+    sMass.crossJoin(catMass)
+      .select(
+        expr("CAST(n_units AS BIGINT)").as("n_units"),
+        expr("CAST(n AS BIGINT)").as("n_ratings"),
+        expr("CAST(s_micro AS BIGINT)").as("s_micro"),
+        expr("CAST(n * n - B AS BIGINT)").as("chance_mass"),
+        expr("""CASE WHEN n * n - B = 0 THEN NULL ELSE CAST(
+          1000000 - ((n - 1) * s_micro) div (n * n - B)
+          AS BIGINT) END""").as("alpha_ppm"))
+  }
+
+  /** DuckDB replay of [[krippendorffAlpha]] over `relSql` rows
+    * (unit, label). */
+  def krippendorffAlphaOracleSql(relSql: String): String =
+    s"""WITH r AS MATERIALIZED ($relSql),
+       |cnt AS MATERIALIZED (
+       |  SELECT unit, label, CAST(count(*) AS HUGEINT) AS n
+       |  FROM r WHERE unit IS NOT NULL AND label IS NOT NULL
+       |  GROUP BY unit, label),
+       |per AS MATERIALIZED (
+       |  SELECT unit, sum(n) AS m, sum(n * n) AS sq
+       |  FROM cnt GROUP BY unit HAVING sum(n) >= 2),
+       |sm AS (SELECT CAST(count(*) AS HUGEINT) AS n_units,
+       |    sum(m) AS n,
+       |    sum(((m * m - sq) * 1000000) // (m - 1)) AS s_micro
+       |  FROM per),
+       |cat AS (SELECT sum(c * c) AS B FROM (
+       |  SELECT sum(n) AS c FROM cnt
+       |  WHERE unit IN (SELECT unit FROM per) GROUP BY label))
+       |SELECT CAST(n_units AS BIGINT) AS n_units,
+       |  CAST(n AS BIGINT) AS n_ratings,
+       |  CAST(s_micro AS BIGINT) AS s_micro,
+       |  CAST(n * n - B AS BIGINT) AS chance_mass,
+       |  CASE WHEN n * n - B = 0 THEN NULL ELSE CAST(
+       |    1000000 - ((n - 1) * s_micro) // (n * n - B) AS BIGINT) END
+       |    AS alpha_ppm
+       |FROM sm, cat""".stripMargin
+
   /** DuckDB replay of [[fleissKappa]] over `relSql` rows
     * (subject, label). */
   def fleissKappaOracleSql(relSql: String): String =

@@ -518,9 +518,25 @@ object AnalyticsQueries {
       .orderBy("t")
   }
 
+  /** Leave-one-out smoothed target encoding of the customer market
+    * segment against order value — the high-cardinality-categorical
+    * feature-engineering move, leakage-free by construction (own row
+    * excluded, m = 20 pseudo-observations of the global prior); see
+    * [[graft.operators.Encoding.targetEncodeLoo]]. */
+  val q245TargetEncode: Q = (s, d) =>
+    graft.operators.Encoding.targetEncodeLoo(
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey").as("id"), col("c_mktsegment").as("cat"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("y")),
+      "id", "cat", "y")
+      .orderBy("id")
+
   val queries: Map[String, Q] = Map(
     "q242_conformal" -> q242Conformal,
     "q243_seasonal" -> q243Seasonal,
+    "q245_target_encode" -> q245TargetEncode,
     "q172_holt_chart" -> q172HoltChart,
     "q168_changepoint" -> q168Changepoint,
     "q169_benford" -> q169Benford,
@@ -554,6 +570,11 @@ object AnalyticsQueries {
       DailyRevenueSeriesSql, scoreUnit = ChangepointUnit.last))
 
   private val staticOracles: Map[String, String] = Map(
+    "q245_target_encode" -> graft.operators.Encoding.targetEncodeLooOracleSql(
+      """SELECT o_orderkey AS id, c_mktsegment AS cat,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+      "id", "cat", "y"),
     "q242_conformal" -> {
       val splitCase = graft.operators.Sampling.assignSplitCaseSql(
         TextQueries.hx(s"'$ConformalSeed:' || CAST(o_orderkey AS VARCHAR)"),

@@ -344,6 +344,30 @@ object MiningQueries {
             |ELSE (subject % 4 + (subject + a) % 3 + 1) % 4 END""".stripMargin))),
       "subject", "label")
 
+  /** Krippendorff's α over the q189 campaign WITH missing ratings:
+    * rater a skips unit when (unit + a) % 7 = 0 (~71% of units drop
+    * one rating), and every 50th unit keeps only rater 1 (m = 1 →
+    * excluded as unpairable — exercising exactly what Fleiss cannot
+    * express); see [[graft.operators.LabelOps.krippendorffAlpha]]. */
+  val q244Krippendorff: Q = (s, d) =>
+    graft.operators.LabelOps.krippendorffAlpha(
+      t(s, d, "documents").select(col("doc_id"))
+        .select(col("doc_id").as("unit"),
+          explode(sequence(lit(1L), lit(5L))).as("a"))
+        .filter((col("unit") + col("a")) % 7 =!= 0)
+        .filter(!(col("unit") % 50 === 0 && col("a") > 1))
+        .withColumn("label", concat(lit("c"), expr(
+          """CASE WHEN (unit * 31 + a * 17) % 10 < 7 THEN unit % 4
+            |ELSE (unit % 4 + (unit + a) % 3 + 1) % 4 END""".stripMargin))),
+      "unit", "label")
+
+  private val krippendorffRelSql =
+    """SELECT unit,
+      |  'c' || CAST(CASE WHEN (unit * 31 + a * 17) % 10 < 7 THEN unit % 4
+      |       ELSE (unit % 4 + (unit + a) % 3 + 1) % 4 END AS VARCHAR) AS label
+      |FROM (SELECT doc_id AS unit, unnest(range(1, 6)) AS a FROM documents)
+      |WHERE (unit + a) % 7 <> 0 AND NOT (unit % 50 = 0 AND a > 1)""".stripMargin
+
   private val fleissRelSql =
     """SELECT doc_id AS subject,
       |  'c' || CAST(CASE WHEN (doc_id * 31 + a * 17) % 10 < 7 THEN doc_id % 4
@@ -558,6 +582,7 @@ object MiningQueries {
     "q235_corr_screen" -> q235CorrScreen,
     "q236_spearman" -> q236Spearman,
     "q237_theil_sen" -> q237TheilSen,
+    "q244_krippendorff" -> q244Krippendorff,
     "q186_ks" -> q186Ks,
     "q187_isotonic" -> q187Isotonic,
     "q188_video_meta" -> q188VideoMeta,
@@ -685,6 +710,8 @@ object MiningQueries {
         |    ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS ndis
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
       Seq("source"), "ntok", "ndis"),
+    "q244_krippendorff" ->
+      graft.operators.LabelOps.krippendorffAlphaOracleSql(krippendorffRelSql),
     "q236_spearman" -> graft.operators.Correlation.spearmanOracleSql(
       """SELECT source,
         |  CASE WHEN trim(text) = '' THEN 0

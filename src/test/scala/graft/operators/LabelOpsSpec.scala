@@ -122,4 +122,49 @@ class LabelOpsSpec extends SparkSpec {
     val r = LabelOps.fleissKappa(mono, "subject", "label").collect().head
     assert(r.isNullAt(4)) // kappa undefined when chance agreement is 1
   }
+
+  private def alpha(rows: Seq[(Long, String)]) = {
+    val r = LabelOps.krippendorffAlpha(
+      rows.toDF("unit", "label"), "unit", "label").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))
+  }
+
+  test("krippendorff: hand case with missing ratings is exact; " +
+    "single-rating units are unpairable") {
+    // u1 (a,a,b): A = 4, d = 2·10⁶; u2 (a,a): A = 0; u3 (b): excluded
+    // n = 5, margins a = 4, b = 1 → chance mass 25 − 17 = 8
+    // α = 10⁶ − (4·2·10⁶)/8 = 0 — exactly chance-level
+    assert(alpha(Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (3L, "b"))) ==
+      (2L, 5L, 2000000L, 8L, Some(0L)))
+  }
+
+  test("krippendorff: perfect agreement is +10^6; systematic " +
+    "disagreement goes negative") {
+    assert(alpha(Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"),
+      (2L, "b")))._5.contains(1000000L))
+    // two (a,b) units: S = 4·10⁶, n = 4, mass 8 → α = 10⁶ − 1.5·10⁶
+    assert(alpha(Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))) ==
+      (2L, 4L, 4000000L, 8L, Some(-500000L)))
+  }
+
+  test("krippendorff: one-category data has zero chance mass → NULL") {
+    assert(alpha(Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")))._5.isEmpty)
+  }
+
+  test("krippendorff: partitioning invariance") {
+    val rnd = new scala.util.Random(8)
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(60).toLong, s"c${rnd.nextInt(4)}"))
+    val one = alpha(rows)
+    val many = {
+      val r = LabelOps.krippendorffAlpha(
+        rows.toDF("unit", "label").repartition(13), "unit", "label")
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }
+    assert(one == many)
+  }
 }

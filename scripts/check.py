@@ -19,6 +19,14 @@ def norm(df):
     # stringify everything for an order/dtype-insensitive value compare
     return df.astype(str)
 
+def sort_rows(df):
+    # Driver behavior: rows are sorted on the RAW columns (before any
+    # stringify), so an unsortable cell type (e.g. a numpy array from a
+    # Spark array column) crashes there. Reproduce that here so queries
+    # that would fail the driver gate fail this pre-flight too.
+    raw = df.sort_values(by=list(df.columns))
+    return raw.astype(str).values.tolist()
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     # optional 3rd+ args: selectors applied in order. Each is either
@@ -66,10 +74,15 @@ def main():
             print(f"FAIL {name}: shape {g.shape} vs oracle {e.shape}"); n_fail += 1; continue
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: cols {list(g.columns)} vs {list(e.columns)}"); n_fail += 1; continue
+        try:
+            gs = sort_rows(got.reindex(sorted(got.columns), axis=1))
+            es = sort_rows(exp.reindex(sorted(exp.columns), axis=1))
+        except Exception as ex:
+            print(f"FAIL {name}: driver-style raw sort crashed "
+                  f"(unsortable column type?): {str(ex)[:150]}")
+            n_fail += 1; continue
         if g.values.tolist() == e.values.tolist():
             print(f"PASS {name} ({g.shape[0]} rows)"); n_pass += 1; continue
-        gs = g.sort_values(by=list(g.columns)).values.tolist()
-        es = e.sort_values(by=list(e.columns)).values.tolist()
         if gs == es:
             print(f"PASS {name} ({g.shape[0]} rows) [row order differs]"); n_pass += 1
         else:

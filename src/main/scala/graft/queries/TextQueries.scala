@@ -91,13 +91,18 @@ object TextQueries {
     * compiled projection — the bounded-state featurizer for linear
     * models / cheap similarity at corpus scale (see
     * [[org.apache.spark.sql.graft.FeatureHash]]). nnz and the L1 mass
-    * ride along so the vector is audit-able without unpacking. */
+    * ride along so the vector is audit-able without unpacking. The
+    * checked projection emits the vector as a canonical CSV string
+    * (not the raw array column): oracle harnesses sort raw columns
+    * before comparing, and an array cell is unsortable there. */
   val q230FeatureHash: Q = (s, d) =>
     docs(s, d)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.FeatureHash(col("text"),
           dim = 64, bucketSeed = 7, signSeed = 8).as("features"))
-      .select(col("doc_id"), col("features"),
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("features"), _.cast("string")))
+          .as("features_csv"),
         size(filter(col("features"), v => v =!= 0L)).cast("long").as("nnz"),
         aggregate(col("features"), lit(0L), (acc, v) => acc + abs(v)).as("l1"))
       .orderBy("doc_id")
@@ -1671,7 +1676,8 @@ object TextQueries {
          |    CAST(sum(abs(coalesce(g.v, 0))) AS BIGINT) AS l1
          |  FROM spine s LEFT JOIN g ON g.doc_id = s.doc_id AND g.b = s.b
          |  GROUP BY s.doc_id)
-         |SELECT doc_id, features, nnz, l1 FROM vec ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, array_to_string(features, ',') AS features_csv, nnz, l1
+         |FROM vec ORDER BY doc_id""".stripMargin,
     "q24_minhash_dedup" ->
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,

@@ -1,6 +1,8 @@
 #!/bin/bash
-# Quiet-box bench runner: plain JVM (no sbt load spike), classpath from
-# /opt/spark/jars + compiled classes. Usage: scripts/bench_java.sh [env...]
+# Quiet-box runner: plain JVM (no sbt load spike), classpath from
+# /opt/spark/jars + compiled classes. Runs graft.Bench by default;
+# set MAIN=graft.Verify (args pass through) for oracle dumps without
+# holding the sbt lock. Usage: scripts/bench_java.sh [args...]
 cd /root/repo
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 exec java -Xmx100g --add-opens=java.base/java.lang=ALL-UNNAMED \
@@ -17,4 +19,4 @@ exec java -Xmx100g --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
   --add-opens=java.base/sun.security.action=ALL-UNNAMED \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
-  -cp "$CP" graft.Bench
+  -cp "$CP" "${MAIN:-graft.Bench}" "$@"

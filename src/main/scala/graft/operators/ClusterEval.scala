@@ -63,6 +63,19 @@ object ClusterEval {
         s"plane k <= $MaxLabels contract; this is a grouping evaluator, " +
         "not a high-cardinality join")
     val dim = sums.map(_._2).max + 1
+    // enforce the documented magnitude contract (|coord| ≤ 10⁶,
+    // d ≤ 4096 ⇒ dist² ≤ 1.6·10¹⁶ stays exact LONG) — k alone was
+    // checked; a wider vector or coarser quantize scale would
+    // otherwise overflow the integer dot products silently
+    require(dim <= 4096,
+      s"simplifiedSilhouette: dim $dim breaks the d <= 4096 exact-LONG " +
+        "dist² contract; reduce dimensionality upstream")
+    val maxAbsCoord = pts
+      .select(max(aggregate(col("__q"), lit(0L),
+        (acc, x) => greatest(acc, abs(x))))).head().getLong(0)
+    require(maxAbsCoord <= 1000000L,
+      s"simplifiedSilhouette: max |coordinate| $maxAbsCoord exceeds the " +
+        "10^6 quantize contract; rescale the quantization")
     val cent: Map[Long, Array[Long]] = labels.map { l =>
       val arr = new Array[Long](dim)
       sums.filter(_._1 == l).foreach { case (_, d, s) =>

@@ -31,7 +31,13 @@ import org.apache.spark.sql.functions._
   *           true = calibration split, false = test split)
   * @return one row per group: (groupCols…, n_cal, n_test, qhat —
   *         NULL means +∞ — n_covered, coverage_ppm; NULL coverage
-  *         for empty test slices)
+  *         for empty test slices). CAL ROWS REQUIRED per group: a
+  *         group with ONLY test rows has no calibration quantile to
+  *         report and is dropped from the output entirely (the cal
+  *         counts drive the result and the test side inner-joins it;
+  *         the oracle replays the same convention) — callers auditing
+  *         per-slice coverage must treat an absent slice as
+  *         "uncalibratable", not as zero.
   */
 object Conformal {
 

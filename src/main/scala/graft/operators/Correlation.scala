@@ -213,7 +213,8 @@ object Correlation {
     * monotone-association screen that survives outliers and nonlinear
     * but order-preserving transforms. Ranks are DOUBLED midranks
     * (2·|{x' < x}| + |{x' = x}| + 1 — integers even under ties), then
-    * quantized to MILLIRANKS `(r2·500) div n` ∈ [1, 1000] so every
+    * quantized to MILLIRANKS `(r2·500) div n` ∈ [0, 1000] (the
+    * lowest doubled midranks floor-quantize to 0 once n > 1000) so every
     * downstream moment stays inside the [[screen]] magnitude contract
     * whatever the group size; ρ on milliranks equals ρ on ranks up to
     * the documented 10⁻³ rank quantization (both engines compute the

@@ -183,13 +183,23 @@ object LabelOps {
     *         chance_mass, alpha_ppm)
     */
   def krippendorffAlpha(df: DataFrame, unitCol: String,
-                        labelCol: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val cnt = df
+                        labelCol: String): DataFrame =
+    krippendorffFromCounts(df
       .select(col(unitCol).as("__u"), col(labelCol).cast("string").as("__l"))
       .where(col("__u").isNotNull && col("__l").isNotNull)
       .groupBy("__u", "__l")
-      .agg(count(lit(1)).cast(dec).as("__n"))
+      .agg(count(lit(1)).as("__n")))
+
+  /** [[krippendorffAlpha]] from the PRE-COUNTED sufficient statistic —
+    * one row per (unit, label) with its rating count. The statistic is
+    * ADDITIVE in ratings, which is what makes the α maintainable from
+    * a persistent count state as batches stream in (see
+    * [[graft.streaming.IncrementalStream.applyKrippendorffBatch]])
+    * without ever re-scanning rating history. */
+  private[graft] def krippendorffFromCounts(cnt0: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cnt = cnt0
+      .select(col("__u"), col("__l"), col("__n").cast(dec).as("__n"))
       .transform(Materialize.once) // unit- and label-keyed aggs read it
     val perUnit = cnt.groupBy("__u")
       .agg(sum(col("__n")).as("__m"), sum(expr("__n * __n")).as("__sq"))

@@ -21,7 +21,11 @@ import org.apache.spark.sql.DataFrame
 private[graft] object Materialize {
   def once(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get("spark.graft.localCheckpoint", "true").toBoolean)
-      df.localCheckpoint(true)
+      // clamped: plain localCheckpoint carries the origin plan's
+      // sizeInBytes, and iterative checkpoint-per-round operators
+      // compound join-size PRODUCTS into BigInts the planner chokes on
+      // — see [[org.apache.spark.sql.graft.CheckpointStats]]
+      org.apache.spark.sql.graft.CheckpointStats.clampedLocalCheckpoint(df)
     else df.persist()
 
   private val sharedPaths =

@@ -59,7 +59,8 @@ object RobustTrend {
     val pts = Materialize.once(series
       .filter(col(tCol).isNotNull && col(vCol).isNotNull)
       .select(col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v")))
-    val st = pts.agg(count(lit(1)), countDistinct(col("t")), min(col("t"))).head()
+    val st = pts.agg(count(lit(1)), countDistinct(col("t")), min(col("t")),
+      max(abs(col("v"))), max(col("t"))).head()
     val m = st.getLong(0)
     require(m >= 2, s"theilSen: need at least 2 points, got $m")
     require(st.getLong(1) == m,
@@ -68,7 +69,16 @@ object RobustTrend {
     require(m <= MaxPoints,
       s"theilSen: $m points breaks the m <= $MaxPoints contract " +
         "(pairs grow as m²); aggregate to a coarser time grain")
+    // overflow guards BEFORE any product is formed: the post-division
+    // window checks below can't catch a Long that already wrapped in
+    // `(b.v - a.v) * Micro` or `v * Micro`, so bound the operands up
+    // front — |Δv| ≤ 2·max|v| must survive the ×10⁶
+    val maxAbsV = st.getLong(3)
+    require(maxAbsV <= Long.MaxValue / Micro / 2,
+      s"theilSen: max |v| $maxAbsV would overflow (v_b - v_a) * 1e6 " +
+        "before the exact-window check; re-unit the value column")
     val tMin = st.getLong(2)
+    val tMax = st.getLong(4)
     val slopes = pts.as("a")
       .join(broadcast(pts.as("b")), col("a.t") < col("b.t"))
       .select(expr(floorDivSql(s"(b.v - a.v) * $Micro", "b.t - a.t"))
@@ -80,6 +90,14 @@ object RobustTrend {
         "selection window; re-unit the value column")
     val slopeMed = Quantiles.exactGlobalPercentiles(slopes, "slope", Seq(50))
       .head().getDouble(1).toLong
+    // exact driver-side check that the residual products can't wrap:
+    // |v·10⁶| + |slope·(t − tmin)| must fit a Long BEFORE computing
+    // the residual frame (its own max-check is post-hoc)
+    require((BigInt(maxAbsV) * Micro +
+        BigInt(slopeMed).abs * BigInt(tMax - tMin)) < BigInt(Long.MaxValue),
+      s"theilSen: residual arithmetic |v|*1e6 + |slope|*(t_range) " +
+        s"overflows Long (max|v|=$maxAbsV, slope=$slopeMed, " +
+        s"t range=${tMax - tMin}); re-unit the inputs")
     val resid = pts
       .select((col("v") * Micro - lit(slopeMed) * (col("t") - tMin)).as("r"))
       .transform(Materialize.once)

@@ -770,4 +770,72 @@ object TimeOps {
        |  ON ((t % $period) + $period) % $period = phase
        |ORDER BY t""".stripMargin
   }
+
+  /** One-sided CUSUM drift chart (Page 1954, Biometrika 41): the
+    * classic sequential change detector over a metric series —
+    * `s_t = max(0, s_{t−1} + (x_t − ref − slack))`, alarm when `s_t`
+    * crosses `threshold`. The recursion is computed CLOSED-FORM via
+    * the reflection identity `s_t = p_t − min(0, min_{j≤t} p_j)` with
+    * `p` the prefix sum of `(x − ref − slack)` — two cumulative
+    * windows instead of a sequential fold, so both engines replay it
+    * exactly ([[cusumOracleSql]]) and nothing is iterative.
+    *
+    * `ref`/`slack`/`threshold` are caller-supplied integer literals
+    * (derive them from the same data with exact integer arithmetic —
+    * e.g. `ref = Σx div n` — so a static oracle reproduces them).
+    * Exact integers throughout; overflow is guarded up front:
+    * n·(x_max + |ref| + slack) must fit a Long.
+    *
+    * Scale shape: the single ordered window is a deliberate
+    * control-plane-sized sort over the (pre-aggregated) series — the
+    * [[changepoint]] discipline: daily/hourly metric charts, never a
+    * raw corpus.
+    *
+    * @param series one row per point: (tCol orderable, valCol long)
+    * @return (t, x, cusum, alarm) in t order */
+  def cusum(series: DataFrame, tCol: String, valCol: String,
+            ref: Long, slack: Long, threshold: Long): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0: $slack")
+    val pts = Materialize.once(series
+      .filter(col(tCol).isNotNull && col(valCol).isNotNull)
+      .select(col(tCol).as("t"), col(valCol).cast("long").as("x")))
+    val st = pts.agg(count(lit(1)), countDistinct(col("t")),
+      max(abs(col("x")))).head()
+    val n = st.getLong(0)
+    require(n >= 1, "cusum: empty series")
+    require(st.getLong(1) == n,
+      "cusum: duplicate t values — pre-aggregate to one row per point")
+    val xmax = st.getLong(2)
+    require(BigInt(n) * (BigInt(xmax) + BigInt(ref).abs + BigInt(slack)) <
+        BigInt(Long.MaxValue),
+      s"cusum: n=$n with |x| up to $xmax and ref=$ref slack=$slack " +
+        "overflows the prefix-sum Long; re-unit the value column")
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("__p", sum(col("x") - lit(ref) - lit(slack)).over(w))
+      .withColumn("__pmin", min(col("__p")).over(w))
+      .select(col("t"), col("x"),
+        (col("__p") - least(col("__pmin"), lit(0L))).as("cusum"))
+      .withColumn("alarm", col("cusum") > lit(threshold))
+  }
+
+  /** DuckDB replica of [[cusum]]: identical prefix/reflection
+    * arithmetic. `seriesSql` yields (t, x) with distinct t. */
+  def cusumOracleSql(seriesSql: String, refSql: String, slackSql: String,
+                     thresholdSql: String): String =
+    s"""WITH src AS (SELECT t, CAST(x AS BIGINT) AS x FROM ($seriesSql)
+       |  WHERE t IS NOT NULL AND x IS NOT NULL),
+       |k AS (SELECT CAST(($refSql) AS BIGINT) AS ref,
+       |  CAST(($slackSql) AS BIGINT) AS slack,
+       |  CAST(($thresholdSql) AS BIGINT) AS thr),
+       |pre AS (SELECT t, x,
+       |    sum(x - (SELECT ref FROM k) - (SELECT slack FROM k))
+       |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS p FROM src),
+       |mn AS (SELECT t, x, p,
+       |    min(p) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS pmin
+       |  FROM pre)
+       |SELECT t, x, CAST(p - least(pmin, 0) AS BIGINT) AS cusum,
+       |  (p - least(pmin, 0)) > (SELECT thr FROM k) AS alarm
+       |FROM mn ORDER BY t""".stripMargin
 }

@@ -533,7 +533,36 @@ object AnalyticsQueries {
       "id", "cat", "y")
       .orderBy("id")
 
+  /** One-sided CUSUM drift chart over the daily order-count series —
+    * the sequential change detector, closed-form via the prefix/
+    * reflection identity so nothing is iterative; ref/slack/threshold
+    * derive from the series by exact integer arithmetic both engines
+    * repeat (see [[graft.operators.TimeOps.cusum]]). */
+  val q248Cusum: Q = (s, d) => {
+    val daily = t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("t"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    val st = daily.agg(count(lit(1)), sum(col("x"))).head()
+    val ref = st.getLong(1) / st.getLong(0) // positive: / == floor div
+    graft.operators.TimeOps.cusum(daily, "t", "x",
+        ref = ref, slack = ref / 20, threshold = 2 * ref)
+      .orderBy("t")
+  }
+
+  /** Revenue-concentration audit across customers: exact Gini, HHI and
+    * top-1 share over per-customer revenue cents — the skew report a
+    * mixture pipeline reads before capping a dominant source (see
+    * [[graft.operators.Inequality.concentration]]). */
+  val q249Gini: Q = (s, d) =>
+    graft.operators.Inequality.concentration(
+      t(s, d, "orders").select(col("o_custkey").as("k"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("x")),
+      "k", "x")
+
   val queries: Map[String, Q] = Map(
+    "q248_cusum" -> q248Cusum,
+    "q249_gini" -> q249Gini,
     "q242_conformal" -> q242Conformal,
     "q243_seasonal" -> q243Seasonal,
     "q245_target_encode" -> q245TargetEncode,
@@ -570,6 +599,15 @@ object AnalyticsQueries {
       DailyRevenueSeriesSql, scoreUnit = ChangepointUnit.last))
 
   private val staticOracles: Map[String, String] = Map(
+    "q248_cusum" -> graft.operators.TimeOps.cusumOracleSql(
+      "SELECT CAST(o_orderdate AS DATE) AS t, count(*) AS x FROM orders GROUP BY 1",
+      refSql = "SELECT sum(x) // count(*) FROM src",
+      slackSql = "SELECT (sum(x) // count(*)) // 20 FROM src",
+      thresholdSql = "SELECT 2 * (sum(x) // count(*)) FROM src"),
+    "q249_gini" -> graft.operators.Inequality.concentrationOracleSql(
+      """SELECT o_custkey AS k,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |FROM orders""".stripMargin),
     "q245_target_encode" -> graft.operators.Encoding.targetEncodeLooOracleSql(
       """SELECT o_orderkey AS id, c_mktsegment AS cat,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y

@@ -107,6 +107,30 @@ object TextQueries {
         aggregate(col("features"), lit(0L), (acc, v) => acc + abs(v)).as("l1"))
       .orderBy("doc_id")
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP '04):
+    * corpus keyword salience = PageRank over the adjacent-token
+    * cooccurrence graph (window 2, undirected, deduped) — pure
+    * composition of the compiled shingle expression and the exact-
+    * integer [[graft.operators.GraphOps.pageRank]], so the oracle
+    * replays the identical rank recurrence; top-100 by
+    * (rank desc, token) is a pinned total order. */
+  val q247Textrank: Q = (s, d) => {
+    val bg = docs(s, d)
+      .select(explode(wordShingles(col("text"), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("a"),
+        split(col("bg"), " ").getItem(1).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val edges = bg.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(bg.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.GraphOps.pageRank(edges, iterations = 3,
+        assumeDistinct = true)
+      .orderBy(col("rank_scaled").desc, col("node_id"))
+      .limit(100)
+  }
+
   val q24MinhashDedup: Q = (s, d) =>
     Dedup.minhashDuplicates(corpusNear(s, d), "doc_id", "text",
       threshold = 0.5, shingleSize = 3, bands = 8, rowsPerBand = 2)
@@ -948,6 +972,7 @@ object TextQueries {
     "q22_fingerprints" -> q22Fingerprints,
     "q23_minhash_sig" -> q23MinhashSig,
     "q230_feature_hash" -> q230FeatureHash,
+    "q247_textrank" -> q247Textrank,
     "q24_minhash_dedup" -> q24MinhashDedup,
     "q25_simhash" -> q25Simhash,
     "q26_simhash_dedup" -> q26SimhashDedup,
@@ -1678,6 +1703,22 @@ object TextQueries {
          |  GROUP BY s.doc_id)
          |SELECT doc_id, array_to_string(features, ',') AS features_csv, nnz, l1
          |FROM vec ORDER BY doc_id""".stripMargin,
+    // adjacent-token cooccurrence graph (window 2, undirected,
+    // deduped), then the exact-integer PageRank unroll; top-100 by a
+    // pinned (rank desc, token) total order
+    "q247_textrank" -> {
+      val edgesSql =
+        s"""WITH tok AS (SELECT $tok AS ts FROM documents WHERE trim(text) <> ''),
+           |bg AS (SELECT ts[i] AS a, ts[i+1] AS b
+           |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i),
+           |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+           |  FROM bg WHERE a <> b)
+           |SELECT a AS src, b AS dst FROM und
+           |UNION ALL SELECT b, a FROM und""".stripMargin
+      s"""SELECT node_id, rank_scaled FROM (
+         |${graft.operators.GraphOps.pageRankOracleSql(edgesSql, iterations = 3)}
+         |) ORDER BY rank_scaled DESC, node_id LIMIT 100""".stripMargin
+    },
     "q24_minhash_dedup" ->
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,

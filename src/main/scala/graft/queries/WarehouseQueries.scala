@@ -44,6 +44,18 @@ object WarehouseQueries {
       .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
   }
 
+  /** The rank-keyed community-tier prep (dense node ranking, rank-
+    * encoded edges, degrees) over [[spEdges]], built ONCE per (JVM,
+    * dir) and served from parquet — q128/q210/q212/q246 all rank the
+    * SAME graph, and the r12 verdict measured the per-query re-prep
+    * (sort + zipWithIndex + two encode joins) as the tier's dominant
+    * constant. Semantics identical to the inline prep: same canonical
+    * edge set, same string-order ranks (the unchanged oracles pin it). */
+  private[queries] def spGraph(s: SparkSession, d: String): GraphOps.RankedGraph =
+    GraphOps.rankGraph(spEdges(s, d),
+      (tag, build) =>
+        graft.operators.Materialize.shared(s, s"sp_graph_$tag:$d")(build()))
+
   /** Edit-distance-1 name matching via deletion-neighborhood blocking;
     * the oracle is the brute-force cross join, so a hash match proves
     * the blocked join finds EVERY pair (completeness), not just no
@@ -80,18 +92,16 @@ object WarehouseQueries {
     * supplier↔part graph as q93 — 3 synchronous rounds, most-frequent
     * neighbor label with (count desc, label asc) ties, unrolled in
     * the oracle. */
-  val q128Communities: Q = (s, d) => {
-    val edges = spEdges(s, d)
-    GraphOps.labelPropagation(edges, iterations = 3, assumeDistinct = true)
+  val q128Communities: Q = (s, d) =>
+    GraphOps.labelPropagation(spGraph(s, d), iterations = 3)
       .orderBy("node_id")
-  }
 
   /** One Louvain level (2 synchronous exact-integer ΔQ rounds) on the
     * same supplier↔part graph — the modularity-greedy upgrade over
     * q128's frequency-greedy labels; the oracle unrolls the identical
     * gain arithmetic per round. */
   val q210Louvain: Q = (s, d) =>
-    GraphOps.louvainLevel(spEdges(s, d), rounds = 2)
+    GraphOps.louvainLevel(spGraph(s, d), rounds = 2)
       .orderBy("node_id")
 
   /** Two Louvain levels on the same graph: q210's sweep, then
@@ -101,7 +111,17 @@ object WarehouseQueries {
     * makes Louvain Louvain; the oracle unrolls both levels including
     * the contraction. */
   val q212LouvainCoarse: Q = (s, d) =>
-    GraphOps.louvainTwoLevel(spEdges(s, d), rounds1 = 2, rounds2 = 2)
+    GraphOps.louvainTwoLevel(spGraph(s, d), rounds1 = 2, rounds2 = 2)
+      .orderBy("node_id")
+
+  /** FULL multi-level Louvain to a fixpoint (≤4 levels, 2 synchronous
+    * rounds each): contract-and-sweep until a level nets zero moves —
+    * the step that makes Louvain Louvain, past q212's fixed two
+    * levels. The oracle unrolls all 4 levels unconditionally; the
+    * engine's early exit is exact (see
+    * [[graft.operators.GraphOps.louvainLevels]]). */
+  val q246LouvainFixpoint: Q = (s, d) =>
+    GraphOps.louvainLevels(spGraph(s, d), roundsPerLevel = 2, maxLevels = 4)
       .orderBy("node_id")
 
   /** Deterministic fixed-point PageRank (3 damped rounds) over the
@@ -328,6 +348,7 @@ object WarehouseQueries {
     "q128_communities" -> q128Communities,
     "q210_louvain" -> q210Louvain,
     "q212_louvain_coarse" -> q212LouvainCoarse,
+    "q246_louvain_fixpoint" -> q246LouvainFixpoint,
     "q94_incremental_agg" -> q94IncrementalAgg,
     "q95_debounce" -> q95Debounce,
     "q96_salted_join" -> q96SaltedJoin,
@@ -437,6 +458,8 @@ object WarehouseQueries {
     "q210_louvain" -> GraphOps.louvainOracleSql(pagerankEdgesSql, rounds = 2),
     "q212_louvain_coarse" -> GraphOps.louvainTwoLevelOracleSql(pagerankEdgesSql,
       rounds1 = 2, rounds2 = 2),
+    "q246_louvain_fixpoint" -> GraphOps.louvainLevelsOracleSql(pagerankEdgesSql,
+      roundsPerLevel = 2, maxLevels = 4),
     "q94_incremental_agg" ->
       """SELECT CAST(o_orderdate AS DATE) AS day,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

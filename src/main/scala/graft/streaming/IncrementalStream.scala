@@ -442,6 +442,53 @@ object IncrementalStream {
       }
       .start()
 
+  /** Fold one micro-batch of (unit, label) ratings into the persistent
+    * Krippendorff count state — the sufficient statistic for α is the
+    * (unit, label, n) rating-count table, ADDITIVE in ratings, so
+    * maintenance is one batch-sized count plus a state-sized merge,
+    * never a re-scan of rating history (the q94 rollup discipline
+    * applied to an agreement coefficient). State is count-table-sized:
+    * O(units × labels-actually-used), independent of rating volume. */
+  def applyKrippendorffBatch(batch: DataFrame, batchId: Long,
+                             statePath: String, unitCol: String,
+                             labelCol: String): Unit = {
+    val prior = AtomicTableWriter.read(batch.sparkSession, statePath)
+    if (prior.flatMap(maxBatchId).exists(_ >= batchId)) return // replay
+    val fresh = batch
+      .select(col(unitCol).as("__u"), col(labelCol).cast("string").as("__l"))
+      .where(col("__u").isNotNull && col("__l").isNotNull)
+      .groupBy("__u", "__l").agg(count(lit(1)).as("__n"))
+    val merged = prior match {
+      case Some(st) => st.drop("__batch_id").unionByName(fresh)
+        .groupBy("__u", "__l").agg(sum(col("__n")).as("__n"))
+      case None => fresh
+    }
+    AtomicTableWriter.overwrite(
+      merged.withColumn("__batch_id", lit(batchId)), statePath)
+  }
+
+  /** [[applyKrippendorffBatch]] as an AvailableNow sink. */
+  def krippendorffSink(stream: DataFrame, statePath: String, unitCol: String,
+                       labelCol: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyKrippendorffBatch(batch, id, statePath, unitCol, labelCol)
+      }
+      .start()
+
+  /** Krippendorff's α from the maintained count state — identical
+    * arithmetic (and result) to running
+    * [[graft.operators.LabelOps.krippendorffAlpha]] over the full
+    * rating history, from state that never re-reads that history. */
+  def krippendorffFromState(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.LabelOps.krippendorffFromCounts(
+      AtomicTableWriter.read(spark, statePath)
+        .getOrElse(sys.error(s"no krippendorff state at $statePath"))
+        .drop("__batch_id"))
+
   /** The drift trajectory from maintained log state: one row per
     * applied batch with the corpus-level PSI (sum of the exact integer
     * per-bucket contributions — `psi = psi_q_sum / 10⁹`). */

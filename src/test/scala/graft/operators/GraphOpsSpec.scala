@@ -685,4 +685,49 @@ class GraphOpsSpec extends SparkSpec {
     val a2 = sweep(adj2, deg2, r2)
     assert(got == a1.map { case (nd, l1) => nd -> a2(l1) })
   }
+
+  test("louvainLevels: fixpoint ≡ deeper unroll, modularity non-decreasing per level") {
+    // random-ish graph with enough structure to contract at least once
+    val edges = (for {
+      i <- 0 until 14; j <- (i + 1) until 14
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (s"n$i", s"n$j")).toDF("src", "dst")
+    val g = GraphOps.rankGraph(edges)
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("node_id", "label").as[(String, String)].collect().toMap
+    def q(assign: Map[String, String]) =
+      GraphOps.modularity(edges, assign.toSeq.toDF("node_id", "label"))
+        .select("modularity_ppm").as[Long].collect().head
+    // modularity must not decrease level over level on this fixture
+    val perLevel = (1 to 4).map(k =>
+      q(labelsOf(GraphOps.louvainLevels(g, roundsPerLevel = 2, maxLevels = k))))
+    perLevel.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"modularity decreased across a level: $perLevel")
+    }
+    // the early exit is exact: once converged, deeper maxLevels are a no-op
+    val fix4 = labelsOf(GraphOps.louvainLevels(g, roundsPerLevel = 2, maxLevels = 4))
+    val fix8 = labelsOf(GraphOps.louvainLevels(g, roundsPerLevel = 2, maxLevels = 8))
+    assert(fix4 == fix8, "converged fixpoint changed under a deeper level cap")
+    // and level 2 of the fixpoint ≡ the dedicated two-level operator
+    val two = labelsOf(GraphOps.louvainTwoLevel(g, rounds1 = 2, rounds2 = 2))
+    assert(labelsOf(GraphOps.louvainLevels(g, roundsPerLevel = 2, maxLevels = 2)) == two)
+  }
+
+  test("rankGraph overloads ≡ edge-frame entry points on a symmetric input") {
+    val und = (for {
+      i <- 0 until 12; j <- (i + 1) until 12
+      if (i * 13 + j * 7) % 4 == 0
+    } yield (s"n$i", s"n$j")).toSeq
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val g = GraphOps.rankGraph(sym)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("node_id", "label", "community_size")
+        .as[(String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(m(GraphOps.labelPropagation(g, 3)) ==
+      m(GraphOps.labelPropagation(sym, 3, assumeDistinct = true)),
+      "RankedGraph labelPropagation diverged from the edge-frame variant")
+    assert(m(GraphOps.louvainLevel(g, 2)) == m(GraphOps.louvainLevel(sym, 2)))
+    assert(m(GraphOps.louvainTwoLevel(g, 2, 2)) ==
+      m(GraphOps.louvainTwoLevel(sym, 2, 2)))
+  }
 }

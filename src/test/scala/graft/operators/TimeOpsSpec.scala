@@ -436,4 +436,39 @@ class TimeOpsSpec extends SparkSpec {
           if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
     assert(one == many)
   }
+
+  test("cusum: reflection identity ≡ the sequential Page recursion") {
+    import spark.implicits._
+    // pseudo-random drifting series, then replay s_t = max(0, s+d)
+    val xs = (1L to 200L).map(t => t -> ((t * 37 % 23) +
+      (if (t > 120) 15L else 0L)))
+    val (ref, slack, thr) = (11L, 1L, 40L)
+    val got = TimeOps.cusum(xs.toDF("t", "x").repartition(7), "t", "x",
+        ref, slack, thr)
+      .orderBy("t")
+      .as[(Long, Long, Long, Boolean)].collect().toList
+    var s = 0L
+    val want = xs.map { case (t, x) =>
+      s = math.max(0L, s + (x - ref - slack))
+      (t, x, s, s > thr)
+    }.toList
+    assert(got == want)
+    // the injected level shift must actually alarm, and not before it
+    assert(got.filter(_._4).map(_._1).min > 120L)
+    assert(got.exists(_._4))
+  }
+
+  test("cusum: rejects duplicate t and overflow-risk magnitudes") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      TimeOps.cusum(Seq(1L -> 2L, 1L -> 3L).toDF("t", "x"), "t", "x",
+        0L, 0L, 1L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      TimeOps.cusum(
+        Seq(1L -> Long.MaxValue / 2, 2L -> Long.MaxValue / 2,
+          3L -> Long.MaxValue / 2)
+          .toDF("t", "x"), "t", "x", 0L, 0L, 1L).collect()
+    }
+  }
 }

@@ -352,6 +352,50 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(card == full, s"card=$card full=$full")
   }
 
+  test("maintained Krippendorff: streamed count state ≡ batch α; replay skips") {
+    val root = Files.createTempDirectory("graft-kripp").toString
+    val state = s"$root/counts"
+    // missing-data shape on purpose: unit u3 gets ONE rating (not
+    // pairable), u4 appears only in batch 2, u1 accretes across batches
+    val b1 = Seq(("u1", "yes"), ("u1", "yes"), ("u2", "no"),
+      ("u2", "yes"), ("u3", "no"))
+    val b2 = Seq(("u1", "no"), ("u2", "no"), ("u4", "yes"), ("u4", "yes"))
+
+    IncrementalStream.applyKrippendorffBatch(
+      b1.toDF("unit", "label"), 0, state, "unit", "label")
+    IncrementalStream.applyKrippendorffBatch(
+      b2.toDF("unit", "label"), 1, state, "unit", "label")
+    // crash-replay of batch 1: the guard must not double-count ratings
+    val before = spark.read.parquet(state).collect().toSet
+    IncrementalStream.applyKrippendorffBatch(
+      b2.toDF("unit", "label"), 1, state, "unit", "label")
+    assert(spark.read.parquet(state).collect().toSet == before)
+
+    val streamed = IncrementalStream.krippendorffFromState(spark, state)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toList
+    val batch = graft.operators.LabelOps.krippendorffAlpha(
+      (b1 ++ b2).toDF("unit", "label"), "unit", "label")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toList
+    assert(streamed == batch, "maintained state diverged from batch α")
+  }
+
+  test("maintained Krippendorff end-to-end through the streaming sink") {
+    val root = Files.createTempDirectory("graft-kripp2").toString
+    val rows = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, String)](spark)
+    rows.addData(("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "a"))
+    val q = IncrementalStream.krippendorffSink(
+      rows.toDF().toDF("unit", "label"), s"$root/counts",
+      "unit", "label", s"$root/ckpt")
+    q.awaitTermination(60000)
+    val streamed = IncrementalStream
+      .krippendorffFromState(spark, s"$root/counts").collect().toSeq
+    val batch = graft.operators.LabelOps.krippendorffAlpha(
+      Seq(("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "a"))
+        .toDF("unit", "label"), "unit", "label").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("maintained rollup end-to-end through the streaming sink") {
     val root = Files.createTempDirectory("graft-mv2").toString
     val rows = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
   * memory side of billion-scale ANN: split each d-dim vector into `m`
@@ -186,13 +187,23 @@ object Pq {
     val dists = codes.crossJoin(broadcast(q))
       .withColumn("dist", col("__aa") +
         org.apache.spark.sql.graft.StridedIndexSum(col("codes"), col("__tab")))
-    dists
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("dist"), col(idCol))).cast("long"))
-      .filter(col("rank") <= k)
+    rankPerQuery(dists, idCol, k)
       .select(col("query_id"), col("rank"), col(idCol).as("vec_id"), col("dist"))
   }
+
+  /** Per-query ascending-distance top-k + rank via the bounded-heap
+    * [[ScaleOps.topKPerKey]] node — never a row_number window over the
+    * corpus-sized candidate frame (the window composition full-sorts
+    * it; the r13 sf1 run measured 12 min of TimSort on the analogous
+    * mutual-kNN frame). Rank is attached on the k-bounded survivor set
+    * — identical values because (dist, id) is a total order. */
+  private def rankPerQuery(scored: DataFrame, idCol: String,
+                           k: Int): DataFrame =
+    ScaleOps.topKPerKey(scored, Seq("query_id"),
+        Seq(col("dist").asc, col(idCol).asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dist"), col(idCol))).cast("long"))
 
   /** IVF×PQ — the standard billion-scale ANN composition: an IVF
     * coarse quantizer prunes WHICH vectors get scanned (nProbe of
@@ -259,13 +270,10 @@ object Pq {
       flatten(transform(sequence(lit(0), lit(cb.m - 1)), s =>
         transform(sequence(lit(0), lit(cb.k - 1)), c =>
           reducedDist(col("__qsl"), s, c, cpq, bb)))).as("__tab"))
-    codes.join(broadcast(probesTab), Seq("cell"))
+    val dists = codes.join(broadcast(probesTab), Seq("cell"))
       .withColumn("dist", col("__aa") +
         org.apache.spark.sql.graft.StridedIndexSum(col("codes"), col("__tab")))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("dist"), col(idCol))).cast("long"))
-      .filter(col("rank") <= k)
+    rankPerQuery(dists, idCol, k)
       .select(col("query_id"), col("rank"), col(idCol).as("vec_id"), col("dist"))
   }
 
@@ -290,10 +298,9 @@ object Pq {
       .crossJoin(broadcast(q))
       .withColumn("__rk",
         col("__bb") - lit(2L) * intDot(col("__qq"), col("__cv")))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("__rk"), col("vec_id"))))
-      .filter(col("rank") <= k)
+      // exact top-k SET per query — bounded heap, no corpus-sized sort
+      .transform(df => ScaleOps.topKPerKey(df, Seq("query_id"),
+        Seq(col("__rk").asc, col("vec_id").asc), k))
       .select(col("query_id"), col("vec_id"))
     val approx = adcTopK(queries, encode(corpus, idCol, vecCol, cb),
       idCol, vecCol, cb, k).select(col("query_id"), col("vec_id"))
@@ -337,15 +344,12 @@ object Pq {
       .select(col("query_id"), col("__qq"),
         intDot(col("__qq"), col("__qq")).as("__aa"))
     val vecs = corpus.select(col(idCol).as("vec_id"), qvec(vecCol).as("__cv"))
-    cand.join(vecs, Seq("vec_id"))
+    val dists = cand.join(vecs, Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("dist", col("__aa") +
         intDot(col("__cv"), col("__cv")) -
         lit(2L) * intDot(col("__qq"), col("__cv")))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("dist"), col("vec_id"))).cast("long"))
-      .filter(col("rank") <= k)
+    rankPerQuery(dists, "vec_id", k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("dist"))
   }
 
@@ -365,10 +369,9 @@ object Pq {
       .crossJoin(broadcast(q))
       .withColumn("__rk",
         col("__bb") - lit(2L) * intDot(col("__qq"), col("__cv")))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("__rk"), col("vec_id"))))
-      .filter(col("rank") <= k)
+      // exact top-k SET per query — bounded heap, no corpus-sized sort
+      .transform(df => ScaleOps.topKPerKey(df, Seq("query_id"),
+        Seq(col("__rk").asc, col("vec_id").asc), k))
       .select(col("query_id"), col("vec_id"))
     val approx = refineTopK(queries, corpus, idCol, vecCol, cellCents, cb,
       nProbe, candidates, k).select(col("query_id"), col("vec_id"))

@@ -33,6 +33,24 @@ object Similarity {
   private def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Per-query top-k + rank over a scored candidate frame — through
+    * the bounded-heap [[ScaleOps.topKPerKey]] plan node, NOT a
+    * row_number window over the candidates: the window composition
+    * full-sorts the entire candidate frame per partition (at sf1 the
+    * brute mutual-kNN candidate frame is 4·10⁸ rows — measured
+    * 12 MINUTES of TimSort; the heap pass is O(rows·log k)). The rank
+    * column is then attached by a window over the k-BOUNDED result
+    * (≤ queries·k rows), which reproduces row_number's exact values
+    * because the order (scoreCol desc, idCol asc) is total. */
+  private def rankTopK(scored: DataFrame, k: Int,
+                       idCol: String = "neighbor_id",
+                       scoreCol: String = "cosine"): DataFrame =
+    ScaleOps.topKPerKey(scored, Seq("query_id"),
+        Seq(col(scoreCol).desc, col(idCol).asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)))
+
   /** Exact top-k neighbors for each query vector (excluding self-match
     * on equal ids). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
@@ -42,10 +60,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
@@ -72,14 +87,11 @@ object Similarity {
     val c = fanOut(base)
       .select(col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
         quantize(col(vecCol)).as("qv"))
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("neg_id") =!= col("query_id") &&
         col("neg_label") =!= col("q_label"))
       .withColumn("cosine", quantizedCosine(col("qq"), col("qv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neg_id"))))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, idCol = "neg_id")
       .select(col("query_id"), col("rank"), col("neg_id"),
         col("neg_label"), col("cosine"))
   }
@@ -116,15 +128,12 @@ object Similarity {
                           k: Int): DataFrame = {
     val base = Materialize.once(fanOut(emb)
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv")))
-    val knn = base.select(col("id").as("neighbor_id"), col("qv").as("cv"))
+    val scored = base.select(col("id").as("neighbor_id"), col("qv").as("cv"))
       .crossJoin(broadcast(
         base.select(col("id").as("query_id"), col("qv").as("qq"))))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", quantizedCosine(col("qq"), col("cv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    val knn = rankTopK(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
     mutualPairs(knn)
   }
@@ -201,12 +210,8 @@ object Similarity {
           math.min(nProbe, centroids.length))))
 
   private def rankCandidates(cands: DataFrame, k: Int): DataFrame =
-    cands.filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    rankTopK(cands.filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", cosine(col("qv"), col("cv"))), k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
 
   /** Build a persistent IVF index at `path`: the corpus written
@@ -393,12 +398,8 @@ object Similarity {
   }
 
   private[operators] def rankCandidatesQuantized(cands: DataFrame, k: Int): DataFrame =
-    cands.filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", quantizedCosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    rankTopK(cands.filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", quantizedCosine(col("qv"), col("cv"))), k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
 
   // ------------------------------------------------ persistent SRP index
@@ -583,10 +584,7 @@ object Similarity {
     val scored = cands
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 }

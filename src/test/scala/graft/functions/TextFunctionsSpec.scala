@@ -42,6 +42,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(nullDf.select(wordShinglesHof($"t", 3)).head().isNullAt(0))
   }
 
+  test("charNgrams (compiled) ≡ HOF reference on edge cases") {
+    // unicode (multi-byte chars — grams count CODE POINTS like Spark's
+    // substring), shorter-than-n, exact-n, empties, long docs
+    val texts = Seq(
+      "abcdef", "ab", "", " ", "abc", "ünïcödé", "日本語のテキスト",
+      "mixed ünïcode and ascii 日本", "x" * 500,
+      "a b c d e f g h i j k l m n o p")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = texts.toDF("t")
+      val got = df.select(charNgrams($"t", n)).as[Seq[String]].collect()
+      val ref = df.select(charNgramsHof($"t", n)).as[Seq[String]].collect()
+      assert(got.toSeq == ref.toSeq, s"mismatch at n=$n")
+    }
+    val nullDf = Seq[Option[String]](None).toDF("t")
+    assert(nullDf.select(charNgrams($"t", 3)).head().isNullAt(0))
+    assert(nullDf.select(charNgramsHof($"t", 3)).head().isNullAt(0))
+  }
+
   test("portableHash: first 8 md5 hex chars as long (md5('abc') known)") {
     // md5("abc") = 900150983cd24fb0... → 0x90015098 = 2416005272
     val h = Seq("abc").toDF("t").select(portableHash($"t")).as[Long].head()

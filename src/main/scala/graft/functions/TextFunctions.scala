@@ -246,8 +246,12 @@ object TextFunctions {
   /** Language-ID by stopword vote: argmax language by stopword hits;
     * zero hits → "und" (undetermined). Nonzero ties resolve to the
     * lexicographically GREATEST language (struct-max semantics — the
-    * deterministic rule the DuckDB oracle mirrors). */
-  def langId(text: Column): Column = langIdTokens(tokens(text))
+    * deterministic rule the DuckDB oracle mirrors). One whole-doc
+    * segment through the compiled [[segmentLangs]] pass (blank text
+    * votes an empty array → coalesce to "und", exactly the zero-hit
+    * rule). */
+  def langId(text: Column): Column =
+    coalesce(try_element_at(segmentLangs(text, 1 << 28), lit(1)), lit("und"))
 
   /** The [[langId]] vote over a token ARRAY — exposed so callers can
     * vote on slices (per-segment language for code-switch detection)
@@ -263,9 +267,18 @@ object TextFunctions {
   /** Per-segment language votes: the token stream cut into fixed
     * `window`-token segments (last segment ragged), each segment
     * language-voted independently — the substrate for code-switch
-    * detection. Pure per-row HOF projection: no explode, no shuffle,
-    * whatever the corpus size. Blank text → empty array. */
-  def segmentLangs(text: Column, window: Int): Column = {
+    * detection. One compiled pass per row
+    * ([[org.apache.spark.sql.graft.SegmentLangs]]): no explode, no
+    * shuffle, whatever the corpus size. Blank text → empty array. */
+  def segmentLangs(text: Column, window: Int): Column =
+    org.apache.spark.sql.graft.SegmentLangs(text, window,
+      langStopwords.toSeq.sortBy(_._1))
+
+  /** The interpreted HOF formulation [[segmentLangs]] replaced — kept
+    * for the differential spec: the HOF tower re-materializes a token
+    * slice + a filtered array per (segment, language), interpreted;
+    * the sf1 gate measured q150_code_switch at ~10 min in it. */
+  private[graft] def segmentLangsHof(text: Column, window: Int): Column = {
     require(window >= 1, s"window must be >= 1: $window")
     val ts = tokens(text)
     val nSeg = floor((size(ts) + lit(window - 1)) / lit(window)).cast("int")

@@ -60,6 +60,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(nullDf.select(charNgramsHof($"t", 3)).head().isNullAt(0))
   }
 
+  test("segmentLangs (compiled) ≡ HOF reference; langId composition holds") {
+    val texts = Seq(
+      "the and of to is",                               // clean en
+      "der die und das ist",                            // clean de
+      "the and der die und das ist the of to is le la", // switches
+      "la la la",                                       // es/fr tie → fr? (greatest code with hits)
+      "xyz qqq zzz",                                    // no hits → und
+      "", " ", "one",
+      ("the and " * 30) + ("der die und " * 20),        // long, multi-segment
+      "el la los que es le la et les est")              // es vs fr mass
+    for (w <- Seq(1, 3, 10, 1 << 28)) {
+      val df = texts.toDF("t")
+      val got = df.select(segmentLangs($"t", w)).as[Seq[String]].collect()
+      val ref = df.select(segmentLangsHof($"t", w)).as[Seq[String]].collect()
+      assert(got.toSeq == ref.toSeq, s"mismatch at window=$w")
+    }
+    // langId ≡ the whole-doc vote (the old langIdTokens formulation)
+    val df = texts.toDF("t")
+    val viaSeg = df.select(langId($"t")).as[String].collect().toSeq
+    val viaHof = df.select(
+      langIdTokens(tokens($"t"))).as[String].collect().toSeq
+    assert(viaSeg == viaHof)
+    val nullDf = Seq[Option[String]](None).toDF("t")
+    assert(nullDf.select(segmentLangs($"t", 3)).head().isNullAt(0))
+  }
+
   test("portableHash: first 8 md5 hex chars as long (md5('abc') known)") {
     // md5("abc") = 900150983cd24fb0... → 0x90015098 = 2416005272
     val h = Seq("abc").toDF("t").select(portableHash($"t")).as[Long].head()

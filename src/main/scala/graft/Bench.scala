@@ -39,11 +39,50 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // machine-speed anchor: a fixed CPU-bound workload timed before the
+    // run, so a slower/throttled box is detectable from the artifact
+    // alone (round-13 lesson: a uniform ~25% cross-round drift on
+    // unchanged queries was unattributable without one). Single-thread
+    // xorshift measures per-core speed; the 32-thread variant catches
+    // lost effective parallelism (cgroup quota, SMT change). Constants
+    // chosen for ~0.5 s each on the round-13 box.
+    def xorshiftMix(iters: Long, seed: Long): Long = {
+      var x = seed; var i = 0L
+      while (i < iters) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      x
+    }
+    val anchorIters = 800000000L
+    val a0 = System.nanoTime()
+    val sink1 = xorshiftMix(anchorIters, 0x9E3779B97F4A7C15L)
+    val anchorSec = (System.nanoTime() - a0) / 1e9
+    val am0 = System.nanoTime()
+    val threads = (0 until 32).map { t =>
+      val th = new Thread(() => { xorshiftMix(anchorIters, t + 1L); () })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    val anchorMtSec = (System.nanoTime() - am0) / 1e9
+    if (sink1 == 42L) System.err.println("") // keep the loop un-elidable
+
     // warm the JVM/codegen once on the smallest query so per-query times
     // measure the engine, not first-call class loading
     try SparkEntry.queries.get("q6_forecast_revenue")
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
+
+    // pre-warm the shared community-tier graph prep (Materialize.shared
+    // per (JVM, dir)) and report its build cost as its own field:
+    // q128 is alphabetically first in the tier and was silently paying
+    // the whole sort+zipWithIndex+encode build (r13 verdict #4). The
+    // persistent BM25/IVF indexes already amortize this way on disk;
+    // the graph prep is in-JVM, so Bench owns the warm explicitly.
+    val g0 = System.nanoTime()
+    val graphPrepSec = try {
+      graft.queries.WarehouseQueries.spGraph(spark, sfDir)
+      (System.nanoTime() - g0) / 1e9
+    } catch { case _: Throwable => -1.0 }
 
     // dev loop: SPARK_GRAFT_BENCH_ONLY=q120,q121 times just those
     // queries (comma-separated name prefixes); unset = the full battery
@@ -93,7 +132,7 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"median":$total%.3f,"runs":$runs,"load_avg":$load%.2f,"load_avg_start":$loadStart%.2f,"contended":$contended,"cpus":"$cpus","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"median":$total%.3f,"runs":$runs,"load_avg":$load%.2f,"load_avg_start":$loadStart%.2f,"contended":$contended,"anchor_sec":$anchorSec%.3f,"anchor_mt_sec":$anchorMtSec%.3f,"graph_prep_sec":$graphPrepSec%.3f,"cpus":"$cpus","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // durability: harness tails can truncate the printed line, losing
     // the early-alphabet per-query times — also land the complete JSON

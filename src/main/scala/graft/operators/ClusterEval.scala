@@ -47,12 +47,15 @@ object ClusterEval {
     val pts = Materialize.once(
       df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
         .select(col(labelCol).cast("long").as("__l"), col(vecCol).as("__q")))
-    // per-label, per-dimension sums: k·d rows after partial agg
-    val sums = pts
+    // per-label, per-dimension sums: k·d rows after partial agg. The
+    // max-|coordinate| contract guard rides the same pass (max over the
+    // k·d partial maxima) so the guard costs no extra corpus scan.
+    val sumRows = pts
       .select(col("__l"), posexplode(col("__q")).as(Seq("__d", "__x")))
       .groupBy(col("__l"), col("__d"))
-      .agg(sum(col("__x")).as("__s"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .agg(sum(col("__x")).as("__s"), max(abs(col("__x"))).as("__m"))
+      .collect()
+    val sums = sumRows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     val counts = pts.groupBy(col("__l")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val labels = counts.keys.toSeq.sorted
@@ -70,9 +73,7 @@ object ClusterEval {
     require(dim <= 4096,
       s"simplifiedSilhouette: dim $dim breaks the d <= 4096 exact-LONG " +
         "dist² contract; reduce dimensionality upstream")
-    val maxAbsCoord = pts
-      .select(max(aggregate(col("__q"), lit(0L),
-        (acc, x) => greatest(acc, abs(x))))).head().getLong(0)
+    val maxAbsCoord = sumRows.map(_.getLong(3)).max
     require(maxAbsCoord <= 1000000L,
       s"simplifiedSilhouette: max |coordinate| $maxAbsCoord exceeds the " +
         "10^6 quantize contract; rescale the quantization")

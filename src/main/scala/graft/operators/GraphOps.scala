@@ -781,11 +781,12 @@ object GraphOps {
     * graph is, and its unchanged oracle pins the equivalence). Skips
     * the per-call normalize + rank + encode prep entirely, and
     * checkpoints the label frame every `checkpointEvery` rounds
-    * instead of every round: an un-checkpointed round is referenced
-    * twice by the next (winner + fallback join), so the recompute
-    * factor is 2^(gap−1) — bounded at 2 for the default gap of 2,
-    * in exchange for halving the per-round eager-job tax. The final
-    * round always checkpoints (read 4× by sizes + decode). */
+    * (default 4) instead of every round. Each round references the
+    * previous label frame exactly ONCE (every RankedGraph node has
+    * degree ≥ 1, so the directed variant's keep-own-label fallback
+    * join is dead code here) — the chain is linear, recompute factor
+    * 1, and the gap is purely a lineage-depth cap. The final round
+    * always checkpoints (read 4× by sizes + decode). */
   def labelPropagation(g: RankedGraph, iterations: Int): DataFrame =
     labelPropagation(g, iterations, checkpointEvery = 4)
 
@@ -1500,23 +1501,48 @@ object GraphOps {
     * multiplicities), and keeps every level one stamping-join pair +
     * one (ca, cb) aggregate away from the canonical edges. */
   private def louvainContractedSweep(g: RankedGraph, comp: DataFrame,
-      rounds: Int): DataFrame = {
-    // contract in rank space: one direction per undirected edge, both
-    // endpoints stamped with their community, multiplicity = weight
-    val wund = Materialize.once(g.dir.filter(col("i") < col("j"))
-      .join(g.hint(comp.select(col("i"), col("label").as("la"))), Seq("i"))
-      .join(g.hint(comp.select(col("i").as("j"), col("label").as("lb"))),
-        Seq("j"))
+      rounds: Int): DataFrame =
+    sweepWeighted(g, contractWeighted(
+      g.dir.filter(col("i") < col("j")).withColumn("w", lit(1L))
+        .select(col("i").as("ca"), col("j").as("cb"), col("w")),
+      comp, g.hint), rounds)
+
+  /** Contract a weighted undirected edge frame (ca ≤ cb, w; self-loop
+    * rows carry intra weight) by an assignment (i → label): stamp both
+    * endpoints, re-canonicalize, sum multiplicities. Contracting level
+    * k's super-graph by level k's assignment is identical to
+    * contracting the ORIGINAL edges by the composed assignment
+    * (weights carry the multiplicities), which is what lets
+    * [[louvainLevels]] keep each contraction community-sized instead
+    * of re-stamping the full canonical edge set every level. */
+  private def contractWeighted(wund: DataFrame, assign: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame =
+    Materialize.once(wund
+      .join(hint(assign.select(col("i").as("ca"), col("label").as("la"))),
+        Seq("ca"))
+      .join(hint(assign.select(col("i").as("cb"), col("label").as("lb"))),
+        Seq("cb"))
       .groupBy(least(col("la"), col("lb")).as("ca"),
         greatest(col("la"), col("lb")).as("cb"))
-      .agg(count(lit(1)).as("w")))
+      .agg(sum(col("w")).as("w")))
+
+  /** Run `rounds` weighted gain rounds on a contracted graph given as
+    * the canonical weighted undirected frame (ca ≤ cb, w). The node
+    * set is recovered from the edge endpoints — every community holds
+    * a degree-≥1 node, so after contraction it has an external edge or
+    * a self-loop row and therefore appears as an endpoint; no
+    * node-sized distinct over the composed assignment is needed. */
+  private def sweepWeighted(g: RankedGraph, wund: DataFrame,
+      rounds: Int): DataFrame = {
     val ext = wund.filter(col("ca") =!= col("cb"))
     val sdir = ext.select(col("ca").as("i"), col("cb").as("j"), col("w"))
       .unionByName(ext.select(col("cb").as("i"), col("ca").as("j"), col("w")))
     // super-node degree k = external weighted degree + 2·self-loop
     // weight; communities with ONLY intra edges still need rows, hence
-    // the left joins from the distinct label set
-    val degK = Materialize.once(comp.select(col("label").as("i")).distinct()
+    // the left joins from the endpoint-derived label set
+    val labs = wund.select(col("ca").as("i"))
+      .unionByName(wund.select(col("cb").as("i"))).distinct()
+    val degK = Materialize.once(labs
       .join(sdir.groupBy("i").agg(sum(col("w")).as("__ke")), Seq("i"), "left")
       .join(wund.filter(col("ca") === col("cb"))
         .select(col("ca").as("i"), col("w").as("__sw")), Seq("i"), "left")
@@ -1541,27 +1567,38 @@ object GraphOps {
     * no-op. [[louvainLevelsOracleSql]] replays ALL `maxLevels` levels
     * unconditionally and still matches bit-for-bit.
     *
-    * Scale shape: level 1 as [[louvainLevel]]; each further level is
-    * one stamping-join pair over the (rank-keyed, materialized)
-    * canonical edges + one (ca, cb) aggregate + community-sized
-    * sweeps, strictly smaller than level 1. The convergence probe is
-    * one filter-isEmpty on the (already materialized) community-sized
-    * assignment. */
+    * Scale shape: level 1 as [[louvainLevel]]; the level-2 contraction
+    * is the ONLY pass over the full canonical edge set — the weighted
+    * super-graph is carried level to level and every later contraction
+    * stamps community-sized frames ([[contractWeighted]]'s identity).
+    * The convergence probe is one filter-isEmpty on the (already
+    * materialized) community-sized assignment. */
   def louvainLevels(g: RankedGraph, roundsPerLevel: Int,
       maxLevels: Int): DataFrame = {
     require(roundsPerLevel >= 1 && maxLevels >= 1)
     var comp = louvainGainRounds(g.dir.withColumn("w", lit(1L)), g.deg,
       g.m, g.n, roundsPerLevel, g.hint)
+    // the weighted super-graph carried level to level: contracting it
+    // by the LEVEL assignment equals contracting the original edges by
+    // the COMPOSED assignment (see [[contractWeighted]]), so only the
+    // level-2 contraction ever touches the full canonical edge set —
+    // levels 3+ stamp community-sized frames
+    var wund: DataFrame = null // built lazily — maxLevels=1 never contracts
     var level = 1
     var converged = false
     while (level < maxLevels && !converged) {
-      val aK = louvainContractedSweep(g, comp, roundsPerLevel)
+      if (wund == null) wund = contractWeighted(
+        g.dir.filter(col("i") < col("j")).withColumn("w", lit(1L))
+          .select(col("i").as("ca"), col("j").as("cb"), col("w")),
+        comp, g.hint)
+      val aK = sweepWeighted(g, wund, roundsPerLevel)
       converged = aK.filter(col("label") =!= col("i")).isEmpty
       if (!converged) {
         comp = Materialize.once(comp.select(col("i"), col("label").as("__l"))
           .join(g.hint(aK.select(col("i").as("__l"), col("label"))),
             Seq("__l"))
           .select(col("i"), col("label")))
+        wund = contractWeighted(wund, aK, g.hint)
         level += 1
       }
     }

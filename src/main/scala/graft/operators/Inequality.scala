@@ -26,11 +26,15 @@ import org.apache.spark.sql.expressions.Window
   * digits; ppm quotients floor-divide identically on both engines.
   *
   * Scale shape: one (key → mass) aggregate, one (mass → count)
-  * aggregate, then a cumulative window over the DISTINCT-MASS spine —
-  * deliberately spine-sized (money totals in cents collide heavily;
-  * worst-case all-distinct is the key count, at which point use a
-  * coarser mass unit), never the raw fact table. HHI/top-share are
-  * plain aggregates of the key frame.
+  * aggregate, then a cumulative over the DISTINCT-MASS spine computed
+  * as a RANGE-PARTITIONED two-level prefix sum: each range partition
+  * owns a contiguous value interval, the running count is a window
+  * WITHIN partitions, and the cross-partition offset is a
+  * partition-count-sized control-plane frame broadcast back. No
+  * single-task global sort at any spine cardinality — an all-distinct
+  * cents-valued mass over 10⁹ keys fans across the cluster instead of
+  * funneling through one task. HHI/top-share are plain aggregates of
+  * the key frame.
   *
   * Reference semantics: the reference reports per-store revenue
   * rollups (vivek-neenopal/shopify-etl merge jobs); this is the
@@ -51,14 +55,36 @@ object Inequality {
     val neg = mass.filter(col("__x") < 0).limit(1).count()
     require(neg == 0, "concentration: negative per-key mass — Gini is " +
       "defined over nonnegative mass; filter or clamp upstream")
-    // distinct-mass spine with counts, cumulative strictly-below count
+    // distinct-mass spine with counts, cumulative strictly-below count.
+    // Two-level prefix sum: range-partition the spine on __v (each
+    // partition = one contiguous, disjoint value interval; distinct
+    // keys so no boundary ties), run the cumulative window WITHIN
+    // partitions, and add the total count of all lower intervals via a
+    // broadcast of the ≤#partitions-row offset frame. Materialize.once
+    // pins one bucketing for both reads (range boundaries come from
+    // sampling a nondeterministically-ordered agg output).
     val spine = mass.groupBy(col("__x").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val w = Window.orderBy(col("__v"))
+    val parts = math.max(1,
+      df.sparkSession.sparkContext.defaultParallelism)
+    val bucketed = Materialize.once(spine
+      .repartitionByRange(parts, col("__v"))
+      .withColumn("__b", spark_partition_id()))
+    // cross-bucket offsets: single-partition window is fine HERE — the
+    // frame is ≤ `parts` rows (control-plane), never spine-sized
+    val wOff = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = spine
-      .withColumn("__nle", sum(col("__c")).over(w))
-      .select(col("__v"), col("__c"), (col("__nle") - col("__c")).as("__nl"))
+    val offsets = bucketed.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__bt"))
+      .withColumn("__off", sum(col("__bt")).over(wOff) - col("__bt"))
+      .select(col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = bucketed
+      .withColumn("__nleLocal", sum(col("__c")).over(wIn))
+      .join(broadcast(offsets), Seq("__b"))
+      .select(col("__v"), col("__c"),
+        (col("__nleLocal") + col("__off") - col("__c")).as("__nl"))
     val six = ranked.agg(
       sum(expr(s"CAST(__v AS $dec) * (CAST(__c AS $dec) * CAST(__nl AS $dec)" +
         s" + (CAST(__c AS $dec) * (CAST(__c AS $dec) + 1)) div 2)"))

@@ -51,7 +51,7 @@ object WarehouseQueries {
     * (sort + zipWithIndex + two encode joins) as the tier's dominant
     * constant. Semantics identical to the inline prep: same canonical
     * edge set, same string-order ranks (the unchanged oracles pin it). */
-  private[queries] def spGraph(s: SparkSession, d: String): GraphOps.RankedGraph =
+  private[graft] def spGraph(s: SparkSession, d: String): GraphOps.RankedGraph =
     GraphOps.rankGraph(spEdges(s, d),
       (tag, build) =>
         graft.operators.Materialize.shared(s, s"sp_graph_$tag:$d")(build()))

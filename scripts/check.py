@@ -38,6 +38,11 @@ def main():
     #               of the sharded fleet: `!q90,q130 0/8` ... `7/8`).
     selectors = sys.argv[3:]
     con = duckdb.connect()
+    # DUCKDB_THREADS caps the oracle's thread pool so several sharded
+    # replay processes can share one box without thrashing
+    nthreads = __import__('os').environ.get("DUCKDB_THREADS")
+    if nthreads:
+        con.sql(f"SET threads TO {int(nthreads)}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))

@@ -1389,7 +1389,8 @@ object GraphOps {
     * path; both are exact, so results are bit-identical. */
   private def louvainGainRounds(dirW: DataFrame, deg: DataFrame,
       m: Long, n: Long, rounds: Int,
-      hint: DataFrame => DataFrame): DataFrame = {
+      hint: DataFrame => DataFrame,
+      checkpointEveryRound: Boolean = true): DataFrame = {
     val dec: Column => Column =
       if (BigInt(4) * BigInt(m) * BigInt(m) * BigInt(n) + BigInt(n) <
           BigInt(Long.MaxValue)) _.cast("long")
@@ -1434,9 +1435,16 @@ object GraphOps {
         when((col("__hp") + lit(r)) % 2 === 0,
           pmod(col("__code"), dec(lit(n))).cast("long"))
           .otherwise(col("__cur")).as("label"))
-      // every round lands a checkpoint — the last one is read twice
-      // downstream (sizes + decode), so it must not recompute the round
-      assign = Materialize.once(next)
+      // checkpoint policy: the FINAL round always lands one (it is read
+      // twice downstream — sizes + decode). Intermediate rounds land
+      // one per round on node-sized level-1 graphs; COMMUNITY-sized
+      // contracted levels pass checkpointEveryRound=false and accept a
+      // bounded 3× recompute of one tiny round (each round references
+      // the previous assign 3×: tot, cands inject, cur join) in
+      // exchange for one fewer eager job per round — at sf0.1 the
+      // job-count tax, not the data, dominates those levels.
+      assign = if (checkpointEveryRound || r == rounds)
+        Materialize.once(next) else next
     }
     assign
   }
@@ -1549,7 +1557,13 @@ object GraphOps {
       .select(col("i"), (coalesce(col("__ke"), lit(0L)) +
         lit(2) * coalesce(col("__sw"), lit(0L))).as("k"))
       .join(g.hint(g.rank.select(col("rk").as("i"), col("hp"))), Seq("i")))
-    louvainGainRounds(Materialize.once(sdir), degK, g.m, g.n, rounds, g.hint)
+    // sdir is a filter+union PROJECTION of the already-checkpointed
+    // wund — recomputing it once per gain round is cheaper than the
+    // eager checkpoint job it would take to pin it; same call for the
+    // per-round checkpoints (community-sized frames, see
+    // louvainGainRounds' checkpoint policy)
+    louvainGainRounds(sdir, degK, g.m, g.n, rounds, g.hint,
+      checkpointEveryRound = false)
   }
 
   /** FULL multi-level Louvain (Blondel et al. 2008 §2, iterated to a

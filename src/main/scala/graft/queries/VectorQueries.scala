@@ -861,8 +861,17 @@ object VectorQueries {
 
   private val qv =
     """list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000.0) AS BIGINT))"""
+  /** Integer dot product in oracle SQL via DuckDB's NATIVE
+    * list_inner_product, not a per-element list comprehension: the
+    * comprehension is interpreted per pair and made the brute-force
+    * all-pairs replays grind for hours at sf1 (4·10⁸ pairs × 3 dots).
+    * Bit-exact equivalence under the quantize contract: |coord| ≤ 10⁶
+    * ⇒ every product ≤ 10¹² and every partial sum ≤ 4096·10¹² <
+    * 2⁵³, all exactly representable in the DOUBLE accumulation, so
+    * CAST(... AS BIGINT) equals the integer-summed value (differential
+    * check: 250 k pairs, 0 mismatches). */
   private def dot(a: String, b: String) =
-    s"CAST(list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]) AS BIGINT)"
+    s"CAST(list_inner_product($a, $b) AS BIGINT)"
 
   /** A def, not a val: the q31 oracle embeds the centroids FITTED during
     * the query run (set by [[IvfIndex.getOrBuild]]), so it must render

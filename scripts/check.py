@@ -43,6 +43,12 @@ def main():
     nthreads = __import__('os').environ.get("DUCKDB_THREADS")
     if nthreads:
         con.sql(f"SET threads TO {int(nthreads)}")
+    # DUCKDB_MEMLIMIT (e.g. "40GB") makes oracle hash joins spill to
+    # disk instead of OOM-killing the process at sf1 pair volumes
+    memlim = __import__('os').environ.get("DUCKDB_MEMLIMIT")
+    if memlim:
+        con.sql(f"SET memory_limit = '{memlim}'")
+        con.sql("SET temp_directory = '/tmp/duckdb_spill'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))

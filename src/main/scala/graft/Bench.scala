@@ -36,6 +36,8 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -57,14 +59,21 @@ object Bench {
     val a0 = System.nanoTime()
     val sink1 = xorshiftMix(anchorIters, 0x9E3779B97F4A7C15L)
     val anchorSec = (System.nanoTime() - a0) / 1e9
+    // each thread's result is ACCUMULATED into a shared sink and folded
+    // into the same elision guard as sink1 — a side-effect-free loop is
+    // eligible for JIT dead-code elimination, which would let
+    // anchor_mt_sec read near-zero and silently defeat the drift
+    // detector it exists for
+    val sinkMt = new java.util.concurrent.atomic.AtomicLong(0L)
     val am0 = System.nanoTime()
     val threads = (0 until 32).map { t =>
-      val th = new Thread(() => { xorshiftMix(anchorIters, t + 1L); () })
+      val th = new Thread(() =>
+        { sinkMt.addAndGet(xorshiftMix(anchorIters, t + 1L)); () })
       th.start(); th
     }
     threads.foreach(_.join())
     val anchorMtSec = (System.nanoTime() - am0) / 1e9
-    if (sink1 == 42L) System.err.println("") // keep the loop un-elidable
+    if ((sink1 ^ sinkMt.get()) == 42L) System.err.println("") // un-elidable
 
     // warm the JVM/codegen once on the smallest query so per-query times
     // measure the engine, not first-call class loading
@@ -121,7 +130,62 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       }
     val results = names.map { case (name, _) => name -> median(samples(name)) }
+
+    // canonical landing spot, computed early so the outlier probe can
+    // read the PREVIOUS committed capture of the same artifact:
+    // scale-aware default target — only a full-battery run at the
+    // canonical bench SF (sf0.1) may land on bench_full.json; other
+    // SFs and BENCH_ONLY subsets get their own names — an ad-hoc
+    // sf0.001 smoke must never clobber the committed sf0.1 numbers
+    val sfName = new java.io.File(sfDir).getName
+    val defaultTarget =
+      if (only.isDefined) s"bench_subset.$sfName.json"
+      else if (sfName == "sf0.1") "bench_full.json"
+      else s"bench_$sfName.json"
+    val target = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", defaultTarget))
+
+    // self-exonerating outlier probe (r14 verdict: within-battery
+    // GC/JIT state makes single battery medians a noisy per-query
+    // instrument — q213 read 4.41 s in the r14 battery but 1.11 s
+    // isolated, code unchanged). Any query whose battery median moved
+    // >1.3x vs the previous committed capture is re-run here, in this
+    // same JVM AFTER the battery, and BOTH numbers land in the JSON
+    // ("queries" = battery median, "probes" = re-probe median), so a
+    // position artifact and a real regression are distinguishable from
+    // the artifact alone. Bounded to the 16 worst movers.
+    val prior: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(target)
+        val block = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(block)
+          .map(g => g.group(1) -> g.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val flagged = results
+      .filter { case (n, v) =>
+        prior.get(n).exists(p => p > 0 && v > 0 && v / p > 1.3) }
+      .sortBy { case (n, v) => -(v / prior(n)) }
+      .take(16)
+    val probes = flagged.map { case (name, _) =>
+      val fn = SparkEntry.queries(name)
+      System.gc()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        if (ok) dt else -1.0
+      }.toVector
+      name -> median(ts)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val probeJson = probes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum // failures drag the total negative — visible
     // run-environment provenance: a contended box inflates every query
@@ -132,7 +196,7 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"median":$total%.3f,"runs":$runs,"load_avg":$load%.2f,"load_avg_start":$loadStart%.2f,"contended":$contended,"anchor_sec":$anchorSec%.3f,"anchor_mt_sec":$anchorMtSec%.3f,"graph_prep_sec":$graphPrepSec%.3f,"cpus":"$cpus","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"median":$total%.3f,"runs":$runs,"load_avg":$load%.2f,"load_avg_start":$loadStart%.2f,"contended":$contended,"anchor_sec":$anchorSec%.3f,"anchor_mt_sec":$anchorMtSec%.3f,"graph_prep_sec":$graphPrepSec%.3f,"cpus":"$cpus","unit":"sec","queries":$qs,"probes":$probeJson,"sf":"$sfDir"}"""
     println(line)
     // durability: harness tails can truncate the printed line, losing
     // the early-alphabet per-query times — also land the complete JSON
@@ -141,17 +205,6 @@ object Bench {
     // clean bench_full.json — it lands beside it as *.contended.json
     // (still committed, still auditable, never the canonical number).
     try {
-      // scale-aware default target: only a full-battery run at the
-      // canonical bench SF (sf0.1) may land on bench_full.json; other
-      // SFs and BENCH_ONLY subsets get their own names — an ad-hoc
-      // sf0.001 smoke must never clobber the committed sf0.1 numbers
-      val sfName = new java.io.File(sfDir).getName
-      val defaultTarget =
-        if (only.isDefined) s"bench_subset.$sfName.json"
-        else if (sfName == "sf0.1") "bench_full.json"
-        else s"bench_$sfName.json"
-      val target = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", defaultTarget))
       val dest =
         if (contended && java.nio.file.Files.exists(target))
           target.resolveSibling(

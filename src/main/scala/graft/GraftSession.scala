@@ -26,6 +26,10 @@ object GraftSession {
       // RangeBinJoin optimizer rewrite, and the TopKPerKey
       // planner strategy, wired at session build
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      // default warehouse dir is CWD/spark-warehouse — keep checkout
+      // dirs clean; overridable like any other conf
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

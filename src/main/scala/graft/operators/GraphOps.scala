@@ -1390,7 +1390,8 @@ object GraphOps {
   private def louvainGainRounds(dirW: DataFrame, deg: DataFrame,
       m: Long, n: Long, rounds: Int,
       hint: DataFrame => DataFrame,
-      checkpointEveryRound: Boolean = true): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1)
     val dec: Column => Column =
       if (BigInt(4) * BigInt(m) * BigInt(m) * BigInt(n) + BigInt(n) <
           BigInt(Long.MaxValue)) _.cast("long")
@@ -1437,13 +1438,18 @@ object GraphOps {
           .otherwise(col("__cur")).as("label"))
       // checkpoint policy: the FINAL round always lands one (it is read
       // twice downstream — sizes + decode). Intermediate rounds land
-      // one per round on node-sized level-1 graphs; COMMUNITY-sized
-      // contracted levels pass checkpointEveryRound=false and accept a
-      // bounded 3× recompute of one tiny round (each round references
-      // the previous assign 3×: tot, cands inject, cur join) in
-      // exchange for one fewer eager job per round — at sf0.1 the
-      // job-count tax, not the data, dominates those levels.
-      assign = if (checkpointEveryRound || r == rounds)
+      // one per checkpointEvery rounds: node-sized level-1 graphs use
+      // cadence 1; COMMUNITY-sized contracted levels use cadence 2 and
+      // accept a bounded 3× recompute of one tiny round (each round
+      // references the previous assign 3×: tot, cands inject, cur
+      // join) in exchange for one fewer eager job per skipped round —
+      // at sf0.1 the job-count tax, not the data, dominates those
+      // levels. The CADENCE, not a skip-all flag, is what keeps the
+      // bound: skipping every intermediate round would compound the
+      // 3× fan-out to 3^(rounds-1) for rounds > 2 (r14 ADVICE) —
+      // cadence K caps uncheckpointed chains at K−1 rounds, so the
+      // recompute factor never exceeds 3^(K−1) for ANY rounds value.
+      assign = if (r % checkpointEvery == 0 || r == rounds)
         Materialize.once(next) else next
     }
     assign
@@ -1560,10 +1566,10 @@ object GraphOps {
     // sdir is a filter+union PROJECTION of the already-checkpointed
     // wund — recomputing it once per gain round is cheaper than the
     // eager checkpoint job it would take to pin it; same call for the
-    // per-round checkpoints (community-sized frames, see
-    // louvainGainRounds' checkpoint policy)
+    // per-round checkpoints (community-sized frames, cadence 2 — see
+    // louvainGainRounds' checkpoint policy for the recompute bound)
     louvainGainRounds(sdir, degK, g.m, g.n, rounds, g.hint,
-      checkpointEveryRound = false)
+      checkpointEvery = 2)
   }
 
   /** FULL multi-level Louvain (Blondel et al. 2008 §2, iterated to a

@@ -55,4 +55,70 @@ private[graft] object Materialize {
     })
     s.read.parquet(path)
   }
+
+  /** Cross-JVM durable variant of [[shared]]: the materialization is
+    * keyed by (key, input FINGERPRINT) and a later JVM whose
+    * fingerprint still matches reads the existing parquet instead of
+    * rebuilding — the on-disk amortization the Bm25/IVF persistent
+    * indexes already have, generalized (r14 verdict: the shared graph
+    * prep cost 11.8 s per (JVM, dir) while the indexes amortized).
+    * The fingerprint participates in the directory tag, so
+    * regenerated input data lands in a NEW directory and can never be
+    * served stale rows; stale tags are orphaned under the temp dir
+    * (bounded, cleared on reboot — same lifecycle as the indexes).
+    *
+    * Concurrency: the build lands in a unique temp dir, then an
+    * atomic rename publishes it. A racing JVM either wins the rename
+    * or reads the winner's COMPLETED directory — never a half-written
+    * one. A crashed build leaves only an unpublished `*.tmp.*` dir. */
+  def sharedDurable(s: org.apache.spark.sql.SparkSession, key: String,
+                    fingerprint: String)(build: => DataFrame): DataFrame = {
+    val fullKey = key + "\u0001" + fingerprint
+    val path = sharedPaths.computeIfAbsent(fullKey, { _ =>
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(fullKey.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val dir = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft-shared/$tag")
+      def done = new java.io.File(dir, "_SUCCESS").exists()
+      if (done) dir.getAbsolutePath
+      else {
+        val tmp = new java.io.File(dir.getParentFile,
+          s"$tag.tmp.${java.util.UUID.randomUUID()}")
+        build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        if (tmp.renameTo(dir)) dir.getAbsolutePath
+        else if (done) { // lost the race to a completed winner
+          deleteRec(tmp); dir.getAbsolutePath
+        } else { // stale crash leftover occupies the slot: evict, retry
+          deleteRec(dir)
+          if (tmp.renameTo(dir)) dir.getAbsolutePath
+          else tmp.getAbsolutePath // unpublishable: serve the private build
+        }
+      }
+    })
+    s.read.parquet(path)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** Cheap input fingerprint for [[sharedDurable]]: md5 over the
+    * sorted (relative path, length, mtime) listing of `path` — a
+    * driver-side metadata walk, no data scan. Regenerated test data
+    * (new mtime/size) changes it, which is the staleness guard. */
+  def pathFingerprint(path: String): String = {
+    val root = new java.io.File(path)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(root).foreach { f =>
+      md.update(s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}\n"
+        .getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 }

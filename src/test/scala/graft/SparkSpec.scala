@@ -13,12 +13,19 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // scratch outside the checkout: Derby's derby.log and the SQL
+    // warehouse dir default to CWD and left turds in the repo root
+    // after every `sbt test` (r14 verdict housekeeping ask)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-test-scratch")
+    System.setProperty("derby.system.home", scratch.toString)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        scratch.resolve("spark-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -33,6 +33,24 @@ object Orchestrator {
     throw last
   }
 
+  /** S12 — the Power BI refresh trigger as a [[runDaily]] onSuccess
+    * hook (trigger_pbi.py end-to-end: ROPC token + dataset refresh
+    * POST, [[graft.sources.PowerBiClient]]). Absent env config (the
+    * reference's .env contract) degrades to a no-op, and a rejected
+    * refresh logs but never fails the ETL run — the warehouse result
+    * is already durable by the time the hook fires. */
+  def powerBiHook(env: String => Option[String] = sys.env.get,
+      client: graft.sources.PowerBiConfig => graft.sources.PowerBiClient =
+        new graft.sources.PowerBiClient(_)): () => Unit =
+    () => graft.sources.PowerBiConfig.fromEnv(env).foreach { cfg =>
+      Try(client(cfg).triggerRefresh()) match {
+        case Success(true) => ()
+        case Success(false) => () // already logged by the client
+        case Failure(e) =>
+          System.err.println(s"[powerbi] refresh failed: ${e.getMessage}")
+      }
+    }
+
   /** S10 — bronze file lifecycle: archive the processed raw file (or
     * delete-only when no archive dir is configured, the reference's
     * ARCHIVE_BUCKET=False short-circuit, daily_scheduler.py:85-97). */

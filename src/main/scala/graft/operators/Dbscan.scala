@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * are stable under repartitioning.
   *
   * 100 TB shape: the ε-neighborhood join NEVER goes all-pairs — each
-  * point lands in one ε-wide grid cell and probes its 3×3 neighborhood
-  * (a constant 9× fan-out), so any qualifying pair meets in exactly
-  * one (probe-cell = home-cell, id_a < id_b) combination and the join
-  * work is Σ_cell (density · 9-neighborhood density), not n². All
+  * point lands in one ε-wide grid cell and probes only the FORWARD
+  * HALF of its 3×3 neighborhood (own cell + the 4 lexicographically
+  * forward neighbors, a constant 5× fan-out): each unordered cell
+  * pair is examined in exactly one direction, so any qualifying pair
+  * meets exactly once and the join work is Σ_cell (density ·
+  * half-neighborhood density) — half the naive 9-probe volume and
+  * still never n². All
   * arithmetic is integer (squared distances on quantized coords — no
   * float boundary anywhere). Components run on the CORE-CORE edge
   * list only (typically ≪ the pair list) through the shared
@@ -58,23 +61,36 @@ object Dbscan {
     def cellOf(c: String) = expr(s"($c - pmod($c, $eps)) div $eps")
     val home = pts.select(col("id"), col("x"), col("y"),
       cellOf("x").as("cx"), cellOf("y").as("cy"))
-    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
-      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    // forward-half-plane probing: own cell plus the 4 neighbors that
+    // are lexicographically forward in (cx, cy) order. An unordered
+    // pair of ADJACENT DISTINCT cells (A, B) is then examined in
+    // exactly one direction (the one where B − A is a forward offset),
+    // so the id ordering is only needed for SAME-cell pairs — vs the
+    // naive 3×3 probe, the probe explode drops 9× → 5× and the
+    // hash-join match volume halves (cross-cell pairs stop matching
+    // twice and being halved back by the id filter).
+    val offsets = array(Seq((0L, 0L), (0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))
+      .map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)
     val probes = home.select(col("id"), col("x"), col("y"),
         col("cx"), col("cy"), explode(offsets).as("o"))
       .select(col("id"), col("x"), col("y"),
         (col("cx") + col("o.dx")).as("pcx"),
-        (col("cy") + col("o.dy")).as("pcy"))
-    // every unordered qualifying pair meets EXACTLY once: b's home cell
-    // is unique, a's 9 probes are distinct, and the probe-side id must
-    // be the smaller one
+        (col("cy") + col("o.dy")).as("pcy"),
+        (col("o.dx") === 0L && col("o.dy") === 0L).as("own"))
+    // every unordered qualifying pair meets EXACTLY once: same-cell
+    // pairs via the own-cell probe with the probe-side id smaller;
+    // cross-cell pairs via the unique forward direction (ids then
+    // re-canonicalized on output so id_a < id_b still holds)
     val pairs = Materialize.once(probes.as("a")
       .join(home.as("b"),
         col("a.pcx") === col("b.cx") && col("a.pcy") === col("b.cy") &&
-          col("a.id") < col("b.id"))
+          (!col("a.own") || col("a.id") < col("b.id")))
+      .filter(col("a.id") =!= col("b.id"))
       .filter((col("a.x") - col("b.x")) * (col("a.x") - col("b.x")) +
         (col("a.y") - col("b.y")) * (col("a.y") - col("b.y")) <= eps * eps)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b")))
     val deg = pts.join(
         pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
           .groupBy("id").agg(count(lit(1)).as("__d")),

@@ -98,6 +98,10 @@ private[graft] object Materialize {
     s.read.parquet(path)
   }
 
+  /** Test hook: forget the in-JVM path memo so a spec can exercise
+    * the cross-JVM path (disk hit / stale-dir eviction) in-process. */
+  private[operators] def clearSharedPathsForTest(): Unit = sharedPaths.clear()
+
   private def deleteRec(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRec)

@@ -71,7 +71,7 @@ object PreferenceOps {
       .agg(coalesce(sum(col("__x")), lit(0).cast(dec)).as("W"),
         coalesce(sum(col("n")), lit(0).cast(dec)).as("games")))
     var w = players.withColumn("r", lit(S).cast(dec))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val stamped = pairs
         .join(broadcast(w.select(col("player").as("a"), col("r").as("__ra"))), Seq("a"))
         .join(broadcast(w.select(col("player").as("b"), col("r").as("__rb"))), Seq("b"))
@@ -83,8 +83,18 @@ object PreferenceOps {
         .select(col("player"),
           expr(s"greatest((W * $K) div __d, 1)").cast(dec).as("r"))
       val mx = raw.agg(max(col("r")).as("__mx"))
-      w = Materialize.once(raw.crossJoin(broadcast(mx))
-        .select(col("player"), expr(s"(r * $S) div __mx").cast(dec).as("r")))
+      val next = raw.crossJoin(broadcast(mx))
+        .select(col("player"), expr(s"(r * $S) div __mx").cast(dec).as("r"))
+      // checkpoint cadence 2 (the louvainGainRounds policy): the
+      // rating frame is PLAYER-sized — comparison-matrix dims, not
+      // data — so on alternate rounds the eager checkpoint job costs
+      // more than re-deriving one tiny round inline (w threads through
+      // the next round's stamped/d/raw tree with ≤8 references, every
+      // one of them player-sized arithmetic over the CHECKPOINTED pair
+      // table — bounded because the cadence never lets two skipped
+      // rounds chain). The final round always lands one (read twice by
+      // the output join).
+      w = if (i % 2 == 0 || i == iterations) Materialize.once(next) else next
     }
     w.join(wins, Seq("player"))
       .select(col("player"), expr("CAST(r AS BIGINT)").as("rating_ppm"),

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Materialize.sharedDurable]] contract: build-once per (key,
+  * fingerprint) ACROSS JVMs (simulated by clearing the in-JVM memo —
+  * the disk side is what a fresh JVM sees), staleness re-keying on a
+  * fingerprint change, and eviction of a crashed half-build. */
+class MaterializeDurableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val key = s"durable-spec-${java.util.UUID.randomUUID()}"
+  private var builds = 0
+  private def build() = { builds += 1; Seq(1L, 2L, 3L).toDF("v") }
+
+  test("second JVM reads the published parquet instead of rebuilding") {
+    val a = Materialize.sharedDurable(spark, key, "fp1")(build())
+    assert(builds == 1 && a.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // same JVM: served from the path memo
+    Materialize.sharedDurable(spark, key, "fp1")(build())
+    assert(builds == 1)
+    // "new JVM": memo gone, _SUCCESS on disk → read, not rebuild
+    Materialize.clearSharedPathsForTest()
+    val b = Materialize.sharedDurable(spark, key, "fp1")(build())
+    assert(builds == 1 && b.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("a changed fingerprint re-keys: stale data is never served") {
+    Materialize.sharedDurable(spark, key, "fp1")(build())
+    val before = builds
+    Materialize.sharedDurable(spark, key, "fp2")(build())
+    assert(builds == before + 1) // new directory, fresh build
+  }
+
+  test("a crashed half-build (no _SUCCESS) is evicted and rebuilt") {
+    val k2 = s"$key-crash"
+    val df = Materialize.sharedDurable(spark, k2, "fp")(build())
+    df.count()
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest((k2 + "\u0001" + "fp").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-shared/$tag")
+    assert(new java.io.File(dir, "_SUCCESS").delete()) // simulate crash
+    Materialize.clearSharedPathsForTest()
+    val before = builds
+    val again = Materialize.sharedDurable(spark, k2, "fp")(build())
+    assert(builds == before + 1)
+    assert(again.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(new java.io.File(dir, "_SUCCESS").exists()) // republished
+  }
+
+  test("pathFingerprint tracks file metadata, not just the path") {
+    val f = java.nio.file.Files.createTempFile("fp-spec", ".bin")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
+    val fp1 = Materialize.pathFingerprint(f.toString)
+    assert(fp1 == Materialize.pathFingerprint(f.toString)) // stable
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3, 4))
+    f.toFile.setLastModified(System.currentTimeMillis() + 5000)
+    assert(fp1 != Materialize.pathFingerprint(f.toString))
+  }
+}

@@ -71,7 +71,7 @@ object PreferenceOps {
       .agg(coalesce(sum(col("__x")), lit(0).cast(dec)).as("W"),
         coalesce(sum(col("n")), lit(0).cast(dec)).as("games")))
     var w = players.withColumn("r", lit(S).cast(dec))
-    for (i <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       val stamped = pairs
         .join(broadcast(w.select(col("player").as("a"), col("r").as("__ra"))), Seq("a"))
         .join(broadcast(w.select(col("player").as("b"), col("r").as("__rb"))), Seq("b"))
@@ -83,18 +83,17 @@ object PreferenceOps {
         .select(col("player"),
           expr(s"greatest((W * $K) div __d, 1)").cast(dec).as("r"))
       val mx = raw.agg(max(col("r")).as("__mx"))
-      val next = raw.crossJoin(broadcast(mx))
-        .select(col("player"), expr(s"(r * $S) div __mx").cast(dec).as("r"))
-      // checkpoint cadence 2 (the louvainGainRounds policy): the
-      // rating frame is PLAYER-sized — comparison-matrix dims, not
-      // data — so on alternate rounds the eager checkpoint job costs
-      // more than re-deriving one tiny round inline (w threads through
-      // the next round's stamped/d/raw tree with ≤8 references, every
-      // one of them player-sized arithmetic over the CHECKPOINTED pair
-      // table — bounded because the cadence never lets two skipped
-      // rounds chain). The final round always lands one (read twice by
-      // the output join).
-      w = if (i % 2 == 0 || i == iterations) Materialize.once(next) else next
+      // checkpoint EVERY round — measured, not assumed: a cadence-2
+      // variant (skip alternate checkpoints, the louvainGainRounds
+      // policy) was A/B'd at sf0.1 and REGRESSED q190 1.36× (medians
+      // 3.44 → 4.70 s, non-overlapping arms). Unlike a Louvain round,
+      // one BT round references its input ~8× (w twice in stamped,
+      // stamped twice in d, raw twice in the normalize, plus the two
+      // broadcast max subqueries), so inlining a skipped round grows
+      // the next job superlinearly and costs more than the eager
+      // checkpoint it saves.
+      w = Materialize.once(raw.crossJoin(broadcast(mx))
+        .select(col("player"), expr(s"(r * $S) div __mx").cast(dec).as("r")))
     }
     w.join(wins, Seq("player"))
       .select(col("player"), expr("CAST(r AS BIGINT)").as("rating_ppm"),

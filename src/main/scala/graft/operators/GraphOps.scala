@@ -1293,12 +1293,22 @@ object GraphOps {
     * propagation, Louvain levels, the fixpoint) build the prep once
     * (optionally disk-shared across queries via [[rankGraph]]'s `mat`
     * hook) and pay only the sweep here. */
-  def louvainLevel(g: RankedGraph, rounds: Int): DataFrame = {
+  def louvainLevel(g: RankedGraph, rounds: Int): DataFrame =
+    louvainDecode(louvainLevelAssign(g, rounds), g.rank, g.hint)
+
+  /** The rank-keyed LEVEL-1 assignment (i, label) every multi-level
+    * entry point starts from — level 1 is the only sweep that runs on
+    * the full node-sized graph (contracted levels are community-
+    * sized), and q210/q212/q246 all run the IDENTICAL level-1 sweep
+    * on the same graph. Public so callers can materialize it once
+    * (e.g. [[Materialize.sharedDurable]]) and hand it back via the
+    * assignment-taking [[louvainTwoLevel]]/[[louvainLevels]]
+    * overloads; determinism makes the materialized frame
+    * bit-identical to a fresh sweep with the same `rounds`. */
+  def louvainLevelAssign(g: RankedGraph, rounds: Int): DataFrame = {
     require(rounds >= 1)
-    val assign =
-      louvainGainRounds(g.dir.withColumn("w", lit(1L)), g.deg, g.m, g.n,
-        rounds, g.hint)
-    louvainDecode(assign, g.rank, g.hint)
+    louvainGainRounds(g.dir.withColumn("w", lit(1L)), g.deg, g.m, g.n,
+      rounds, g.hint)
   }
 
   /** Rank-keyed canonical UNDIRECTED graph shared by the community
@@ -1491,9 +1501,17 @@ object GraphOps {
 
   /** [[louvainTwoLevel]] over a pre-built [[RankedGraph]]. */
   def louvainTwoLevel(g: RankedGraph, rounds1: Int, rounds2: Int): DataFrame = {
-    require(rounds1 >= 1 && rounds2 >= 1)
-    val a1 = louvainGainRounds(g.dir.withColumn("w", lit(1L)), g.deg,
-      g.m, g.n, rounds1, g.hint)
+    require(rounds1 >= 1)
+    louvainTwoLevel(g, louvainLevelAssign(g, rounds1), rounds2)
+  }
+
+  /** [[louvainTwoLevel]] starting from a precomputed level-1
+    * assignment (the [[louvainLevelAssign]] frame, possibly served
+    * from a durable materialization) — only the contraction and the
+    * community-sized level-2 sweep run here. */
+  def louvainTwoLevel(g: RankedGraph, a1: DataFrame,
+      rounds2: Int): DataFrame = {
+    require(rounds2 >= 1)
     val a2 = louvainContractedSweep(g, a1, rounds2)
     // node → level-1 community → level-2 community, then decode; sizes
     // count original nodes (groupBy + join, never a label window)
@@ -1594,10 +1612,19 @@ object GraphOps {
     * The convergence probe is one filter-isEmpty on the (already
     * materialized) community-sized assignment. */
   def louvainLevels(g: RankedGraph, roundsPerLevel: Int,
+      maxLevels: Int): DataFrame =
+    louvainLevels(g, louvainLevelAssign(g, roundsPerLevel),
+      roundsPerLevel, maxLevels)
+
+  /** [[louvainLevels]] starting from a precomputed level-1 assignment
+    * — `l1` MUST be the [[louvainLevelAssign]] frame for the same
+    * graph and the same `roundsPerLevel` (determinism makes a
+    * materialized copy bit-identical); levels 2+ (contractions and
+    * community-sized sweeps) run here. */
+  def louvainLevels(g: RankedGraph, l1: DataFrame, roundsPerLevel: Int,
       maxLevels: Int): DataFrame = {
     require(roundsPerLevel >= 1 && maxLevels >= 1)
-    var comp = louvainGainRounds(g.dir.withColumn("w", lit(1L)), g.deg,
-      g.m, g.n, roundsPerLevel, g.hint)
+    var comp = l1
     // the weighted super-graph carried level to level: contracting it
     // by the LEVEL assignment equals contracting the original edges by
     // the COMPOSED assignment (see [[contractWeighted]]), so only the

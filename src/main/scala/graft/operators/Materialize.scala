@@ -109,9 +109,11 @@ private[graft] object Materialize {
   }
 
   /** Cheap input fingerprint for [[sharedDurable]]: md5 over the
-    * sorted (relative path, length, mtime) listing of `path` — a
+    * sorted (absolute path, length, mtime) listing of `path` — a
     * driver-side metadata walk, no data scan. Regenerated test data
-    * (new mtime/size) changes it, which is the staleness guard. */
+    * (new mtime/size) changes it, which is the staleness guard; the
+    * absolute path keys the same bytes under a different mount as a
+    * different corpus, a conservative (rebuild, never stale) choice. */
   def pathFingerprint(path: String): String = {
     val root = new java.io.File(path)
     def walk(f: java.io.File): Seq[java.io.File] =

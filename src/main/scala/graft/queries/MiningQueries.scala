@@ -133,9 +133,11 @@ object MiningQueries {
     * [[graft.operators.GraphOps.modularity]]. */
   val q180Modularity: Q = (s, d) => {
     val sp = WarehouseQueries.spPairs(s, d)
-    val sym = WarehouseQueries.spEdges(s, d)
-    val assign = GraphOps.labelPropagation(sym, iterations = 3,
-      assumeDistinct = true).select("node_id", "label")
+    // the q128 assignment it audits, served from the shared durable
+    // materialization (WarehouseQueries.spLpa3) instead of re-running
+    // the full 3-round propagation — the oracle still recomputes the
+    // propagation from scratch, so the equivalence stays pinned
+    val assign = WarehouseQueries.spLpa3(s, d)
     GraphOps.modularity(
       sp.select(col("s").as("src"), col("p").as("dst")), assign)
   }

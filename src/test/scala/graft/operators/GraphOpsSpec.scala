@@ -713,6 +713,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(labelsOf(GraphOps.louvainLevels(g, roundsPerLevel = 2, maxLevels = 2)) == two)
   }
 
+  test("precomputed-L1 overloads ≡ inline, incl. a parquet round-trip") {
+    // the shared-materialization contract behind WarehouseQueries'
+    // spLouvainL1: a MATERIALIZED copy of louvainLevelAssign handed to
+    // the assignment-taking overloads must reproduce the inline result
+    // bit-for-bit (q212/q246 read the durable frame; their oracles
+    // recompute from scratch)
+    val edges = (for {
+      i <- 0 until 14; j <- (i + 1) until 14
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (s"n$i", s"n$j")).toDF("src", "dst")
+    val g = GraphOps.rankGraph(edges)
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("node_id", "label").as[(String, String)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("l1").resolve("a1")
+    GraphOps.louvainLevelAssign(g, rounds = 2)
+      .write.mode("overwrite").parquet(dir.toString)
+    val l1 = spark.read.parquet(dir.toString)
+    assert(labelsOf(GraphOps.louvainTwoLevel(g, l1, rounds2 = 2)) ==
+      labelsOf(GraphOps.louvainTwoLevel(g, rounds1 = 2, rounds2 = 2)))
+    assert(labelsOf(GraphOps.louvainLevels(g, l1, roundsPerLevel = 2,
+        maxLevels = 4)) ==
+      labelsOf(GraphOps.louvainLevels(g, roundsPerLevel = 2, maxLevels = 4)))
+  }
+
   test("rankGraph overloads ≡ edge-frame entry points on a symmetric input") {
     val und = (for {
       i <- 0 until 12; j <- (i + 1) until 12

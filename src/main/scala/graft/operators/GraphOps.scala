@@ -1107,6 +1107,10 @@ object GraphOps {
       // max), so an un-truncated round k carries 2^k plan copies — and
       // the guard must also fire on the LAST round (the old
       // `round < iterations` exclusion let the final plan explode).
+      // Cadence 2 was A/B'd on q175 at sf0.1 (r15): arms {5.90, 7.48}
+      // vs cadence-1 {5.72, 5.64} s — same-or-worse, the q190 lesson
+      // (multi-reference rounds make skipped checkpoints superlinear);
+      // keep 1.
       // Auths stay lazy: the NEXT round reads only hubs, so an
       // un-truncated auths plan is re-evaluated a bounded (~4×)
       // number of times within its own round — half the per-round

@@ -64,6 +64,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    * SIGIR 2020): queries and documents are BAGS of token vectors and
+    * score(Q, D) = Σ_{q∈Q} max_{d∈D} ⟨q, d⟩ — each query token finds
+    * its best-matching document token and the per-token maxima sum.
+    * Inputs are PRE-QUANTIZED integer vectors (`VectorFunctions
+    * .quantize`), so every dot is an exact integer, every max is
+    * order-free, and the summed score is an exact BIGINT — the q250
+    * oracle replays it bit-for-bit (ColBERT normalizes token vectors,
+    * where inner product ≡ cosine; the quantized-dot form keeps that
+    * semantics engine-exact).
+    *
+    * `docTokens`: (doc_id, qv) one row per document token;
+    * `queryTokens`: (query_id, tok_id, qv) one row per query token.
+    * Returns (query_id, doc_id, maxsim, rank), top `k` docs per query.
+    *
+    * 100 TB shape: the query token set broadcasts; the corpus token
+    * table streams through ONE codegen'd dot projection and two
+    * re-aggregable hash aggregates (max, then sum — both map-side
+    * partial), so shuffle volume is |queries·qtokens·docs| AFTER
+    * partial max, never the token-pair count; ranking is the bounded-
+    * heap [[ScaleOps.topKPerKey]] node, no full sort. For corpus-scale
+    * retrieval, prefilter candidate doc_ids with the IVF/SRP paths
+    * over pooled doc vectors and keep this as the exact re-scorer —
+    * the standard two-stage late-interaction deployment. */
+  def maxSimTopK(docTokens: DataFrame, queryTokens: DataFrame, k: Int,
+                 excludeSelfDoc: Boolean = false): DataFrame = {
+    val c = fanOut(docTokens).select(col("doc_id"), col("qv").as("dv"))
+    val q = queryTokens.select(col("query_id"), col("tok_id"),
+      col("qv").as("qtv"))
+    val pairs0 = c.crossJoin(broadcast(q))
+    val pairs = (if (excludeSelfDoc)
+        pairs0.filter(col("doc_id") =!= col("query_id")) else pairs0)
+      .select(col("query_id"), col("tok_id"), col("doc_id"),
+        graft.functions.VectorFunctions.intDot(col("qtv"), col("dv"))
+          .as("dot"))
+    val perToken = pairs.groupBy("query_id", "tok_id", "doc_id")
+      .agg(max(col("dot")).as("mx"))
+    val scored = perToken.groupBy("query_id", "doc_id")
+      .agg(sum(col("mx")).as("maxsim"))
+    ScaleOps.topKPerKey(scored, Seq("query_id"),
+        Seq(col("maxsim").desc, col("doc_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("maxsim").desc, col("doc_id").asc)))
+      .select(col("query_id"), col("doc_id"), col("maxsim"), col("rank"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k most-similar corpus vectors with a DIFFERENT label
     * — near misses, the negatives that actually teach a bi-encoder

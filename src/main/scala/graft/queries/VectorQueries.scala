@@ -789,7 +789,25 @@ object VectorQueries {
       "label", "qv")
       .orderBy("label")
 
+  /** ColBERT-style late-interaction retrieval: the embeddings table
+    * sliced into 8-token "documents" (doc_id = vec_id div 8 — the
+    * fixed-stride packing a token-vector store uses), queries = the
+    * first 4 docs' token bags, score = Σ per-query-token max quantized
+    * inner product over the doc's tokens, top-5 docs per query
+    * excluding the query doc itself — see
+    * [[graft.operators.Similarity.maxSimTopK]]. */
+  val q250Maxsim: Q = (s, d) => {
+    val toks = emb(s, d)
+      .select(expr("vec_id div 8").cast("long").as("doc_id"),
+        col("vec_id").as("tok_id"), quantize(col("embedding")).as("qv"))
+    val q = toks.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"), col("tok_id"), col("qv"))
+    Similarity.maxSimTopK(toks, q, k = 5, excludeSelfDoc = true)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q250_maxsim" -> q250Maxsim,
     "q241_silhouette" -> q241Silhouette,
     "q233_mutual_knn" -> q233MutualKnn,
     "q231_dbscan" -> q231Dbscan,
@@ -982,6 +1000,23 @@ object VectorQueries {
        |       FROM ex GROUP BY dim)""".stripMargin
 
   private val staticOracles: Map[String, String] = Map(
+    // late-interaction MaxSim: per (query token, doc) max integer dot,
+    // summed per (query, doc), top-5 per query — all-integer, so the
+    // replay is exact under the same <2^53 contract as the other dots
+    "q250_maxsim" ->
+      s"""WITH e AS (SELECT vec_id // 8 AS doc_id, vec_id AS tok_id, $qv AS qv
+         |           FROM embeddings),
+         |q AS (SELECT doc_id AS query_id, tok_id, qv AS qtv FROM e WHERE doc_id < 4),
+         |p AS (SELECT q.query_id, q.tok_id, e.doc_id, ${dot("q.qtv", "e.qv")} AS dot
+         |      FROM q, e WHERE e.doc_id <> q.query_id),
+         |m AS (SELECT query_id, tok_id, doc_id, max(dot) AS mx
+         |      FROM p GROUP BY query_id, tok_id, doc_id),
+         |s AS (SELECT query_id, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim
+         |      FROM m GROUP BY query_id, doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY maxsim DESC, doc_id) AS rank FROM s)
+         |SELECT query_id, doc_id, maxsim, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q241_silhouette" ->
       graft.operators.ClusterEval.simplifiedSilhouetteOracleSql(
         s"SELECT vec_id AS id, label, $qv AS qv FROM embeddings",

@@ -32,6 +32,37 @@ class SimilaritySpec extends SparkSpec {
     assert(r0.toSeq == r0.sortBy(-_).toSeq) // descending
   }
 
+  test("maxSimTopK: bit-identical to a driver MaxSim replay; self-doc excluded") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val dims = 4
+    // 6 docs × 3 tokens each, integer vectors (already "quantized")
+    val toks = (0 until 18).map { i =>
+      (i.toLong / 3, i.toLong, Seq.fill(dims)(rnd.nextInt(2001) - 1000L))
+    }
+    val df = toks.toDF("doc_id", "tok_id", "qv")
+    val q = df.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("tok_id"), col("qv"))
+    val out = Similarity.maxSimTopK(df, q, k = 3, excludeSelfDoc = true)
+      .select("query_id", "doc_id", "maxsim", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    // driver replay: per query token the max dot over each doc's
+    // tokens, summed per doc, top-3 docs by (score desc, doc asc)
+    val byDoc = toks.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    val expected = (0L until 2L).flatMap { qd =>
+      val scores = byDoc.keys.filter(_ != qd).toSeq.map { d =>
+        val s = byDoc(qd).map { qt =>
+          byDoc(d).map(dt => qt.zip(dt).map { case (a, b) => a * b }.sum).max
+        }.sum
+        (d, s)
+      }
+      scores.sortBy { case (d, s) => (-s, d) }.take(3).zipWithIndex
+        .map { case ((d, s), r) => (qd, d, s, r + 1) }
+    }.sorted
+    assert(out == expected)
+    assert(out.forall { case (qd, d, _, _) => qd != d })
+  }
+
   test("marginMineQuantized: bit-identical to a driver replay; hub demotion") {
     val rnd = new scala.util.Random(41)
     val dims = 6

@@ -111,6 +111,71 @@ object Similarity {
       .select(col("query_id"), col("doc_id"), col("maxsim"), col("rank"))
   }
 
+  /** Sum-pooled single-vector sketch of a token bag: element-wise
+    * integer sum per id — the cheap bi-encoder-style representation
+    * the two-stage late-interaction pipeline prunes with. Sum (not
+    * mean) pooling keeps everything division-free and exact; the
+    * length bias it carries toward bigger bags is absorbed by the
+    * exact [[maxSimTopK]] re-score of the surviving candidates. */
+  private def sumPooled(tokens: DataFrame, idCol: String): DataFrame =
+    tokens
+      .select(col(idCol), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(idCol, "dim").agg(sum(col("v")).as("s"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ps"))
+      .select(col(idCol), expr("transform(ps, x -> x.s)").as("pool"))
+
+  /** Two-stage late-interaction retrieval: prune with sum-pooled
+    * single-vector dots (`kCand` candidates per query), then re-score
+    * ONLY the candidates with the exact [[maxSimTopK]] MaxSim and
+    * keep the top `k`. Both stages are all-integer on quantized
+    * vectors, so the q251 oracle replays candidate selection and
+    * re-scoring bit-for-bit — the recall-vs-exact audit is then a
+    * meaningful measurement, not float noise.
+    *
+    * 100 TB shape: stage 1 touches one pooled row per document
+    * (corpus-token table reduced by an 8–100× pooling factor before
+    * the broadcast-join scoring); stage 2's token-level work is
+    * bounded by |queries|·kCand documents instead of the corpus.
+    * The candidate frame (|queries|·kCand rows) broadcasts into the
+    * token join, so the corpus token table is filtered by a
+    * broadcast semi-join — never shuffled. */
+  def maxSimRefineTopK(docTokens: DataFrame, queryTokens: DataFrame,
+                       kCand: Int, k: Int,
+                       excludeSelfDoc: Boolean = false): DataFrame = {
+    val dPool = fanOut(sumPooled(docTokens, "doc_id"))
+    val qPool = sumPooled(queryTokens.select(col("query_id").as("doc_id"),
+        col("tok_id"), col("qv")), "doc_id")
+      .select(col("doc_id").as("query_id"), col("pool").as("qpool"))
+    val scored0 = dPool.crossJoin(broadcast(qPool))
+    val scored = (if (excludeSelfDoc)
+        scored0.filter(col("doc_id") =!= col("query_id")) else scored0)
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.VectorFunctions.intDot(col("pool"), col("qpool"))
+          .as("pdot"))
+    val cand = ScaleOps.topKPerKey(scored, Seq("query_id"),
+        Seq(col("pdot").desc, col("doc_id").asc), kCand)
+      .select(col("query_id"), col("doc_id"))
+    val candTokens = docTokens.join(broadcast(cand), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("qv").as("dv"))
+    val q = queryTokens.select(col("query_id"), col("tok_id"),
+      col("qv").as("qtv"))
+    val pairs = candTokens.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("tok_id"), col("doc_id"),
+        graft.functions.VectorFunctions.intDot(col("qtv"), col("dv"))
+          .as("dot"))
+    val perToken = pairs.groupBy("query_id", "tok_id", "doc_id")
+      .agg(max(col("dot")).as("mx"))
+    val rescored = perToken.groupBy("query_id", "doc_id")
+      .agg(sum(col("mx")).as("maxsim"))
+    ScaleOps.topKPerKey(rescored, Seq("query_id"),
+        Seq(col("maxsim").desc, col("doc_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("maxsim").desc, col("doc_id").asc)))
+      .select(col("query_id"), col("doc_id"), col("maxsim"), col("rank"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k most-similar corpus vectors with a DIFFERENT label
     * — near misses, the negatives that actually teach a bi-encoder

@@ -806,7 +806,32 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The two-stage deployment of q250: sum-pooled single-vector dots
+    * prune to 16 candidate docs per query (one pooled row per doc —
+    * the 8× cheaper bi-encoder pass), exact MaxSim re-scores only the
+    * survivors, and each surviving row carries `in_exact` — whether
+    * the exact full-corpus MaxSim top-5 (q250's ranking) also
+    * contains it — so the pipeline's recall is IN the hashed output,
+    * not a side claim; see
+    * [[graft.operators.Similarity.maxSimRefineTopK]]. */
+  val q251MaxsimRefine: Q = (s, d) => {
+    val toks = emb(s, d)
+      .select(expr("vec_id div 8").cast("long").as("doc_id"),
+        col("vec_id").as("tok_id"), quantize(col("embedding")).as("qv"))
+    val q = toks.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"), col("tok_id"), col("qv"))
+    val refined = Similarity.maxSimRefineTopK(toks, q, kCand = 16, k = 5,
+      excludeSelfDoc = true)
+    val exact = Similarity.maxSimTopK(toks, q, k = 5, excludeSelfDoc = true)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("in_exact"))
+    refined.join(exact, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"), col("maxsim"), col("rank"),
+        coalesce(col("in_exact"), lit(0L)).as("in_exact"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q251_maxsim_refine" -> q251MaxsimRefine,
     "q250_maxsim" -> q250Maxsim,
     "q241_silhouette" -> q241Silhouette,
     "q233_mutual_knn" -> q233MutualKnn,
@@ -1000,6 +1025,52 @@ object VectorQueries {
        |       FROM ex GROUP BY dim)""".stripMargin
 
   private val staticOracles: Map[String, String] = Map(
+    // two-stage MaxSim: sum-pooled candidate pruning (dims fixed at 64
+    // in this corpus — the literal series rebuilds the pooled arrays),
+    // exact re-score of the 16 survivors, audit flag vs the exact
+    // full-corpus top-5. All-integer; pooled partial sums stay < 2^53
+    // (|coord| <= 10^6, <= 8 tokens pooled, 64 dims => <= 4.1e15)
+    "q251_maxsim_refine" ->
+      s"""WITH e AS (SELECT vec_id // 8 AS doc_id, vec_id AS tok_id, $qv AS qv
+         |           FROM embeddings),
+         |q AS (SELECT doc_id AS query_id, tok_id, qv AS qtv FROM e WHERE doc_id < 4),
+         |u AS (SELECT doc_id, i, CAST(sum(qv[i]) AS BIGINT) AS s
+         |      FROM e CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY doc_id, i),
+         |pool AS (SELECT doc_id, list(s ORDER BY i) AS pl FROM u GROUP BY doc_id),
+         |qu AS (SELECT query_id, i, CAST(sum(qtv[i]) AS BIGINT) AS s
+         |       FROM q CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY query_id, i),
+         |qpool AS (SELECT query_id, list(s ORDER BY i) AS qpl FROM qu GROUP BY query_id),
+         |cs AS (SELECT qp.query_id, p.doc_id,
+         |         ${dot("p.pl", "qp.qpl")} AS pdot
+         |       FROM pool p, qpool qp WHERE p.doc_id <> qp.query_id),
+         |cand AS (SELECT query_id, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY pdot DESC, doc_id) AS cr FROM cs) WHERE cr <= 16),
+         |p2 AS (SELECT q.query_id, q.tok_id, c.doc_id, ${dot("q.qtv", "e.qv")} AS dot
+         |       FROM cand c JOIN q ON q.query_id = c.query_id
+         |       JOIN e ON e.doc_id = c.doc_id),
+         |m2 AS (SELECT query_id, tok_id, doc_id, max(dot) AS mx
+         |       FROM p2 GROUP BY query_id, tok_id, doc_id),
+         |s2 AS (SELECT query_id, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim
+         |       FROM m2 GROUP BY query_id, doc_id),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY maxsim DESC, doc_id) AS rank FROM s2),
+         |pe AS (SELECT q.query_id, q.tok_id, e.doc_id, ${dot("q.qtv", "e.qv")} AS dot
+         |       FROM q, e WHERE e.doc_id <> q.query_id),
+         |me AS (SELECT query_id, tok_id, doc_id, max(dot) AS mx
+         |       FROM pe GROUP BY query_id, tok_id, doc_id),
+         |se AS (SELECT query_id, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim
+         |       FROM me GROUP BY query_id, doc_id),
+         |re AS (SELECT query_id, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY maxsim DESC, doc_id) AS rank FROM se) WHERE rank <= 5)
+         |SELECT r2.query_id, r2.doc_id, r2.maxsim,
+         |  CAST(r2.rank AS INTEGER) AS rank,
+         |  CAST(CASE WHEN re.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS in_exact
+         |FROM r2 LEFT JOIN re ON re.query_id = r2.query_id
+         |  AND re.doc_id = r2.doc_id
+         |WHERE r2.rank <= 5 ORDER BY r2.query_id, r2.rank""".stripMargin,
     // late-interaction MaxSim: per (query token, doc) max integer dot,
     // summed per (query, doc), top-5 per query — all-integer, so the
     // replay is exact under the same <2^53 contract as the other dots

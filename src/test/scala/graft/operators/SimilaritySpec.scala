@@ -63,6 +63,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall { case (qd, d, _, _) => qd != d })
   }
 
+  test("maxSimRefineTopK: full-width candidates ≡ exact; survivors keep exact scores") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val dims = 4
+    val toks = (0 until 24).map { i =>
+      (i.toLong / 3, i.toLong, Seq.fill(dims)(rnd.nextInt(2001) - 1000L))
+    }
+    val df = toks.toDF("doc_id", "tok_id", "qv")
+    val q = df.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("tok_id"), col("qv"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "doc_id", "maxsim", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    // kCand ≥ #docs: pruning is a no-op, the pipeline IS the exact path
+    val exact = rows(Similarity.maxSimTopK(df, q, k = 3, excludeSelfDoc = true))
+    assert(rows(Similarity.maxSimRefineTopK(df, q, kCand = 8, k = 3,
+      excludeSelfDoc = true)) == exact)
+    // tight kCand: pruning may change the SET, never a survivor's score
+    val exactScores = rows(Similarity.maxSimTopK(df, q, k = 7,
+      excludeSelfDoc = true)).map { case (qd, d, s, _) => (qd, d) -> s }.toMap
+    val pruned = rows(Similarity.maxSimRefineTopK(df, q, kCand = 2, k = 3,
+      excludeSelfDoc = true))
+    assert(pruned.nonEmpty)
+    assert(pruned.forall { case (qd, d, s, _) => exactScores((qd, d)) == s })
+  }
+
   test("marginMineQuantized: bit-identical to a driver replay; hub demotion") {
     val rnd = new scala.util.Random(41)
     val dims = 6

@@ -22,45 +22,96 @@ import org.apache.spark.sql.functions._
   * Cluster label = the smallest core id in the component, so labels
   * are stable under repartitioning.
   *
-  * 100 TB shape: the ε-neighborhood join NEVER goes all-pairs — each
-  * point lands in one ε-wide grid cell and probes only the FORWARD
-  * HALF of its 3×3 neighborhood (own cell + the 4 lexicographically
-  * forward neighbors, a constant 5× fan-out): each unordered cell
-  * pair is examined in exactly one direction, so any qualifying pair
-  * meets exactly once and the join work is Σ_cell (density ·
-  * half-neighborhood density) — half the naive 9-probe volume and
-  * still never n². All
-  * arithmetic is integer (squared distances on quantized coords — no
-  * float boundary anywhere). Components run on the CORE-CORE edge
+  * 100 TB shape — three stacked guarantees against the n² cliff:
+  *
+  *  1. MULTIPLICITY COLLAPSE (exact): coincident points have
+  *     identical ε-neighborhoods, identical core status, and
+  *     identical cluster fate, so the whole pipeline runs over
+  *     DISTINCT (x, y) groups carrying a weight w = |group| and a
+  *     representative id = min(group). A collapsed mass of k points
+  *     on d distinct quantized coordinates costs d² candidate work,
+  *     not k² — the measured sf1skew hot mass (≈10% of all points on
+  *     ~97 coordinates) drops from ~4·10⁸ candidate pairs to ~10⁴.
+  *     Exactness: nbrs(p) = w(own group) + Σ w(qualifying groups);
+  *     the component label min over group reps equals the min over
+  *     member ids because each rep IS its group's min.
+  *  2. FORWARD-HALF-PLANE GRID PROBING: each group lands in one
+  *     ε-wide cell and probes only its own cell + the 4
+  *     lexicographically forward neighbors (constant 5× fan-out, half
+  *     the naive 3×3 volume); every unordered qualifying pair meets
+  *     exactly once. Join work is Σ_cell (density · half-neighborhood
+  *     density) — never n².
+  *  3. HOT-CELL DENSITY CAP (exact, threshold `hotCellCap`): a cell
+  *     still holding > cap DISTINCT groups after the collapse is
+  *     hash-sharded — build side gets shard pmod(id, m) with
+  *     m = ⌈cells/cap⌉, probes targeting a hot cell fan out over all
+  *     m shards — so the cell's candidate volume spreads across m
+  *     join keys instead of landing on one shuffle partition (the
+  *     df-cap/maxFrequency pattern from Dedup/FuzzyJoin, applied to
+  *     join-key parallelism: work unchanged, stragglers gone). Each
+  *     former candidate pair still meets exactly once, at the build
+  *     row's own shard.
+  *
+  * Both mitigations are ADAPTIVE, decided by two control-plane counts
+  * over already-checkpointed frames (the same driver-sync family as
+  * [[ScaleOps.canonicalize]]'s convergence checks): a duplicate-free
+  * input skips the expand-back join, and a grid with no cell over
+  * `hotCellCap` skips the shard joins entirely — so well-behaved data
+  * pays nothing for the skew armor.
+  *
+  * All arithmetic is integer (squared distances on quantized coords —
+  * no float boundary anywhere). Components run on the CORE-CORE edge
   * list only (typically ≪ the pair list) through the shared
-  * [[ScaleOps.canonicalize]] min-label/pointer-jump loop. Known
-  * liability, inherent to EXACT density clustering: a single cell
-  * holding k points costs k² candidate pairs — at 100 TB cap density
-  * upstream (coarser quantization or a per-cell sample gate), which
-  * changes the question, not the operator.
+  * [[ScaleOps.canonicalize]] min-label/pointer-jump loop.
   *
   * Reference semantics: the classic DBSCAN definition; no code
   * consulted.
   *
-  * @param eps    radius in coordinate units (cells are eps-wide)
-  * @param minPts core threshold, self included (textbook convention)
+  * @param eps        radius in coordinate units (cells are eps-wide)
+  * @param minPts     core threshold, self included (textbook convention)
+  * @param hotCellCap max distinct-coordinate groups per ε-cell before
+  *                   the cell is hash-sharded for join parallelism
   * @return (id, x, y, nbrs, role ∈ core|border|noise, cluster —
   *         NULL iff noise)
   */
 object Dbscan {
 
   def cluster(df: DataFrame, idCol: String, xCol: String, yCol: String,
-              eps: Long, minPts: Int): DataFrame = {
+              eps: Long, minPts: Int, hotCellCap: Int = 4096): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    require(hotCellCap >= 1, s"hotCellCap must be >= 1, got $hotCellCap")
     val pts = Materialize.once(
       df.select(col(idCol).cast("long").as("id"),
         col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
+    // multiplicity collapse: one row per DISTINCT coordinate, weight =
+    // member count, id = min member id (so component minima over reps
+    // equal minima over members)
+    val grp = Materialize.once(pts.groupBy("x", "y")
+      .agg(min(col("id")).as("id"), count(lit(1)).as("w")))
+    // both frames are checkpointed, so these control-plane counts are
+    // metadata-cheap; they gate the two mitigation joins below so a
+    // duplicate-free, evenly-gridded input keeps the old minimal plan
+    val hasDups = grp.count() < pts.count()
     // eps-wide grid cell, FLOOR division (div truncates toward zero on
     // negatives, which would fold cells -1 and 0 together)
     def cellOf(c: String) = expr(s"($c - pmod($c, $eps)) div $eps")
-    val home = pts.select(col("id"), col("x"), col("y"),
+    val home0 = grp.select(col("id"), col("x"), col("y"), col("w"),
       cellOf("x").as("cx"), cellOf("y").as("cy"))
+    // density cap: cells holding > hotCellCap distinct groups get m =
+    // ceil(count/cap) hash shards; the hot list is a per-cell count —
+    // tiny — and broadcast to both sides
+    val hot = home0.groupBy("cx", "cy").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > hotCellCap)
+      .select(col("cx"), col("cy"),
+        ceil(col("__cnt").cast("double") / hotCellCap).cast("int").as("__m"))
+    val anyHot = !hot.isEmpty
+    val home =
+      if (!anyHot) home0.withColumn("cs", lit(0))
+      else home0.join(broadcast(hot), Seq("cx", "cy"), "left")
+        .select(col("id"), col("x"), col("y"), col("w"), col("cx"), col("cy"),
+          coalesce(pmod(col("id"), col("__m").cast("long")).cast("int"),
+            lit(0)).as("cs"))
     // forward-half-plane probing: own cell plus the 4 neighbors that
     // are lexicographically forward in (cx, cy) order. An unordered
     // pair of ADJACENT DISTINCT cells (A, B) is then examined in
@@ -72,43 +123,68 @@ object Dbscan {
     val offsets = array(Seq((0L, 0L), (0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))
       .map { case (dx, dy) =>
         struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)
-    val probes = home.select(col("id"), col("x"), col("y"),
+    // probes into a HOT target cell fan out over all m of its shards
+    // (each candidate pair still meets exactly once: at the build
+    // row's own shard); probes into normal cells keep shard 0
+    val probes0 = home0.select(col("id"), col("x"), col("y"), col("w"),
         col("cx"), col("cy"), explode(offsets).as("o"))
-      .select(col("id"), col("x"), col("y"),
+      .select(col("id"), col("x"), col("y"), col("w"),
         (col("cx") + col("o.dx")).as("pcx"),
         (col("cy") + col("o.dy")).as("pcy"),
         (col("o.dx") === 0L && col("o.dy") === 0L).as("own"))
+    val probes =
+      if (!anyHot) probes0.withColumn("ps", lit(0))
+      else probes0
+        .join(broadcast(hot.select(col("cx").as("pcx"), col("cy").as("pcy"),
+          col("__m"))), Seq("pcx", "pcy"), "left")
+        .select(col("id"), col("x"), col("y"), col("w"),
+          col("pcx"), col("pcy"), col("own"),
+          explode(sequence(lit(0), coalesce(col("__m"), lit(1)) - 1)).as("ps"))
     // every unordered qualifying pair meets EXACTLY once: same-cell
     // pairs via the own-cell probe with the probe-side id smaller;
     // cross-cell pairs via the unique forward direction (ids then
-    // re-canonicalized on output so id_a < id_b still holds)
+    // re-canonicalized on output so id_a < id_b still holds); each
+    // weight travels with ITS group across the re-canonicalization
     val pairs = Materialize.once(probes.as("a")
       .join(home.as("b"),
         col("a.pcx") === col("b.cx") && col("a.pcy") === col("b.cy") &&
+          col("a.ps") === col("b.cs") &&
           (!col("a.own") || col("a.id") < col("b.id")))
       .filter(col("a.id") =!= col("b.id"))
       .filter((col("a.x") - col("b.x")) * (col("a.x") - col("b.x")) +
         (col("a.y") - col("b.y")) * (col("a.y") - col("b.y")) <= eps * eps)
       .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b")))
-    val deg = pts.join(
-        pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
-          .groupBy("id").agg(count(lit(1)).as("__d")),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        when(col("a.id") < col("b.id"), col("a.w")).otherwise(col("b.w")).as("w_a"),
+        when(col("a.id") < col("b.id"), col("b.w")).otherwise(col("a.w")).as("w_b")))
+    // weighted degree: each side of a qualifying group pair gains the
+    // OTHER group's full membership; nbrs = that sum + own group size
+    // (self + coincident points, all within ε by definition)
+    val deg = grp.join(
+        pairs.select(explode(array(
+            struct(col("id_a").as("id"), col("w_b").as("wn")),
+            struct(col("id_b").as("id"), col("w_a").as("wn")))).as("e"))
+          .select(col("e.id").as("id"), col("e.wn"))
+          .groupBy("id").agg(sum(col("wn")).as("__d")),
         Seq("id"), "left")
-      .select(col("id"), col("x"), col("y"),
-        (coalesce(col("__d"), lit(0L)) + 1L).as("nbrs"))
+      .select(col("id"), col("x"), col("y"), col("w"),
+        (coalesce(col("__d"), lit(0L)) + col("w")).as("nbrs"))
       .transform(Materialize.once)
     val cores = deg.filter(col("nbrs") >= minPts).select(col("id"))
-    val coreEdges = pairs
+    val coreEdges = pairs.select(col("id_a"), col("id_b"))
       .join(cores.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
       .join(cores.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
     // components over core-core edges; isolated cores label themselves
+    // (coincident members of a core group are mutually in-range, so
+    // the rep's component label IS every member's label)
     val canon = ScaleOps.canonicalize(coreEdges)
     val coreLab = cores.join(canon, Seq("id"), "left")
       .select(col("id"), coalesce(col("canonical_id"), col("id")).as("cluster"))
       .transform(Materialize.once)
     // border: non-core endpoint of a (core, non-core) qualifying pair →
-    // minimum neighboring cluster label
+    // minimum neighboring cluster label (a non-core group never holds
+    // coincident cores — identical nbrs force identical status — so
+    // group-level adjacency is point-level adjacency)
     val mixed = pairs
       .join(coreLab.select(col("id").as("id_a"), col("cluster").as("__ca")),
         Seq("id_a"), "left")
@@ -119,7 +195,10 @@ object Dbscan {
         when(col("__ca").isNotNull, col("id_b")).otherwise(col("id_a")).as("id"),
         coalesce(col("__ca"), col("__cb")).as("__cl"))
       .groupBy("id").agg(min(col("__cl")).as("cluster"))
-    deg
+    // group-level verdicts; duplicate-free inputs ARE point-level (one
+    // group per point, rep id = the point's id), otherwise expand back
+    // to every member point through its coordinate
+    val grpOut = deg
       .join(coreLab.withColumnRenamed("cluster", "__core_cl"), Seq("id"), "left")
       .join(borderLab.withColumnRenamed("cluster", "__border_cl"), Seq("id"), "left")
       .select(col("id"), col("x"), col("y"), col("nbrs"),
@@ -127,6 +206,10 @@ object Dbscan {
           .when(col("__border_cl").isNotNull, lit("border"))
           .otherwise(lit("noise")).as("role"),
         coalesce(col("__core_cl"), col("__border_cl")).as("cluster"))
+    if (!hasDups) grpOut
+    else pts.join(grpOut.drop("id"), Seq("x", "y"))
+      .select(col("id"), col("x"), col("y"), col("nbrs"), col("role"),
+        col("cluster"))
   }
 
   /** DuckDB replica of [[cluster]]: brute-force ε-pairs + recursive

@@ -98,6 +98,40 @@ class DbscanSpec extends SparkSpec {
     }
   }
 
+  test("coincident points: weighted collapse matches the point-level replica") {
+    // heavy duplication — 70 points on 7 distinct coordinates plus a
+    // sparse fringe; the multiplicity collapse must reproduce exact
+    // per-point nbrs (self + coincident + in-range), core status from
+    // weighted counts, and min-member-id cluster labels
+    val dense = (1 to 70).map(i => (i.toLong, (i % 7).toLong * 2, 0L))
+    val fringe = Seq((100L, 20L, 0L), (101L, 21L, 0L), (102L, 40L, 40L))
+    val pts = dense ++ fringe
+    assert(run(pts, eps = 2, minPts = 5) == replica(pts, eps = 2, minPts = 5))
+    // a lone coincident stack below minPts stays noise; at minPts ≤
+    // stack size it is core purely through its own weight
+    val stack = (1 to 4).map(i => (i.toLong, 0L, 0L)) :+ (9L, 50L, 50L)
+    assert(run(stack, eps = 1, minPts = 5) == replica(stack, eps = 1, minPts = 5))
+    assert(run(stack, eps = 1, minPts = 4) == replica(stack, eps = 1, minPts = 4))
+  }
+
+  test("hot-cell density cap: sharded join is exact at every cap") {
+    // one ε-cell holding many distinct coordinates — force sharding
+    // with tiny caps and require bit-identical output vs the uncapped
+    // run and the replica (every pair must still meet exactly once)
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 60).map(i =>
+      (i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val expected = replica(pts, eps = 6, minPts = 4)
+    for (cap <- Seq(1, 2, 7)) {
+      val out = Dbscan.cluster(pts.toDF("id", "x", "y"), "id", "x", "y",
+          eps = 6, minPts = 4, hotCellCap = cap)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getString(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+      assert(out == expected, s"mismatch at hotCellCap=$cap")
+    }
+  }
+
   test("partitioning invariance") {
     val rnd = new scala.util.Random(7)
     val pts = (1 to 80).map(i =>

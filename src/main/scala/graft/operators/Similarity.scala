@@ -99,17 +99,33 @@ object Similarity {
       .select(col("query_id"), col("tok_id"), col("doc_id"),
         graft.functions.VectorFunctions.intDot(col("qtv"), col("dv"))
           .as("dot"))
-    val perToken = pairs.groupBy("query_id", "tok_id", "doc_id")
-      .agg(max(col("dot")).as("mx"))
-    val scored = perToken.groupBy("query_id", "doc_id")
-      .agg(sum(col("mx")).as("maxsim"))
-    ScaleOps.topKPerKey(scored, Seq("query_id"),
+    scoreAndRank(pairs, k)
+  }
+
+  /** The MaxSim scoring + ranking tail shared by every late-
+    * interaction entry point: per-(query token, doc) max integer dot,
+    * summed per (query, doc), bounded-heap top-k with the
+    * (maxsim desc, doc_id asc) total order and row_number rank. ONE
+    * copy so the exact scorer, the two-stage refiner, and the recall
+    * sweep cannot drift apart in tie-break or aggregation semantics.
+    * `pairs`: (query_id, tok_id, doc_id, dot). */
+  private def scoreAndRank(pairs: DataFrame, k: Int): DataFrame =
+    ScaleOps.topKPerKey(maxSimScores(pairs), Seq("query_id"),
         Seq(col("maxsim").desc, col("doc_id").asc), k)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("maxsim").desc, col("doc_id").asc)))
       .select(col("query_id"), col("doc_id"), col("maxsim"), col("rank"))
-  }
+
+  /** The two re-aggregable hash aggregates of the MaxSim score —
+    * (query_id, doc_id, maxsim) with no ranking cut, for callers that
+    * need every candidate's exact score (the recall sweep scores one
+    * widened candidate set and ranks it at several cuts). */
+  private def maxSimScores(pairs: DataFrame): DataFrame =
+    pairs.groupBy("query_id", "tok_id", "doc_id")
+      .agg(max(col("dot")).as("mx"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("mx")).as("maxsim"))
 
   /** Sum-pooled single-vector sketch of a token bag: element-wise
     * integer sum per id — the cheap bi-encoder-style representation
@@ -164,16 +180,87 @@ object Similarity {
       .select(col("query_id"), col("tok_id"), col("doc_id"),
         graft.functions.VectorFunctions.intDot(col("qtv"), col("dv"))
           .as("dot"))
-    val perToken = pairs.groupBy("query_id", "tok_id", "doc_id")
-      .agg(max(col("dot")).as("mx"))
-    val rescored = perToken.groupBy("query_id", "doc_id")
-      .agg(sum(col("mx")).as("maxsim"))
-    ScaleOps.topKPerKey(rescored, Seq("query_id"),
-        Seq(col("maxsim").desc, col("doc_id").asc), k)
-      .withColumn("rank", row_number().over(
+    scoreAndRank(pairs, k)
+  }
+
+  /** Recall-convergence audit of the two-stage pipeline: how fast does
+    * [[maxSimRefineTopK]]'s recall@k approach 1 as the stage-1
+    * candidate budget widens? One row per candidate cut in `kCands` —
+    * (kcand, hits, total, recall_ppm) against the exact full-corpus
+    * MaxSim top-k — the committed evidence that widening kCand
+    * converges recall → 1 while stage-2 cost stays bounded by
+    * queries·kCand.
+    *
+    * The exact MaxSim of a (query, doc) pair does not depend on the
+    * cut, so the sweep scores ONE widened candidate set (max cut) and
+    * re-ranks it at every cut: the pooled rank `cr` is computed once
+    * from the stage-1 total order (pdot desc, doc_id asc), each cut K
+    * keeps cr ≤ K, and [[scoreAndRank]]'s tie-break re-ranks the
+    * survivors — bit-identical to running the two-stage pipeline at
+    * that kCand, for the cost of one. All-integer throughout
+    * (recall_ppm = hits·10⁶ div total), so the curve replays exactly.
+    *
+    * 100 TB shape: identical to [[maxSimRefineTopK]] — one pooled row
+    * per doc in stage 1, stage-2 token work bounded by
+    * queries·max(kCands), the per-cut re-ranking runs on a frame of
+    * ≤ queries·max(kCands) rows. */
+  def maxSimRecallCurve(docTokens: DataFrame, queryTokens: DataFrame,
+                        kCands: Seq[Int], k: Int,
+                        excludeSelfDoc: Boolean = false): DataFrame = {
+    require(kCands.nonEmpty, "kCands must be non-empty")
+    val maxCand = kCands.max
+    val dPool = fanOut(sumPooled(docTokens, "doc_id"))
+    val qPool = sumPooled(queryTokens.select(col("query_id").as("doc_id"),
+        col("tok_id"), col("qv")), "doc_id")
+      .select(col("doc_id").as("query_id"), col("pool").as("qpool"))
+    val scored0 = dPool.crossJoin(broadcast(qPool))
+    val scored = (if (excludeSelfDoc)
+        scored0.filter(col("doc_id") =!= col("query_id")) else scored0)
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.VectorFunctions.intDot(col("pool"), col("qpool"))
+          .as("pdot"))
+    // stage-1 rank within the widened cut: topKPerKey bounds the frame,
+    // then row_number over the bounded rows reproduces the global rank
+    // because (pdot desc, doc_id asc) is a total order
+    val cand = ScaleOps.topKPerKey(scored, Seq("query_id"),
+        Seq(col("pdot").desc, col("doc_id").asc), maxCand)
+      .withColumn("cr", row_number().over(
         Window.partitionBy(col("query_id"))
+          .orderBy(col("pdot").desc, col("doc_id").asc)))
+      .select(col("query_id"), col("doc_id"), col("cr"))
+    val candTokens = docTokens.join(broadcast(cand), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("cr"), col("qv").as("dv"))
+    val q = queryTokens.select(col("query_id"), col("tok_id"),
+      col("qv").as("qtv"))
+    val pairs = candTokens.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("tok_id"), col("doc_id"), col("cr"),
+        graft.functions.VectorFunctions.intDot(col("qtv"), col("dv"))
+          .as("dot"))
+    // exact score once per (query, candidate); cr is functionally
+    // dependent on (query_id, doc_id) so min() just carries it through
+    val rescored = pairs.groupBy("query_id", "tok_id", "doc_id")
+      .agg(max(col("dot")).as("mx"), min(col("cr")).as("cr"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("mx")).as("maxsim"), min(col("cr")).as("cr"))
+    // ground truth: the exact full-corpus top-k (materialized once —
+    // consumed by the hit join AND the denominator count)
+    val exact = Materialize.once(
+      maxSimTopK(docTokens, queryTokens, k, excludeSelfDoc)
+        .select(col("query_id"), col("doc_id"), lit(1L).as("hit")))
+    val total = exact.count()
+    val cuts = explode(array(kCands.sorted.map(lit(_)): _*)).as("kcand")
+    val perCut = rescored.select(col("query_id"), col("doc_id"),
+        col("maxsim"), col("cr"), cuts)
+      .filter(col("cr") <= col("kcand"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("kcand"), col("query_id"))
           .orderBy(col("maxsim").desc, col("doc_id").asc)))
-      .select(col("query_id"), col("doc_id"), col("maxsim"), col("rank"))
+      .filter(col("rk") <= k)
+      .join(exact, Seq("query_id", "doc_id"), "left")
+    perCut.groupBy("kcand")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("kcand"), col("hits"), lit(total).as("total"),
+        expr(s"hits * 1000000 div $total").as("recall_ppm"))
   }
 
   /** Hard-negative mining for contrastive training: for each query

@@ -830,7 +830,25 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The recall-convergence curve of the q251 two-stage pipeline:
+    * recall@5 vs the exact full-corpus MaxSim (q250's ranking) at
+    * stage-1 candidate budgets kCand ∈ {16, 32, 64}, one hashed row
+    * per cut — the committed evidence that widening kCand converges
+    * recall → 1 while stage-2 work stays bounded by queries·kCand;
+    * see [[graft.operators.Similarity.maxSimRecallCurve]]. */
+  val q252MaxsimRecallCurve: Q = (s, d) => {
+    val toks = emb(s, d)
+      .select(expr("vec_id div 8").cast("long").as("doc_id"),
+        col("vec_id").as("tok_id"), quantize(col("embedding")).as("qv"))
+    val q = toks.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"), col("tok_id"), col("qv"))
+    Similarity.maxSimRecallCurve(toks, q, kCands = Seq(16, 32, 64), k = 5,
+      excludeSelfDoc = true)
+      .orderBy("kcand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q252_maxsim_recall_curve" -> q252MaxsimRecallCurve,
     "q251_maxsim_refine" -> q251MaxsimRefine,
     "q250_maxsim" -> q250Maxsim,
     "q241_silhouette" -> q241Silhouette,
@@ -1025,6 +1043,60 @@ object VectorQueries {
        |       FROM ex GROUP BY dim)""".stripMargin
 
   private val staticOracles: Map[String, String] = Map(
+    // recall curve of the two-stage MaxSim: ONE widened candidate set
+    // (cr <= 64, exact MaxSim scored once) re-ranked at each cut —
+    // the exact score of a (query, doc) pair is cut-independent, so
+    // each cut's ranking is bit-identical to running the two-stage
+    // pipeline at that kCand. recall_ppm = hits*10^6 // total (integer)
+    "q252_maxsim_recall_curve" ->
+      s"""WITH e AS (SELECT vec_id // 8 AS doc_id, vec_id AS tok_id, $qv AS qv
+         |           FROM embeddings),
+         |q AS (SELECT doc_id AS query_id, tok_id, qv AS qtv FROM e WHERE doc_id < 4),
+         |u AS (SELECT doc_id, i, CAST(sum(qv[i]) AS BIGINT) AS s
+         |      FROM e CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY doc_id, i),
+         |pool AS (SELECT doc_id, list(s ORDER BY i) AS pl FROM u GROUP BY doc_id),
+         |qu AS (SELECT query_id, i, CAST(sum(qtv[i]) AS BIGINT) AS s
+         |       FROM q CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY query_id, i),
+         |qpool AS (SELECT query_id, list(s ORDER BY i) AS qpl FROM qu GROUP BY query_id),
+         |cs AS (SELECT qp.query_id, p.doc_id,
+         |         ${dot("p.pl", "qp.qpl")} AS pdot
+         |       FROM pool p, qpool qp WHERE p.doc_id <> qp.query_id),
+         |candr AS (SELECT query_id, doc_id, cr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY pdot DESC, doc_id) AS cr FROM cs) WHERE cr <= 64),
+         |p2 AS (SELECT q.query_id, q.tok_id, c.doc_id, c.cr,
+         |         ${dot("q.qtv", "e.qv")} AS dot
+         |       FROM candr c JOIN q ON q.query_id = c.query_id
+         |       JOIN e ON e.doc_id = c.doc_id),
+         |m2 AS (SELECT query_id, tok_id, doc_id, cr, max(dot) AS mx
+         |       FROM p2 GROUP BY query_id, tok_id, doc_id, cr),
+         |s2 AS (SELECT query_id, doc_id, cr, CAST(sum(mx) AS BIGINT) AS maxsim
+         |       FROM m2 GROUP BY query_id, doc_id, cr),
+         |pe AS (SELECT q.query_id, q.tok_id, e.doc_id, ${dot("q.qtv", "e.qv")} AS dot
+         |       FROM q, e WHERE e.doc_id <> q.query_id),
+         |me AS (SELECT query_id, tok_id, doc_id, max(dot) AS mx
+         |       FROM pe GROUP BY query_id, tok_id, doc_id),
+         |se AS (SELECT query_id, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim
+         |       FROM me GROUP BY query_id, doc_id),
+         |re AS (SELECT query_id, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY maxsim DESC, doc_id) AS rank FROM se) WHERE rank <= 5),
+         |ks AS (SELECT * FROM (VALUES (16), (32), (64)) AS t(kcand)),
+         |pc AS (SELECT * FROM (
+         |    SELECT s2.query_id, s2.doc_id, ks.kcand,
+         |      row_number() OVER (PARTITION BY ks.kcand, s2.query_id
+         |        ORDER BY s2.maxsim DESC, s2.doc_id) AS rk
+         |    FROM s2 JOIN ks ON s2.cr <= ks.kcand) WHERE rk <= 5),
+         |tot AS (SELECT count(*) AS total FROM re)
+         |SELECT CAST(pc.kcand AS INTEGER) AS kcand,
+         |  CAST(sum(CASE WHEN re.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  CAST(tot.total AS BIGINT) AS total,
+         |  CAST((sum(CASE WHEN re.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000) // tot.total AS BIGINT) AS recall_ppm
+         |FROM pc LEFT JOIN re ON re.query_id = pc.query_id
+         |  AND re.doc_id = pc.doc_id, tot
+         |GROUP BY pc.kcand, tot.total ORDER BY kcand""".stripMargin,
     // two-stage MaxSim: sum-pooled candidate pruning (dims fixed at 64
     // in this corpus — the literal series rebuilds the pooled arrays),
     // exact re-score of the 16 survivors, audit flag vs the exact

@@ -89,6 +89,39 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.forall { case (qd, d, s, _) => exactScores((qd, d)) == s })
   }
 
+  test("maxSimRecallCurve: each cut ≡ running the two-stage pipeline at that kCand") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    val dims = 4
+    // 10 docs × 3 tokens — wide enough that tight cuts actually prune
+    val toks = (0 until 30).map { i =>
+      (i.toLong / 3, i.toLong, Seq.fill(dims)(rnd.nextInt(2001) - 1000L))
+    }
+    val df = toks.toDF("doc_id", "tok_id", "qv")
+    val q = df.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("tok_id"), col("qv"))
+    val cuts = Seq(2, 4, 16)
+    val curve = Similarity.maxSimRecallCurve(df, q, cuts, k = 3,
+        excludeSelfDoc = true)
+      .select("kcand", "hits", "total", "recall_ppm")
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val exact = Similarity.maxSimTopK(df, q, k = 3, excludeSelfDoc = true)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    // per cut: the sweep's hit count equals what an independent
+    // maxSimRefineTopK run at that kCand scores against the exact set
+    for ((kc, hits, total, ppm) <- curve) {
+      val refine = Similarity.maxSimRefineTopK(df, q, kCand = kc, k = 3,
+          excludeSelfDoc = true)
+        .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+      assert(total == exact.size.toLong, s"total at kCand=$kc")
+      assert(hits == refine.count(exact).toLong, s"hits at kCand=$kc")
+      assert(ppm == hits * 1000000L / total, s"ppm at kCand=$kc")
+    }
+    // monotone in kCand, and the ≥-all-docs cut is exact (recall 1)
+    assert(curve.map(_._2) == curve.map(_._2).sorted)
+    assert(curve.last._4 == 1000000L)
+  }
+
   test("marginMineQuantized: bit-identical to a driver replay; hub demotion") {
     val rnd = new scala.util.Random(41)
     val dims = 6

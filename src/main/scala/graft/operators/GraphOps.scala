@@ -1516,6 +1516,7 @@ object GraphOps {
   def louvainTwoLevel(g: RankedGraph, a1: DataFrame,
       rounds2: Int): DataFrame = {
     require(rounds2 >= 1)
+    checkAssignment(g, a1)
     val a2 = louvainContractedSweep(g, a1, rounds2)
     // node → level-1 community → level-2 community, then decode; sizes
     // count original nodes (groupBy + join, never a label window)
@@ -1523,6 +1524,26 @@ object GraphOps {
       .join(g.hint(a2.select(col("i").as("l1"), col("label"))), Seq("l1"))
       .select(col("i"), col("label")))
     louvainDecode(fin, g.rank, g.hint)
+  }
+
+  /** Cheap sanity guard for the assignment-taking overloads: the
+    * precomputed frame must carry the (i, label) shape and exactly one
+    * row per graph node. Catches the silent-wrong-partition failure of
+    * handing an assignment built from a DIFFERENT graph (or a stale
+    * durable materialization that outlived a node-count change) — the
+    * count is a metadata read on a materialized/parquet-served frame,
+    * so the guard costs milliseconds, not a sweep. It cannot catch a
+    * same-sized frame from different roundsPerLevel — that contract
+    * stays documented (and the durable key's algorithm-version
+    * component owns code-change staleness). */
+  private def checkAssignment(g: RankedGraph, a: DataFrame): Unit = {
+    val cols = a.columns.toSet
+    require(cols.contains("i") && cols.contains("label"),
+      s"assignment must have (i, label) columns, got ${a.columns.mkString(",")}")
+    val rows = a.count()
+    require(rows == g.n,
+      s"assignment has $rows rows but the graph has ${g.n} nodes — " +
+        "was it built from a different graph?")
   }
 
   /** One CONTRACTED Louvain sweep: contract the ORIGINAL graph by the
@@ -1628,6 +1649,7 @@ object GraphOps {
   def louvainLevels(g: RankedGraph, l1: DataFrame, roundsPerLevel: Int,
       maxLevels: Int): DataFrame = {
     require(roundsPerLevel >= 1 && maxLevels >= 1)
+    checkAssignment(g, l1)
     var comp = l1
     // the weighted super-graph carried level to level: contracting it
     // by the LEVEL assignment equals contracting the original edges by

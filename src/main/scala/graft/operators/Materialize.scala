@@ -70,7 +70,26 @@ private[graft] object Materialize {
     * Concurrency: the build lands in a unique temp dir, then an
     * atomic rename publishes it. A racing JVM either wins the rename
     * or reads the winner's COMPLETED directory — never a half-written
-    * one. A crashed build leaves only an unpublished `*.tmp.*` dir. */
+    * one. A crashed build leaves only an unpublished `*.tmp.*` dir.
+    *
+    * Key discipline for ALGORITHM-derived materializations (community
+    * assignments, index layouts — anything whose rows depend on code,
+    * not just input bytes): the fingerprint only tracks the INPUT, so
+    * the `key` string must carry an algorithm-version component (e.g.
+    * `"sp_louvain_l1_r2#a1"`) that is bumped with any semantic change
+    * to the producing sweep — otherwise a later JVM keeps serving the
+    * pre-change rows from disk and only an oracle run would notice.
+    *
+    * Disk hygiene: each published dir carries its logical `key` in a
+    * `_graft_key` marker (underscore-prefixed → invisible to parquet
+    * readers). A build-time sweep then deletes (a) unpublished
+    * `*.tmp.*` crash leftovers older than
+    * `spark.graft.shared.tmpMaxAgeHours` (default 6) and (b)
+    * published dirs holding the SAME key under a different (therefore
+    * superseded) fingerprint — so repeated corpus regeneration churns
+    * bounded disk instead of accumulating multi-GB orphans until
+    * reboot. The sweep runs only on the build path: a cache hit never
+    * pays the directory walk. */
   def sharedDurable(s: org.apache.spark.sql.SparkSession, key: String,
                     fingerprint: String)(build: => DataFrame): DataFrame = {
     val fullKey = key + "\u0001" + fingerprint
@@ -82,9 +101,12 @@ private[graft] object Materialize {
       def done = new java.io.File(dir, "_SUCCESS").exists()
       if (done) dir.getAbsolutePath
       else {
+        sweepStale(s, dir.getParentFile, key, tag)
         val tmp = new java.io.File(dir.getParentFile,
           s"$tag.tmp.${java.util.UUID.randomUUID()}")
         build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        java.nio.file.Files.write(
+          new java.io.File(tmp, KeyMarker).toPath, key.getBytes("UTF-8"))
         if (tmp.renameTo(dir)) dir.getAbsolutePath
         else if (done) { // lost the race to a completed winner
           deleteRec(tmp); dir.getAbsolutePath
@@ -96,6 +118,41 @@ private[graft] object Materialize {
       }
     })
     s.read.parquet(path)
+  }
+
+  private val KeyMarker = "_graft_key"
+
+  /** Opportunistic stale sweep under the shared root (see
+    * [[sharedDurable]]): deletes crash-leftover `*.tmp.*` dirs whose
+    * mtime is older than the configured horizon (an in-progress build
+    * keeps refreshing its dir mtime as part files land, so a
+    * multi-hour horizon never bites a live build) and published dirs
+    * whose `_graft_key` equals `key` but whose tag differs from
+    * `keepTag` — a superseded fingerprint of the same materialization
+    * (the caller is about to publish the replacement, and any
+    * long-lived JVM still memoizing the old path lost its INPUT when
+    * the corpus was regenerated). Dirs published before the marker
+    * existed are left alone — they age out at reboot as before. */
+  private def sweepStale(s: org.apache.spark.sql.SparkSession,
+                         parent: java.io.File, key: String,
+                         keepTag: String): Unit = {
+    val kids = parent.listFiles()
+    if (kids == null) return
+    val maxAgeMs = (s.conf.get("spark.graft.shared.tmpMaxAgeHours", "6")
+      .toDouble * 3600 * 1000).toLong
+    val now = System.currentTimeMillis()
+    kids.filter(_.isDirectory).foreach { d =>
+      val name = d.getName
+      if (name.contains(".tmp.")) {
+        if (now - d.lastModified() > maxAgeMs) deleteRec(d)
+      } else if (name != keepTag) {
+        val marker = new java.io.File(d, KeyMarker)
+        if (marker.exists() &&
+            new String(java.nio.file.Files.readAllBytes(marker.toPath),
+              "UTF-8") == key)
+          deleteRec(d)
+      }
+    }
   }
 
   /** Test hook: forget the in-JVM path memo so a spec can exercise

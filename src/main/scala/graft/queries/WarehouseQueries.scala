@@ -64,11 +64,14 @@ object WarehouseQueries {
     * constant. A warm JVM pays only the two driver-scalar counts
     * (|V|, |E| — parquet metadata counts) plus plain scans. Semantics
     * identical to the inline prep: same canonical edge set, same
-    * string-order ranks (the unchanged oracles pin it). */
+    * string-order ranks (the unchanged oracles pin it). `#a1` in
+    * the key is the ALGORITHM version — bump it with any semantic
+    * change to the rank encoding ([[Materialize.sharedDurable]]'s
+    * key discipline: the fingerprint only tracks input bytes). */
   private[graft] def spGraph(s: SparkSession, d: String): GraphOps.RankedGraph =
     GraphOps.rankGraph(spEdges(s, d),
       (tag, build) =>
-        graft.operators.Materialize.sharedDurable(s, s"sp_graph_$tag:$d",
+        graft.operators.Materialize.sharedDurable(s, s"sp_graph_$tag#a1:$d",
           spFingerprint(d))(build()))
 
   /** The LEVEL-1 Louvain assignment (rank-keyed, 2 rounds) shared by
@@ -82,9 +85,11 @@ object WarehouseQueries {
     * reports the shared build separately (`assign_prep_sec`).
     * Determinism (exact integer gains, total-order tie-breaks) makes
     * the materialized frame bit-identical to a fresh sweep; the
-    * unchanged q212/q246 oracles pin it. */
+    * unchanged q212/q246 oracles pin it. `#a1` = algorithm version;
+    * bump with any semantic change to the Louvain gain/tie-break
+    * sweep, or a later JVM serves the pre-change assignment. */
   private[graft] def spLouvainL1(s: SparkSession, d: String): DataFrame =
-    graft.operators.Materialize.sharedDurable(s, s"sp_louvain_l1_r2:$d",
+    graft.operators.Materialize.sharedDurable(s, s"sp_louvain_l1_r2#a1:$d",
       spFingerprint(d))(
       GraphOps.louvainLevelAssign(spGraph(s, d), rounds = 2))
 
@@ -94,7 +99,7 @@ object WarehouseQueries {
     * full propagation to get it. q128 itself still computes live for
     * the same reason as q210 in [[spLouvainL1]]. */
   private[graft] def spLpa3(s: SparkSession, d: String): DataFrame =
-    graft.operators.Materialize.sharedDurable(s, s"sp_lpa3:$d",
+    graft.operators.Materialize.sharedDurable(s, s"sp_lpa3#a1:$d",
       spFingerprint(d))(
       GraphOps.labelPropagation(spGraph(s, d), iterations = 3)
         .select("node_id", "label"))

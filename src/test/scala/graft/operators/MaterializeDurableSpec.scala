@@ -50,6 +50,43 @@ class MaterializeDurableSpec extends SparkSpec {
     assert(new java.io.File(dir, "_SUCCESS").exists()) // republished
   }
 
+  test("build-time sweep: superseded fingerprints deleted, live builds and other keys kept") {
+    def tagOf(k: String, fp: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((k + "\u0001" + fp).getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-shared")
+    val k3 = s"$key-sweep"
+    val other = s"$key-other"
+    Materialize.sharedDurable(spark, k3, "fpA")(build()).count()
+    Materialize.sharedDurable(spark, other, "fpX")(build()).count()
+    val dirA = new java.io.File(root, tagOf(k3, "fpA"))
+    val dirOther = new java.io.File(root, tagOf(other, "fpX"))
+    assert(dirA.exists() && dirOther.exists())
+    // crash leftovers: one past the age horizon, one fresh (a live build)
+    val oldTmp = new java.io.File(root, "deadbeef.tmp.spec-old")
+    val newTmp = new java.io.File(root, "deadbeef.tmp.spec-new")
+    assert(oldTmp.mkdirs() && newTmp.mkdirs())
+    assert(oldTmp.setLastModified(
+      System.currentTimeMillis() - 10L * 3600 * 1000))
+    // "new JVM" regenerates the corpus: same key, new fingerprint
+    Materialize.clearSharedPathsForTest()
+    val b = Materialize.sharedDurable(spark, k3, "fpB")(build())
+    assert(b.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(!dirA.exists(), "superseded fingerprint must be swept")
+    assert(!oldTmp.exists(), "aged-out crash leftover must be swept")
+    assert(newTmp.exists(), "a fresh tmp dir (live build) must survive")
+    assert(dirOther.exists(), "other keys must survive")
+    // repeated regeneration cycles keep exactly ONE published dir per key
+    Materialize.clearSharedPathsForTest()
+    Materialize.sharedDurable(spark, k3, "fpC")(build()).count()
+    assert(!new java.io.File(root, tagOf(k3, "fpB")).exists())
+    assert(new java.io.File(root, tagOf(k3, "fpC")).exists())
+    // hygiene: drop the fresh fake so later suites don't inherit it
+    newTmp.delete(); ()
+  }
+
   test("pathFingerprint tracks file metadata, not just the path") {
     val f = java.nio.file.Files.createTempFile("fp-spec", ".bin")
     java.nio.file.Files.write(f, Array[Byte](1, 2, 3))

@@ -172,6 +172,16 @@ object Similarity {
     val cand = ScaleOps.topKPerKey(scored, Seq("query_id"),
         Seq(col("pdot").desc, col("doc_id").asc), kCand)
       .select(col("query_id"), col("doc_id"))
+    rescoreCandidates(docTokens, queryTokens, cand, k)
+  }
+
+  /** Stage 2 of every two-stage MaxSim pipeline: exact re-score of a
+    * (query_id, doc_id) candidate frame — the candidate list broadcast-
+    * semi-joins the corpus token table (never shuffles it), the query
+    * tokens broadcast into the pair dots, and [[scoreAndRank]] ranks.
+    * ONE copy shared by the pooled refiner and the ANN generator. */
+  private def rescoreCandidates(docTokens: DataFrame, queryTokens: DataFrame,
+                                cand: DataFrame, k: Int): DataFrame = {
     val candTokens = docTokens.join(broadcast(cand), Seq("doc_id"))
       .select(col("query_id"), col("doc_id"), col("qv").as("dv"))
     val q = queryTokens.select(col("query_id"), col("tok_id"),
@@ -181,6 +191,54 @@ object Similarity {
         graft.functions.VectorFunctions.intDot(col("qtv"), col("dv"))
           .as("dot"))
     scoreAndRank(pairs, k)
+  }
+
+  /** ANN-fronted late-interaction retrieval — the production
+    * deployment shape ColBERT-family systems run (Khattab & Zaharia,
+    * SIGIR 2020 §3.6: candidate generation over single-vector
+    * representations, exact MaxSim only on survivors): stage 1 finds
+    * candidate docs by SRP-LSH bucket match over SUM-POOLED vectors
+    * (md5-seeded hyperplane literals — deterministic, no fitted
+    * state, so the whole pipeline replays in plain SQL), ranks the
+    * bucket hits by pooled dot, keeps `kCand`; stage 2 is the shared
+    * exact re-score. Unlike [[maxSimRefineTopK]] — whose stage 1
+    * still dots EVERY pooled doc — the bucket equi-join touches only
+    * colliding (table, bucket) groups, the IVF/SRP sublinear shape:
+    * with a persistent bucket-partitioned layout (q118's pattern) a
+    * probe reads only its buckets' partitions.
+    *
+    * All-integer: pooled coords ≤ 8·10⁶ and quantized hyperplane
+    * weights ≤ 10⁶ keep the 64-dim projection ≤ 5.2·10¹⁴ ≪ 2⁵³, so
+    * bucket bits, pooled dots, and MaxSim scores are engine-exact.
+    * Pair recall with an `in_exact` audit (q253) — SRP stage 1 can
+    * miss true top-k docs whose pooled sketches land in other
+    * buckets; the audit puts that loss IN the output. */
+  def maxSimSrpTopK(docTokens: DataFrame, queryTokens: DataFrame,
+                    kCand: Int, k: Int, planes: Int = 8, tables: Int = 4,
+                    dims: Int = 64,
+                    excludeSelfDoc: Boolean = false): DataFrame = {
+    val dPool = fanOut(sumPooled(docTokens, "doc_id"))
+    val qPool = sumPooled(queryTokens.select(col("query_id").as("doc_id"),
+        col("tok_id"), col("qv")), "doc_id")
+      .select(col("doc_id").as("query_id"), col("pool").as("qpool"))
+    val qb = qPool.select(col("query_id"), col("qpool"),
+      posexplode(srpBucketsAll(col("qpool"), planes, tables, dims))
+        .as(Seq("t", "bucket")))
+    val cb = dPool.select(col("doc_id"), col("pool"),
+      posexplode(srpBucketsAll(col("pool"), planes, tables, dims))
+        .as(Seq("t", "bucket")))
+    val cands0 = cb.join(broadcast(qb), Seq("t", "bucket"))
+      .select(col("query_id"), col("qpool"), col("doc_id"), col("pool"))
+      .distinct() // a pair colliding in several tables ranks once
+    val cands = if (excludeSelfDoc)
+      cands0.filter(col("doc_id") =!= col("query_id")) else cands0
+    val scored = cands.select(col("query_id"), col("doc_id"),
+      graft.functions.VectorFunctions.intDot(col("pool"), col("qpool"))
+        .as("pdot"))
+    val cand = ScaleOps.topKPerKey(scored, Seq("query_id"),
+        Seq(col("pdot").desc, col("doc_id").asc), kCand)
+      .select(col("query_id"), col("doc_id"))
+    rescoreCandidates(docTokens, queryTokens, cand, k)
   }
 
   /** Recall-convergence audit of the two-stage pipeline: how fast does

@@ -847,7 +847,31 @@ object VectorQueries {
       .orderBy("kcand")
   }
 
+  /** ANN-fronted two-stage MaxSim — the sublinear deployment: SRP-LSH
+    * bucket match over sum-pooled doc vectors generates candidates
+    * (only colliding (table, bucket) groups are ever paired — stage 1
+    * no longer dots every doc as q251 does), pooled dots rank the
+    * collisions to 16 survivors, exact MaxSim re-scores them, and
+    * every output row carries the `in_exact` audit vs q250's exact
+    * top-5; see [[graft.operators.Similarity.maxSimSrpTopK]]. */
+  val q253MaxsimAnn: Q = (s, d) => {
+    val toks = emb(s, d)
+      .select(expr("vec_id div 8").cast("long").as("doc_id"),
+        col("vec_id").as("tok_id"), quantize(col("embedding")).as("qv"))
+    val q = toks.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"), col("tok_id"), col("qv"))
+    val ann = Similarity.maxSimSrpTopK(toks, q, kCand = 16, k = 5,
+      planes = 4, tables = 4, dims = 64, excludeSelfDoc = true)
+    val exact = Similarity.maxSimTopK(toks, q, k = 5, excludeSelfDoc = true)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("in_exact"))
+    ann.join(exact, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"), col("maxsim"), col("rank"),
+        coalesce(col("in_exact"), lit(0L)).as("in_exact"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q253_maxsim_ann" -> q253MaxsimAnn,
     "q252_maxsim_recall_curve" -> q252MaxsimRecallCurve,
     "q251_maxsim_refine" -> q251MaxsimRefine,
     "q250_maxsim" -> q250Maxsim,
@@ -1043,6 +1067,74 @@ object VectorQueries {
        |       FROM ex GROUP BY dim)""".stripMargin
 
   private val staticOracles: Map[String, String] = Map(
+    // ANN-fronted two-stage MaxSim: SRP buckets over the sum-pooled
+    // vectors (the same md5-seeded quantized hyperplanes as q32,
+    // rendered as literals), bucket-collision candidates ranked by
+    // pooled dot to 16, exact MaxSim re-score, in_exact audit vs the
+    // exact top-5. Pooled coords <= 8e6, weights <= 1e6 => projections
+    // <= 5.2e14; pooled dots <= 4.1e15 — all exact under 2^53
+    "q253_maxsim_ann" -> {
+      val wRows = (0 until 4).flatMap { t =>
+        (0 until 4).map { p =>
+          val w = graft.functions.VectorFunctions.quantizedHyperplane(t, p, 64)
+            .mkString("[", ",", "]")
+          s"($t, $p, $w::BIGINT[])"
+        }
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id // 8 AS doc_id, vec_id AS tok_id, $qv AS qv
+         |           FROM embeddings),
+         |q AS (SELECT doc_id AS query_id, tok_id, qv AS qtv FROM e WHERE doc_id < 4),
+         |u AS (SELECT doc_id, i, CAST(sum(qv[i]) AS BIGINT) AS s
+         |      FROM e CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY doc_id, i),
+         |pool AS (SELECT doc_id, list(s ORDER BY i) AS pl FROM u GROUP BY doc_id),
+         |qu AS (SELECT query_id, i, CAST(sum(qtv[i]) AS BIGINT) AS s
+         |       FROM q CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY query_id, i),
+         |qpool AS (SELECT query_id, list(s ORDER BY i) AS qpl FROM qu GROUP BY query_id),
+         |w(t, p, wv) AS (VALUES
+         |$wRows),
+         |bkd AS (SELECT pool.doc_id, w.t,
+         |  CAST(sum(CASE WHEN ${dot("pool.pl", "w.wv")} >= 0
+         |    THEN power(2, w.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pool, w GROUP BY pool.doc_id, w.t),
+         |bkq AS (SELECT qpool.query_id, w.t,
+         |  CAST(sum(CASE WHEN ${dot("qpool.qpl", "w.wv")} >= 0
+         |    THEN power(2, w.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM qpool, w GROUP BY qpool.query_id, w.t),
+         |cands AS (SELECT DISTINCT bq.query_id, bd.doc_id
+         |  FROM bkq bq JOIN bkd bd ON bq.t = bd.t AND bq.bucket = bd.bucket
+         |  WHERE bd.doc_id <> bq.query_id),
+         |cs AS (SELECT c.query_id, c.doc_id, ${dot("p.pl", "qp.qpl")} AS pdot
+         |       FROM cands c JOIN pool p ON p.doc_id = c.doc_id
+         |       JOIN qpool qp ON qp.query_id = c.query_id),
+         |cand AS (SELECT query_id, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY pdot DESC, doc_id) AS cr FROM cs) WHERE cr <= 16),
+         |p2 AS (SELECT q.query_id, q.tok_id, c.doc_id, ${dot("q.qtv", "e.qv")} AS dot
+         |       FROM cand c JOIN q ON q.query_id = c.query_id
+         |       JOIN e ON e.doc_id = c.doc_id),
+         |m2 AS (SELECT query_id, tok_id, doc_id, max(dot) AS mx
+         |       FROM p2 GROUP BY query_id, tok_id, doc_id),
+         |s2 AS (SELECT query_id, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim
+         |       FROM m2 GROUP BY query_id, doc_id),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY maxsim DESC, doc_id) AS rank FROM s2),
+         |pe AS (SELECT q.query_id, q.tok_id, e.doc_id, ${dot("q.qtv", "e.qv")} AS dot
+         |       FROM q, e WHERE e.doc_id <> q.query_id),
+         |me AS (SELECT query_id, tok_id, doc_id, max(dot) AS mx
+         |       FROM pe GROUP BY query_id, tok_id, doc_id),
+         |se AS (SELECT query_id, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim
+         |       FROM me GROUP BY query_id, doc_id),
+         |re AS (SELECT query_id, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY maxsim DESC, doc_id) AS rank FROM se) WHERE rank <= 5)
+         |SELECT r2.query_id, r2.doc_id, r2.maxsim,
+         |  CAST(r2.rank AS INTEGER) AS rank,
+         |  CAST(CASE WHEN re.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS in_exact
+         |FROM r2 LEFT JOIN re ON re.query_id = r2.query_id
+         |  AND re.doc_id = r2.doc_id
+         |WHERE r2.rank <= 5 ORDER BY r2.query_id, r2.rank""".stripMargin
+    },
     // recall curve of the two-stage MaxSim: ONE widened candidate set
     // (cr <= 64, exact MaxSim scored once) re-ranked at each cut —
     // the exact score of a (query, doc) pair is cut-independent, so

@@ -89,6 +89,36 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.forall { case (qd, d, s, _) => exactScores((qd, d)) == s })
   }
 
+  test("maxSimSrpTopK: SRP candidates are a subset pruning — survivors keep exact scores") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(17)
+    val dims = 8
+    val toks = (0 until 36).map { i =>
+      (i.toLong / 3, i.toLong, Seq.fill(dims)(rnd.nextInt(2001) - 1000L))
+    }
+    val df = toks.toDF("doc_id", "tok_id", "qv")
+    val q = df.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("tok_id"), col("qv"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "doc_id", "maxsim", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    // exact score of EVERY (query, doc) pair as the reference
+    val exactScores = rows(Similarity.maxSimTopK(df, q, k = 12,
+      excludeSelfDoc = true)).map { case (qd, d, s, _) => (qd, d) -> s }.toMap
+    // few planes → frequent collisions; the ANN path may prune the SET
+    // but must never alter a survivor's score, rank order, or self-excl
+    val ann = rows(Similarity.maxSimSrpTopK(df, q, kCand = 8, k = 3,
+      planes = 2, tables = 3, dims = dims, excludeSelfDoc = true))
+    assert(ann.nonEmpty)
+    assert(ann.forall { case (qd, d, s, _) => qd != d && exactScores((qd, d)) == s })
+    for ((qd, g) <- ann.groupBy(_._1)) {
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4) == (1 to sorted.size), s"ranks for query $qd")
+      assert(sorted.map(r => (-r._3, r._2)) == sorted.map(r => (-r._3, r._2)).sorted,
+        s"(maxsim desc, doc asc) order for query $qd")
+    }
+  }
+
   test("maxSimRecallCurve: each cut ≡ running the two-stage pipeline at that kCand") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(13)

@@ -132,6 +132,22 @@ class DbscanSpec extends SparkSpec {
     }
   }
 
+  test("collapse and shard cap together: duplicated dense cloud, tiny cap") {
+    // duplicates AND hot cells at once — both adaptive branches engage
+    // in the same run and the result must still be the textbook one
+    val rnd = new scala.util.Random(19)
+    val pts = (1 to 80).map { i =>
+      (i.toLong, (rnd.nextInt(12)).toLong, (rnd.nextInt(12)).toLong)
+    } // 80 points on a 12×12 grid: many coincident, cells dense
+    val expected = replica(pts, eps = 3, minPts = 4)
+    val out = Dbscan.cluster(pts.toDF("id", "x", "y"), "id", "x", "y",
+        eps = 3, minPts = 4, hotCellCap = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(out == expected)
+  }
+
   test("partitioning invariance") {
     val rnd = new scala.util.Random(7)
     val pts = (1 to 80).map(i =>

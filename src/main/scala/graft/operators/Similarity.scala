@@ -203,9 +203,9 @@ object Similarity {
     * bucket hits by pooled dot, keeps `kCand`; stage 2 is the shared
     * exact re-score. Unlike [[maxSimRefineTopK]] — whose stage 1
     * still dots EVERY pooled doc — the bucket equi-join touches only
-    * colliding (table, bucket) groups, the IVF/SRP sublinear shape:
-    * with a persistent bucket-partitioned layout (q118's pattern) a
-    * probe reads only its buckets' partitions.
+    * colliding (table, bucket) groups, the IVF/SRP sublinear shape;
+    * [[buildMaxSimSrpIndex]]/[[maxSimSrpProbe]] persist that layout
+    * (q118's pattern) so a probe reads only its buckets' partitions.
     *
     * All-integer: pooled coords ≤ 8·10⁶ and quantized hyperplane
     * weights ≤ 10⁶ keep the 64-dim projection ≤ 5.2·10¹⁴ ≪ 2⁵³, so
@@ -218,15 +218,37 @@ object Similarity {
                     dims: Int = 64,
                     excludeSelfDoc: Boolean = false): DataFrame = {
     val dPool = fanOut(sumPooled(docTokens, "doc_id"))
-    val qPool = sumPooled(queryTokens.select(col("query_id").as("doc_id"),
-        col("tok_id"), col("qv")), "doc_id")
-      .select(col("doc_id").as("query_id"), col("pool").as("qpool"))
-    val qb = qPool.select(col("query_id"), col("qpool"),
-      posexplode(srpBucketsAll(col("qpool"), planes, tables, dims))
-        .as(Seq("t", "bucket")))
+    val qb = maxSimQueryBuckets(queryTokens, planes, tables, dims)
     val cb = dPool.select(col("doc_id"), col("pool"),
       posexplode(srpBucketsAll(col("pool"), planes, tables, dims))
         .as(Seq("t", "bucket")))
+    srpCollisionTail(docTokens, queryTokens, cb, qb, kCand, k, excludeSelfDoc)
+  }
+
+  /** Sum-pooled + SRP-bucketed query side shared by the scan and
+    * indexed ANN-MaxSim fronts: (query_id, qpool, t, bucket), one row
+    * per (query, table). */
+  private def maxSimQueryBuckets(queryTokens: DataFrame, planes: Int,
+                                 tables: Int, dims: Int): DataFrame =
+    sumPooled(queryTokens.select(col("query_id").as("doc_id"),
+        col("tok_id"), col("qv")), "doc_id")
+      .select(col("doc_id").as("query_id"), col("pool").as("qpool"))
+      .select(col("query_id"), col("qpool"),
+        posexplode(srpBucketsAll(col("qpool"), planes, tables, dims))
+          .as(Seq("t", "bucket")))
+
+  /** Stage 1 tail shared by the scan ([[maxSimSrpTopK]]) and indexed
+    * ([[maxSimSrpProbe]]) ANN-MaxSim fronts: bucket-collision candidate
+    * pairs → distinct → pooled-dot rank to `kCand` → the shared exact
+    * re-score. ONE copy so the two fronts cannot drift in candidate,
+    * tie-break, or re-score semantics — the indexed path differs from
+    * the scan path ONLY in where `cb` rows come from.
+    * `cb`: (doc_id, pool, t, bucket); `qb`: (query_id, qpool, t,
+    * bucket). */
+  private def srpCollisionTail(docTokens: DataFrame, queryTokens: DataFrame,
+                               cb: DataFrame, qb: DataFrame,
+                               kCand: Int, k: Int,
+                               excludeSelfDoc: Boolean): DataFrame = {
     val cands0 = cb.join(broadcast(qb), Seq("t", "bucket"))
       .select(col("query_id"), col("qpool"), col("doc_id"), col("pool"))
       .distinct() // a pair colliding in several tables ranks once
@@ -239,6 +261,157 @@ object Similarity {
         Seq(col("pdot").desc, col("doc_id").asc), kCand)
       .select(col("query_id"), col("doc_id"))
     rescoreCandidates(docTokens, queryTokens, cand, k)
+  }
+
+  /** Persistent bucket-partitioned layout for [[maxSimSrpTopK]]'s
+    * stage 1 — the q118/[[buildSrpIndex]] pattern applied to the
+    * late-interaction front: the sum-pooled doc vectors written once,
+    * partitioned `data/t=<table>/bucket=<key>/` (one file per dir —
+    * the write is keyed on (t, bucket) so a probe never pays a
+    * footer-read tax over stragglers), plus a one-row `meta/` table
+    * pinning (planes, tables, dims). Probing with different
+    * parameters would compute different buckets and silently miss, so
+    * [[maxSimSrpProbe]] always reads them from the index.
+    *
+    * 100 TB shape: the pooling pass is the one corpus-token scan the
+    * scan path pays PER QUERY BATCH, amortized here across every
+    * future probe; a probe then reads only its buckets' partitions —
+    * ~`tables / 2^planes` of the pooled bytes — instead of re-pooling
+    * and re-bucketing the whole corpus.
+    *
+    * EAGER: runs the pooling + partitioned write now. */
+  def buildMaxSimSrpIndex(docTokens: DataFrame, path: String,
+                          planes: Int = 8, tables: Int = 4,
+                          dims: Int = 64): Unit = {
+    require(planes >= 1 && planes <= 20, s"planes=$planes out of [1, 20]")
+    fanOut(sumPooled(docTokens, "doc_id"))
+      .select(col("doc_id"), col("pool"),
+        posexplode(srpBucketsAll(col("pool"), planes, tables, dims))
+          .as(Seq("t", "bucket")))
+      .repartition(col("t"), col("bucket"))
+      .write.mode("overwrite").partitionBy("t", "bucket")
+      .parquet(s"$path/data")
+    docTokens.sparkSession.createDataFrame(Seq((planes, tables, dims)))
+      .toDF("planes", "tables", "dims")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** ANN-fronted MaxSim through a [[buildMaxSimSrpIndex]] index:
+    * bucket the queries with the index's pinned parameters, resolve
+    * the probed (t, bucket) set ON THE DRIVER (≤ |queries|·tables
+    * values — control-plane), prune the index scan to those
+    * partitions, and hand the pruned rows to the SAME collision tail
+    * as the scan path. Bit-identical to [[maxSimSrpTopK]] at the
+    * index's (planes, tables, dims) by construction: the stored pools
+    * are the same deterministic integer sums, the buckets the same
+    * md5-seeded projections, and everything downstream of the scan is
+    * one shared code path (asserted in SimilaritySpec; partition
+    * pruning pinned in PlanAuditSpec). `docTokens` is still needed for
+    * the exact stage-2 re-score — the index accelerates stage 1 only. */
+  def maxSimSrpProbe(docTokens: DataFrame, queryTokens: DataFrame,
+                     indexPath: String, kCand: Int, k: Int,
+                     excludeSelfDoc: Boolean = false): DataFrame = {
+    val spark = docTokens.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (planes, tables, dims) =
+      (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
+        meta.getAs[Int]("dims"))
+    val qb = maxSimQueryBuckets(queryTokens, planes, tables, dims)
+      .transform(Materialize.once) // read twice: partition list + join
+    // control-plane: ≤ |queries|·tables (t, bucket) values
+    val probed = qb.select("t", "bucket").distinct()
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val prune = probed.groupBy(_._1).map { case (t, bs) =>
+        col("t") === t && col("bucket").isin(bs.map(_._2).toSeq: _*)
+      } // partition-level predicate → directory pruning
+      .reduceOption(_ || _).getOrElse(lit(false)) // no queries → empty
+    val cb = spark.read.parquet(s"$indexPath/data").filter(prune)
+      .select(col("doc_id"), col("pool"), col("t"), col("bucket"))
+    srpCollisionTail(docTokens, queryTokens, cb, qb, kCand, k, excludeSelfDoc)
+  }
+
+  /** Recall sweep over the SRP front's (tables) knob — the
+    * [[maxSimRecallCurve]] trick applied to [[maxSimSrpTopK]]: how
+    * fast does recall@k approach 1 as hash tables widen? One row per
+    * cut in `tablesCuts` — (tables, hits, total, recall_ppm) vs the
+    * exact full-corpus MaxSim top-k.
+    *
+    * Table t's hyperplanes depend only on seed = t, so the candidate
+    * set at cut T is EXACTLY the pairs whose minimum colliding table
+    * index is < T — nested across cuts. The sweep therefore computes
+    * collisions once at max(tablesCuts), tags each pair with that
+    * minimum (`mt`), re-ranks stage 1 per cut (pdot desc, doc_id asc,
+    * keep kCand), exact-scores the UNION of survivors once (a pair's
+    * exact MaxSim is cut-independent), and re-ranks per cut —
+    * bit-identical to running [[maxSimSrpTopK]] at each tables count,
+    * for the cost of one (asserted in SimilaritySpec). All-integer
+    * (recall_ppm = hits·10⁶ div total), so the curve replays exactly.
+    *
+    * 100 TB shape: one pooled row per doc bucketed max(tablesCuts)
+    * times (the widest run's own cost), candidate work bounded by the
+    * widest run's collisions, stage-2 token work by queries·kCand·
+    * |cuts| distinct pairs — never the corpus; every rank site is the
+    * bounded-heap plan node. */
+  def maxSimSrpTablesCurve(docTokens: DataFrame, queryTokens: DataFrame,
+                           tablesCuts: Seq[Int], kCand: Int, k: Int,
+                           planes: Int = 8, dims: Int = 64,
+                           excludeSelfDoc: Boolean = false): DataFrame = {
+    require(tablesCuts.nonEmpty && tablesCuts.forall(_ >= 1),
+      s"tablesCuts must be non-empty positive, got $tablesCuts")
+    val spark = docTokens.sparkSession
+    val maxT = tablesCuts.max
+    val dPool = fanOut(sumPooled(docTokens, "doc_id"))
+    val qb = maxSimQueryBuckets(queryTokens, planes, maxT, dims)
+    val cb = dPool.select(col("doc_id"), col("pool"),
+      posexplode(srpBucketsAll(col("pool"), planes, maxT, dims))
+        .as(Seq("t", "bucket")))
+    // min colliding table per pair: cut T's candidate set is {mt < T}
+    val coll0 = cb.join(broadcast(qb), Seq("t", "bucket"))
+      .groupBy("query_id", "qpool", "doc_id", "pool")
+      .agg(min(col("t")).as("mt"))
+    val coll = (if (excludeSelfDoc)
+        coll0.filter(col("doc_id") =!= col("query_id")) else coll0)
+      .select(col("query_id"), col("doc_id"), col("mt"),
+        graft.functions.VectorFunctions.intDot(col("pool"), col("qpool"))
+          .as("pdot"))
+    val perCut = coll.select(col("query_id"), col("doc_id"), col("mt"),
+        col("pdot"),
+        explode(array(tablesCuts.sorted.map(lit(_)): _*)).as("tables"))
+      .filter(col("mt") < col("tables"))
+    val cand = ScaleOps.topKPerKey(perCut, Seq("tables", "query_id"),
+        Seq(col("pdot").desc, col("doc_id").asc), kCand)
+      .select(col("tables"), col("query_id"), col("doc_id"))
+      .transform(Materialize.once) // read twice: distinct union + rank join
+    // exact MaxSim scored ONCE per distinct surviving pair
+    val uniq = cand.select(col("query_id"), col("doc_id")).distinct()
+    val candTokens = docTokens.join(broadcast(uniq), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("qv").as("dv"))
+    val qt = queryTokens.select(col("query_id"), col("tok_id"),
+      col("qv").as("qtv"))
+    val scores = maxSimScores(candTokens.join(broadcast(qt), Seq("query_id"))
+      .select(col("query_id"), col("tok_id"), col("doc_id"),
+        graft.functions.VectorFunctions.intDot(col("qtv"), col("dv"))
+          .as("dot")))
+    // ground truth materialized once (hit join + denominator count)
+    val exact = Materialize.once(
+      maxSimTopK(docTokens, queryTokens, k, excludeSelfDoc)
+        .select(col("query_id"), col("doc_id"), lit(1L).as("hit")))
+    val total = exact.count()
+    val hitsPerCut = ScaleOps.topKPerKey(
+        cand.join(scores, Seq("query_id", "doc_id")),
+        Seq("tables", "query_id"),
+        Seq(col("maxsim").desc, col("doc_id").asc), k)
+      .join(exact, Seq("query_id", "doc_id"), "left")
+      .groupBy("tables")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    // a cut whose candidate set is empty has no survivor rows at all —
+    // it must still appear in the curve, with hits = 0
+    spark.createDataFrame(tablesCuts.sorted.map(Tuple1(_)))
+      .toDF("tables")
+      .join(hitsPerCut, Seq("tables"), "left")
+      .select(col("tables"), coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(total).as("total"))
+      .withColumn("recall_ppm", expr(s"hits * 1000000 div $total"))
   }
 
   /** Recall-convergence audit of the two-stage pipeline: how fast does

@@ -870,7 +870,75 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Build-once persistent SRP layout for the ANN-MaxSim stage 1 per
+    * sf dir (the q118/q31 pattern): pooled doc vectors partitioned by
+    * (t, bucket) + parameter-pinning meta, under the JVM temp dir
+    * unless -Dgraft.maxsimsrp.dir says otherwise. Parameters match
+    * q253's scan path so q254 can assert indexed ≡ scan. */
+  private[queries] object MaxSimSrpIndexCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def getOrBuild(s: SparkSession, sfDir: String): String =
+      cache.computeIfAbsent(sfDir, { _ =>
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val base = sys.props.getOrElse("graft.maxsimsrp.dir",
+          s"${sys.props("java.io.tmpdir")}/graft-maxsimsrp")
+        val path = s"$base/$tag"
+        val toks = emb(s, sfDir)
+          .select(expr("vec_id div 8").cast("long").as("doc_id"),
+            col("vec_id").as("tok_id"), quantize(col("embedding")).as("qv"))
+        Similarity.buildMaxSimSrpIndex(toks, path,
+          planes = 4, tables = 4, dims = 64)
+        path
+      })
+  }
+
+  /** q253 through the persistent bucket-partitioned SRP index: stage 1
+    * reads only the probed (t, bucket) partitions of the pooled-vector
+    * layout instead of re-pooling and re-bucketing the corpus — and
+    * must return EXACTLY what the scan path returns (same oracle as
+    * q253, plus an in-engine bit-exact pin in SimilaritySpec and a
+    * PartitionFilters pin in PlanAuditSpec); see
+    * [[graft.operators.Similarity.maxSimSrpProbe]]. */
+  val q254MaxsimAnnIndexed: Q = (s, d) => {
+    val toks = emb(s, d)
+      .select(expr("vec_id div 8").cast("long").as("doc_id"),
+        col("vec_id").as("tok_id"), quantize(col("embedding")).as("qv"))
+    val q = toks.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"), col("tok_id"), col("qv"))
+    val ann = Similarity.maxSimSrpProbe(toks, q,
+      MaxSimSrpIndexCache.getOrBuild(s, d), kCand = 16, k = 5,
+      excludeSelfDoc = true)
+    val exact = Similarity.maxSimTopK(toks, q, k = 5, excludeSelfDoc = true)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("in_exact"))
+    ann.join(exact, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"), col("maxsim"), col("rank"),
+        coalesce(col("in_exact"), lit(0L)).as("in_exact"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall curve over the SRP front's (tables) knob — q252's trick
+    * applied to q253's stage 1: bucket collisions computed once at 16
+    * tables, each pair tagged with its minimum colliding table, per-cut
+    * stage-1 rank + one shared exact re-score — each row bit-identical
+    * to running q253's pipeline at that tables count; the committed
+    * evidence for how the SRP front's recall knob converges; see
+    * [[graft.operators.Similarity.maxSimSrpTablesCurve]]. */
+  val q255MaxsimSrpTables: Q = (s, d) => {
+    val toks = emb(s, d)
+      .select(expr("vec_id div 8").cast("long").as("doc_id"),
+        col("vec_id").as("tok_id"), quantize(col("embedding")).as("qv"))
+    val q = toks.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"), col("tok_id"), col("qv"))
+    Similarity.maxSimSrpTablesCurve(toks, q,
+      tablesCuts = Seq(1, 2, 4, 8, 16), kCand = 16, k = 5,
+      planes = 4, dims = 64, excludeSelfDoc = true)
+      .orderBy("tables")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q255_maxsim_srp_tables" -> q255MaxsimSrpTables,
+    "q254_maxsim_ann_indexed" -> q254MaxsimAnnIndexed,
     "q253_maxsim_ann" -> q253MaxsimAnn,
     "q252_maxsim_recall_curve" -> q252MaxsimRecallCurve,
     "q251_maxsim_refine" -> q251MaxsimRefine,
@@ -1066,14 +1134,16 @@ object VectorQueries {
        |              greatest(max(x) - min(x), 1) AS rng
        |       FROM ex GROUP BY dim)""".stripMargin
 
-  private val staticOracles: Map[String, String] = Map(
-    // ANN-fronted two-stage MaxSim: SRP buckets over the sum-pooled
-    // vectors (the same md5-seeded quantized hyperplanes as q32,
-    // rendered as literals), bucket-collision candidates ranked by
-    // pooled dot to 16, exact MaxSim re-score, in_exact audit vs the
-    // exact top-5. Pooled coords <= 8e6, weights <= 1e6 => projections
-    // <= 5.2e14; pooled dots <= 4.1e15 — all exact under 2^53
-    "q253_maxsim_ann" -> {
+  // ANN-fronted two-stage MaxSim: SRP buckets over the sum-pooled
+  // vectors (the same md5-seeded quantized hyperplanes as q32,
+  // rendered as literals), bucket-collision candidates ranked by
+  // pooled dot to 16, exact MaxSim re-score, in_exact audit vs the
+  // exact top-5. Pooled coords <= 8e6, weights <= 1e6 => projections
+  // <= 5.2e14; pooled dots <= 4.1e15 — all exact under 2^53.
+  // ONE replay serves BOTH q253 (scan stage 1) and q254 (persistent
+  // bucket-partitioned index stage 1): the indexed path must return
+  // exactly the scan path's rows — that equality IS q254's check.
+  private lazy val maxSimAnnSql: String = {
       val wRows = (0 until 4).flatMap { t =>
         (0 until 4).map { p =>
           val w = graft.functions.VectorFunctions.quantizedHyperplane(t, p, 64)
@@ -1134,7 +1204,94 @@ object VectorQueries {
          |FROM r2 LEFT JOIN re ON re.query_id = r2.query_id
          |  AND re.doc_id = r2.doc_id
          |WHERE r2.rank <= 5 ORDER BY r2.query_id, r2.rank""".stripMargin
-    },
+  }
+
+  // recall sweep over the SRP front's tables knob: collisions computed
+  // once at 16 tables, each (query, doc) pair tagged with its minimum
+  // colliding table mt, cut T's candidates = {mt < T} (table t's
+  // hyperplanes depend only on seed = t, so the candidate sets nest),
+  // per-cut stage-1 rank to 16, exact MaxSim re-score, per-cut top-5
+  // vs the exact top-5. All-integer; a cut with zero candidates still
+  // emits its row (hits = 0) via the ks LEFT JOIN
+  private lazy val maxSimSrpTablesSql: String = {
+      val wRows = (0 until 16).flatMap { t =>
+        (0 until 4).map { p =>
+          val w = graft.functions.VectorFunctions.quantizedHyperplane(t, p, 64)
+            .mkString("[", ",", "]")
+          s"($t, $p, $w::BIGINT[])"
+        }
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id // 8 AS doc_id, vec_id AS tok_id, $qv AS qv
+         |           FROM embeddings),
+         |q AS (SELECT doc_id AS query_id, tok_id, qv AS qtv FROM e WHERE doc_id < 4),
+         |u AS (SELECT doc_id, i, CAST(sum(qv[i]) AS BIGINT) AS s
+         |      FROM e CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY doc_id, i),
+         |pool AS (SELECT doc_id, list(s ORDER BY i) AS pl FROM u GROUP BY doc_id),
+         |qu AS (SELECT query_id, i, CAST(sum(qtv[i]) AS BIGINT) AS s
+         |       FROM q CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY query_id, i),
+         |qpool AS (SELECT query_id, list(s ORDER BY i) AS qpl FROM qu GROUP BY query_id),
+         |w(t, p, wv) AS (VALUES
+         |$wRows),
+         |bkd AS (SELECT pool.doc_id, w.t,
+         |  CAST(sum(CASE WHEN ${dot("pool.pl", "w.wv")} >= 0
+         |    THEN power(2, w.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pool, w GROUP BY pool.doc_id, w.t),
+         |bkq AS (SELECT qpool.query_id, w.t,
+         |  CAST(sum(CASE WHEN ${dot("qpool.qpl", "w.wv")} >= 0
+         |    THEN power(2, w.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM qpool, w GROUP BY qpool.query_id, w.t),
+         |coll AS (SELECT bq.query_id, bd.doc_id, min(bq.t) AS mt
+         |  FROM bkq bq JOIN bkd bd ON bq.t = bd.t AND bq.bucket = bd.bucket
+         |  WHERE bd.doc_id <> bq.query_id GROUP BY bq.query_id, bd.doc_id),
+         |cs AS (SELECT c.query_id, c.doc_id, c.mt,
+         |         ${dot("p.pl", "qp.qpl")} AS pdot
+         |       FROM coll c JOIN pool p ON p.doc_id = c.doc_id
+         |       JOIN qpool qp ON qp.query_id = c.query_id),
+         |ks AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16)) AS t(tables)),
+         |cand AS (SELECT tables, query_id, doc_id FROM (
+         |    SELECT ks.tables, cs.query_id, cs.doc_id,
+         |      row_number() OVER (PARTITION BY ks.tables, cs.query_id
+         |        ORDER BY cs.pdot DESC, cs.doc_id) AS cr
+         |    FROM cs JOIN ks ON cs.mt < ks.tables) WHERE cr <= 16),
+         |p2 AS (SELECT c.tables, q.query_id, q.tok_id, c.doc_id,
+         |         ${dot("q.qtv", "e.qv")} AS dot
+         |       FROM cand c JOIN q ON q.query_id = c.query_id
+         |       JOIN e ON e.doc_id = c.doc_id),
+         |m2 AS (SELECT tables, query_id, tok_id, doc_id, max(dot) AS mx
+         |       FROM p2 GROUP BY tables, query_id, tok_id, doc_id),
+         |s2 AS (SELECT tables, query_id, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim
+         |       FROM m2 GROUP BY tables, query_id, doc_id),
+         |r2 AS (SELECT tables, query_id, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY tables, query_id
+         |      ORDER BY maxsim DESC, doc_id) AS rank FROM s2) WHERE rank <= 5),
+         |pe AS (SELECT q.query_id, q.tok_id, e.doc_id, ${dot("q.qtv", "e.qv")} AS dot
+         |       FROM q, e WHERE e.doc_id <> q.query_id),
+         |me AS (SELECT query_id, tok_id, doc_id, max(dot) AS mx
+         |       FROM pe GROUP BY query_id, tok_id, doc_id),
+         |se AS (SELECT query_id, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim
+         |       FROM me GROUP BY query_id, doc_id),
+         |re AS (SELECT query_id, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY maxsim DESC, doc_id) AS rank FROM se) WHERE rank <= 5),
+         |tot AS (SELECT count(*) AS total FROM re),
+         |h AS (SELECT r2.tables,
+         |        sum(CASE WHEN re.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+         |      FROM r2 LEFT JOIN re ON re.query_id = r2.query_id
+         |        AND re.doc_id = r2.doc_id
+         |      GROUP BY r2.tables)
+         |SELECT CAST(ks.tables AS INTEGER) AS tables,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(tot.total AS BIGINT) AS total,
+         |  CAST((coalesce(h.hits, 0) * 1000000) // tot.total AS BIGINT)
+         |    AS recall_ppm
+         |FROM ks LEFT JOIN h ON h.tables = ks.tables, tot
+         |ORDER BY tables""".stripMargin
+  }
+
+  private val staticOracles: Map[String, String] = Map(
+    "q253_maxsim_ann" -> maxSimAnnSql,
+    "q254_maxsim_ann_indexed" -> maxSimAnnSql,
+    "q255_maxsim_srp_tables" -> maxSimSrpTablesSql,
     // recall curve of the two-stage MaxSim: ONE widened candidate set
     // (cr <= 64, exact MaxSim scored once) re-ranked at each cut —
     // the exact score of a (query, doc) pair is cut-independent, so

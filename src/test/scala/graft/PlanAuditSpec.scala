@@ -330,6 +330,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"indexed BM25 degraded to SMJ:\n$p")
   }
 
+  test("q254: indexed ANN-MaxSim stage 1 prunes to the probed (t, bucket) partitions") {
+    // tight regex: "bucket" must appear INSIDE a PartitionFilters
+    // bracket (the embeddings scans legitimately print empty ones);
+    // finalPlan because the tiny audit join resolves SMJ→BHJ under AQE
+    val p = finalPlan("q254_maxsim_ann_indexed")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket.*"),
+      s"no (t, bucket) pruning on the pooled-vector index scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian snuck in:\n$p")
+  }
+
   test("q112/q122: the bucket-count model table broadcasts back onto the stream") {
     // DSIR scoring and PSI both build a ≤B-row model — re-attaching it
     // must be a broadcast, never a corpus-sized shuffle join

@@ -152,6 +152,72 @@ class SimilaritySpec extends SparkSpec {
     assert(curve.last._4 == 1000000L)
   }
 
+  test("buildMaxSimSrpIndex + maxSimSrpProbe: pruned scan, bit-identical to the scan path") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    val dims = 8
+    val toks = (0 until 48).map { i =>
+      (i.toLong / 3, i.toLong, Seq.fill(dims)(rnd.nextInt(2001) - 1000L))
+    }
+    val df = toks.toDF("doc_id", "tok_id", "qv")
+    val q = df.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("tok_id"), col("qv"))
+    val dir = java.nio.file.Files.createTempDirectory("maxsimsrpidx").toString
+    Similarity.buildMaxSimSrpIndex(df, dir, planes = 2, tables = 3, dims = dims)
+    val probed = Similarity.maxSimSrpProbe(df, q, dir, kCand = 8, k = 3,
+      excludeSelfDoc = true)
+    // partition pruning on the (t, bucket) directories is in the plan
+    val planStr = probed.queryExecution.executedPlan.toString
+    assert(planStr.matches("(?s).*PartitionFilters: \\[.*bucket.*"), planStr)
+    // bit-identical to the scan path at the index's pinned parameters
+    val direct = Similarity.maxSimSrpTopK(df, q, kCand = 8, k = 3,
+      planes = 2, tables = 3, dims = dims, excludeSelfDoc = true)
+    assert(probed.collect().map(_.toString).sorted.toSeq ==
+      direct.collect().map(_.toString).sorted.toSeq)
+    assert(probed.count() > 0)
+    // meta pins the build parameters
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    assert(meta.getAs[Int]("planes") == 2 && meta.getAs[Int]("tables") == 3 &&
+      meta.getAs[Int]("dims") == dims)
+    // an empty query set probes nothing and returns an empty frame
+    assert(Similarity.maxSimSrpProbe(df, q.filter(col("query_id") < 0),
+      dir, kCand = 8, k = 3).count() == 0)
+  }
+
+  test("maxSimSrpTablesCurve: each cut ≡ running maxSimSrpTopK at that tables count") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(29)
+    val dims = 8
+    val toks = (0 until 60).map { i =>
+      (i.toLong / 3, i.toLong, Seq.fill(dims)(rnd.nextInt(2001) - 1000L))
+    }
+    val df = toks.toDF("doc_id", "tok_id", "qv")
+    val q = df.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("tok_id"), col("qv"))
+    val cuts = Seq(1, 2, 4)
+    val curve = Similarity.maxSimSrpTablesCurve(df, q, cuts, kCand = 6,
+        k = 3, planes = 2, dims = dims, excludeSelfDoc = true)
+      .select("tables", "hits", "total", "recall_ppm")
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(curve.map(_._1) == cuts, "one row per cut, even an empty one")
+    val exact = Similarity.maxSimTopK(df, q, k = 3, excludeSelfDoc = true)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    // per cut: hits equal what an independent maxSimSrpTopK run at
+    // that tables count scores against the exact set
+    for ((t, hits, total, ppm) <- curve) {
+      val indep = Similarity.maxSimSrpTopK(df, q, kCand = 6, k = 3,
+          planes = 2, tables = t, dims = dims, excludeSelfDoc = true)
+        .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+      assert(total == exact.size.toLong, s"total at tables=$t")
+      assert(hits == indep.count(exact).toLong, s"hits at tables=$t")
+      assert(ppm == hits * 1000000L / total, s"ppm at tables=$t")
+    }
+    // NOTE: recall is typically but not provably monotone in tables —
+    // the candidate SETS nest, but a wider set can push a low-pdot
+    // true positive out of the kCand stage-1 cut — so the pin is the
+    // per-cut differential above, not monotonicity
+  }
+
   test("marginMineQuantized: bit-identical to a driver replay; hub demotion") {
     val rnd = new scala.util.Random(41)
     val dims = 6

@@ -52,12 +52,14 @@ import org.apache.spark.sql.functions._
   *     former candidate pair still meets exactly once, at the build
   *     row's own shard.
   *
-  * Both mitigations are ADAPTIVE, decided by two control-plane counts
-  * over already-checkpointed frames (the same driver-sync family as
-  * [[ScaleOps.canonicalize]]'s convergence checks): a duplicate-free
-  * input skips the expand-back join, and a grid with no cell over
-  * `hotCellCap` skips the shard joins entirely — so well-behaved data
-  * pays nothing for the skew armor.
+  * Both mitigations are ADAPTIVE, decided by ONE gate aggregation
+  * over the already-checkpointed group frame (the same driver-sync
+  * family as [[ScaleOps.canonicalize]]'s convergence checks) that
+  * yields the group/point totals AND the hot-cell list in a single
+  * job: a duplicate-free input skips the expand-back join, and a grid
+  * with no cell over `hotCellCap` skips the shard joins entirely — so
+  * well-behaved data pays one small aggregation, nothing more, for
+  * the skew armor.
   *
   * All arithmetic is integer (squared distances on quantized coords —
   * no float boundary anywhere). Components run on the CORE-CORE edge
@@ -89,23 +91,40 @@ object Dbscan {
     // equal minima over members)
     val grp = Materialize.once(pts.groupBy("x", "y")
       .agg(min(col("id")).as("id"), count(lit(1)).as("w")))
-    // both frames are checkpointed, so these control-plane counts are
-    // metadata-cheap; they gate the two mitigation joins below so a
-    // duplicate-free, evenly-gridded input keeps the old minimal plan
-    val hasDups = grp.count() < pts.count()
     // eps-wide grid cell, FLOOR division (div truncates toward zero on
     // negatives, which would fold cells -1 and 0 together)
     def cellOf(c: String) = expr(s"($c - pmod($c, $eps)) div $eps")
+    // ONE aggregation job over the (checkpointed) group frame yields
+    // every adaptive gate at once: total groups, total points (sum of
+    // member weights), and the hot-cell list — replacing the former
+    // grp.count() + pts.count() + a per-cell hot aggregation that was
+    // a real job and re-ran inside each broadcast join (r16 advice).
+    // The hot list is ≤ groups/hotCellCap rows by construction, so
+    // collecting it driver-side is safe at any scale with a sane cap;
+    // it is then inlined as a local relation the two joins below read
+    // without recomputation. A duplicate-free, evenly-gridded input
+    // still keeps the old minimal plan — it pays one small gate job.
+    val gate = grp
+      .select(cellOf("x").as("cx"), cellOf("y").as("cy"), col("w"))
+      .groupBy("cx", "cy")
+      .agg(count(lit(1)).as("__cnt"), sum(col("w")).as("__pw"))
+      .agg(sum(col("__cnt")).as("__groups"), sum(col("__pw")).as("__points"),
+        collect_list(when(col("__cnt") > hotCellCap,
+          struct(col("cx"), col("cy"),
+            ceil(col("__cnt").cast("double") / hotCellCap).cast("int")
+              .as("__m")))).as("__hot"))
+      .head()
+    val hasDups = !gate.isNullAt(0) && gate.getLong(0) < gate.getLong(1)
+    val hotRows = gate.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val anyHot = hotRows.nonEmpty
+    // density cap: cells holding > hotCellCap distinct groups get m =
+    // ceil(count/cap) hash shards; the hot list is broadcast to both
+    // sides as a driver-built literal frame
+    lazy val hot = df.sparkSession.createDataFrame(hotRows)
+      .toDF("cx", "cy", "__m")
     val home0 = grp.select(col("id"), col("x"), col("y"), col("w"),
       cellOf("x").as("cx"), cellOf("y").as("cy"))
-    // density cap: cells holding > hotCellCap distinct groups get m =
-    // ceil(count/cap) hash shards; the hot list is a per-cell count —
-    // tiny — and broadcast to both sides
-    val hot = home0.groupBy("cx", "cy").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") > hotCellCap)
-      .select(col("cx"), col("cy"),
-        ceil(col("__cnt").cast("double") / hotCellCap).cast("int").as("__m"))
-    val anyHot = !hot.isEmpty
     val home =
       if (!anyHot) home0.withColumn("cs", lit(0))
       else home0.join(broadcast(hot), Seq("cx", "cy"), "left")

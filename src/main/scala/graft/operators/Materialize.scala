@@ -82,14 +82,18 @@ private[graft] object Materialize {
     *
     * Disk hygiene: each published dir carries its logical `key` in a
     * `_graft_key` marker (underscore-prefixed → invisible to parquet
-    * readers). A build-time sweep then deletes (a) unpublished
-    * `*.tmp.*` crash leftovers older than
-    * `spark.graft.shared.tmpMaxAgeHours` (default 6) and (b)
-    * published dirs holding the SAME key under a different (therefore
-    * superseded) fingerprint — so repeated corpus regeneration churns
-    * bounded disk instead of accumulating multi-GB orphans until
-    * reboot. The sweep runs only on the build path: a cache hit never
-    * pays the directory walk. */
+    * readers). Two sweeps bracket the build: BEFORE it, unpublished
+    * `*.tmp.*` crash leftovers whose newest recursive mtime is older
+    * than `spark.graft.shared.tmpMaxAgeHours` (default 6) are
+    * deleted; AFTER a successful publish, published dirs holding the
+    * SAME key under a different (therefore superseded) fingerprint
+    * are deleted — the old copy disappears only once a valid
+    * replacement exists, so a failed build never orphans the key and
+    * a concurrent reader of the old dir is disturbed only when its
+    * data is truly superseded. Repeated corpus regeneration therefore
+    * churns bounded disk instead of accumulating multi-GB orphans
+    * until reboot. Both sweeps run only on the build path: a cache
+    * hit never pays the directory walk. */
   def sharedDurable(s: org.apache.spark.sql.SparkSession, key: String,
                     fingerprint: String)(build: => DataFrame): DataFrame = {
     val fullKey = key + "\u0001" + fingerprint
@@ -101,18 +105,27 @@ private[graft] object Materialize {
       def done = new java.io.File(dir, "_SUCCESS").exists()
       if (done) dir.getAbsolutePath
       else {
-        sweepStale(s, dir.getParentFile, key, tag)
+        // pre-build: only the crash-leftover tmp sweep. The superseded-
+        // fingerprint sweep runs AFTER a successful publish — deleting
+        // the old dir first would leave NO on-disk copy if this build
+        // throws, and break a concurrent JVM mid-read of it for
+        // nothing (r16 advice)
+        sweepTmp(s, dir.getParentFile)
         val tmp = new java.io.File(dir.getParentFile,
           s"$tag.tmp.${java.util.UUID.randomUUID()}")
         build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
         java.nio.file.Files.write(
           new java.io.File(tmp, KeyMarker).toPath, key.getBytes("UTF-8"))
-        if (tmp.renameTo(dir)) dir.getAbsolutePath
+        def published(): String = {
+          sweepSuperseded(dir.getParentFile, key, tag)
+          dir.getAbsolutePath
+        }
+        if (tmp.renameTo(dir)) published()
         else if (done) { // lost the race to a completed winner
           deleteRec(tmp); dir.getAbsolutePath
         } else { // stale crash leftover occupies the slot: evict, retry
           deleteRec(dir)
-          if (tmp.renameTo(dir)) dir.getAbsolutePath
+          if (tmp.renameTo(dir)) published()
           else tmp.getAbsolutePath // unpublishable: serve the private build
         }
       }
@@ -122,37 +135,60 @@ private[graft] object Materialize {
 
   private val KeyMarker = "_graft_key"
 
-  /** Opportunistic stale sweep under the shared root (see
-    * [[sharedDurable]]): deletes crash-leftover `*.tmp.*` dirs whose
-    * mtime is older than the configured horizon (an in-progress build
-    * keeps refreshing its dir mtime as part files land, so a
-    * multi-hour horizon never bites a live build) and published dirs
-    * whose `_graft_key` equals `key` but whose tag differs from
-    * `keepTag` — a superseded fingerprint of the same materialization
-    * (the caller is about to publish the replacement, and any
-    * long-lived JVM still memoizing the old path lost its INPUT when
-    * the corpus was regenerated). Dirs published before the marker
-    * existed are left alone — they age out at reboot as before. */
-  private def sweepStale(s: org.apache.spark.sql.SparkSession,
-                         parent: java.io.File, key: String,
-                         keepTag: String): Unit = {
+  /** Pre-build sweep of crash-leftover `*.tmp.*` dirs under the
+    * shared root (see [[sharedDurable]]): a tmp dir is deleted only
+    * when the NEWEST mtime found in a recursive walk is past the
+    * configured horizon. The walk matters: Spark's committer lands
+    * part files under nested `_temporary/` subdirs, which does NOT
+    * refresh the top-level tmp dir's mtime on Linux — aging off the
+    * top-level mtime alone could kill a build still writing past the
+    * horizon (r16 advice). */
+  private def sweepTmp(s: org.apache.spark.sql.SparkSession,
+                       parent: java.io.File): Unit = {
     val kids = parent.listFiles()
     if (kids == null) return
     val maxAgeMs = (s.conf.get("spark.graft.shared.tmpMaxAgeHours", "6")
       .toDouble * 3600 * 1000).toLong
     val now = System.currentTimeMillis()
-    kids.filter(_.isDirectory).foreach { d =>
-      val name = d.getName
-      if (name.contains(".tmp.")) {
-        if (now - d.lastModified() > maxAgeMs) deleteRec(d)
-      } else if (name != keepTag) {
+    kids.filter(d => d.isDirectory && d.getName.contains(".tmp."))
+      .foreach { d =>
+        if (now - newestMtime(d) > maxAgeMs) deleteRec(d)
+      }
+  }
+
+  /** Newest mtime under `f`, the dir's own included (recursive —
+    * bounded by the build's file count, a driver-side metadata
+    * walk). */
+  private def newestMtime(f: java.io.File): Long = {
+    val own = f.lastModified()
+    val kids = f.listFiles()
+    if (kids == null) own
+    else kids.foldLeft(own)((m, k) => math.max(m, newestMtime(k)))
+  }
+
+  /** Post-publish sweep of published dirs whose `_graft_key` equals
+    * `key` but whose tag differs from `keepTag` — superseded
+    * fingerprints of the same materialization (the caller JUST
+    * published the replacement, so the old rows are unreachable
+    * through any correct key; a long-lived JVM still memoizing the
+    * old path lost its INPUT when the corpus was regenerated). Runs
+    * only after a successful publish so the old dir disappears only
+    * once a valid replacement exists. Dirs published before the
+    * marker existed are left alone — they age out at reboot as
+    * before. */
+  private def sweepSuperseded(parent: java.io.File, key: String,
+                              keepTag: String): Unit = {
+    val kids = parent.listFiles()
+    if (kids == null) return
+    kids.filter(d => d.isDirectory && !d.getName.contains(".tmp.") &&
+        d.getName != keepTag)
+      .foreach { d =>
         val marker = new java.io.File(d, KeyMarker)
         if (marker.exists() &&
             new String(java.nio.file.Files.readAllBytes(marker.toPath),
               "UTF-8") == key)
           deleteRec(d)
       }
-    }
   }
 
   /** Test hook: forget the in-JVM path memo so a spec can exercise

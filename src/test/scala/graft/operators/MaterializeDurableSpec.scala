@@ -87,6 +87,63 @@ class MaterializeDurableSpec extends SparkSpec {
     newTmp.delete(); ()
   }
 
+  test("a failed replacement build never orphans the key (superseded sweep is post-publish)") {
+    def tagOf(k: String, fp: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((k + "\u0001" + fp).getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-shared")
+    val k4 = s"$key-failsafe"
+    Materialize.sharedDurable(spark, k4, "fpA")(build()).count()
+    val dirA = new java.io.File(root, tagOf(k4, "fpA"))
+    assert(dirA.exists())
+    // "new JVM" regenerates the corpus but its replacement build dies:
+    // the only on-disk copy of the key must SURVIVE the failure
+    Materialize.clearSharedPathsForTest()
+    intercept[RuntimeException] {
+      Materialize.sharedDurable(spark, k4, "fpB")(
+        throw new RuntimeException("build failed"))
+    }
+    assert(dirA.exists(),
+      "superseded dir must outlive a FAILED replacement build")
+    // ... and a successful replacement publish then sweeps it
+    Materialize.clearSharedPathsForTest()
+    Materialize.sharedDurable(spark, k4, "fpB")(build()).count()
+    assert(!dirA.exists(), "superseded dir must be swept post-publish")
+    assert(new java.io.File(root, tagOf(k4, "fpB")).exists())
+  }
+
+  test("tmp-age sweep keys off the newest nested mtime, not the top-level dir") {
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-shared")
+    val old = System.currentTimeMillis() - 10L * 3600 * 1000
+    // a live build: Spark's committer writes under nested _temporary/
+    // without refreshing the top-level tmp dir's mtime — simulate with
+    // an ancient top dir holding a FRESH nested part file
+    val live = new java.io.File(root, "cafebabe.tmp.spec-live")
+    val nested = new java.io.File(live, "_temporary/0")
+    assert(nested.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(nested, "part-00000").toPath, Array[Byte](1))
+    assert(live.setLastModified(old) && nested.setLastModified(old) &&
+      nested.getParentFile.setLastModified(old))
+    Materialize.clearSharedPathsForTest()
+    Materialize.sharedDurable(spark, s"$key-mtime-a", "fp")(build()).count()
+    assert(live.exists(),
+      "tmp dir with a fresh nested write is a live build — must survive")
+    // once EVERYTHING under it is past the horizon it is a true
+    // crash leftover and goes
+    def ageAll(f: java.io.File): Unit = {
+      f.setLastModified(old)
+      Option(f.listFiles()).foreach(_.foreach(ageAll))
+    }
+    ageAll(live)
+    Materialize.clearSharedPathsForTest()
+    Materialize.sharedDurable(spark, s"$key-mtime-b", "fp")(build()).count()
+    assert(!live.exists(), "fully-aged tmp leftover must be swept")
+  }
+
   test("pathFingerprint tracks file metadata, not just the path") {
     val f = java.nio.file.Files.createTempFile("fp-spec", ".bin")
     java.nio.file.Files.write(f, Array[Byte](1, 2, 3))

@@ -83,9 +83,14 @@ object Dbscan {
     require(eps > 0, s"eps must be positive, got $eps")
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     require(hotCellCap >= 1, s"hotCellCap must be >= 1, got $hotCellCap")
-    val pts = Materialize.once(
-      df.select(col(idCol).cast("long").as("id"),
-        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
+    // NOT checkpointed: a cast+project of the source, read at most
+    // twice (grp build + the hasDups expand-back). Two pruned scans of
+    // the source are cheaper than a full localCheckpoint write+read of
+    // every point at any scale — and duplicate-free inputs read it
+    // exactly once, making the old eager checkpoint pure overhead
+    // (r17 guide §1.2: don't compute things you throw away).
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
     // multiplicity collapse: one row per DISTINCT coordinate, weight =
     // member count, id = min member id (so component minima over reps
     // equal minima over members)

@@ -84,8 +84,21 @@ object RangeJoin {
     val cond = keyPairs.foldLeft(col("__a.__bin") === col("__b.__bin")) {
       case (c, (ka, kb)) => c && col(s"__a.$ka") === col(s"__b.$kb")
     }
-    binsOf(a, aStart, aEnd).alias("__a")
-      .join(binsOf(b, bStart, bEnd).alias("__b"), cond)
+    // Pin the join's parallelism with an explicit keyed repartition
+    // (REPARTITION_BY_NUM — AQE never coalesces it): the bin join's
+    // INPUT shuffle is rows·(bin key + bounds) — a few MB per million
+    // intervals — but its OUTPUT explodes quadratically per (key, bin)
+    // group, so byte-based AQE coalescing under-parallelizes exactly
+    // this stage (measured at sf0.1: the q133 join collapsed to 3
+    // post-shuffle partitions, one carrying a 3 s straggler task — the
+    // guide §2.5/§3.3 exploding-join trap). The repartition keys equal
+    // the join keys, so EnsureRequirements inserts no further
+    // exchange: same shuffle count, pinned width.
+    val nParts = a.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame, keys: Seq[String]) =
+      df.repartition(nParts, (Seq("__bin") ++ keys).map(col): _*)
+    pin(binsOf(a, aStart, aEnd), keyPairs.map(_._1)).alias("__a")
+      .join(pin(binsOf(b, bStart, bEnd), keyPairs.map(_._2)).alias("__b"), cond)
       .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
       // first shared bin = bin of max(aStart, bStart): emit-once guard
       .filter(col(s"__a.__bin") ===

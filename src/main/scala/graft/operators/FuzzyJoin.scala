@@ -106,8 +106,17 @@ object FuzzyJoin {
       rows.groupBy(col("s")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= maxFrequency)
         .withColumn("h", xxhash64(col("s"))))
-    val keyed = strs.select(col("h"),
-      explode(deletionKeys(col("s"), maxDist)).as("k"))
+    // Fan the deletion-key explode wide before keying: `strs` comes out
+    // of a byte-coalesced aggregation (a few thousand distinct names is
+    // KBs), so its checkpoint is 1–2 partitions — and this projection is
+    // the map side of the candidate self-join, i.e. the deletion-key
+    // generation AND the join probe would run as ONE task (measured at
+    // sf0.1: a 3.7 s serial stage inside q130). Round-robin repartition
+    // costs one tiny shuffle of the distinct strings and parallelizes
+    // the compute-heavy map stage (guide §2.5, input-parallelism fix).
+    val keyed = strs
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("h"), explode(deletionKeys(col("s"), maxDist)).as("k"))
     // ha <= hb (not <): a 64-bit collision between two DIFFERENT
     // strings lands on ha == hb, and dropping it would lose a true
     // pair — completeness here is oracle-proved, not probabilistic.

@@ -43,7 +43,12 @@ object Cdc {
                             textCol: String, window: Int, divisor: Int,
                             minLen: Int, maxLen: Int): DataFrame = {
     val ends = CdcCuts(col(textCol), window, divisor, minLen, maxLen)
+    // fan the rolling-hash cut scan + per-chunk md5 wide (the Dedup
+    // fanOut pattern): a sub-split-size corpus file otherwise runs this
+    // compute-heavy projection as ONE task — and chunkDedup's sharing
+    // join evaluates it on both sides
     docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), col(textCol).as("__s"), ends.as("__ends"))
       .withColumn("__starts",
         when(size(col("__ends")) === 0, array().cast("array<int>"))
